@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Core LLM-training-data pipeline surface (driver north star; the reference
+itself has no dedup — SURVEY.md §2.A.4).  Design rules:
+
+- **UDF-free.** Shingling, hashing, minhashing, banding and Hamming math are
+  all JVM higher-order functions (`transform`, `aggregate`, `xxhash64`) —
+  whole-stage-codegen'd, Arrow never involved.
+- **Deterministic.** Fixed hash seeds; "keeper" of a duplicate group is
+  always min(doc_id); pair outputs are (lo, hi) ordered.
+- **Scale shape.** Exact dedup is one hash-aggregate (shuffle ∝ distinct
+  keys).  MinHash-LSH bounds candidate generation to per-band buckets —
+  never the O(n²) cross join — and the final Jaccard verify only touches
+  candidate pairs.  At 100 TB: band buckets are salted-skew-safe since a
+  bucket key is (band_id, band_hash) — hot buckets indicate true heavy
+  duplicate clusters, which AQE skew-split handles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+SHINGLE_K = 3            # words per shingle
+MINHASH_PERMS = 64       # minhash signature length
+LSH_BANDS = 16           # 16 bands × 4 rows — ~0.5 jaccard threshold knee
+JACCARD_THRESHOLD = 0.6  # verified-duplicate cutoff
+
+# fixed odd multipliers for the (a*x+b) universal-hash family, seed=42 spirit
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(col: str = "text"):
+    """k-word shingles as a distinct array<string> — pure JVM expression."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(0, greatest(size(split({col}, ' ')) - {SHINGLE_K}, 0)),"
+        f"  i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {SHINGLE_K}))"
+        f"))"
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text)        AS content_hash,
+           MIN(doc_id)      AS keep_doc_id,
+           COUNT(*)         AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash-aggregate keyed on md5(text).
+
+    Deterministic keeper = min(doc_id) — never dropDuplicates(), whose
+    survivor depends on partition order.  At 100 TB the group key is the
+    16-byte digest, not the document text, so the shuffle carries hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
+                     ))) AS s
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word-shingle) Jaccard near-dup pairs ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count intersections, derive |A∪B| from set sizes.  Jaccard is a ratio
+    of identical integers on both engines → exact double, no rounding.
+
+    Scale: the shingle join is the quadratic danger zone — in production
+    this exact verify runs ONLY on LSH candidate pairs (see
+    minhash_lsh_dedup); it's registered standalone because it is the
+    ground-truth oracle the LSH recall is judged against."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + array<bigint> minhash signature (MINHASH_PERMS values).
+
+    Base shingle hash = xxhash64; permutation family
+    h_i(x) = (a_i * x + b_i) mod 2^61-1 with fixed a_i, b_i derived from
+    the permutation index (deterministic, seedable).  Entirely JVM-side:
+    transform() over a literal permutation-index sequence + array_min."""
+    # base hashes are masked to 31 bits so the (a*x + b) family never
+    # overflows a long (ANSI mode makes overflow an error in Spark 4)
+    perm = (
+        f"transform(sequence(0, {MINHASH_PERMS - 1}), p -> "
+        f"  array_min(transform(sh_hashes, x -> "
+        f"    pmod((2*p + 1) * x + p * 12582917, {_MERSENNE}))))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(shingles, s -> xxhash64(s) & 2147483647)"
+            ).alias("sh_hashes"),
+        )
+        .where(F.size("sh_hashes") > 0)
+        .select("doc_id", F.expr(perm).alias("signature"))
+    )
+
+
+@register("minhash_lsh_dedup")  # rows-only: minhash banding isn't ANSI SQL
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: shingle → 64-perm minhash signature → 16 bands × 4 rows →
+    bucket-join on (band_id, band_hash) → distinct candidate pairs →
+    exact shingle-Jaccard verify ≥ threshold.
+
+    Scale: candidates come from band buckets only (no cross join); the
+    verify join rebuilds shingle sets just for candidate docs via a
+    semi-filtered explode.  Everything is codegen'd JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _shingles().alias("shingles"))
+    sigs = minhash_signatures(docs)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+                f"  struct(b AS band_id, "
+                f"         xxhash64(concat_ws(',', "
+                f"           slice(signature, b * {rows_per_band} + 1, "
+                f"                 {rows_per_band}))) AS band_hash))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    inter = (
+        candidates.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("shb.doc_id"))
+            & (F.col("sha.s") == F.col("shb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("simhash_dedup")  # rows-only: 64-bit bit-bucketing isn't ANSI SQL
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from token hashes, candidate
+    pairs via 4-segment Hamming blocking (pigeonhole: Hamming ≤ 3 ⇒ at
+    least one of 4 16-bit segments equal), verified with exact popcount.
+
+    Signature bit j = sign of Σ_tokens (±1 by bit j of xxhash64(token)) —
+    computed with aggregate() over the token array, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))")
+        .alias("th")
+    )
+    # per-bit vote: +1 per token with two's-complement bit j set, else -1
+    bit_votes = F.expr(
+        "transform(sequence(0, 63), j -> "
+        "  aggregate(th, 0L, (acc, h) -> "
+        "    acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    # assemble signature with bitwise OR (addition of 2^63 would overflow)
+    sig = F.expr(
+        "aggregate(transform(sequence(0, 63), j -> "
+        "  CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        "  0L, (acc, x) -> acc | x)"
+    )
+    sigs = (
+        toks.select("doc_id", bit_votes.alias("votes"))
+        .select("doc_id", sig.alias("simhash"))
+    )
+    # block on 16-bit segments (Hamming ≤ 3 guaranteed recall)
+    segs = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), s -> "
+                "  struct(s AS seg_id, "
+                "         shiftright(simhash, s * 16) & 65535 AS seg_val))"
+            )
+        ).alias("seg"),
+    ).select("doc_id", "simhash", "seg.seg_id", "seg.seg_val")
+    a = segs.alias("a")
+    b = segs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        pairs.select(
+            "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+        )
+        .where(F.col("hamming") <= 3)
+    )

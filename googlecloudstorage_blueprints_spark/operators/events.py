@@ -1,0 +1,197 @@
+"""Event-stream operators (batch forms; streaming twins in streaming/).
+
+SURVEY.md §2.B #20-#21.  Timestamp discipline: ``events.ts`` is parquet
+TIMESTAMP(NANOS); the catalog loader converts to µs with truncating integer
+division so Spark and the DuckDB oracle see identical values (see
+sources/catalog.py).  All gap/window math below is integer microseconds —
+exact on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+SESSION_GAP_SECONDS = 1800  # 30 min inactivity closes a session
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag(ts) flags a session break when the
+    inactivity gap exceeds 30 min; a running sum of break flags numbers the
+    sessions (0-based) per user.
+
+    Scale: ONE shuffle on user_id serves both window passes (same
+    partitioning); integer-µs math keeps it exact.  The streaming twin uses
+    session_window() with a watermark (streaming/sessions.py)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > SESSION_GAP_SECONDS * 1_000_000, 1).otherwise(0)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        is_new.alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("is_new").over(w2).cast("long").alias("session_id"),
+    )
+
+
+@register(
+    "events_session_stats",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts_us, value,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id,
+           COUNT(*)                            AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
+           ROUND(SUM(value), 4)                AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup on top of sessionization: event count, duration,
+    value total.  Reuses the user_id partitioning — Catalyst plans the
+    window and the aggregate over one exchange."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > SESSION_GAP_SECONDS * 1_000_000, 1).otherwise(0)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        "value",
+        is_new.alias("is_new"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "value",
+        F.sum("is_new").over(w2).cast("long").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # integer `div` (not float /): exact, matches DuckDB's `//`
+        F.expr("(MAX(ts_us) - MIN(ts_us)) div 1000000").alias("duration_sec"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "events_tumbling_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*)                  AS n_events,
+           COUNT(DISTINCT user_id)   AS n_users,
+           ROUND(SUM(value), 4)      AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation (batch form of a windowed stream agg;
+    the streaming twin uses window('1 hour') + watermark).  Bucket emitted
+    as a formatted string so both engines hash identical values."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to per-user feature columns (the conditional-sum
+    form: one pass, no pivot-shuffle, fixed output schema — preferred over
+    .pivot() when the category set is known)."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs)

@@ -1,0 +1,267 @@
+"""Similarity search over the ``embeddings`` vector table.
+
+SURVEY.md §2.B #18 + driver north-star ops.  Three tiers:
+
+- ``similarity_knn_bruteforce`` — exact cosine top-k, JVM higher-order
+  functions (zip_with/aggregate), oracle-checkable against DuckDB's
+  ``list_cosine_similarity`` (both sides compute in float64).
+- ``similarity_knn_pandas`` — the same semantics through a vectorized
+  Arrow/numpy ``mapInPandas`` kernel: the scale path for wide fan-out
+  (matrix-matrix per batch instead of per-pair loops).
+- ``similarity_rp_lsh`` — random-hyperplane LSH bucketing: the 100 TB
+  candidate-generation path (bucket join, never a cross join).
+
+Determinism: every top-k window orders by (metric DESC, id ASC); the
+hyperplanes are a fixed deterministic pseudo-random matrix (seed 42).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+N_QUERIES = 5    # the first N vec_ids serve as the query set
+TOP_K = 10
+DIM = 64
+
+
+def _cosine(a: str, b: str):
+    """Exact float64 cosine between two array<float> columns — zip_with +
+    aggregate, fully JVM-side (no UDF)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"          0D, (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * "
+        f" sqrt(aggregate({b}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+@register(
+    "similarity_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+                   AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id) AS rk
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk
+    FROM scored WHERE rk <= {TOP_K}
+    """,
+)
+def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a small query set: broadcast the queries,
+    score every corpus vector (map-only), keep top-k per query with a
+    rank-limit window (Spark plans a partial top-k before the shuffle).
+
+    Both engines compute in float64, so ranking ties are bit-identical;
+    cosine is rounded to 6dp only for the hash comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine("qv", "embedding").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+def _knn_pandas_batches(query_rows):
+    """Build the mapInPandas kernel over a broadcast query matrix."""
+    import numpy as np
+
+    q_ids = np.array([r["query_id"] for r in query_rows])
+    q_mat = np.array([r["qv"] for r in query_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T  # (batch, n_queries)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(
+                        pdf["vec_id"].to_numpy(), len(q_ids)
+                    ),
+                    "cos_raw": sims.T.reshape(-1),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    return kernel
+
+
+@register("similarity_knn_pandas")  # rows-only: float64 kernel ≡ bruteforce,
+# but the Arrow path is the op under test, not the SQL semantics
+def similarity_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized ANN scoring: numpy matrix-matrix product per Arrow batch
+    via mapInPandas, then the same deterministic top-k window.
+
+    Scale: per 10k-row Arrow batch this is one BLAS GEMM against the
+    broadcast query block — the building block of block-matrix brute force,
+    which at 100 TB beats per-pair expression evaluation by orders of
+    magnitude.  Partial top-k per partition keeps the shuffle tiny."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_rows = [
+        r.asDict()
+        for r in emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .collect()
+    ]
+    kernel = _knn_pandas_batches(query_rows)
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cos_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Box-Muller over an LCG,
+    seed 42) — reproducible across runs/machines with no numpy dependency
+    at plan-build time."""
+    state = 42
+    out: list[list[float]] = []
+
+    def lcg() -> float:
+        nonlocal state
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        return (state >> 11) / float(1 << 53)
+
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            u1, u2 = max(lcg(), 1e-12), lcg()
+            row.append(
+                math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            )
+        out.append(row)
+    return out
+
+
+N_PLANES = 12
+
+
+@register("similarity_rp_lsh")  # rows-only: RP-LSH bucketing isn't ANSI SQL
+def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SRP) LSH: 12-bit sign sketch per vector → bucket
+    join → exact cosine verify on candidates ≥ 0.3.
+
+    The sketch is a literal-matrix dot product via zip_with/aggregate (no
+    UDF).  Scale: candidate pairs come only from shared buckets; recall is
+    tuned by bands/planes, and the exact verify bounds precision — the
+    classic ANN recall/cost dial, with zero quadratic stages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(N_PLANES, DIM)
+    plane_arr = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}D" for v in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    sketch = F.expr(
+        f"aggregate(transform(sequence(0, {N_PLANES - 1}), p -> "
+        f"  CASE WHEN aggregate(zip_with(embedding, {plane_arr}[p], "
+        f"         (x, h) -> CAST(x AS DOUBLE) * h), 0D, (a, v) -> a + v) > 0 "
+        f"       THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, x) -> a | x)"
+    )
+    sketched = emb.select("vec_id", "embedding", sketch.alias("bucket"))
+    a = sketched.alias("a")
+    b = sketched.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine("a.embedding", "b.embedding").alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= 0.3)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: exact all-pairs cosine ≥ 0.4.
+
+    This is the ground-truth variant (oracle-checkable); the scale path is
+    similarity_rp_lsh which replaces the O(n²) pair space with bucketed
+    candidates.  The corpus fixture keeps all-pairs tractable (500×500)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cosine("a.embedding", "b.embedding").alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )

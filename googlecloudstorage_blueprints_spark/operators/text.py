@@ -1,0 +1,204 @@
+"""Text-analysis operators over the ``documents`` corpus.
+
+A 100 TB training-data pipeline needs corpus profiling before filtering:
+token counts, quality scores, language identification, fingerprints.  All
+hot-path expressions are JVM builtins (split/regexp/aggregate) — no Python
+UDFs — so they run inside whole-stage codegen and scale linearly with
+executors.  The reference has no text surface (SURVEY.md §2.A.4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                  AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)              AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                                                     AS total_tokens,
+           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           ROUND(AVG(n_chars), 4)                    AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language: document counts, char and token totals.
+    Whitespace tokenization via split() — a JVM builtin."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+            F.min(n_tokens).cast("long").alias("min_tokens"),
+            F.max(n_tokens).cast("long").alias("max_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)        AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                                                               AS alpha_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+                                                               AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT)                        AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, alphabetic runs, and a
+    BPE-ish word/number regex — the standard pre-tokenization cost estimate
+    for training-data budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))
+        .cast("long")
+        .alias("alpha_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT)                         AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT)         AS n_tokens,
+           (length(text) - len(string_split(text, ' ')) + 1)
+               * 1.0 / len(string_split(text, ' '))             AS avg_token_len,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3
+                AS BIGINT)                                      AS stopword_hits,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND (length(text) - len(string_split(text, ' ')) + 1)
+                     * 1.0 / len(string_split(text, ' ')) BETWEEN 2 AND 12
+                THEN 1 ELSE 0 END                               AS passes_filter
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features per document (Gopher-rule flavor):
+    length, mean token length, stopword hits, and a pass/fail gate —
+    all exact integer arithmetic + one exact division."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    n_chars = F.length("text")
+    # word soup is single-space separated: chars - (n_tokens-1) = letter count
+    avg_tok = (n_chars - n_tokens + 1) * F.lit(1.0) / n_tokens
+    stop_hits = (
+        (n_chars - F.length(F.regexp_replace("text", "the", ""))) / F.lit(3)
+    ).cast("long")
+    passes = F.when(
+        (n_tokens >= 20) & avg_tok.between(2, 12), 1
+    ).otherwise(0)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_hits.alias("stopword_hits"),
+        passes.alias("passes_filter"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                   AS content_md5,
+           substr(md5(text), 1, 8)                     AS fp_prefix,
+           md5(concat(CAST(doc_id AS VARCHAR), ':', substr(text, 1, 64)))
+                                                       AS head_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full md5, an 8-hex shard prefix (for routing
+    fingerprints to reducers without hotspots), and a head fingerprint over
+    the first 64 chars (cheap candidate key for prefix-duplicate hunting)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.substring(F.md5("text"), 1, 8).alias("fp_prefix"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.substring("text", 1, 64),
+            )
+        ).alias("head_fp"),
+    )
+
+
+# Tiny per-language lexicons for the n-gram/stopword language-ID heuristic.
+# Deterministic and self-contained (the fixture corpus is synthetic word
+# soup, so this demonstrates the operator mechanics, not linguistic truth).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "fast", "slow"],
+    "de": ["der", "und", "nicht", "das", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de", "shi", "le", "bu", "zai"],
+}
+
+
+@register("lang_id")  # rows-only: argmax-over-scores is clumsy in ANSI SQL
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score = |tokens ∩ marker-lexicon| per
+    language, predict the argmax (deterministic lexicographic tiebreak).
+
+    Built from array_intersect over a literal lexicon array — pure JVM
+    expression, no UDF, no shuffle; at 100 TB this is a map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in words])
+                )
+            ).alias(f"score_{lang}")
+            for lang, words in sorted(_LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+            for lang in langs
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("best_score"),
+    )

@@ -1,0 +1,15 @@
+"""Structured Streaming twins of the batch event operators."""
+
+from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+    read_events_stream,
+    streaming_session_window,
+    streaming_tumbling_agg,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "read_events_stream",
+    "streaming_tumbling_agg",
+    "streaming_session_window",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,105 @@
+"""Structured Streaming twins of the batch event operators
+(SURVEY.md §2.B #20-#21 streaming members).
+
+The batch forms in ``operators/events.py`` are canonical (oracle-checked);
+these twins run the same logic as an incremental streaming job:
+
+- tumbling window + watermark (late data dropped after 10 minutes);
+- session windows via ``session_window`` (gap-close semantics that mirror
+  the batch lag/cumsum sessionization).
+
+The fixture ``events`` table is replayed as a file stream (one parquet) —
+the same code runs against a Kafka/rate source by swapping ``readStream``
+options.  Tests drive them with ``trigger(availableNow=True)`` into a
+memory sink, which processes the whole backlog incrementally and stops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.session import apply_runtime_conf
+
+WATERMARK = "10 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with the same ns→µs
+    conversion as the batch catalog loader."""
+    apply_runtime_conf(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the fixture directory holds all tables; pathGlobFilter scopes the
+    # stream to the events file only
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows with a 10-minute watermark — the streaming
+    twin of ``events_tumbling_agg``.  In append mode a window emits once
+    its watermark passes; counts match the batch form for the replayed
+    fixture because the backlog is finite."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via ``session_window`` — the
+    streaming twin of ``events_sessionize``/``events_session_stats``."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), SESSION_GAP).alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            F.unix_micros(F.col("win.end")).alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, timeout_sec: int = 120, mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame through availableNow into a memory sink
+    and return the materialized result (test/smoke harness)."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return df.sparkSession.table(name)

@@ -1,0 +1,197 @@
+"""Round-trip tests for the file verbs on a tmpdir tree over ``file:`` URIs
+(same Hadoop FileSystem code path as gs:// — FIXTURES.md 'File-ops
+fixtures').
+
+Tree exercises regex substring matching, basename collisions across
+folders, and first-dot enumeration (a.tar.gz → a_1.tar.gz).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from googlecloudstorage_blueprints_spark.errors import (
+    FileNotFoundBlueprintError,
+    InvalidBucketError,
+)
+from googlecloudstorage_blueprints_spark.fileops import (
+    FsClient,
+    download_files,
+    move_files,
+    remove_files,
+    upload_files,
+)
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    root = tmp_path / "bucket"
+    (root / "data" / "sub").mkdir(parents=True)
+    (root / "data" / "a.csv").write_text("a1")
+    (root / "data" / "a.tar.gz").write_text("a2")
+    (root / "data" / "sub" / "a.csv").write_text("a3")
+    (root / "data" / "b_1.txt").write_text("b")
+    return root
+
+
+def _uri(p) -> str:
+    return f"file:{p}"
+
+
+def test_client_missing_root_raises_201(spark, tmp_path):
+    with pytest.raises(InvalidBucketError) as exc:
+        FsClient(spark, _uri(tmp_path / "nope"))
+    assert exc.value.exit_code == 201
+
+
+def test_list_names_sorted(spark, tree):
+    client = FsClient(spark, _uri(tree))
+    names = client.list_names("")
+    assert names == sorted(names)
+    assert "data/a.csv" in names and "data/sub/a.csv" in names
+
+
+def test_download_exact(spark, tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = download_files(
+        spark,
+        _uri(tree),
+        source_folder_name="data",
+        source_file_name="a.csv",
+        source_file_name_match_type="exact_match",
+        destination_folder_name="out",
+    )
+    assert out == ["out/a.csv"]
+    assert (tmp_path / "out" / "a.csv").read_text() == "a1"
+
+
+def test_download_regex_enumerates_every_match(spark, tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out = download_files(
+        spark,
+        _uri(tree),
+        source_file_name=r"a\.csv",
+        source_file_name_match_type="regex_match",
+        destination_file_name="got.csv",
+    )
+    # two matches (data/a.csv, data/sub/a.csv) → _1, _2 before first dot
+    assert out == ["got_1.csv", "got_2.csv"]
+    assert (tmp_path / "got_1.csv").read_text() == "a1"
+    assert (tmp_path / "got_2.csv").read_text() == "a3"
+
+
+def test_download_regex_single_match_still_enumerated(
+    spark, tree, tmp_path, monkeypatch
+):
+    """download's regex branch always enumerates (download_file.py:254-258)."""
+    monkeypatch.chdir(tmp_path)
+    out = download_files(
+        spark,
+        _uri(tree),
+        source_file_name=r"tar\.gz",
+        source_file_name_match_type="regex_match",
+        destination_file_name="x.tar.gz",
+    )
+    assert out == ["x_1.tar.gz"]  # first-dot rule
+
+
+def test_download_no_destination_name_keeps_basenames(
+    spark, tree, tmp_path, monkeypatch
+):
+    """Collisions across folders silently overwrite (reference behavior)."""
+    monkeypatch.chdir(tmp_path)
+    out = download_files(
+        spark,
+        _uri(tree),
+        source_file_name=r"a\.csv",
+        source_file_name_match_type="regex_match",
+    )
+    assert out == ["a.csv", "a.csv"]
+    # later match (data/sub/a.csv, lexicographically after data/a.csv) wins
+    assert (tmp_path / "a.csv").read_text() == "a3"
+
+
+def test_download_missing_exact_raises_205(spark, tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(FileNotFoundBlueprintError) as exc:
+        download_files(
+            spark, _uri(tree),
+            source_folder_name="data", source_file_name="zzz.csv",
+        )
+    assert exc.value.exit_code == 205
+
+
+def test_upload_exact_and_regex(spark, tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "up").mkdir()
+    (tmp_path / "up" / "x.csv").write_text("x1")
+    (tmp_path / "up" / "y.csv").write_text("y1")
+
+    dest = tmp_path / "dest_bucket"
+    dest.mkdir()
+    out = upload_files(
+        spark, _uri(dest),
+        source_folder_name="up", source_file_name="x.csv",
+        destination_folder_name="landed",
+    )
+    assert out == ["landed/x.csv"]
+    assert (dest / "landed" / "x.csv").read_text() == "x1"
+
+    out = upload_files(
+        spark, _uri(dest),
+        source_folder_name="up", source_file_name=r"\.csv",
+        source_file_name_match_type="regex_match",
+        destination_file_name="all.csv",
+    )
+    assert out == ["all_1.csv", "all_2.csv"]
+
+
+def test_move_single_regex_match_not_enumerated(spark, tree, tmp_path):
+    """move's quirk: a single regex match keeps the plain name
+    (move_file.py:185-191)."""
+    dest = tmp_path / "dest_bucket"
+    dest.mkdir()
+    out = move_files(
+        spark, _uri(tree), _uri(dest),
+        source_file_name=r"tar\.gz",
+        source_file_name_match_type="regex_match",
+        destination_file_name="moved.tar.gz",
+    )
+    assert out == ["moved.tar.gz"]  # no _1
+    assert (dest / "moved.tar.gz").read_text() == "a2"
+    assert not (tree / "data" / "a.tar.gz").exists()  # source removed
+
+
+def test_move_multi_regex_enumerates_from_1(spark, tree, tmp_path):
+    dest = tmp_path / "dest_bucket"
+    dest.mkdir()
+    out = move_files(
+        spark, _uri(tree), _uri(dest),
+        source_file_name=r"a\.csv",
+        source_file_name_match_type="regex_match",
+        destination_file_name="m.csv",
+    )
+    assert out == ["m_1.csv", "m_2.csv"]
+
+
+def test_remove_regex(spark, tree):
+    removed = remove_files(
+        spark, _uri(tree),
+        source_file_name=r"\.csv$",
+        source_file_name_match_type="regex_match",
+    )
+    assert sorted(removed) == ["data/a.csv", "data/sub/a.csv"]
+    assert not (tree / "data" / "a.csv").exists()
+    assert (tree / "data" / "a.tar.gz").exists()
+
+
+def test_remove_no_match_raises_205(spark, tree):
+    with pytest.raises(FileNotFoundBlueprintError) as exc:
+        remove_files(
+            spark, _uri(tree),
+            source_file_name="nomatch",
+            source_file_name_match_type="regex_match",
+        )
+    assert exc.value.exit_code == 205
