@@ -1,0 +1,148 @@
+"""CLI shims — argument-compatible with the reference's four scripts.
+
+Same flags, same defaults, same enum values as the reference argparse
+declarations (``download_file.py:11-41``, ``upload_file.py:15-44``,
+``move_file.py:16-47``, ``remove_file.py:16-36``), with the engine's
+unified error model: every BlueprintError exits with its canonical code
+(200/201/205 — ``exit_codes.py:1-3``), fixing the reference's
+download/upload raise-vs-exit inconsistency (SURVEY.md §2.A.6, an allowed
+improvement).
+
+The reference's ``--bucket-name`` maps to a root URI: bare names are
+treated as ``gs://{name}``; URIs (``file:...``, ``hdfs:...``, ``gs://...``)
+pass through — one code path for cloud and local (SURVEY.md §1.2).
+
+Usage:
+    python -m googlecloudstorage_blueprints_spark.fileops.cli download \
+        --bucket-name file:/tmp/bucket --source-file-name 'a\\.csv' \
+        --source-file-name-match-type regex_match
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from googlecloudstorage_blueprints_spark.errors import BlueprintError
+from googlecloudstorage_blueprints_spark.fileops.core import (
+    download_files,
+    move_files,
+    remove_files,
+    upload_files,
+)
+from googlecloudstorage_blueprints_spark.session import get_spark
+
+
+def _root_uri(bucket_name: str) -> str:
+    if "://" in bucket_name or bucket_name.startswith("file:"):
+        return bucket_name
+    return f"gs://{bucket_name}"
+
+
+def _add_common(p: argparse.ArgumentParser, dest_folder: bool = True) -> None:
+    p.add_argument(
+        "--source-file-name-match-type",
+        dest="source_file_name_match_type",
+        default="exact_match",
+        choices={"exact_match", "regex_match"},
+    )
+    p.add_argument("--source-folder-name", dest="source_folder_name", default="")
+    p.add_argument("--source-file-name", dest="source_file_name", required=True)
+    if dest_folder:
+        p.add_argument(
+            "--destination-folder-name", dest="destination_folder_name",
+            default="",
+        )
+        p.add_argument(
+            "--destination-file-name", dest="destination_file_name",
+            default=None,
+        )
+    p.add_argument("--service-account", dest="service_account", default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="gcs-blueprints-spark")
+    sub = parser.add_subparsers(dest="verb", required=True)
+
+    d = sub.add_parser("download")
+    d.add_argument("--bucket-name", dest="bucket_name", required=True)
+    _add_common(d)
+
+    u = sub.add_parser("upload")
+    u.add_argument("--bucket-name", dest="bucket_name", required=True)
+    _add_common(u)
+
+    m = sub.add_parser("move")
+    m.add_argument(
+        "--source-bucket-name", dest="source_bucket_name", required=True
+    )
+    m.add_argument(
+        "--destination-bucket-name", dest="destination_bucket_name",
+        required=True,
+    )
+    _add_common(m)
+
+    r = sub.add_parser("remove")
+    r.add_argument("--bucket-name", dest="bucket_name", required=True)
+    _add_common(r, dest_folder=False)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(
+        app_name=f"gcs-blueprints-{args.verb}",
+        service_account=args.service_account,
+    )
+    try:
+        if args.verb == "download":
+            written = download_files(
+                spark,
+                _root_uri(args.bucket_name),
+                source_folder_name=args.source_folder_name,
+                source_file_name=args.source_file_name,
+                source_file_name_match_type=args.source_file_name_match_type,
+                destination_folder_name=args.destination_folder_name,
+                destination_file_name=args.destination_file_name,
+            )
+        elif args.verb == "upload":
+            written = upload_files(
+                spark,
+                _root_uri(args.bucket_name),
+                source_folder_name=args.source_folder_name,
+                source_file_name=args.source_file_name,
+                source_file_name_match_type=args.source_file_name_match_type,
+                destination_folder_name=args.destination_folder_name,
+                destination_file_name=args.destination_file_name,
+            )
+        elif args.verb == "move":
+            written = move_files(
+                spark,
+                _root_uri(args.source_bucket_name),
+                _root_uri(args.destination_bucket_name),
+                source_folder_name=args.source_folder_name,
+                source_file_name=args.source_file_name,
+                source_file_name_match_type=args.source_file_name_match_type,
+                destination_folder_name=args.destination_folder_name,
+                destination_file_name=args.destination_file_name,
+            )
+        else:
+            written = remove_files(
+                spark,
+                _root_uri(args.bucket_name),
+                source_folder_name=args.source_folder_name,
+                source_file_name=args.source_file_name,
+                source_file_name_match_type=args.source_file_name_match_type,
+            )
+    except BlueprintError as exc:
+        print(f"error ({exc.exit_code}): {exc.message}", file=sys.stderr)
+        return exc.exit_code
+    n = len(written)
+    print(f"{n} file{'s' if n != 1 else ''} processed.")
+    for path in written:
+        print(path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,46 @@ def _shingles(col: str = "text"):
     )
 
 
+def hashed_shingle_docs(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_hashes: array<bigint>) — k-word shingles as combined
+    hashes, never materializing shingle strings.
+
+    Shingle strings via slice + concat_ws allocate per element inside an
+    interpreted higher-order function — measured ~0.8 ms per 100-word doc.
+    Instead each word is hashed ONCE into a separate column (so the lambda
+    below indexes a precomputed array instead of re-running the word-hash
+    transform per element), then consecutive triples combine through
+    xxhash64 masked to 31 bits (feeding the minhash permutation family
+    directly; the 64-bit word hashes make word-level collisions ~2⁻⁶⁴).
+    31-bit shingle collisions only perturb candidate generation; they
+    cannot create false positives because output pairs are
+    Jaccard-verified.  Docs shorter than SHINGLE_K words have no k-shingle
+    and are dropped.
+
+    The input is repartitioned before the per-doc compute: the fixture is
+    a single-row-group parquet file, which Spark cannot split, so without
+    the repartition every downstream per-doc lambda would serialize on one
+    core.  (At production scale inputs are many files and the repartition
+    spreads a ~KB/doc projection — cheap either way.)"""
+    parallelism = d.sparkSession.sparkContext.defaultParallelism
+    words = F.split(text_col, " ")
+    with_wh = (
+        d.where(F.size(words) >= SHINGLE_K)
+        .repartition(parallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(split({text_col}, ' '), w -> xxhash64(w))"
+            ).alias("wh"),
+        )
+    )
+    combine = F.expr(
+        f"array_distinct(transform(sequence(0, size(wh) - {SHINGLE_K}), "
+        f"i -> xxhash64(wh[i], wh[i + 1], wh[i + 2]) & 2147483647))"
+    )
+    return with_wh.select("doc_id", combine.alias("sh_hashes"))
+
+
 @register(
     "exact_dedup",
     oracle="""
@@ -104,7 +144,10 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_dedup); it's registered standalone because it is the
     ground-truth oracle the LSH recall is judged against."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    # repartition before the interpreted shingle-string lambda: the fixture
+    # is one unsplittable row group (see hashed_shingle_docs)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = d.select("doc_id", F.explode_outer(_shingles()).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,24 +172,25 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + array<bigint> minhash signature (MINHASH_PERMS values).
+def minhash_signatures(hashed_docs: DataFrame) -> DataFrame:
+    """doc_id + array<bigint> minhash signature (MINHASH_PERMS values)
+    from (doc_id, sh_hashes) as produced by :func:`hashed_shingle_docs`.
 
-    Base shingle hash = xxhash64 masked to 31 bits (so the (a*x + b)
-    family never overflows a long — ANSI mode makes overflow an error in
-    Spark 4); permutation family h_p(x) = ((2p+1)·x + p·12582917) mod M.
+    Shingle hashes are 31-bit, so the permutation family
+    h_p(x) = ((2p+1)·x + p·12582917) mod (2⁶¹-1) never overflows a long
+    (ANSI mode makes overflow an error in Spark 4).
 
-    Shape: explode shingles → ONE hash-aggregate with MINHASH_PERMS
+    Shape: explode shingle hashes → ONE hash-aggregate with MINHASH_PERMS
     codegen'd min() columns.  This deliberately avoids higher-order
     functions (array_min∘transform), which Spark evaluates interpreted
     per-element — measured ~20× slower than the codegen'd aggregate form.
-    The aggregate also combines map-side, so the shuffle carries one
-    64-long row per document regardless of shingle count."""
-    hashed = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(shingles, s -> xxhash64(s) & 2147483647)")
-        ).alias("h"),
+    The aggregate combines map-side, so the shuffle carries one 64-long
+    row per document regardless of shingle count."""
+    # explode_outer: plain explode adds an implicit size()>0 filter that
+    # Catalyst pushes below the repartition, re-running the whole
+    # interpreted shingle lambda single-threaded before the shuffle
+    hashed = hashed_docs.select(
+        "doc_id", F.explode_outer("sh_hashes").alias("h")
     )
     mins = [
         F.min(
@@ -170,15 +214,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
 
-    Pipeline: shingle → 64-perm minhash signature → 16 bands × 4 rows →
-    bucket-join on (band_id, band_hash) → distinct candidate pairs →
-    exact shingle-Jaccard verify ≥ threshold.
+    Pipeline: hashed shingles → 64-perm minhash signature → 16 bands × 4
+    rows → bucket-join on (band_id, band_hash) → distinct candidate pairs
+    → exact shingle-hash-Jaccard verify ≥ threshold.
 
     Scale: candidates come from band buckets only (no cross join); the
-    verify join rebuilds shingle sets just for candidate docs via a
-    semi-filtered explode.  Everything is codegen'd JVM expressions."""
+    verify operates on 31-bit shingle hashes (collision error ~2⁻²¹ per
+    pair of shingles — far below the threshold granularity), so shingle
+    strings never materialize anywhere in the pipeline."""
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", _shingles().alias("shingles"))
+    docs = hashed_shingle_docs(d)
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sigs.select(
@@ -193,6 +238,10 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+    # bands are tiny (LSH_BANDS rows × 24B per doc — KBs per million docs);
+    # persist so the self-join doesn't recompute the signature aggregation
+    # on both sides
+    bands = bands.persist()
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     candidates = (
@@ -208,8 +257,8 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verify on candidates only
-    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    # exact verify on candidates only (over shingle hashes)
+    sh = docs.select("doc_id", F.explode_outer("sh_hashes").alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.alias("sha")
     shb = sh.alias("shb")
@@ -245,12 +294,13 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature bit j = sign of Σ_tokens (±1 by bit j of xxhash64(token)) —
     computed with aggregate() over the token array, no UDF."""
     d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # explode token hashes → 64 codegen'd conditional-sum aggregates (one
     # per signature bit); HOF aggregate∘transform would run interpreted
     # per-element — same ~20× penalty minhash_signatures avoids
     toks = d.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr("transform(split(text, ' '), t -> xxhash64(t))")
         ).alias("h"),
     )

@@ -73,6 +73,9 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # the fixture is one unsplittable row group; spread the per-pair cosine
+    # lambdas across cores (production inputs are many files)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -146,8 +149,18 @@ def similarity_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     kernel = _knn_pandas_batches(query_rows)
-    scored = emb.select("vec_id", "embedding").mapInPandas(
-        kernel, schema="query_id long, neighbor_id long, cos_raw double"
+    # fewer, bigger Arrow batches: the kernel is one BLAS GEMM per batch,
+    # so per-partition Python-worker spin-up dominates if partitions are
+    # tiny; 8 partitions balances parallelism vs batch size at test scale
+    # (at production scale rows/partition is large and this becomes
+    # defaultParallelism via the max())
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    scored = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts, "vec_id")
+        .mapInPandas(
+            kernel, schema="query_id long, neighbor_id long, cos_raw double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")
@@ -200,6 +213,7 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuned by bands/planes, and the exact verify bounds precision — the
     classic ANN recall/cost dial, with zero quadratic stages."""
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     planes = _hyperplanes(N_PLANES, DIM)
     plane_arr = (
         "array("
@@ -253,7 +267,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_rp_lsh which replaces the O(n²) pair space with bucketed
     candidates.  The corpus fixture keeps all-pairs tractable (500×500)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
+    a = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).alias("a")
     b = emb.alias("b")
     return (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -111,7 +112,18 @@ def get_spark(
 
     if shuffle_partitions is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
-        shuffle_partitions = int(cpus_env) * 2 if cpus_env else None
+        if cpus_env and cpus_env.isdigit():
+            shuffle_partitions = int(cpus_env) * 2
+        else:
+            # local mode: Spark's 200-partition default drowns small/medium
+            # inputs in task overhead; 2× cores is the right floor and AQE
+            # coalesces below it when partitions come out small
+            m = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+            match = re.match(r"local\[(\d+|\*)\]", m)
+            if match:
+                n = match.group(1)
+                cores = os.cpu_count() or 8 if n == "*" else int(n)
+                shuffle_partitions = cores * 2
     if shuffle_partitions:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
