@@ -43,12 +43,31 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return scans
 
 
+def op_count(df: DataFrame, operator: str) -> int:
+    """Count physical-plan operators by their formatted-mode detail header
+    ``(n) OperatorName`` — the tree section would double-count."""
+    return len(re.findall(rf"\(\d+\) {operator}\b", explain_str(df)))
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Distinct WholeStageCodegen spans (``*(n)`` markers) in the final
+    physical plan.  Executes the DataFrame: under AQE the plan is finalized
+    lazily and the pre-execution explain shows no codegen nodes at all.
+    Spans should be wide and few — every break is a codegen boundary the
+    row-based fallback pays for at scale."""
+    df.collect()
+    text = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    return len(set(re.findall(r"\*\((\d+)\)", text)))
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in explain_str(df) or (
-        "BroadcastNestedLoopJoin" in explain_str(df)
+    return (
+        op_count(df, "BroadcastHashJoin") > 0
+        or op_count(df, "BroadcastNestedLoopJoin") > 0
     )
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators in the physical plan."""
-    return len(re.findall(r"\bExchange\b", explain_str(df)))
+    """Number of shuffle Exchange operators in the physical plan
+    (BroadcastExchange not included — broadcasts are the point)."""
+    return op_count(df, "Exchange")

@@ -1,0 +1,98 @@
+"""Plan-shape pins: the plans we'd want at 100 TB, asserted at test scale.
+
+A wrong plan (unpushed filter, unpruned scan, shuffle join of a tiny dim)
+is invisible in small-scale correctness tests but fatal at scale — so the
+shape itself is under test via explain() parsing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+from googlecloudstorage_blueprints_spark.plans import (
+    codegen_span_count,
+    explain_str,
+    has_broadcast_join,
+    op_count,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+def test_scan_filters_pushed_to_parquet(spark):
+    df = QUERIES["scan_project_filter"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_scan_reads_only_projected_columns(spark):
+    df = QUERIES["scan_project_filter"](spark, SF)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1
+    # 5 projected + predicate columns only; never the full 11-column table
+    assert set(scans[0]) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_pricing_summary_prunes_and_single_shuffle(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1
+    assert "l_orderkey" not in scans[0], "aggregation must prune unused keys"
+    # one exchange for the aggregate + the global sort's range exchange
+    assert shuffle_count(df) <= 2
+
+
+def test_join_broadcast_broadcasts_dims(spark):
+    df = QUERIES["join_broadcast"](spark, SF)
+    assert has_broadcast_join(df)
+    # both dims (nation, region) broadcast; the fact table is never
+    # shuffled for the join itself
+    assert op_count(df, "BroadcastHashJoin") == 2
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = QUERIES["topk_per_group"](spark, SF)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k must plan a partial top-k before the shuffle"
+    )
+
+
+def test_orderby_limit_is_take_ordered(spark):
+    df = QUERIES["orderby_limit"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-k must not plan a full sort"
+    )
+
+
+def test_semi_join_plans_semi(spark):
+    plan = explain_str(QUERIES["join_semi"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_sessionize_single_exchange_for_both_windows(spark):
+    df = QUERIES["events_sessionize"](spark, SF)
+    # both window passes share the user_id partitioning: exactly one
+    # shuffle in the whole plan
+    assert shuffle_count(df) == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "join_shuffle", "window_ranking"]
+)
+def test_whole_stage_codegen_active(spark, name):
+    assert codegen_span_count(QUERIES[name](spark, SF)) > 0
