@@ -54,6 +54,7 @@ def _load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from googlecloudstorage_blueprints_spark.operators import (  # noqa: F401
         relational,
+        relational_ext,
         semistructured,
         text,
         dedup,

@@ -1,0 +1,367 @@
+"""Relational breadth extensions: grouping sets, correlated subqueries,
+percentiles, unpivot, range window frames, arg-min/max, as-of join, and the
+``spark.sql`` frontend.
+
+Like ``relational.py`` these are engine analytics extensions (the reference
+has no relational surface at all, SURVEY.md §2.A.4); everything here is
+plain DataFrame/SQL API so Catalyst owns the physical plan.  The as-of join
+is the one operator Spark lacks natively — it is built as the
+union-merge/last-value composition (single shuffle, no range explosion),
+the formulation that survives 100 TB where a range-condition join would
+degenerate to a broadcast-nested-loop.
+
+Oracle-parity conventions follow ``relational.py`` (bigint casts, rounding,
+total-order windows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import (
+    load_table,
+    register_views,
+)
+
+
+# --------------------------------------------------------------------------
+# grouping sets (beyond rollup/cube: explicit set list)
+# --------------------------------------------------------------------------
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus)   AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — three independent aggregations in one pass
+    (one shuffle; the expand operator replicates rows per set map-side,
+    partial aggregation keeps the shuffle at |groups| rows).  GROUPING()
+    markers disambiguate the NULLs produced by set padding."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated scalar subquery (decorrelated to aggregate + join)
+# --------------------------------------------------------------------------
+
+@register(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+           ROUND((SELECT AVG(c2.c_acctbal) FROM customer c2
+                  WHERE c2.c_nationkey = c.c_nationkey), 4) AS nation_avg
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance), written the way Catalyst decorrelates it: aggregate once per
+    nation, broadcast the tiny aggregate, join + filter.  At 100 TB the
+    per-group aggregate is |nations| rows — always broadcastable — so the
+    fact side is never shuffled."""
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("nation_avg_raw")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg_raw"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round("nation_avg_raw", 4).alias("nation_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# percentiles / median (exact; the approx twin is approx_percentile)
+# --------------------------------------------------------------------------
+
+@register(
+    "percentiles_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``F.percentile`` ≡ DuckDB
+    ``quantile_cont``: linear interpolation).
+
+    Scale note: exact percentiles require the full value set per group
+    (sort-based aggregate).  For 100 TB telemetry use the
+    ``approx_percentile`` sketch (t-digest-style, mergeable, map-side
+    partial) — kept out of the oracle op because its error bound is
+    engine-specific; exact is the verifiable form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# unpivot (wide → long) + re-aggregate
+# --------------------------------------------------------------------------
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH u AS (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, metric,
+           ROUND(SUM(value), 4) AS total,
+           ROUND(AVG(value), 6) AS mean,
+           COUNT(*) AS n
+    FROM u
+    GROUP BY l_returnflag, metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of three measure columns, then per-metric stats.
+    ``DataFrame.unpivot`` is a zero-shuffle expand (rows × n_metrics
+    map-side); the single shuffle is the re-aggregation, carrying only
+    |flags|×|metrics| groups after partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("value"), 4).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RANGE window frame (value-based, time interval)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+               AS rolling_7d_total,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS rolling_7d_orders
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day customer spend via a RANGE frame (value-based bounds
+    over epoch seconds).  RANGE frames are deterministic under order ties —
+    all peers share one frame — so no tiebreaker key is needed, unlike ROWS
+    frames.  One shuffle on o_custkey; frames never cross partitions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_total"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_7d_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# arg-min / arg-max aggregates
+# --------------------------------------------------------------------------
+
+@register(
+    "arg_min_max",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC)
+                   AS rk_max,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC)
+                   AS rk_min
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rk_max = 1 THEN o_orderkey END)   AS priciest_order,
+           MAX(CASE WHEN rk_max = 1 THEN o_totalprice END) AS max_price,
+           MAX(CASE WHEN rk_min = 1 THEN o_orderkey END)   AS cheapest_order,
+           MAX(CASE WHEN rk_min = 1 THEN o_totalprice END) AS min_price
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+)
+def arg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a struct ordering key: price ties break on
+    o_orderkey so the answer is total-ordered (plain ``max_by(key, price)``
+    is nondeterministic under ties — the oracle's window formulation makes
+    the same tiebreak explicit).  Hash aggregate, one shuffle, no window on
+    the Spark side."""
+    o = load_table(spark, sf_dir, "orders")
+    up = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", up).alias("priciest_order"),
+        F.max(F.col("o_totalprice")).alias("max_price"),
+        F.min_by("o_orderkey", up).alias("cheapest_order"),
+        F.min(F.col("o_totalprice")).alias("min_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# as-of join (the classic time-series operator Spark lacks natively)
+# --------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o1.o_orderkey AS asof_orderkey,
+           strftime(o1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+    FROM events e
+    ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (LEFT semantics — unmatched events keep NULLs).
+
+    Spark has no ASOF JOIN, and the naive range-condition join
+    (``user_id = o_custkey AND ts >= o_orderdate`` + max-window) explodes
+    to every earlier order per event.  The scalable formulation is
+    union-merge: tag both sides, union, sort within user by time (right
+    rows first on ties so an order at exactly ts matches), and propagate
+    the last seen order with ``last(..., ignorenulls)`` — ONE shuffle on
+    user_id, state O(1) per row, identical to how a stream-stream as-of
+    would run.  Right side is pre-deduped to one row per (user, time) with
+    MAX(o_orderkey) so ties are total-ordered (mirrors the oracle CTE)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("r_orderkey"),
+        F.lit(None).cast("timestamp").alias("r_orderdate"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("r_orderkey"),
+        F.col("o_orderdate").alias("r_orderdate"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "uid",
+        "is_event",
+        "event_id",
+        F.last("r_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("r_orderdate", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        "asof_orderkey",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "asof_orderdate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL frontend (spark.sql over the registered catalog) — TPC-H Q5 shape
+# --------------------------------------------------------------------------
+
+_Q5 = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("sql_tpch_q5", oracle=_Q5)
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL frontend: fixture tables registered as temp views,
+    the query is the SAME ANSI string the oracle runs — Catalyst parses,
+    decorrelates, reorders the six-way join (CBO + AQE), broadcasts the
+    dims.  Proves users can bring SQL, not just the DataFrame API."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5)

@@ -96,3 +96,27 @@ def test_sessionize_single_exchange_for_both_windows(spark):
 )
 def test_whole_stage_codegen_active(spark, name):
     assert codegen_span_count(QUERIES[name](spark, SF)) > 0
+
+
+def test_grouping_sets_single_pass(spark):
+    df = QUERIES["grouping_sets"](spark, SF)
+    # one Expand + one aggregate shuffle — not three separate aggregations
+    assert op_count(df, "Expand") == 1
+    assert shuffle_count(df) == 1
+
+
+def test_subquery_decorrelates_to_broadcast(spark):
+    df = QUERIES["subquery_scalar_agg"](spark, SF)
+    # per-nation aggregate broadcasts; the customer side never shuffles
+    # for the join — the only exchange feeds the aggregate itself
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 1
+
+
+def test_asof_join_two_shuffles_no_range_explosion(spark):
+    df = QUERIES["join_asof"](spark, SF)
+    plan = explain_str(df)
+    # union-merge formulation: no join operator at all, just the right-side
+    # pre-agg exchange + the per-user window exchange
+    assert "NestedLoop" not in plan
+    assert shuffle_count(df) == 2
