@@ -59,6 +59,7 @@ def _load_all() -> None:
         text,
         dedup,
         similarity,
+        similarity_ivf,
         events,
         fileops_query,
         multimodal,

@@ -6,10 +6,16 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (
     streaming_tumbling_agg,
     run_stream_to_memory,
 )
+from googlecloudstorage_blueprints_spark.streaming.stateful import (
+    streaming_dedup,
+    streaming_stateful_sessions,
+)
 
 __all__ = [
     "read_events_stream",
     "streaming_tumbling_agg",
     "streaming_session_window",
+    "streaming_stateful_sessions",
+    "streaming_dedup",
     "run_stream_to_memory",
 ]

@@ -1,0 +1,141 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``) plus
+watermarked stream dedup.
+
+``streaming_session_window`` (events_stream.py) uses the built-in
+``session_window`` — the right default.  This module is the escape hatch
+for session semantics the builtin can't express (per-session running
+aggregates beyond count/sum, custom close conditions): an explicit
+keyed-state sessionizer.  State is O(1) per live user — one open session
+tuple — and is evicted by event-time timeout as the watermark passes, so
+memory is bounded by |concurrently-active users|, not history.  That is the
+property that matters on an unbounded 100 TB/day stream.
+
+``streaming_dedup`` is idempotent-ingestion dedup:
+``dropDuplicatesWithinWatermark`` keeps one row per event_id and ages its
+dedup state out with the watermark (a plain ``dropDuplicates`` on a stream
+would hold every id forever).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+    WATERMARK,
+    read_events_stream,
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, µs — matches SESSION_GAP
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _sessionize(key: tuple, pdfs, state: GroupState):
+    """Per-user sessionizer: merge batch rows into the open-session state,
+    emit every session closed by a >30 min gap; timeout (watermark passing
+    last_ts + gap) closes and emits the final open session."""
+    import pandas as pd
+
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "start_us": start,
+                    "end_us": last,
+                    "n_events": n,
+                    "total_value": round(total, 4),
+                }
+            ]
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    # ns→µs ints; arrival order within a batch is not time order
+    ts_us = (rows["ts"].astype("int64") // 1000).sort_values().to_numpy()
+    values = rows["value"].to_numpy()[rows["ts"].argsort().to_numpy()]
+
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start, last, n, total = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0.0
+
+    closed = []
+    for t, v in zip(ts_us, values):
+        t = int(t)
+        if n > 0 and t - last > SESSION_GAP_US:
+            closed.append(
+                {
+                    "user_id": user_id,
+                    "start_us": start,
+                    "end_us": last,
+                    "n_events": n,
+                    "total_value": round(total, 4),
+                }
+            )
+            start, n, total = t, 0, 0.0
+        last, n, total = t, n + 1, total + float(v)
+
+    state.update((start, last, n, total))
+    # close the open session once the watermark passes last + gap
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def streaming_stateful_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Explicit keyed-state sessionization via ``applyInPandasWithState`` —
+    the custom-operator path when ``session_window`` semantics don't fit.
+    One shuffle on user_id; state store holds one tuple per live user."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            _OUTPUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion → exactly-once rows: keep the first sighting
+    of each event_id, expire dedup state with the watermark."""
+    events = read_events_stream(spark, sf_dir)
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -8,7 +8,9 @@ import pyspark.sql.functions as F
 from googlecloudstorage_blueprints_spark.operators import all_queries
 from googlecloudstorage_blueprints_spark.streaming import (
     run_stream_to_memory,
+    streaming_dedup,
     streaming_session_window,
+    streaming_stateful_sessions,
     streaming_tumbling_agg,
 )
 
@@ -56,3 +58,45 @@ def test_streaming_session_window_smoke(spark):
         spark.read.parquet(f"{SF}/events.parquet").count()
     )
     assert 0 < total <= n_fixture
+
+
+def test_stateful_sessions_match_builtin_session_window(spark):
+    """The custom applyInPandasWithState sessionizer must agree with the
+    built-in session_window on every session both emit (same 30-min gap)."""
+    custom = run_stream_to_memory(
+        streaming_stateful_sessions(spark, SF), "stateful_sessions"
+    )
+    custom_rows = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+        for r in custom.collect()
+    }
+    assert custom_rows, "no sessions emitted"
+    builtin = run_stream_to_memory(
+        streaming_session_window(spark, SF), "builtin_sessions"
+    )
+    # builtin session_window end = last_ts + gap; custom end = last_ts
+    gap_us = 30 * 60 * 1_000_000
+    builtin_rows = {
+        (r["user_id"], r["start_us"]): (r["end_us"] - gap_us, r["n_events"])
+        for r in builtin.collect()
+    }
+    both = set(custom_rows) & set(builtin_rows)
+    assert both, "no overlapping sessions to compare"
+    diverged = {
+        k: (custom_rows[k], builtin_rows[k])
+        for k in both
+        if custom_rows[k] != builtin_rows[k]
+    }
+    assert not diverged, f"custom/builtin divergence: {diverged}"
+
+
+def test_streaming_dedup_smoke(spark):
+    out = run_stream_to_memory(streaming_dedup(spark, SF), "dedup_smoke")
+    got = out.select("event_id").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "duplicate event_ids survived"
+    n_distinct = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id").distinct().count()
+    )
+    assert len(ids) == n_distinct
