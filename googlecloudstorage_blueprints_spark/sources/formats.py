@@ -1,0 +1,67 @@
+"""Structured file-format sources/sinks beyond parquet.
+
+The reference moves opaque bytes regardless of format (SURVEY.md §1.1 —
+content is never parsed).  The engine adds typed ingestion for the formats
+a pipeline actually encounters, all through Spark's native readers so
+pushdown/pruning still apply where the format allows:
+
+- CSV: schema-explicit by default (inference = an extra full read at 100 TB
+  — only for exploration), header + null handling options surfaced.
+- JSON Lines: schema-explicit for the same reason; ``columnNameOfCorruptRecord``
+  keeps bad rows visible instead of silently null.
+- text: one row per line — the raw-corpus entry point for the text/dedup
+  operators.
+- binaryFile: already covered by ``file_manifest`` (operators/fileops_query).
+
+Every path is a Hadoop-FS URI: ``file:/`` in tests, ``gs://`` in
+production via the GCS connector — one code path (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV with explicit schema (pass ``schema=None`` to pay the inference
+    scan deliberately)."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON Lines; corrupt records land in ``_corrupt_record`` when no
+    schema is given, or are nulled per-column with one."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One ``value: string`` row per line — raw-corpus ingestion."""
+    return spark.read.text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(header=True, **options).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).json(path)
