@@ -63,6 +63,7 @@ def _load_all() -> None:
         events,
         fileops_query,
         multimodal,
+        scale_patterns,
     )
 
 

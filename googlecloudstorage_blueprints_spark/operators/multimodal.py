@@ -96,6 +96,90 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THUMB_W, THUMB_H = 32, 32
+FRAMES_PER_ASSET = 4
+
+
+@register("multimodal_resize")  # rows-only: binary plumbing, not ANSI SQL
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel plumbing: binary in → fixed-size binary out (1:1).
+
+    The stub "resize" deterministically resamples payload bytes to a
+    THUMB_W×THUMB_H byte grid (real path: PIL ``Image.resize`` behind the
+    same signature — gated on HAVE_PIL like ``_decode_image_real``).  What
+    is real and load-bearing: the output column is ``binary`` with a fixed
+    per-row size, so downstream Arrow batches have predictable memory — the
+    property that lets you size ``maxRecordsPerBatch`` for 100 TB media."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    size = THUMB_W * THUMB_H
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                b = bytes(p) or b"\x00"
+                # nearest-neighbor byte resample — deterministic stand-in
+                thumbs.append(
+                    bytes(b[(i * len(b)) // size] for i in range(size))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_w": THUMB_W,
+                    "thumb_h": THUMB_H,
+                }
+            )
+
+    return payloads.mapInPandas(
+        kernel, schema="doc_id long, thumb binary, thumb_w int, thumb_h int"
+    )
+
+
+@register("multimodal_frame_sample")  # rows-only: binary plumbing
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel plumbing: one asset row → N frame rows.
+
+    Emits FRAMES_PER_ASSET evenly-spaced byte slices per payload (stand-in
+    for video keyframe extraction; real path decodes with pyav/ffmpeg
+    behind the same signature).  The load-bearing part is the 1→N output
+    shape: mapInPandas output row count is independent of input — the
+    fan-out pattern for frames/clips — and each frame carries its own
+    (frame_idx, offset) metadata so downstream ops treat frames as
+    first-class rows, partitionable independently of their source asset."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "byte_offset": [],
+                "frame": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) or b"\x00"
+                step = max(len(b) // FRAMES_PER_ASSET, 1)
+                for i in range(FRAMES_PER_ASSET):
+                    off = min(i * step, len(b) - 1)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(off)
+                    out["frame"].append(b[off : off + step])
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        kernel,
+        schema="doc_id long, frame_idx int, byte_offset long, frame binary",
+    )
+
+
 @register(
     "multimodal_metadata_agg",
     oracle="""

@@ -1,0 +1,82 @@
+"""Scale-pattern operators: the join strategies that keep 100 TB jobs alive.
+
+Two patterns beyond what AQE does automatically:
+
+- **Salted skew join** (``join_skew_salted``): when one join key holds a
+  disproportionate share of rows, the task holding it runs hours after the
+  rest finish.  Salting splits the hot key across SALT_BUCKETS tasks: the
+  probe side gets a deterministic per-row salt, the build side is exploded
+  SALT_BUCKETS× so every (key, salt) pair still matches.  Results are
+  provably identical to the plain join — the oracle IS the plain join.
+  (AQE's skew-join split handles sort-merge skew at runtime; explicit
+  salting is the portable form that also covers hash-partitioned aggs.)
+- **Bucketed co-located join** (tests/test_scale_patterns.py): both sides
+  written ``bucketBy(key)`` → the join plans with ZERO exchanges.  That is
+  a write-once-shuffle-never contract for fact tables that join on the
+  same key daily; asserted on the physical plan in tests since it needs a
+  table write first (not a pure ``queries()`` member).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join, verified equal to the plain join by the oracle.
+
+    Probe side (lineitem): salt = xxhash64(key, linenumber) mod SALT_BUCKETS
+    — deterministic, uniform, no RNG.  Build side (orders): each row
+    replicated once per salt via a literal sequence explode (build side
+    grows SALT_BUCKETS×, the price paid to split a hot probe key across
+    SALT_BUCKETS tasks).  Join on (key, salt) then aggregate; the salt
+    never reaches the output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted_li = li.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+            F.lit(SALT_BUCKETS),
+        ).cast("int"),
+    )
+    salted_o = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    return (
+        salted_li.join(
+            salted_o,
+            (salted_li.l_orderkey == salted_o.o_orderkey)
+            & (salted_li.salt == salted_o.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,87 @@
+"""Scale-pattern pins: bucketed joins plan zero exchanges; salted join
+output is identical to the plain join; multimodal kernels keep their
+contracts (fixed thumb size, exact 1→N frame fan-out)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+from googlecloudstorage_blueprints_spark.plans import shuffle_count
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+def test_bucketed_join_zero_shuffles(spark, tmp_path):
+    """Write both join sides bucketed by the key → the join itself must
+    plan with no Exchange at all (write-once, shuffle-never)."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    n_buckets = 4
+    for name, src, key in [
+        ("b_orders", "orders", "o_orderkey"),
+        ("b_lineitem", "lineitem", "l_orderkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, SF, src)
+            .write.mode("overwrite")
+            .option("path", f"file:{tmp_path}/{name}")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("b_orders")
+    li = spark.table("b_lineitem")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_extendedprice", "o_orderpriority"
+    )
+    assert shuffle_count(joined) == 0, "bucketed join must not shuffle"
+    plain = load_table(spark, SF, "lineitem").count()
+    assert joined.count() == plain  # every lineitem has its order
+
+
+def test_salted_join_equals_plain_join(spark):
+    salted = {
+        tuple(r)
+        for r in QUERIES["join_skew_salted"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    plain = {
+        tuple(r)
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert salted == plain
+
+
+def test_multimodal_resize_fixed_thumb(spark):
+    rows = QUERIES["multimodal_resize"](spark, SF).collect()
+    assert rows
+    assert all(len(r["thumb"]) == r["thumb_w"] * r["thumb_h"] for r in rows)
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    docs = load_table(spark, SF, "documents").count()
+    rows = QUERIES["multimodal_frame_sample"](spark, SF).collect()
+    assert len(rows) == docs * 4
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
