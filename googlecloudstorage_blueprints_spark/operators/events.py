@@ -195,3 +195,94 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ["click", "view", "purchase", "signup", "error"]
     ]
     return e.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               COUNT(*) AS n_purchases,
+               ROUND(SUM(e.value), 4) AS purchase_value
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= s.first_signup_us
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)          AS n_signed_up,
+           CAST(COUNT(p.user_id) AS BIGINT)  AS n_converted,
+           CAST(COALESCE(SUM(p.n_purchases), 0) AS BIGINT)
+                                             AS total_purchases,
+           ROUND(COALESCE(SUM(p.purchase_value), 0), 4)
+                                             AS total_purchase_value
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel: first-signup per user, then
+    purchases at-or-after it, folded to one summary row.
+
+    Scale shape: two per-user aggregations + one equi-join on user_id
+    (the time predicate is a residual filter on the equi-join, NOT a range
+    join), then a global single-row fold — the final agg shuffles exactly
+    |users-with-purchases| pre-aggregated rows.  Timestamp math is integer
+    microseconds on both engines (see module docstring)."""
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.unix_micros(F.min("ts")).alias("first_signup_us"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .where(F.unix_micros(F.col("ts")) >= F.col("first_signup_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("purchase_value"),
+        )
+    )
+    return (
+        signups.join(purchases, "user_id", "left_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_signed_up"),
+            F.count("n_purchases").alias("n_converted"),
+            F.coalesce(F.sum("n_purchases"), F.lit(0))
+            .cast("long")
+            .alias("total_purchases"),
+            F.round(F.coalesce(F.sum("purchase_value"), F.lit(0.0)), 4).alias(
+                "total_purchase_value"
+            ),
+        )
+    )
+
+
+@register("agg_approx_sketches")  # rows-only: sketch outputs are
+# engine-specific by design (HLL++ / approx-percentile internals differ
+# across engines); determinism within Spark is pinned in tests
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default for distincts and quantiles: mergeable sketches.
+
+    approx_count_distinct (HLL++, rsd 1%) and approx_percentile both
+    partial-aggregate map-side — the shuffle carries fixed-size sketch
+    state per group instead of the value set, which is what makes
+    billion-distinct cardinalities and p99s tractable.  Exact twins for
+    oracle parity: ``agg_distinct`` and ``percentiles_agg``."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias(
+                "approx_users"
+            ),
+            F.approx_percentile("value", 0.5).alias("p50_value"),
+            F.approx_percentile("value", 0.99).alias("p99_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,8 +1,9 @@
 """DataFrame sinks: partitioned / sorted parquet layout control."""
 
 from googlecloudstorage_blueprints_spark.sinks.writers import (
+    compact_parquet,
     write_partitioned,
     write_sorted,
 )
 
-__all__ = ["write_partitioned", "write_sorted"]
+__all__ = ["compact_parquet", "write_partitioned", "write_sorted"]

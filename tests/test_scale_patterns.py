@@ -71,6 +71,26 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_approx_sketches_deterministic_and_close(spark):
+    """Sketches must be run-to-run deterministic and near their exact
+    twins (HLL++ rsd=1%; approx_percentile within the value spread)."""
+    a = sorted(map(tuple, QUERIES["agg_approx_sketches"](spark, SF).collect()))
+    b = sorted(map(tuple, QUERIES["agg_approx_sketches"](spark, SF).collect()))
+    assert a == b
+    e = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for row in QUERIES["agg_approx_sketches"](spark, SF).collect():
+        err = abs(row["approx_users"] - exact[row["event_type"]]) / exact[
+            row["event_type"]
+        ]
+        assert err <= 0.05, (row["event_type"], err)
+
+
 def test_multimodal_resize_fixed_thumb(spark):
     rows = QUERIES["multimodal_resize"](spark, SF).collect()
     assert rows

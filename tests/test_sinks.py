@@ -13,6 +13,7 @@ from googlecloudstorage_blueprints_spark.plans import (
     pushed_filters,
 )
 from googlecloudstorage_blueprints_spark.sinks import (
+    compact_parquet,
     write_partitioned,
     write_sorted,
 )
@@ -75,3 +76,16 @@ def test_sorted_write_roundtrip_and_stats(spark, tmp_path):
     assert pushed_filters(back.where(F.col("l_orderkey") == 1)), (
         "point filter must push into the scan"
     )
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem")
+    small = f"file:{tmp_path}/small"
+    li.repartition(50).write.parquet(small)
+    assert len(glob.glob(f"{tmp_path}/small/*.parquet")) == 50
+
+    dst = f"file:{tmp_path}/compacted"
+    n = compact_parquet(spark, small, dst, target_file_bytes=64 * 1024 * 1024)
+    out_files = glob.glob(f"{tmp_path}/compacted/*.parquet")
+    assert len(out_files) == n < 50
+    assert spark.read.parquet(dst).count() == li.count()
