@@ -66,11 +66,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — Iterator[pd.DataFrame] → Iterator[pd.DataFrame], fixed output
     schema, no pandas index games — is exactly what a real decoder uses."""
     d = load_table(spark, sf_dir, "documents")
+    # fixture parquet is one unsplittable row group — spread the Python
+    # kernel across workers instead of one serial task
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     payloads = d.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),
         F.length(F.encode("text", "utf-8")).cast("long").alias("payload_bytes"),
-    )
+    ).repartition(n_parts, "doc_id")
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -113,12 +113,11 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     # -- train on the (bounded) sample: fixture corpus is 500 rows; at scale
-    #    replace .collect() with .sample(fraction)•limit(100_000).collect()
-    sample = [
-        r["embedding"]
-        for r in emb.select("embedding").orderBy("vec_id").collect()
-    ]
-    centroids = _train_centroids(sample)
+    #    replace .collect() with .sample(fraction)•limit(100_000).collect().
+    #    One scan serves both training and the query block (vec_id order
+    #    makes init deterministic).
+    all_rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    centroids = _train_centroids([r["embedding"] for r in all_rows])
 
     # -- assign every corpus vector to its cell (Arrow-batched GEMM)
     n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
@@ -133,11 +132,7 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- probe list per query: NPROBE nearest centroids (driver-side; the
     #    query block is tiny by construction)
-    q_rows = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    q_rows = [r for r in all_rows if r["vec_id"] < N_QUERIES]
     q_mat = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :NPROBE]
