@@ -365,3 +365,50 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims.  Proves users can bring SQL, not just the DataFrame API."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5)
+
+
+# --------------------------------------------------------------------------
+# distribution window functions (ntile / percent_rank / cume_dist / edges)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS BIGINT)       AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)        AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)           AS cume,
+           FIRST_VALUE(o_orderkey) OVER w         AS cheapest_in_priority,
+           LAST_VALUE(o_orderkey) OVER
+               (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                  AS priciest_in_priority
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions.  The ordering includes the
+    unique o_orderkey tiebreaker: NTILE splits peer groups by physical row
+    order, so only a total order makes it deterministic (percent_rank and
+    cume_dist inherit determinism the same way).  last_value needs the
+    explicit unbounded-following frame — the default frame stops at
+    CURRENT ROW and silently returns the current row's value."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_in_priority"),
+        F.last("o_orderkey").over(w_full).alias("priciest_in_priority"),
+    )
