@@ -4,6 +4,12 @@ from googlecloudstorage_blueprints_spark.sinks.writers import (
     compact_parquet,
     write_partitioned,
     write_sorted,
+    write_zordered,
 )
 
-__all__ = ["compact_parquet", "write_partitioned", "write_sorted"]
+__all__ = [
+    "compact_parquet",
+    "write_partitioned",
+    "write_sorted",
+    "write_zordered",
+]

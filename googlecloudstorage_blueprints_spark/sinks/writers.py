@@ -68,6 +68,74 @@ def write_sorted(
     out.sortWithinPartitions(*sort_by).write.mode(mode).parquet(path)
 
 
+Z_BITS = 6  # 64 quantile buckets per dimension → 12-bit Morton codes
+
+
+def _morton2(x: str, y: str, bits: int = Z_BITS):
+    """Interleave the low ``bits`` of two integer columns (x even lanes,
+    y odd) — a literal shift/or expression, fully codegen'd."""
+    import pyspark.sql.functions as F
+
+    lanes = []
+    for i in range(bits):
+        lanes.append(f"(shiftleft(({x} >> {i}) & 1, {2 * i}))")
+        lanes.append(f"(shiftleft(({y} >> {i}) & 1, {2 * i + 1}))")
+    return F.expr(" | ".join(lanes))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet over exactly two columns.
+
+    ``write_sorted`` skips files for ONE key; a second predicate column
+    spans the full range in every file.  Z-ordering quantile-buckets both
+    columns (equi-depth, from driver-side ``approxQuantile`` — sampled,
+    O(1) rows), interleaves the bucket bits into a Morton code, and
+    range-partitions + sorts by it: every file then covers a small
+    sub-rectangle of the (col1, col2) space, so min/max stats prune files
+    for predicates on EITHER column.  This is the same layout contract as
+    Delta's OPTIMIZE ZORDER, built from stock Spark primitives.  The
+    bucketing CASE chain and Morton interleave are literal integer
+    expressions — whole-stage codegen, no UDFs."""
+    import pyspark.sql.functions as F
+
+    assert len(cols) == 2, "z-order here is the 2-column form"
+    probs = [i / (1 << Z_BITS) for i in range(1, 1 << Z_BITS)]
+    work = df
+    bucket_cols = []
+    for c in cols:
+        numeric = f"CAST({c} AS DOUBLE)"
+        bounds = sorted(
+            set(
+                df.selectExpr(f"{numeric} AS v").approxQuantile(
+                    "v", probs, 0.001
+                )
+            )
+        )
+        cmp_sum = " + ".join(
+            f"(CASE WHEN {numeric} > {b!r} THEN 1 ELSE 0 END)"
+            for b in bounds
+        )
+        bc = f"__zb_{c}"
+        work = work.withColumn(bc, F.expr(f"CAST({cmp_sum} AS INT)"))
+        bucket_cols.append(bc)
+    work = work.withColumn(
+        "__z", _morton2(bucket_cols[0], bucket_cols[1])
+    )
+    (
+        work.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *bucket_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

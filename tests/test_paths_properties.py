@@ -98,3 +98,28 @@ def test_destination_name_selection(src, dest, n):
         assert without == dest
     else:
         assert with_num == without == os.path.basename(f"a/b/{src}")
+
+
+def test_enumerate_column_twin_matches_python(spark):
+    """The Catalyst column expression must agree with the pure-Python
+    reference-parity function on tricky names (first-dot rule, multi-dot,
+    dotless, leading dot, consecutive dots)."""
+    import pyspark.sql.functions as F
+
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        enumerate_name_col,
+    )
+
+    names = [
+        "a.tar.gz", "data", "x.y", ".hidden", "a..b", "trailing.",
+        "many.dots.in.name.txt", "under_score.v2.parquet", "n", "..",
+    ]
+    rows = [(n, i + 1) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "name string, num int").select(
+        "name",
+        "num",
+        enumerate_name_col(F.col("name"), F.col("num")).alias("out"),
+    )
+    got = {(r["name"], r["num"]): r["out"] for r in df.collect()}
+    for n, i in rows:
+        assert got[(n, i)] == enumerate_destination_file_name(n, i), (n, i)

@@ -16,6 +16,7 @@ from googlecloudstorage_blueprints_spark.sinks import (
     compact_parquet,
     write_partitioned,
     write_sorted,
+    write_zordered,
 )
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -76,6 +77,49 @@ def test_sorted_write_roundtrip_and_stats(spark, tmp_path):
     assert pushed_filters(back.where(F.col("l_orderkey") == 1)), (
         "point filter must push into the scan"
     )
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """Z-ordered files must cover sub-rectangles: the mean per-file span of
+    BOTH columns is well under the global span (single-key sort leaves the
+    second column at ~full span in every file)."""
+    import duckdb
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 8
+    write_zordered(
+        orders,
+        f"file:{tmp_path}/z",
+        ["o_custkey", "o_totalprice"],
+        n_files=n_files,
+    )
+    con = duckdb.connect()
+
+    def mean_span_frac(root, col):
+        spans = con.execute(
+            f"""SELECT max({col}) - min({col})
+                FROM parquet_scan('{root}/*.parquet', filename=true)
+                GROUP BY filename"""
+        ).fetchall()
+        lo, hi = con.execute(
+            f"SELECT min({col}), max({col}) FROM parquet_scan('{root}/*.parquet')"
+        ).fetchone()
+        return sum(s[0] for s in spans) / len(spans) / (hi - lo)
+
+    back = spark.read.parquet(f"file:{tmp_path}/z")
+    assert back.count() == orders.count()
+    for col in ["o_custkey", "o_totalprice"]:
+        frac = mean_span_frac(f"{tmp_path}/z", col)
+        assert frac < 0.75, f"{col}: mean file span {frac:.2f} of global"
+
+    # contrast: single-key sort leaves the OTHER column unclustered
+    write_sorted(
+        orders, f"file:{tmp_path}/s", ["o_custkey"], n_files=n_files
+    )
+    frac_other = mean_span_frac(f"{tmp_path}/s", "o_totalprice")
+    assert frac_other > 0.9, "sanity: sorted-by-custkey shouldn't cluster price"
 
 
 def test_compact_parquet_merges_small_files(spark, tmp_path):
