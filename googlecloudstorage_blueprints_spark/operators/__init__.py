@@ -62,6 +62,7 @@ def _load_all() -> None:
         similarity_ivf,
         events,
         fileops_query,
+        graph,
         multimodal,
         scale_patterns,
     )

@@ -1,0 +1,144 @@
+"""Iterative graph operators: near-duplicate clusters via connected
+components.
+
+Pair-emitting dedup (``ngram_jaccard_dedup``, ``minhash_lsh_dedup``) is
+half the job: a training-data pipeline keys on duplicate CLUSTERS — one
+keeper per connected component of the near-dup graph.  Components need an
+iterative algorithm, the operator class Spark expresses as a driver loop
+over DataFrame steps (same shape as GraphX/GraphFrames label propagation):
+
+- labels start as each node's own id;
+- each round every node takes the min of its label and its neighbors'
+  labels (one join + one aggregate per round);
+- fixpoint in O(component diameter) rounds — tiny for dup clusters, which
+  are near-cliques.  ``localCheckpoint`` after every round cuts lineage so
+  plan size stays constant over iterations (the classic iterative-Spark
+  failure is an exponentially growing plan, not the data).
+
+At 100 TB the same loop runs with the edge list cached and AQE handling
+skew (a viral duplicate cluster is a hot key); the alternating
+large-star/small-star variant halves rounds if diameter ever matters.
+
+The DuckDB oracle computes the identical fixpoint with a recursive CTE
+(min reachable id over the symmetrized edges), so this iterative operator
+is fully value-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLE_K,
+    ngram_jaccard_dedup,
+)
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+MAX_ROUNDS = 20
+
+_PAIR_SQL = f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
+                     ))) AS s
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common)
+              >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_PAIR_SQL
+    + """,
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.label FROM walk w JOIN edges e ON w.node = e.dst
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS n_members
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           (c.doc_id = c.cluster_id) AS is_keeper,
+           s.n_members
+    FROM comp c JOIN csize s ON c.cluster_id = s.cluster_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact Jaccard near-dup graph:
+    every document labeled with its cluster id (= min doc_id in the
+    component), keeper flag, and cluster size.  WITH RECURSIVE twin makes
+    the iterative fixpoint oracle-checkable value-for-value."""
+    pairs = ngram_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").cache()
+
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_ROUNDS):
+        msgs = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # constant-size plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    comp = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    csize = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return comp.join(csize, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        "n_members",
+    )
