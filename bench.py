@@ -42,6 +42,12 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "similarity_knn_pandas",
     "text_stats",
+    # round-1 breadth additions (shuffle/window/join-heavy shapes)
+    "sql_tpch_q5",
+    "join_asof",
+    "grouping_sets",
+    "events_funnel",
+    "dedup_embedding_cosine",
 ]
 
 

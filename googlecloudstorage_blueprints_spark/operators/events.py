@@ -286,3 +286,81 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h_lo,
+               date_trunc('hour', MAX(ts)) AS h_hi
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h_lo, h_hi,
+                                               INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               ROUND(SUM(value), 4) AS hour_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT g.user_id,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           (h.hour_value IS NOT NULL) AS observed,
+           COALESCE(h.hour_value,
+                    LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+                        PARTITION BY g.user_id ORDER BY g.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's hourly grid with
+    ``sequence()`` + explode, left-join observed hourly sums, forward-fill
+    holes with ``last(ignorenulls)``.
+
+    Scale shape: the grid explode is map-side (rows = Σ user spans); the
+    only shuffles are the per-user aggregates and the fill window, all
+    partitioned on user_id.  Forward fill is the same last-non-null window
+    the as-of join uses — the canonical Spark idiom for interpolation.
+    The first grid cells of a user (before any observation) stay NULL, as
+    does the oracle's."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.sum("value"), 4).alias("hour_value"))
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h_lo"),
+            F.date_trunc("hour", F.max("ts")).alias("h_hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left_outer")
+        .select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("hour_value").isNotNull().alias("observed"),
+            F.coalesce(
+                "hour_value", F.last("hour_value", ignorenulls=True).over(w)
+            ).alias("filled_value"),
+        )
+    )
