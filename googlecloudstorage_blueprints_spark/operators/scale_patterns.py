@@ -80,3 +80,68 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # pair events within 5 minutes
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           (epoch_us(b.ts) - epoch_us(a.ts)) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND epoch_us(b.ts) >= epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_WINDOW_US}
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join made equi-joinable by time binning.
+
+    Naive range joins (`|tb - ta| <= w` alone) plan as nested loops — a
+    100 TB death sentence.  Binning ts into w-sized buckets turns the band
+    predicate into an equi-join: a pair within w is always in the same or
+    adjacent bucket, so joining on (user, bucket) plus (user, bucket+1)
+    covers every candidate exactly once, and the true predicate filters
+    residually.  Candidate space is O(rows x density per bucket) instead
+    of O(rows^2 per user).  Pairs are ordered (later event_id > earlier)
+    with ts >= to keep same-timestamp pairs deterministic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    a = e.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("t_us").alias("ta"),
+        # integer div: double division + cast could jitter at exact
+        # window multiples and break the adjacent-bucket cover
+        F.expr(f"t_us div {RANGE_WINDOW_US}").alias("bucket"),
+    )
+    # right side lands in its own bucket AND the previous one, so every
+    # within-window pair shares exactly one (user, bucket) key with a
+    b = (
+        e.select(
+            F.col("event_id").alias("event_b"),
+            "user_id",
+            F.col("t_us").alias("tb"),
+            F.expr(f"t_us div {RANGE_WINDOW_US}").alias("b0"),
+        )
+        .withColumn("bucket", F.explode(F.array("b0", F.col("b0") - 1)))
+        .drop("b0")
+    )
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .where(
+            (F.col("event_b") > F.col("event_a"))
+            & (F.col("tb") >= F.col("ta"))
+            & (F.col("tb") - F.col("ta") <= RANGE_WINDOW_US)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            "user_id",
+            (F.col("tb") - F.col("ta")).alias("gap_us"),
+        )
+    )
