@@ -364,3 +364,58 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("filled_value"),
         )
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               date_diff('week', c.cohort_week, date_trunc('week', e.ts))
+                   AS week_offset
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted once per (cohort, week-offset) they were active in.
+
+    Scale shape: cohort assignment is one per-user aggregate; the join
+    back is equi on user_id (cohort side is |users| pre-aggregated rows);
+    the distinct + count collapses map-side.  Week arithmetic uses
+    date_trunc + integer week difference — exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active_users",
+    )
