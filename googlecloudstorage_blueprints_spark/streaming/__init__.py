@@ -19,3 +19,10 @@ __all__ = [
     "streaming_dedup",
     "run_stream_to_memory",
 ]
+
+from googlecloudstorage_blueprints_spark.streaming.events_stream import (  # noqa: E402
+    run_stream_to_partitioned_parquet,
+    streaming_enriched,
+)
+
+__all__ += ["streaming_enriched", "run_stream_to_partitioned_parquet"]

@@ -103,3 +103,54 @@ def run_stream_to_memory(
     )
     query.awaitTermination(timeout_sec)
     return df.sparkSession.table(name)
+
+
+def streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (batch)
+    orders-per-user dimension.
+
+    The static side is planned per micro-batch — no state store involved,
+    and a broadcast of the pre-aggregated dimension keeps the stream side
+    shuffle-free.  This is the canonical enrichment topology: facts
+    stream, dimensions are tables."""
+    events = read_events_stream(spark, sf_dir)
+    user_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+        )
+    )
+    return events.join(F.broadcast(user_orders), "user_id", "left_outer").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("lifetime_value", F.lit(0.0)).alias("lifetime_value"),
+    )
+
+
+def run_stream_to_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    timeout_sec: int = 120,
+) -> None:
+    """Drive a stream into partitioned parquet via ``foreachBatch`` —
+    each micro-batch goes through the same layout-aware batch writer
+    (repartition-first, bounded file counts) as ``sinks.write_partitioned``,
+    in append mode so batches accumulate.  checkpointLocation makes the
+    sink restartable exactly-once per epoch."""
+    from googlecloudstorage_blueprints_spark.sinks import write_partitioned
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_partitioned(batch_df, path, partition_by, mode="append")
+
+    query = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{path}_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)

@@ -100,3 +100,36 @@ def test_streaming_dedup_smoke(spark):
         .select("event_id").distinct().count()
     )
     assert len(ids) == n_distinct
+
+
+def test_stream_static_join_enrichment(spark):
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_enriched,
+    )
+
+    out = run_stream_to_memory(
+        streaming_enriched(spark, SF), "enriched_smoke"
+    )
+    rows = out.collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert len(rows) == n_events, "left join must preserve every event"
+    assert any(r["n_orders"] > 0 for r in rows), "no user matched orders"
+    assert all(r["lifetime_value"] >= 0 for r in rows)
+
+
+def test_stream_to_partitioned_parquet(spark, tmp_path):
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_partitioned_parquet,
+        streaming_enriched,
+    )
+
+    out = f"file:{tmp_path}/enriched"
+    run_stream_to_partitioned_parquet(
+        streaming_enriched(spark, SF), out, ["event_type"]
+    )
+    back = spark.read.parquet(out)
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert back.count() == n_events
+    import glob
+
+    assert glob.glob(f"{tmp_path}/enriched/event_type=*"), "not partitioned"
