@@ -412,3 +412,39 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("cheapest_in_priority"),
         F.last("o_orderkey").over(w_full).alias("priciest_in_priority"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: outer join + two-level aggregation (distribution)
+# --------------------------------------------------------------------------
+
+@register(
+    "custdist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer histogram.  Two-level aggregation —
+    the outer count collapses |customers| rows to |distinct counts|; the
+    left join keeps zero-order customers (COUNT of the nullable key counts
+    matches only).  Both shuffles are on pre-aggregated data."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

@@ -120,3 +120,15 @@ def test_asof_join_two_shuffles_no_range_explosion(spark):
     # pre-agg exchange + the per-user window exchange
     assert "NestedLoop" not in plan
     assert shuffle_count(df) == 2
+
+
+def test_range_binned_join_is_hash_based(spark):
+    plan = explain_str(QUERIES["join_range_binned"](spark, SF))
+    assert "NestedLoop" not in plan, "band join must not plan a nested loop"
+
+
+def test_gapfill_shuffles_only_on_user(spark):
+    df = QUERIES["events_gapfill"](spark, SF)
+    # aggregates + grid join + fill window all partition on user_id;
+    # no global exchange should appear
+    assert "SinglePartition" not in explain_str(df)
