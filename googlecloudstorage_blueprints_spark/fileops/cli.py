@@ -85,11 +85,50 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("remove")
     r.add_argument("--bucket-name", dest="bucket_name", required=True)
     _add_common(r, dest_folder=False)
+
+    q = sub.add_parser(
+        "query", help="run a registered analytics operator"
+    )
+    q.add_argument("name", nargs="?", default=None,
+                   help="operator name (omit to list all)")
+    q.add_argument("--sf-dir", dest="sf_dir",
+                   default="/root/testdata/sf0.001")
+    q.add_argument("--limit", dest="limit", type=int, default=20)
+    q.add_argument("--output", dest="output", default=None,
+                   help="write full result as parquet instead of printing")
+    q.add_argument("--service-account", dest="service_account", default=None)
     return parser
+
+
+def _run_query(args) -> int:
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+
+    queries = all_queries()
+    if args.name is None:
+        for name in sorted(queries):
+            print(name)
+        return 0
+    if args.name not in queries:
+        print(f"error: unknown operator '{args.name}' "
+              f"(run 'query' with no name to list)", file=sys.stderr)
+        return 2
+    spark = get_spark(
+        app_name=f"gcs-blueprints-query-{args.name}",
+        service_account=args.service_account,
+    )
+    df = queries[args.name](spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"written: {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.verb == "query":
+        return _run_query(args)
     spark = get_spark(
         app_name=f"gcs-blueprints-{args.verb}",
         service_account=args.service_account,

@@ -67,3 +67,31 @@ def test_cli_missing_bucket_exits_201(spark, tmp_path, capsys):
          "--source-file-name", "x"]
     )
     assert rc == 201
+
+
+def test_cli_query_lists_operators(capsys):
+    rc = main(["query"])
+    assert rc == 0
+    out = capsys.readouterr().out.split()
+    assert "pricing_summary" in out and len(out) >= 60
+
+
+def test_cli_query_unknown_operator(capsys):
+    rc = main(["query", "nope_not_real"])
+    assert rc == 2
+    assert "unknown operator" in capsys.readouterr().err
+
+
+def test_cli_query_runs_and_prints(spark, capsys):
+    rc = main(["query", "pricing_summary",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "sum_qty" in capsys.readouterr().out
+
+
+def test_cli_query_writes_parquet(spark, tmp_path, capsys):
+    out = f"file:{tmp_path}/res"
+    rc = main(["query", "scan_project_filter",
+               "--sf-dir", "/root/testdata/sf0.001", "--output", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
