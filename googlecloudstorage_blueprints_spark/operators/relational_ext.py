@@ -448,3 +448,63 @@ def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# --------------------------------------------------------------------------
+# null semantics: null groups, null-safe equality, null-aware counts
+# --------------------------------------------------------------------------
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH o2 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               NULLIF(o_orderstatus, 'O') AS status_n
+        FROM orders
+    ),
+    grouped AS (
+        SELECT status_n,
+               CAST(COUNT(*) AS BIGINT)        AS n_rows,
+               CAST(COUNT(status_n) AS BIGINT) AS n_nonnull,
+               ROUND(SUM(o_totalprice), 2)     AS total
+        FROM o2 GROUP BY status_n
+    ),
+    pairs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nullsafe_pairs
+        FROM (SELECT status_n FROM o2 WHERE o_orderkey % 100 = 0) a
+        JOIN (SELECT status_n FROM o2 WHERE o_orderkey % 100 = 1) b
+          ON a.status_n IS NOT DISTINCT FROM b.status_n
+    )
+    SELECT g.status_n, g.n_rows, g.n_nonnull, g.total, p.n_nullsafe_pairs
+    FROM grouped g CROSS JOIN pairs p
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics pinned end-to-end: NULLIF-derived null keys form
+    their own GROUP BY group; COUNT(*) vs COUNT(col) differ on it;
+    null-safe equality (``eqNullSafe`` ≡ ``IS NOT DISTINCT FROM``) joins
+    null keys to null keys where ``=`` would drop them.  The null-safe
+    join still hash-partitions (null is an ordinary key value to the
+    partitioner), so the plan is a real equi-join, not a nested loop."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_n"),
+    )
+    grouped = o.groupBy("status_n").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("status_n").alias("n_nonnull"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    a = o.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("status_n").alias("sa")
+    )
+    b = o.where(F.col("o_orderkey") % 100 == 1).select(
+        F.col("status_n").alias("sb")
+    )
+    pairs = (
+        a.join(b, F.col("sa").eqNullSafe(F.col("sb")))
+        .agg(F.count(F.lit(1)).alias("n_nullsafe_pairs"))
+    )
+    return grouped.crossJoin(F.broadcast(pairs))
