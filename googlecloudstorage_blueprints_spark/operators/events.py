@@ -419,3 +419,45 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active_users",
     )
+
+
+@register(
+    "events_sliding_agg",
+    oracle="""
+    WITH exploded AS (
+        SELECT unnest([
+                   make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+                   make_timestamp((epoch_us(ts) // 1800000000 - 1)
+                                  * 1800000000)
+               ]) AS win_start,
+               value
+        FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM exploded
+    GROUP BY win_start
+    """,
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour window every 30 minutes — each
+    event lands in exactly two windows.  Spark's ``window(ts, len, slide)``
+    expands rows map-side (like the oracle's explicit two-bucket unnest)
+    then hash-aggregates: one shuffle of |windows| pre-aggregated rows.
+    The streaming twin is the same expression under a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -132,3 +132,43 @@ def test_gapfill_shuffles_only_on_user(spark):
     # aggregates + grid join + fill window all partition on user_id;
     # no global exchange should appear
     assert "SinglePartition" not in explain_str(df)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """With static broadcast planning disabled, AQE must still convert the
+    join to broadcast at runtime once the filtered side's true size is
+    known — the mechanism SCALE.md relies on for filtered dims at 100 TB."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the adaptive threshold defaults to the static one (now -1): give AQE
+    # its own runtime budget so only the STATIC planner is disabled
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760"
+    )
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where("o_orderkey < 50")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        pre = explain_str(joined)
+        assert "SortMergeJoin" in pre and "BroadcastHashJoin" not in pre
+        joined.collect()
+        post = explain_str(joined, "simple")
+        final = post.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, "AQE did not convert to broadcast"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """Small shuffles must coalesce below the configured partition count
+    (AQEShuffleRead coalesced) instead of running N near-empty tasks."""
+    df = QUERIES["pricing_summary"](spark, SF)
+    df.collect()
+    final = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert "AQEShuffleRead coalesced" in final
