@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Scaling probe: replicate lineitem/orders N× into tmp, measure headline
+shapes at 1×/10×/30×, print per-scale wall seconds and the observed
+scaling exponent.  Evidence for SCALE.md — near-linear growth means the
+plan shape survives scale-up; super-linear growth flags a shape that
+won't.
+
+Replication multiplies keys by a replica offset so join fan-out stays
+realistic (each replica is a disjoint key space — row counts scale N×,
+join matches scale N×, group counts stay fixed for the agg shapes).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from googlecloudstorage_blueprints_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+SCALES = [1, 10, 30]
+KEY_STRIDE = 10_000_000
+
+
+def replicate(spark, src: str, out: str, n: int, key_cols: list[str]) -> None:
+    df = spark.read.parquet(src)
+    reps = spark.range(n).select(F.col("id").alias("__rep"))
+    rep = df.crossJoin(reps)
+    for k in key_cols:
+        rep = rep.withColumn(
+            k, F.col(k) + F.col("__rep") * F.lit(KEY_STRIDE)
+        )
+    rep.drop("__rep").repartition(32).write.mode("overwrite").parquet(out)
+
+
+def bench_shapes(spark, li_path: str, o_path: str) -> dict[str, float]:
+    li = spark.read.parquet(li_path)
+    o = spark.read.parquet(o_path)
+    shapes = {
+        "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        ),
+        "join_agg": lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+        "window_topk": lambda: li.withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("l_returnflag")
+                .orderBy(F.col("l_extendedprice").desc(), "l_orderkey",
+                         "l_linenumber")
+            ),
+        ).where(F.col("rk") <= 100),
+    }
+    out = {}
+    for name, build in shapes.items():
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-probe", master="local[32]")
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    results: dict[int, dict[str, float]] = {}
+    try:
+        for n in SCALES:
+            li_p = f"file:{tmp}/li_{n}"
+            o_p = f"file:{tmp}/o_{n}"
+            replicate(spark, f"{BASE}/lineitem.parquet", li_p, n,
+                      ["l_orderkey"])
+            replicate(spark, f"{BASE}/orders.parquet", o_p, n,
+                      ["o_orderkey"])
+            results[n] = bench_shapes(spark, li_p, o_p)
+            rows = spark.read.parquet(li_p).count()
+            print(f"scale {n}x ({rows:,} lineitem rows): {results[n]}")
+        for shape in results[SCALES[0]]:
+            lo, hi = results[SCALES[0]][shape], results[SCALES[-1]][shape]
+            ratio = SCALES[-1] / SCALES[0]
+            exp = math.log(max(hi, 1e-9) / max(lo, 1e-9)) / math.log(ratio)
+            print(f"{shape}: {lo}s -> {hi}s over {ratio:.0f}x data "
+                  f"(scaling exponent {exp:.2f}; 1.0 = linear)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
