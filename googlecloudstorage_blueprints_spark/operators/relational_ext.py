@@ -619,3 +619,80 @@ def returned_items_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# data profiling (per-column quality stats in one pass)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderpriority",
+]
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)   AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR)             AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR)             AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (deequ-style): null count, distinct count,
+    min/max per column, emitted long-format.
+
+    One wide aggregate computes every column's stats in a single scan +
+    single shuffle (COUNT DISTINCT columns expand internally but share the
+    pass); the per-column rows are then unpivoted driver-free via a
+    literal stack.  At 100 TB swap exact distincts for
+    approx_count_distinct — same shape, sketch state.  Min/max stringified
+    to keep one output schema across column types (doubles rounded 2dp to
+    avoid repr drift)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        mn, mx = F.min(c), F.max(c)
+        if c == "o_totalprice":
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -23,6 +23,11 @@ __all__ = [
 from googlecloudstorage_blueprints_spark.streaming.events_stream import (  # noqa: E402
     run_stream_to_partitioned_parquet,
     streaming_enriched,
+    streaming_sliding_agg,
 )
 
-__all__ += ["streaming_enriched", "run_stream_to_partitioned_parquet"]
+__all__ += [
+    "streaming_enriched",
+    "streaming_sliding_agg",
+    "run_stream_to_partitioned_parquet",
+]

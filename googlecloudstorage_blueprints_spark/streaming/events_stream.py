@@ -154,3 +154,24 @@ def run_stream_to_partitioned_parquet(
         .start()
     )
     query.awaitTermination(timeout_sec)
+
+
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window twin of ``events_sliding_agg``: 1-hour windows every
+    30 minutes under a watermark — each event feeds two window states."""
+    events = read_events_stream(spark, sf_dir)
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

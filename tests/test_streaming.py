@@ -133,3 +133,29 @@ def test_stream_to_partitioned_parquet(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{tmp_path}/enriched/event_type=*"), "not partitioned"
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_sliding_agg,
+    )
+
+    got = run_stream_to_memory(
+        streaming_sliding_agg(spark, SF), "sliding_smoke"
+    )
+    got_rows = {
+        r["win_start"]: (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        r["win_start"]: (r["n_events"], r["total_value"])
+        for r in all_queries()["events_sliding_agg"](spark, SF).collect()
+    }
+    diverged = {
+        k: (got_rows[k], batch_rows[k])
+        for k in got_rows
+        if k in batch_rows and got_rows[k] != batch_rows[k]
+    }
+    assert not diverged, f"stream/batch divergence: {diverged}"
+    # watermark may hold back only the tail windows
+    assert len(got_rows) >= len(batch_rows) - 2
