@@ -10,7 +10,7 @@ executors.  The reference has no text surface (SURVEY.md §2.A.4).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
@@ -201,4 +201,50 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
         best.cast("long").alias("best_score"),
+    )
+
+
+@register(
+    "balanced_sample",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                   AS rk
+        FROM documents
+    ),
+    cap AS (
+        SELECT MIN(cnt) AS per_class
+        FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_chars,
+           CAST(s.rk AS BIGINT) AS rk
+    FROM sized s CROSS JOIN cap
+    WHERE s.rk <= cap.per_class
+    """,
+)
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language contributes exactly
+    min-class-size documents (deterministic: per-class rank over the
+    stable doc_id key, not RNG — reruns and engines agree row-for-row).
+
+    Scale shape: one window shuffle on the class key + a broadcast of the
+    single-row cap.  For representative (not just deterministic) sampling
+    at 100 TB, rank over xxhash64(doc_id) instead of doc_id — same plan,
+    pseudo-random order, still seedless-deterministic; kept key-ordered
+    here so the DuckDB oracle (whose hash differs) can verify the
+    machinery exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    sized = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    cap = d.groupBy("lang").count().agg(
+        F.min("count").alias("per_class")
+    )
+    return (
+        sized.crossJoin(F.broadcast(cap))
+        .where(F.col("rk") <= F.col("per_class"))
+        .drop("per_class")
     )
