@@ -2,6 +2,7 @@
 
 from googlecloudstorage_blueprints_spark.sinks.writers import (
     compact_parquet,
+    upsert_parquet,
     write_partitioned,
     write_sorted,
     write_zordered,
@@ -9,6 +10,7 @@ from googlecloudstorage_blueprints_spark.sinks.writers import (
 
 __all__ = [
     "compact_parquet",
+    "upsert_parquet",
     "write_partitioned",
     "write_sorted",
     "write_zordered",

@@ -136,6 +136,40 @@ def write_zordered(
     )
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """Merge-by-key into a parquet directory: rows in ``updates`` replace
+    target rows with the same key; new keys append.
+
+    Plain parquet has no transactional MERGE (that's Delta/Iceberg
+    territory); this is the rewrite formulation: keep target rows whose
+    key is absent from updates (left_anti — null-safe, broadcastable when
+    updates are small), union the updates, rewrite atomically-enough via
+    a temp directory + rename (the same Hadoop FileSystem verbs the
+    file-ops module uses, so ``file:/`` and ``gs://`` behave alike).
+    At 100 TB, pair with partitioned layout and rewrite ONLY the
+    partitions updates touch — the same anti-join per partition."""
+    existing = spark.read.parquet(target)
+    merged = existing.join(
+        updates.select(*keys), keys, "left_anti"
+    ).unionByName(updates)
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(target + "__upsert_tmp")
+    dst = Path(target)
+    fs = dst.getFileSystem(conf)
+    merged.write.mode("overwrite").parquet(target + "__upsert_tmp")
+    fs.delete(dst, True)
+    fs.rename(tmp, dst)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -14,6 +14,7 @@ from googlecloudstorage_blueprints_spark.plans import (
 )
 from googlecloudstorage_blueprints_spark.sinks import (
     compact_parquet,
+    upsert_parquet,
     write_partitioned,
     write_sorted,
     write_zordered,
@@ -133,3 +134,24 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     out_files = glob.glob(f"{tmp_path}/compacted/*.parquet")
     assert len(out_files) == n < 50
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
+    import pyspark.sql.functions as F2
+
+    nation = load_table(spark, SF, "nation")
+    target = f"file:{tmp_path}/nation"
+    nation.write.parquet(target)
+
+    updates = spark.createDataFrame(
+        [(0, "RENAMED_0", 0), (999, "BRAND_NEW", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    upsert_parquet(spark, target, updates, ["n_nationkey"])
+
+    back = spark.read.parquet(target)
+    assert back.count() == nation.count() + 1  # one replaced, one new
+    got = {r["n_nationkey"]: r["n_name"] for r in back.collect()}
+    assert got[0] == "RENAMED_0" and got[999] == "BRAND_NEW"
+    untouched = nation.where(F2.col("n_nationkey") == 5).first()["n_name"]
+    assert got[5] == untouched
