@@ -195,3 +195,43 @@ def test_remove_no_match_raises_205(spark, tree):
             source_file_name_match_type="regex_match",
         )
     assert exc.value.exit_code == 205
+
+
+def test_roundtrip_special_character_names(spark, tmp_path, monkeypatch):
+    """Names with spaces, dots, dashes and unicode survive the
+    upload→download round trip with reference naming semantics intact."""
+    from googlecloudstorage_blueprints_spark.fileops import (
+        download_files,
+        upload_files,
+    )
+
+    src = tmp_path / "work"
+    src.mkdir()
+    names = ["with space.csv", "uni-ünïcodé.txt", "many.dots.tar.gz",
+             "trailing-dash-"]
+    for n in names:
+        (src / n).write_text(f"payload:{n}")
+    monkeypatch.chdir(src)
+
+    (tmp_path / "bucket").mkdir()  # buckets must pre-exist (code 201)
+    bucket = f"file:{tmp_path}/bucket"
+    up = upload_files(
+        spark, bucket,
+        source_folder_name="", source_file_name=r".",
+        source_file_name_match_type="regex_match",
+        destination_folder_name="in", destination_file_name=None,
+    )
+    assert len(up) == len(names)
+
+    out = tmp_path / "out"
+    out.mkdir()
+    monkeypatch.chdir(out)
+    down = download_files(
+        spark, bucket,
+        source_folder_name="in", source_file_name=r".",
+        source_file_name_match_type="regex_match",
+        destination_folder_name="", destination_file_name=None,
+    )
+    assert len(down) == len(names)
+    for n in names:
+        assert (out / n).read_text() == f"payload:{n}", n
