@@ -21,6 +21,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import re
 import sys
 
 from googlecloudstorage_blueprints_spark.errors import BlueprintError
@@ -34,7 +36,9 @@ from googlecloudstorage_blueprints_spark.session import get_spark
 
 
 def _root_uri(bucket_name: str) -> str:
-    if "://" in bucket_name or bucket_name.startswith("file:"):
+    # anything with a URI scheme (file:, hdfs:/x, s3a://b) passes through;
+    # bare names are GCS buckets
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", bucket_name):
         return bucket_name
     return f"gs://{bucket_name}"
 
@@ -129,10 +133,14 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.verb == "query":
         return _run_query(args)
-    spark = get_spark(
-        app_name=f"gcs-blueprints-{args.verb}",
-        service_account=args.service_account,
+    # resolve credentials here so the tempfile an inline-JSON key creates
+    # is deleted on exit (download_file.py:274-276 parity)
+    from googlecloudstorage_blueprints_spark.session import (
+        resolve_service_account,
     )
+
+    tmp_key = resolve_service_account(args.service_account)
+    spark = get_spark(app_name=f"gcs-blueprints-{args.verb}")
     try:
         if args.verb == "download":
             written = download_files(
@@ -176,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
     except BlueprintError as exc:
         print(f"error ({exc.exit_code}): {exc.message}", file=sys.stderr)
         return exc.exit_code
+    finally:
+        if tmp_key and os.path.exists(tmp_key):
+            os.remove(tmp_key)
     n = len(written)
     print(f"{n} file{'s' if n != 1 else ''} processed.")
     for path in written:

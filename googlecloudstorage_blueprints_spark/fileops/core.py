@@ -208,7 +208,13 @@ def download_files(
     if dest_folder and not os.path.exists(dest_folder):
         os.makedirs(dest_folder)
 
-    names = client.list_names(source_folder_name)
+    # exact match is a point lookup — never LIST the bucket
+    # (download_file.py:264-266 parity; match_names probes exists())
+    names = (
+        []
+        if source_file_name_match_type == "exact_match"
+        else client.list_names(source_folder_name)
+    )
     matches = client.match_names(
         names, source_file_name_match_type,
         clean_folder_name(source_folder_name), source_file_name,
@@ -300,7 +306,11 @@ def move_files(
     (``move_file.py:185-191``) — so a single match is NOT enumerated."""
     src_client = FsClient(spark, source_uri)
     dst_client = FsClient(spark, destination_uri)
-    names = src_client.list_names(source_folder_name)
+    names = (
+        []
+        if source_file_name_match_type == "exact_match"
+        else src_client.list_names(source_folder_name)
+    )
     matches = src_client.match_names(
         names, source_file_name_match_type,
         clean_folder_name(source_folder_name), source_file_name,
@@ -330,7 +340,11 @@ def remove_files(
     """Delete matched objects; returns deleted root-relative paths.
     Mirrors ``remove_file.py:138-166``."""
     client = FsClient(spark, source_uri)
-    names = client.list_names(source_folder_name)
+    names = (
+        []
+        if source_file_name_match_type == "exact_match"
+        else client.list_names(source_folder_name)
+    )
     matches = client.match_names(
         names, source_file_name_match_type,
         clean_folder_name(source_folder_name), source_file_name,

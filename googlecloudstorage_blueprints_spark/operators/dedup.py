@@ -34,13 +34,13 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _shingles(col: str = "text"):
-    """k-word shingles as a distinct array<string> — pure JVM expression."""
-    return F.expr(
-        f"array_distinct(transform("
-        f"  sequence(0, greatest(size(split({col}, ' ')) - {SHINGLE_K}, 0)),"
-        f"  i -> concat_ws(' ', slice(split({col}, ' '), i + 1, {SHINGLE_K}))"
-        f"))"
+    """k-word shingles as a distinct array<string> — the shared
+    expression from functions/columns.py (single parity-critical copy)."""
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        word_shingles,
     )
+
+    return word_shingles(col, SHINGLE_K)
 
 
 def hashed_shingle_docs(d: DataFrame, text_col: str = "text") -> DataFrame:

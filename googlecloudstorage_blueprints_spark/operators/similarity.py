@@ -23,23 +23,15 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.columns import (
+    cosine_similarity as _cosine,  # single shared definition — parity-critical
+)
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
 N_QUERIES = 5    # the first N vec_ids serve as the query set
 TOP_K = 10
 DIM = 64
-
-
-def _cosine(a: str, b: str):
-    """Exact float64 cosine between two array<float> columns — zip_with +
-    aggregate, fully JVM-side (no UDF)."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"          0D, (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * "
-        f" sqrt(aggregate({b}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    )
 
 
 @register(

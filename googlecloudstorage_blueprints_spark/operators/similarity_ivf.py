@@ -33,6 +33,9 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.columns import (
+    cosine_similarity as _cosine,  # single shared definition — parity-critical
+)
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -88,15 +91,6 @@ def _assign_kernel(centroids):
             )
 
     return kernel
-
-
-def _cosine(a: str, b: str):
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"          0D, (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * "
-        f" sqrt(aggregate({b}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    )
 
 
 @register("similarity_knn_ivf")  # rows-only: ANN recall is approximate by design

@@ -110,7 +110,17 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cpus}]")
 
-    if shuffle_partitions is None:
+    # derive a shuffle-partition floor ONLY for local mode — on a real
+    # cluster (SPARK_MASTER/MASTER set, or a non-local master arg) the
+    # driver's core count means nothing and the AQE-governed default must
+    # stand (a local-derived 2×cores here would collapse cluster shuffles
+    # to a handful of partitions)
+    cluster_env = bool(
+        os.environ.get("SPARK_MASTER") or os.environ.get("MASTER")
+    )
+    if shuffle_partitions is None and not (
+        cluster_env and master is None
+    ) and (master is None or master.startswith("local")):
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus_env and cpus_env.isdigit():
             shuffle_partitions = int(cpus_env) * 2

@@ -117,10 +117,12 @@ def write_zordered(
                 )
             )
         )
+        # all-NULL or empty column → approxQuantile returns no bounds;
+        # degrade to a single bucket instead of an unparseable expression
         cmp_sum = " + ".join(
             f"(CASE WHEN {numeric} > {b!r} THEN 1 ELSE 0 END)"
             for b in bounds
-        )
+        ) or "0"
         bc = f"__zb_{c}"
         work = work.withColumn(bc, F.expr(f"CAST({cmp_sum} AS INT)"))
         bucket_cols.append(bc)
@@ -147,15 +149,22 @@ def upsert_parquet(
 
     Plain parquet has no transactional MERGE (that's Delta/Iceberg
     territory); this is the rewrite formulation: keep target rows whose
-    key is absent from updates (left_anti — null-safe, broadcastable when
-    updates are small), union the updates, rewrite atomically-enough via
-    a temp directory + rename (the same Hadoop FileSystem verbs the
-    file-ops module uses, so ``file:/`` and ``gs://`` behave alike).
+    key is absent from updates (null-safe anti join — a NULL key in
+    updates replaces NULL-key target rows, matching ``eqNullSafe``
+    semantics), union the updates, then swap directories: the old target
+    is renamed aside BEFORE the new data is renamed in, and only deleted
+    once the swap succeeded — a crash at any point leaves either the old
+    or the new complete table on disk, never neither.  Hadoop FS rename
+    returns False instead of raising; every return is checked.
     At 100 TB, pair with partitioned layout and rewrite ONLY the
     partitions updates touch — the same anti-join per partition."""
     existing = spark.read.parquet(target)
+    cond = None
+    for k in keys:
+        c = existing[k].eqNullSafe(updates[k])
+        cond = c if cond is None else (cond & c)
     merged = existing.join(
-        updates.select(*keys), keys, "left_anti"
+        updates.select(*keys), cond, "left_anti"
     ).unionByName(updates)
 
     sc = spark.sparkContext
@@ -163,11 +172,18 @@ def upsert_parquet(
     conf = sc._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     tmp = Path(target + "__upsert_tmp")
+    old = Path(target + "__upsert_old")
     dst = Path(target)
     fs = dst.getFileSystem(conf)
     merged.write.mode("overwrite").parquet(target + "__upsert_tmp")
-    fs.delete(dst, True)
-    fs.rename(tmp, dst)
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(dst, old):
+        raise RuntimeError(f"upsert: could not move {target} aside")
+    if not fs.rename(tmp, dst):
+        fs.rename(old, dst)  # restore; table unchanged
+        raise RuntimeError(f"upsert: could not install new data at {target}")
+    fs.delete(old, True)
 
 
 def compact_parquet(

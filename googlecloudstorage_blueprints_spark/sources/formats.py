@@ -60,7 +60,8 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
-    df.write.mode(mode).options(header=True, **options).csv(path)
+    options.setdefault("header", True)
+    df.write.mode(mode).options(**options).csv(path)
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:

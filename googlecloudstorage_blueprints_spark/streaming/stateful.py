@@ -103,7 +103,14 @@ def _sessionize(key: tuple, pdfs, state: GroupState):
                 }
             )
             start, n, total = t, 0, 0.0
-        last, n, total = t, n + 1, total + float(v)
+        # late-but-within-watermark events from a later micro-batch may
+        # precede the open session's end: they extend the session
+        # backward/inside, but must never move `last` backward — a
+        # regressing end would re-arm the timeout early and let the next
+        # on-time event measure its gap against the late straggler,
+        # falsely splitting the session
+        start = t if n == 0 else min(start, t)
+        last, n, total = max(last, t), n + 1, total + float(v)
 
     state.update((start, last, n, total))
     # close the open session once the watermark passes last + gap

@@ -95,3 +95,12 @@ def test_cli_query_writes_parquet(spark, tmp_path, capsys):
                "--sf-dir", "/root/testdata/sf0.001", "--output", out])
     assert rc == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_root_uri_scheme_passthrough():
+    from googlecloudstorage_blueprints_spark.fileops.cli import _root_uri
+
+    assert _root_uri("my-bucket") == "gs://my-bucket"
+    assert _root_uri("file:/tmp/x") == "file:/tmp/x"
+    assert _root_uri("hdfs:/data/bucket") == "hdfs:/data/bucket"
+    assert _root_uri("s3a://b/k") == "s3a://b/k"

@@ -70,3 +70,11 @@ def test_read_text_lines(spark, tmp_path):
     df = read_text(spark, f"file:{p}")
     assert df.columns == ["value"]
     assert sorted(r["value"] for r in df.collect()) == ["doc one", "doc two"]
+
+
+def test_csv_header_can_be_disabled(spark, tmp_path):
+    region = load_table(spark, SF, "region")
+    out = f"file:{tmp_path}/region_nohdr"
+    write_csv(region, out, header=False)
+    raw = read_text(spark, f"{out}/*.csv").collect()
+    assert not any("r_regionkey" in r["value"] for r in raw)

@@ -155,3 +155,16 @@ def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
     assert got[0] == "RENAMED_0" and got[999] == "BRAND_NEW"
     untouched = nation.where(F2.col("n_nationkey") == 5).first()["n_name"]
     assert got[5] == untouched
+
+
+def test_upsert_parquet_null_key_is_replaced(spark, tmp_path):
+    target = f"file:{tmp_path}/t"
+    spark.createDataFrame(
+        [(None, "old-null"), (1, "one")], "k int, v string"
+    ).write.parquet(target)
+    updates = spark.createDataFrame(
+        [(None, "new-null")], "k int, v string"
+    )
+    upsert_parquet(spark, target, updates, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {None: "new-null", 1: "one"}, got
