@@ -461,3 +461,51 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               stddev_pop(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND ABS(e.value - s.mu) > 2.5 * s.sigma
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: population stddev via one
+    aggregate, broadcast back (|types| rows), flag events beyond 2.5σ.
+
+    The aggregate-then-broadcast-join shape beats a window over the full
+    table: the window would shuffle every row by event_type just to
+    attach two numbers; the broadcast attaches them map-side.  The zscore
+    itself is reported rounded; the FILTER compares unrounded doubles —
+    identical arithmetic on both engines (same sums, same order within
+    the aggregate's partial/final split is handled by both engines'
+    numerically-stable stddev)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+        )
+    )
