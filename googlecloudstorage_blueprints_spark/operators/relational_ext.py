@@ -797,3 +797,91 @@ def disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate → scalar-subquery max → filter (top supplier)
+# --------------------------------------------------------------------------
+
+@register(
+    "top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.total_rev, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: per-supplier revenue in a window, keep the supplier(s)
+    achieving the global max — an aggregate feeding a scalar subquery of
+    its own max.  Spark form: compute revenue once, cross-join the 1-row
+    max (broadcast), filter on unrounded equality (both sides are the
+    same aggregation output, so equality is exact); supplier dim
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11-flavored concentration: groups exceeding a share of the global total
+# --------------------------------------------------------------------------
+
+@register(
+    "nation_concentration",
+    oracle="""
+    SELECT s_nationkey,
+           ROUND(SUM(s_acctbal), 2) AS nation_balance,
+           ROUND(SUM(s_acctbal) /
+                 (SELECT SUM(s_acctbal) FROM supplier), 6) AS share
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING SUM(s_acctbal) > 0.04 * (SELECT SUM(s_acctbal) FROM supplier)
+    """,
+)
+def nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose share of a GLOBAL aggregate exceeds a
+    threshold — the scalar subquery of the total is computed once and
+    broadcast into both the HAVING filter and the share projection (the
+    naive form recomputes the global sum per reference)."""
+    s = load_table(spark, sf_dir, "supplier")
+    per_nation = s.groupBy("s_nationkey").agg(
+        F.sum("s_acctbal").alias("bal")
+    )
+    total = s.agg(F.sum("s_acctbal").alias("total_bal"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .where(F.col("bal") > 0.04 * F.col("total_bal"))
+        .select(
+            "s_nationkey",
+            F.round("bal", 2).alias("nation_balance"),
+            F.round(F.col("bal") / F.col("total_bal"), 6).alias("share"),
+        )
+    )
