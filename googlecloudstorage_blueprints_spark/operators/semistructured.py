@@ -136,3 +136,32 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "array_agg_ops",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list_distinct(list(o_orderpriority)))
+               AS priorities,
+           CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT)
+               AS n_statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set per group, sorted for determinism
+    (collection order is partition-dependent — any collected array that
+    feeds a comparison or a downstream key MUST be sorted).  Shuffle
+    carries the collected sets; at scale cap per-group cardinality
+    (slice(sort_array(...), 1, k)) so a hot group cannot OOM a task."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.size(F.collect_set("o_orderstatus")).cast("long").alias(
+            "n_statuses"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
