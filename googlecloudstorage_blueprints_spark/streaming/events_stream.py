@@ -25,18 +25,27 @@ WATERMARK = "10 minutes"
 SESSION_GAP = "30 minutes"
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with the same ns→µs
-    conversion as the batch catalog loader."""
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Events as a file-source stream with the same ns→µs conversion as
+    the batch catalog loader.  ``max_files_per_trigger=1`` over a
+    multi-file directory replays history as MULTIPLE micro-batches — how
+    tests exercise cross-batch state (open sessions, timeouts) instead of
+    collapsing the backlog into one batch."""
     apply_runtime_conf(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
     # the fixture directory holds all tables; pathGlobFilter scopes the
-    # stream to the events file only
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # stream to the events file(s) only
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

@@ -120,12 +120,17 @@ def _sessionize(key: tuple, pdfs, state: GroupState):
 
 
 def streaming_stateful_sessions(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Explicit keyed-state sessionization via ``applyInPandasWithState`` —
     the custom-operator path when ``session_window`` semantics don't fit.
     One shuffle on user_id; state store holds one tuple per live user."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
     return (
         events.withWatermark("ts", WATERMARK)
         .groupBy("user_id")

@@ -159,3 +159,66 @@ def test_streaming_sliding_matches_batch(spark):
     assert not diverged, f"stream/batch divergence: {diverged}"
     # watermark may hold back only the tail windows
     assert len(got_rows) >= len(batch_rows) - 2
+
+
+def test_stateful_sessions_across_multiple_microbatches(spark, tmp_path):
+    """Replay history as 3 time-ordered micro-batches
+    (maxFilesPerTrigger=1): sessions spanning batch boundaries must carry
+    through keyed state and still agree with the single-batch run."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_stateful_sessions,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts")
+    n = events.count()
+    rows = events.collect()
+    schema = events.schema
+    third = n // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"file:{tmp_path}/ev/part{i}"
+        )
+    # flatten: the file source lists files; one parquet file per subdir
+    import glob as g
+    import shutil
+
+    for i, f in enumerate(
+        sorted(g.glob(f"{tmp_path}/ev/part*/part-*.parquet"))
+    ):
+        shutil.copy(f, f"{tmp_path}/ev/{i:02d}_events.parquet")
+        shutil.rmtree(f.rsplit("/", 1)[0])
+
+    multi = run_stream_to_memory(
+        streaming_stateful_sessions(
+            spark, f"file:{tmp_path}/ev", glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "stateful_multibatch",
+    )
+    multi_rows = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+        for r in multi.collect()
+    }
+    assert multi_rows, "no sessions emitted across micro-batches"
+
+    single = run_stream_to_memory(
+        streaming_stateful_sessions(spark, SF), "stateful_singlebatch"
+    )
+    single_rows = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+        for r in single.collect()
+    }
+    both = set(multi_rows) & set(single_rows)
+    assert both, "no overlapping sessions between replay modes"
+    diverged = {
+        k: (multi_rows[k], single_rows[k])
+        for k in both
+        if multi_rows[k] != single_rows[k]
+    }
+    assert not diverged, f"multi/single batch divergence: {diverged}"
+    # cross-batch sessions only exist in the multi-batch run if state
+    # carried; watermark advance between batches must also CLOSE sessions
+    # the single availableNow batch holds back — so multi emits at least
+    # as many sessions
+    assert len(multi_rows) >= len(single_rows)
