@@ -509,3 +509,50 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_windowed_topk",
+    oracle="""
+    WITH hourly AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS bucket,
+               user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, user_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY total_value DESC, user_id) AS rk
+        FROM hourly
+    )
+    SELECT bucket, user_id, n_events, total_value, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite time+entity shape: hourly per-user aggregation, then
+    top-3 users per hour.  Two shuffles total — (bucket, user) aggregate,
+    then the rank window on bucket over PRE-AGGREGATED rows (never rank
+    raw events); the rank<=k filter plans a WindowGroupLimit partial
+    top-k.  Ties break on user_id for total order."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        hourly.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
