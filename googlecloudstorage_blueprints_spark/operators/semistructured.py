@@ -142,7 +142,8 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_ops",
     oracle="""
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderpriority)))
+           array_to_string(
+               list_sort(list_distinct(list(o_orderpriority))), ',')
                AS priorities,
            CAST(len(list_distinct(list(o_orderstatus))) AS BIGINT)
                AS n_statuses,
@@ -156,10 +157,16 @@ def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collection order is partition-dependent — any collected array that
     feeds a comparison or a downstream key MUST be sorted).  Shuffle
     carries the collected sets; at scale cap per-group cardinality
-    (slice(sort_array(...), 1, k)) so a hot group cannot OOM a task."""
+    (slice(sort_array(...), 1, k)) so a hot group cannot OOM a task.
+
+    Parity rule: queries() outputs must be SCALAR columns — the driver's
+    canonicalizer sorts output columns and cannot hash array cells, so the
+    sorted set is emitted as one comma-joined string in BOTH engines."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
         F.size(F.collect_set("o_orderstatus")).cast("long").alias(
             "n_statuses"
         ),

@@ -167,7 +167,38 @@ _LANG_MARKERS = {
 }
 
 
-@register("lang_id")  # rows-only: argmax-over-scores is clumsy in ANSI SQL
+_LANGS = sorted(_LANG_MARKERS)
+# argmax-over-scores in DuckDB: greatest() for the max, then a CASE chain in
+# the SAME lexicographic language order as the Spark coalesce() tiebreak.
+_LANG_ID_ORACLE = (
+    "WITH scored AS (\n"
+    "    SELECT doc_id, lang,\n"
+    + ",\n".join(
+        "           len(list_intersect("
+        "list_distinct(string_split(text, ' ')), "
+        "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+        f")) AS score_{lang}"
+        for lang in _LANGS
+    )
+    + "\n    FROM documents\n"
+    ")\n"
+    "SELECT doc_id,\n"
+    "       lang AS labeled_lang,\n"
+    "       CASE\n"
+    + "\n".join(
+        f"           WHEN score_{lang} = "
+        f"greatest({', '.join('score_' + x for x in _LANGS)}) "
+        f"THEN '{lang}'"
+        for lang in _LANGS
+    )
+    + "\n       END AS predicted_lang,\n"
+    f"       CAST(greatest({', '.join('score_' + x for x in _LANGS)})"
+    " AS BIGINT) AS best_score\n"
+    "FROM scored"
+)
+
+
+@register("lang_id", oracle=_LANG_ID_ORACLE)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: score = |tokens ∩ marker-lexicon| per
     language, predict the argmax (deterministic lexicographic tiebreak).

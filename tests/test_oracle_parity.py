@@ -82,6 +82,22 @@ def test_oracle_parity(spark, name):
     )
 
 
+def test_oracle_ops_emit_scalar_columns_only(spark):
+    """Repo rule (round-1 driver crash): the driver's canonicalizer sorts
+    output columns with pandas and cannot hash array/map/struct cells —
+    every oracle-backed op must emit atomic columns only (collected sets
+    are concat_ws-joined to one string in BOTH engines)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in sorted(ORACLES):
+        schema = QUERIES[name](spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType}")
+    assert not offenders, f"non-scalar oracle-op outputs: {offenders}"
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - set(ORACLES))
 )
