@@ -475,7 +475,8 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE s.sigma > 0 AND ABS(e.value - s.mu) > 2.5 * s.sigma
+    WHERE s.sigma > 0
+      AND ABS(ROUND((e.value - s.mu) / s.sigma, 6)) > 2.5
     """,
 )
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,29 +485,30 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate-then-broadcast-join shape beats a window over the full
     table: the window would shuffle every row by event_type just to
-    attach two numbers; the broadcast attaches them map-side.  The zscore
-    itself is reported rounded; the FILTER compares unrounded doubles —
-    identical arithmetic on both engines (same sums, same order within
-    the aggregate's partial/final split is handled by both engines'
-    numerically-stable stddev)."""
+    attach two numbers; the broadcast attaches them map-side.
+
+    Parity rule (see relational.py): when an order-dependent double
+    aggregate FEEDS A FILTER, the compared quantity must be rounded on
+    both sides — Spark's partial/final summation order differs from
+    DuckDB's, so a raw |value-mu| > 2.5*sigma can flip a boundary row
+    between engines.  Both engines therefore threshold the 6dp-rounded
+    z-score (the same value that is reported)."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev_pop("value").alias("sigma"),
     )
+    zscore = F.round(
+        (F.col("value") - F.col("mu")) / F.col("sigma"), 6
+    )
     return (
         e.join(F.broadcast(stats), "event_type")
-        .where(
-            (F.col("sigma") > 0)
-            & (F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
-        )
+        .where((F.col("sigma") > 0) & (F.abs(zscore) > 2.5))
         .select(
             "event_id",
             "event_type",
             "value",
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
-                "zscore"
-            ),
+            zscore.alias("zscore"),
         )
     )
 

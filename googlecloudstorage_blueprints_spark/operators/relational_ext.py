@@ -817,16 +817,21 @@ def disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.s_suppkey, s.s_name,
            ROUND(r.total_rev, 2) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    WHERE ROUND(r.total_rev, 2) =
+          (SELECT ROUND(MAX(total_rev), 2) FROM revenue)
     """,
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: per-supplier revenue in a window, keep the supplier(s)
     achieving the global max — an aggregate feeding a scalar subquery of
     its own max.  Spark form: compute revenue once, cross-join the 1-row
-    max (broadcast), filter on unrounded equality (both sides are the
-    same aggregation output, so equality is exact); supplier dim
-    broadcasts."""
+    max (broadcast), filter on ROUNDED equality; supplier dim broadcasts.
+
+    Parity rule: within one engine the exact equality is safe (both sides
+    come from the same aggregation output), but ACROSS engines two
+    suppliers whose revenues differ only in last-ulp summation noise can
+    produce different winner sets — the Q15 known hazard.  Both engines
+    compare at 2dp (the reported precision)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -837,10 +842,12 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev"
         )
     )
-    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    max_rev = revenue.agg(
+        F.round(F.max("total_rev"), 2).alias("max_rev")
+    )
     return (
         revenue.crossJoin(F.broadcast(max_rev))
-        .where(F.col("total_rev") == F.col("max_rev"))
+        .where(F.round("total_rev", 2) == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",

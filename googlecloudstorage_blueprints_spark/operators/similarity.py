@@ -265,15 +265,16 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sketch_kernel(),
             schema="vec_id long, table_id int, sketch long",
         )
+        .persist()  # both sides of the self-join — sketch GEMM runs once
     )
     a = sketched.alias("a")
     b = sketched.alias("b")
     # candidates are ID PAIRS only — candidate volume is tables ×
     # bucket-pair mass (millions at even 5k vectors), so dragging the
-    # vectors through the join/dedup shuffles and the Arrow boundary
-    # costs more than the whole rest of the op (measured 9.3s vs 3.1s
-    # at sf0.1); the verify kernel resolves ids against a broadcast
-    # normalized corpus instead
+    # vectors through the bucket-join/dedup shuffles and the Arrow
+    # boundary costs more than the whole rest of the op (measured 9.3s
+    # vs 3.1s at sf0.1); vectors are re-attached only AFTER the
+    # cross-table dedup shrinks the pair set
     candidates = (
         a.join(
             b,
@@ -288,12 +289,22 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])  # collide-in-any-table = OR
     )
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
-    lookup = np.full(int(ids.max()) + 1, -1, dtype=np.int64)
-    lookup[ids] = np.arange(len(ids))
+    # Verify stage is fully distributed: resolve each side of the deduped
+    # pair set back to its vector with an equi-join against the corpus
+    # (never a driver collect — at 100 TB the corpus cannot live in the
+    # task closure; with the corpus bucketed by vec_id these two joins
+    # are co-located, and either side AQE-broadcasts when small).
+    emb_a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    emb_b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    paired = (
+        candidates.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    )
 
     def verify(batches):
         import pandas as pd
@@ -301,9 +312,11 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ia = lookup[pdf["vec_a"].to_numpy()]
-            ib = lookup[pdf["vec_b"].to_numpy()]
-            cos = np.einsum("ij,ij->i", corpus[ia], corpus[ib])
+            va = np.vstack(pdf["emb_a"].to_numpy()).astype(np.float64)
+            vb = np.vstack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            va = va / np.linalg.norm(va, axis=1, keepdims=True)
+            vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+            cos = np.einsum("ij,ij->i", va, vb)
             keep = cos >= 0.3
             yield pd.DataFrame(
                 {
@@ -313,7 +326,7 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return candidates.mapInPandas(
+    return paired.mapInPandas(
         verify, schema="vec_a long, vec_b long, cosine double"
     )
 
@@ -345,7 +358,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact variant to broadcastable corpora; beyond that the pair
     space is quadratic and you want the LSH candidate path anyway.  The
     strict upper-triangle filter (a.vec_id < b.vec_id) happens inside the
-    kernel, so each pair is scored exactly once."""
+    kernel, so each pair is scored exactly once.
+
+    The normalized corpus ships via ``sparkContext.broadcast`` — once per
+    executor over the torrent channel — never captured in the task
+    closure (which would re-pickle it into every task)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -354,11 +371,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
     corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
     order = np.argsort(ids)
-    ids, corpus = ids[order], corpus[order]
+    bc = spark.sparkContext.broadcast((ids[order], corpus[order]))
 
     def kernel(batches):
         import pandas as pd
 
+        ids, corpus = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue

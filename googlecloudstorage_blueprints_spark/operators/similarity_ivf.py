@@ -46,6 +46,9 @@ NPROBE = 6  # fixture vectors are weakly clustered (near-random 64-dim);
 # 6/16 cells ≈ 0.87 recall@10.  Real embedding corpora cluster far more
 # sharply, which is what lets production IVF run nprobe/cells ≈ 0.2%.
 TRAIN_ITERS = 5
+TRAIN_SAMPLE = 100_000  # hard cap on rows collected for k-means training —
+# a coarse quantizer needs a sketch of the density, not the corpus; the
+# driver never materializes more than this regardless of corpus size
 
 
 def _train_centroids(sample: list[list[float]]):
@@ -106,12 +109,21 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # -- train on the (bounded) sample: fixture corpus is 500 rows; at scale
-    #    replace .collect() with .sample(fraction)•limit(100_000).collect().
-    #    One scan serves both training and the query block (vec_id order
-    #    makes init deterministic).
-    all_rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    centroids = _train_centroids([r["embedding"] for r in all_rows])
+    # -- train on a BOUNDED sample: the driver materializes at most
+    #    TRAIN_SAMPLE rows.  Under the cap the sample IS the corpus
+    #    (fixture SFs all fit, so test behavior is unchanged); above it a
+    #    seeded Bernoulli sample + limit keeps training O(TRAIN_SAMPLE)
+    #    while the corpus stays distributed.  orderBy(vec_id) makes the
+    #    k-means init deterministic either way.
+    n_corpus = emb.count()
+    sample_src = emb.select("vec_id", "embedding")
+    if n_corpus > TRAIN_SAMPLE:
+        fraction = min(1.0, (TRAIN_SAMPLE * 1.2) / n_corpus)
+        sample_src = sample_src.sample(
+            fraction=fraction, seed=42
+        ).limit(TRAIN_SAMPLE)
+    train_rows = sample_src.orderBy("vec_id").collect()
+    centroids = _train_centroids([r["embedding"] for r in train_rows])
 
     # -- assign every corpus vector to its cell (Arrow-batched GEMM)
     n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
@@ -125,8 +137,14 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # -- probe list per query: NPROBE nearest centroids (driver-side; the
-    #    query block is tiny by construction)
-    q_rows = [r for r in all_rows if r["vec_id"] < N_QUERIES]
+    #    query block is N_QUERIES rows, collected separately so it never
+    #    depends on the training sample containing them)
+    q_rows = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
     q_mat = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :NPROBE]
