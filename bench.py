@@ -6,6 +6,12 @@ total wall seconds.
 Materialization uses the `noop` sink so every output column is computed and
 written (a bare .count() would let Catalyst prune the projections and
 under-report); timings therefore cover scan → transform → materialize.
+
+Each oracle-backed headline query is ALSO timed through DuckDB on the same
+parquet (same thread budget), and the JSON carries `spark_vs_duckdb`
+per-query ratios plus `suite_ratio` — the computable stand-in for the
+"within 2× of baseline" gate (the reference itself publishes no numbers;
+DuckDB on identical SQL/data is the strongest available single-node bar).
 """
 
 from __future__ import annotations
@@ -17,8 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from googlecloudstorage_blueprints_spark.operators import all_queries  # noqa: E402
+from googlecloudstorage_blueprints_spark.operators import (  # noqa: E402
+    all_oracles,
+    all_queries,
+)
 from googlecloudstorage_blueprints_spark.session import get_spark  # noqa: E402
+from googlecloudstorage_blueprints_spark.sources.catalog import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +61,34 @@ HEADLINE = [
 ]
 
 
+def _time_duckdb_oracles(names: list[str]) -> dict[str, float]:
+    """Wall-time each headline oracle through DuckDB on the same parquet
+    (fetchall materializes every cell, mirroring the noop sink)."""
+    import duckdb
+
+    oracles = all_oracles()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(CPUS)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    warmed = False
+    for name in names:
+        if name not in oracles:
+            continue  # rows-only op (LSH/ANN): no SQL-equivalent to race
+        if not warmed:  # first query carries catalog/IO warmup
+            con.execute(oracles[name]).fetchall()
+            warmed = True
+        start = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        timings[name] = round(time.perf_counter() - start, 3)
+    con.close()
+    return timings
+
+
 def main() -> None:
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
@@ -70,6 +108,14 @@ def main() -> None:
     # doesn't pollute the measured numbers
     queries["pricing_summary"](spark, "/root/testdata/sf0.001").count()
 
+    # Spark's fixed per-query dispatch floor (plan + schedule + noop write
+    # of a 1-row DF).  Sub-second queries are floor-bound, which is what
+    # dominates the spark_vs_duckdb ratio at small SFs — the floor
+    # amortizes to ~0 at cluster scale, DuckDB's runtime does not.
+    start = time.perf_counter()
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    floor = round(time.perf_counter() - start, 3)
+
     total = 0.0
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)
@@ -78,6 +124,15 @@ def main() -> None:
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
+    spark.stop()
+
+    duck = _time_duckdb_oracles(HEADLINE)
+    ratios = {
+        name: round(timings[name] / duck[name], 2) if duck[name] > 0 else None
+        for name in duck
+    }
+    spark_subtotal = sum(timings[n] for n in duck)
+    duck_total = sum(duck.values())
 
     print(
         json.dumps(
@@ -87,10 +142,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "spark_floor_seconds": floor,
+                "duckdb_queries": duck,
+                "spark_vs_duckdb": ratios,
+                "suite_ratio": (
+                    round(spark_subtotal / duck_total, 2)
+                    if duck_total > 0
+                    else None
+                ),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
