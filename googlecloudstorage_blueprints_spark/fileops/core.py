@@ -160,7 +160,13 @@ class FsClient:
         )
 
     def delete(self, rel: str) -> None:
-        self.fs.delete(self._jpath(self._full(rel)), False)
+        """Delete one object.  Hadoop ``fs.delete`` signals failure (missing
+        path, permissions, non-empty directory, concurrent removal) by
+        returning ``false`` rather than raising — the reference's
+        ``blob.delete()`` raises in those cases (404 → exit 205), so the
+        boolean is checked and mapped to the same error class."""
+        if not self.fs.delete(self._jpath(self._full(rel)), False):
+            raise FileNotFoundBlueprintError(f"delete failed: {rel}")
 
     def server_side_move(self, src_rel: str, other: "FsClient", dst_rel: str) -> None:
         """Move src → dst.  Same filesystem: atomic rename.  Cross
@@ -183,7 +189,13 @@ class FsClient:
             return
         util = self.spark._jvm.org.apache.hadoop.fs.FileUtil
         util.copy(self.fs, src, other.fs, dst, False, True, self._conf)
-        self.fs.delete(src, False)
+        if not self.fs.delete(src, False):
+            # copy landed but the source still exists — surface it (the
+            # destination is intact, so this is a cleanup failure, not
+            # data loss, but silently reporting "moved" would be a lie)
+            raise FileNotFoundBlueprintError(
+                f"source delete failed after copy: {src_rel}"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +233,8 @@ def download_files(
     )
     written: list[str] = []
     multi = source_file_name_match_type == "regex_match"
+    if multi:  # progress parity: download_file.py:252,260
+        print(f"{len(matches)} files found. Preparing to download...")
     for index, rel in enumerate(matches):
         dest = determine_destination_full_path(
             destination_folder_name=dest_folder,
@@ -228,7 +242,12 @@ def download_files(
             source_full_path=rel,
             file_number=index + 1 if multi else None,
         )
+        if multi:
+            print(f"Downloading file {index + 1} of {len(matches)}")
         client.copy_to_local(rel, dest)
+        print(
+            f"{client.root_uri}/{rel} successfully downloaded to {dest}"
+        )  # download_file.py:176
         written.append(dest)
     return written
 
@@ -277,6 +296,8 @@ def upload_files(
 
     written: list[str] = []
     dest_folder = clean_folder_name(destination_folder_name)
+    if multi:  # progress parity: upload_file.py:240,248
+        print(f"{len(matches)} files found. Preparing to upload...")
     for index, src in enumerate(matches):
         dest = determine_destination_full_path(
             destination_folder_name=dest_folder,
@@ -284,7 +305,12 @@ def upload_files(
             source_full_path=src,
             file_number=index + 1 if multi else None,
         )
+        if multi:
+            print(f"Uploading file {index + 1} of {len(matches)}")
         client.copy_from_local(src, dest)
+        print(
+            f"{src} successfully uploaded to {client.root_uri}/{dest}"
+        )  # upload_file.py:188-189
         written.append(dest)
     return written
 
@@ -318,6 +344,9 @@ def move_files(
     dest_folder = clean_folder_name(destination_folder_name)
     moved: list[str] = []
     single = len(matches) == 1
+    multi = source_file_name_match_type == "regex_match"
+    if multi:  # progress parity: move_file.py:180,192 (1-based, lowercase)
+        print(f"{len(matches)} files found. Preparing to move...")
     for index, rel in enumerate(matches, 1):
         dest = determine_destination_full_path(
             destination_folder_name=dest_folder,
@@ -325,7 +354,10 @@ def move_files(
             source_full_path=rel,
             file_number=None if single else index,
         )
+        if multi:
+            print(f"moving file {index} of {len(matches)}")
         src_client.server_side_move(rel, dst_client, dest)
+        print(f"File moved from {rel} to {dest}")  # move_file.py:155
         moved.append(dest)
     return moved
 
@@ -349,6 +381,14 @@ def remove_files(
         names, source_file_name_match_type,
         clean_folder_name(source_folder_name), source_file_name,
     )
-    for rel in matches:
+    multi = source_file_name_match_type == "regex_match"
+    if multi:  # progress parity: remove_file.py:154,157
+        print(f"{len(matches)} files found. Preparing to delete...")
+    for index, rel in enumerate(matches):
+        if multi:
+            print(f"deleting file {index + 1} of {len(matches)}")
         client.delete(rel)
+        print(
+            f"Blob {client.root_uri}/{rel} delete ran successfully"
+        )  # remove_file.py:123
     return matches

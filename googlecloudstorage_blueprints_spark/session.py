@@ -142,6 +142,12 @@ def get_spark(
     builder = builder.config("spark.ui.enabled", "false")
     builder = builder.config("spark.driver.memory",
                              os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # the reference's one perf knob: 128 MiB resumable-upload chunks
+    # (upload_file.py:12 ``CHUNK_SIZE = 128 * 1024 * 1024``) — mapped to
+    # the GCS Hadoop connector's output-stream chunk size
+    builder = builder.config(
+        "spark.hadoop.fs.gs.outputstream.upload.chunk.size", "134217728"
+    )
     if key_path or os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"):
         builder = builder.config(
             "spark.hadoop.google.cloud.auth.service.account.json.keyfile",

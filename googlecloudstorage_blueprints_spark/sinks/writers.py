@@ -153,11 +153,39 @@ def upsert_parquet(
     updates replaces NULL-key target rows, matching ``eqNullSafe``
     semantics), union the updates, then swap directories: the old target
     is renamed aside BEFORE the new data is renamed in, and only deleted
-    once the swap succeeded — a crash at any point leaves either the old
-    or the new complete table on disk, never neither.  Hadoop FS rename
-    returns False instead of raising; every return is checked.
-    At 100 TB, pair with partitioned layout and rewrite ONLY the
-    partitions updates touch — the same anti-join per partition."""
+    once the swap succeeded.  Hadoop FS rename returns False instead of
+    raising; every return is checked.
+
+    NOT transactional — two windows are reader/crash-visible:
+
+    - between rename(target → __upsert_old) and rename(tmp → target),
+      concurrent readers of ``target`` see NO table (seconds-scale: two
+      metadata renames, no data copy);
+    - a crash inside that window leaves the complete old table at
+      ``<target>__upsert_old`` only.  Recovery is automatic: the next
+      ``upsert_parquet`` (or any caller probing the same layout) finds
+      ``__upsert_old`` with no ``target`` and renames it back before
+      proceeding.  A leftover ``__upsert_old`` alongside an intact
+      ``target`` means the crash happened after install; it is stale and
+      deleted.
+
+    Serialize writers externally; for concurrent readers+writers you want
+    a table format with snapshot isolation (Delta/Iceberg).  At 100 TB,
+    pair with partitioned layout and rewrite ONLY the partitions updates
+    touch — the same anti-join per partition."""
+    sc0 = spark.sparkContext
+    Path0 = sc0._jvm.org.apache.hadoop.fs.Path
+    dst0 = Path0(target)
+    fs0 = dst0.getFileSystem(sc0._jsc.hadoopConfiguration())
+    old0 = Path0(target + "__upsert_old")
+    if fs0.exists(old0) and not fs0.exists(dst0):
+        # previous upsert crashed mid-swap: the old table is the only
+        # complete copy — reinstall it before reading
+        if not fs0.rename(old0, dst0):
+            raise RuntimeError(
+                f"upsert: crash recovery failed — could not restore "
+                f"{target}__upsert_old to {target}"
+            )
     existing = spark.read.parquet(target)
     cond = None
     for k in keys:

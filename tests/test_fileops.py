@@ -235,3 +235,93 @@ def test_roundtrip_special_character_names(spark, tmp_path, monkeypatch):
     assert len(down) == len(names)
     for n in names:
         assert (out / n).read_text() == f"payload:{n}", n
+
+
+# -- progress reporting parity (SURVEY §2.A.5; download_file.py:252,260,
+#    upload_file.py:240,248, move_file.py:180,192, remove_file.py:154,157) --
+
+
+def test_download_regex_progress_lines(spark, tree, tmp_path, monkeypatch,
+                                       capsys):
+    monkeypatch.chdir(tmp_path)
+    download_files(
+        spark, _uri(tree),
+        source_file_name=r"a\.csv",
+        source_file_name_match_type="regex_match",
+        destination_file_name="got.csv",
+    )
+    out = capsys.readouterr().out
+    assert "2 files found. Preparing to download..." in out
+    assert "Downloading file 1 of 2" in out
+    assert "Downloading file 2 of 2" in out
+    assert "successfully downloaded to got_1.csv" in out
+
+
+def test_download_exact_no_found_banner(spark, tree, tmp_path, monkeypatch,
+                                        capsys):
+    """Exact match is a point lookup — the reference prints no '{n} files
+    found' banner on that branch, only the per-file success line."""
+    monkeypatch.chdir(tmp_path)
+    download_files(
+        spark, _uri(tree),
+        source_folder_name="data", source_file_name="a.csv",
+        source_file_name_match_type="exact_match",
+        destination_folder_name="out",
+    )
+    out = capsys.readouterr().out
+    assert "files found" not in out
+    assert "successfully downloaded to out/a.csv" in out
+
+
+def test_upload_regex_progress_lines(spark, tree, tmp_path, monkeypatch,
+                                     capsys):
+    src = tmp_path / "up"
+    src.mkdir()
+    (src / "x1.csv").write_text("1")
+    (src / "x2.csv").write_text("2")
+    monkeypatch.chdir(src)
+    upload_files(
+        spark, _uri(tree),
+        source_file_name=r"x\d\.csv",
+        source_file_name_match_type="regex_match",
+        destination_folder_name="in",
+    )
+    out = capsys.readouterr().out
+    assert "2 files found. Preparing to upload..." in out
+    assert "Uploading file 1 of 2" in out
+    assert "successfully uploaded to" in out
+
+
+def test_move_regex_progress_lines(spark, tree, tmp_path, capsys):
+    (tmp_path / "dst").mkdir()
+    move_files(
+        spark, _uri(tree), _uri(tmp_path / "dst"),
+        source_file_name=r"a\.csv",
+        source_file_name_match_type="regex_match",
+        destination_file_name="m.csv",
+    )
+    out = capsys.readouterr().out
+    assert "2 files found. Preparing to move..." in out
+    assert "moving file 1 of 2" in out  # 1-based, lowercase (move quirk)
+    assert "File moved from data/a.csv to m_1.csv" in out
+
+
+def test_remove_regex_progress_lines(spark, tree, capsys):
+    remove_files(
+        spark, _uri(tree),
+        source_file_name=r"b_1\.txt",
+        source_file_name_match_type="regex_match",
+    )
+    out = capsys.readouterr().out
+    assert "1 files found. Preparing to delete..." in out
+    assert "deleting file 1 of 1" in out
+    assert "delete ran successfully" in out
+
+
+def test_delete_failure_raises_205(spark, tree):
+    """fs.delete returning False (e.g. path already gone) must raise, not
+    silently report success — blob.delete() parity."""
+    client = FsClient(spark, _uri(tree))
+    with pytest.raises(FileNotFoundBlueprintError) as exc:
+        client.delete("data/never-existed.bin")
+    assert exc.value.exit_code == 205

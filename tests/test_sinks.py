@@ -168,3 +168,25 @@ def test_upsert_parquet_null_key_is_replaced(spark, tmp_path):
     upsert_parquet(spark, target, updates, ["k"])
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {None: "new-null", 1: "one"}, got
+
+
+def test_upsert_parquet_recovers_from_mid_swap_crash(spark, tmp_path):
+    """A crash between rename(target->old) and rename(tmp->target) leaves
+    the table only at __upsert_old; the next upsert must auto-restore it
+    before merging (writers.py crash-recovery contract)."""
+    import os
+
+    target_fs = tmp_path / "t"
+    target = f"file:{target_fs}"
+    spark.createDataFrame(
+        [(1, "one"), (2, "two")], "k int, v string"
+    ).write.parquet(target)
+    # simulate the crashed state: target moved aside, nothing installed
+    os.rename(target_fs, tmp_path / "t__upsert_old")
+
+    updates = spark.createDataFrame([(2, "TWO")], "k int, v string")
+    upsert_parquet(spark, target, updates, ["k"])
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "one", 2: "TWO"}, got
+    assert not (tmp_path / "t__upsert_old").exists()  # cleaned up
