@@ -58,6 +58,8 @@ HEADLINE = [
     "grouping_sets",
     "events_funnel",
     "dedup_embedding_cosine",
+    # round-2: training-data pipeline family (explode + window + topk)
+    "ngram_topk",
 ]
 
 

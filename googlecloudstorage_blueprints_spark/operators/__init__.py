@@ -64,6 +64,7 @@ def _load_all() -> None:
         fileops_query,
         graph,
         multimodal,
+        pipeline,
         scale_patterns,
     )
 
@@ -96,6 +97,13 @@ _DRIVER_FIRST = [
     "dedup_embedding_cosine",
     "multimodal_metadata_agg",
     "file_manifest_stats",
+    # round-2 additions (pipeline.py) — never driver-adjudicated
+    "stratified_split",
+    "doc_length_histogram",
+    "ngram_topk",
+    "repetition_score",
+    "quality_filter_funnel",
+    "embedding_norms",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

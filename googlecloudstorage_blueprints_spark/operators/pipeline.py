@@ -1,0 +1,300 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings``.
+
+The LLM-corpus preparation surface beyond dedup/similarity (SURVEY.md §2.B
+tail): deterministic splits, corpus statistics, n-gram mining, repetition
+scoring, a quality-filter funnel, and embedding hygiene checks.  Every op
+is a plain DataFrame plan (no UDFs) with a DuckDB oracle; cross-engine
+double comparisons follow the parity rules in ``relational.py`` (exact
+integer ratios or rounded order-dependent aggregates).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+# Knuth multiplicative hash for the split bucket.  doc_id is folded mod a
+# prime FIRST so the product stays far below 2^63 for any conceivable id
+# (Spark 4 runs ANSI mode: a silent overflow would THROW) — and the same
+# integer math runs identically in DuckDB, which engine-native hash
+# functions would not.
+_SPLIT_BUCKET = "((doc_id % 1000003) * 2654435761) % 100"
+
+
+@register(
+    "stratified_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END                       AS split,
+           CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)               AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by a
+    multiplicative hash of the stable doc_id — seedless, rerun-stable, and
+    engine-portable (pure BIGINT math, no engine hash function).
+
+    Scale: split assignment is a map-only projection; the per-(lang, split)
+    rollup is one partial-aggregated shuffle.  Writing the actual splits is
+    ``write_partitioned(df, ["split"])`` on the same expression."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BUCKET)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT n_chars // 100                  AS bucket,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT)    AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT)    AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram in 100-char buckets — the first diagnostic
+    of any crawl snapshot (truncation spikes, boilerplate shelves).
+
+    Bucketing uses INTEGER division (``div``): double divide + floor can
+    jitter at exact boundaries and break the cross-engine bucket cover
+    (verify-skill trap)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.expr("n_chars div 100").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+TOPK_NGRAMS = 20
+
+
+@register(
+    "ngram_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' '))                 AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    )
+    SELECT concat(w, ' ', w2)            AS bigram,
+           CAST(COUNT(*) AS BIGINT)      AS n_occurrences
+    FROM bigrams
+    WHERE w2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {TOPK_NGRAMS}
+    """,
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{20} word bigrams — boilerplate/contamination
+    detector (a bigram appearing in half the corpus is a template).
+
+    Shape: posexplode (codegen generator) → lead() window keyed by doc
+    position → one partial-aggregated count shuffle → global top-k with a
+    total order (count DESC, bigram ASC).  No interpreted higher-order
+    functions in the hot path (verify-skill trap: transform() lambdas run
+    ~20× slower than codegen'd generators).  At 100 TB the count shuffle
+    carries one row per DISTINCT bigram after map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode_outer(F.split("text", " ")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("w2", F.lead("w").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    return (
+        bigrams.groupBy(
+            F.concat_ws(" ", "w", "w2").alias("bigram")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(TOPK_NGRAMS)
+    )
+
+
+@register(
+    "repetition_score",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT)  AS n_tokens,
+           CAST(MAX(cnt) AS BIGINT)  AS max_token_count,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_token_share
+    FROM per GROUP BY doc_id
+    """,
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition: share of the single most frequent token —
+    the cheap tier of Gopher-style repetition filtering (high share =
+    degenerate/templated text).
+
+    ``top_token_share`` is a ratio of two EXACT integers, so the double is
+    bit-identical across engines without rounding.  Two shuffles, both
+    partial-aggregated; the (doc_id, word) key is high-cardinality and
+    skew-free by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+    )
+    per = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.max("cnt").cast("long").alias("max_token_count"),
+        (
+            F.max("cnt").cast("double") / F.sum("cnt")
+        ).alias("top_token_share"),
+    )
+
+
+# Funnel thresholds — cumulative, each stage ANDs onto the previous one.
+_MIN_CHARS = 150
+_MIN_TOKENS = 30
+_MAX_TOP_SHARE = 0.15
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    per AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w
+    ),
+    metrics AS (
+        SELECT p.doc_id,
+               MAX(d.n_chars)                        AS n_chars,
+               SUM(p.cnt)                            AS n_tokens,
+               CAST(MAX(p.cnt) AS DOUBLE)/SUM(p.cnt) AS share
+        FROM per p JOIN documents d ON p.doc_id = d.doc_id
+        GROUP BY p.doc_id
+    ),
+    agg AS (
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN n_chars >= {_MIN_CHARS} THEN 1 ELSE 0 END)
+                   AS s1,
+               SUM(CASE WHEN n_chars >= {_MIN_CHARS}
+                         AND n_tokens >= {_MIN_TOKENS} THEN 1 ELSE 0 END)
+                   AS s2,
+               SUM(CASE WHEN n_chars >= {_MIN_CHARS}
+                         AND n_tokens >= {_MIN_TOKENS}
+                         AND share <= {_MAX_TOP_SHARE} THEN 1 ELSE 0 END)
+                   AS s3
+        FROM metrics
+    )
+    SELECT '00_total' AS stage, CAST(total AS BIGINT) AS survivors FROM agg
+    UNION ALL
+    SELECT '01_min_chars', CAST(s1 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT '02_min_tokens', CAST(s2 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT '03_max_repetition', CAST(s3 AS BIGINT) FROM agg
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style filter funnel: per-stage survivor counts for the
+    cumulative length → token-count → repetition gates, so a pipeline
+    owner sees exactly where the corpus shrinks.
+
+    One pass computes all per-doc metrics; a single-row aggregate holds
+    every stage's conditional count, then ``stack`` unpivots it to
+    stage-per-row (no per-stage re-scan).  The repetition gate compares the
+    exact-integer ratio, identical in both engines unrounded."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "n_chars", F.explode_outer(F.split("text", " ")).alias("w")
+    )
+    per = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("n_chars").alias("n_chars")
+    )
+    metrics = per.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.sum("cnt").alias("n_tokens"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("share"),
+    )
+    c1 = F.col("n_chars") >= _MIN_CHARS
+    c2 = F.col("n_tokens") >= _MIN_TOKENS
+    c3 = F.col("share") <= _MAX_TOP_SHARE
+    one = metrics.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(c1, 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(c1 & c2, 1).otherwise(0)).alias("s2"),
+        F.sum(F.when(c1 & c2 & c3, 1).otherwise(0)).alias("s3"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, '00_total', CAST(total AS BIGINT), "
+            "'01_min_chars', CAST(s1 AS BIGINT), "
+            "'02_min_tokens', CAST(s2 AS BIGINT), "
+            "'03_max_repetition', CAST(s3 AS BIGINT)) AS (stage, survivors)"
+        )
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-vector dimensionality and L2 norm — catches
+    truncated rows, zero vectors, and un-normalized batches before any
+    cosine-based op silently mis-scores them.
+
+    Spark side explodes the stored array and sums codegen'd ``v*v``
+    columns (interpreted ``aggregate()`` lambdas are the slow path —
+    verify-skill trap); the norm is rounded to 4dp because float summation
+    order differs between engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.explode_outer(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    return ex.groupBy("vec_id").agg(
+        F.count("v").cast("long").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("l2_norm"),
+    )
