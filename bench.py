@@ -107,8 +107,12 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # JVM/codegen warmup on the smallest fixture so first-query JIT cost
-    # doesn't pollute the measured numbers
+    # doesn't pollute the measured numbers; the mapInPandas op also spins
+    # up the Python worker pool (~2 s at 32 cores), which otherwise lands
+    # entirely on the first Arrow-kernel query measured (verify-skill
+    # trap: profile Python ops only after a warmup kernel)
     queries["pricing_summary"](spark, "/root/testdata/sf0.001").count()
+    queries["similarity_knn_pandas"](spark, "/root/testdata/sf0.001").count()
 
     # Spark's fixed per-query dispatch floor (plan + schedule + noop write
     # of a 1-row DF).  Sub-second queries are floor-bound, which is what

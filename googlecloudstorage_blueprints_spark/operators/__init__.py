@@ -104,11 +104,11 @@ _DRIVER_FIRST = [
     "repetition_score",
     "quality_filter_funnel",
     "embedding_norms",
+    "similarity_knn_pandas",  # gained the bruteforce oracle this round
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",
     "simhash_dedup",
-    "similarity_knn_pandas",
     "similarity_rp_lsh",
     "similarity_knn_ivf",
     "agg_approx_sketches",

@@ -34,9 +34,7 @@ TOP_K = 10
 DIM = 64
 
 
-@register(
-    "similarity_knn_bruteforce",
-    oracle=f"""
+_KNN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -52,8 +50,10 @@ DIM = 64
     )
     SELECT query_id, neighbor_id, cosine, rk
     FROM scored WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("similarity_knn_bruteforce", oracle=_KNN_ORACLE)
 def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a small query set: broadcast the queries,
     score every corpus vector (map-only), keep top-k per query with a
@@ -123,8 +123,10 @@ def _knn_pandas_batches(query_rows):
     return kernel
 
 
-@register("similarity_knn_pandas")  # rows-only: float64 kernel ≡ bruteforce,
-# but the Arrow path is the op under test, not the SQL semantics
+@register("similarity_knn_pandas", oracle=_KNN_ORACLE)
+# Same oracle as bruteforce: the Arrow kernel computes the identical
+# float64 cosine (normalize + GEMM ≡ dot/(|a||b|) in IEEE double for
+# these magnitudes), so ranks and 6dp-rounded scores hash-match.
 def similarity_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized ANN scoring: numpy matrix-matrix product per Arrow batch
     via mapInPandas, then the same deterministic top-k window.
