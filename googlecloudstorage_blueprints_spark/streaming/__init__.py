@@ -22,11 +22,13 @@ __all__ = [
 
 from googlecloudstorage_blueprints_spark.streaming.events_stream import (  # noqa: E402
     run_stream_to_partitioned_parquet,
+    streaming_anomaly,
     streaming_enriched,
     streaming_sliding_agg,
 )
 
 __all__ += [
+    "streaming_anomaly",
     "streaming_enriched",
     "streaming_sliding_agg",
     "run_stream_to_partitioned_parquet",

@@ -165,6 +165,36 @@ def run_stream_to_partitioned_parquet(
     query.awaitTermination(timeout_sec)
 
 
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_anomaly``: score each incoming event
+    against per-type (mu, sigma) computed from the BATCH history — the
+    canonical "train offline, score online" topology.
+
+    The stats dimension is tiny (|event types| rows), broadcast per
+    micro-batch; scoring is map-only on the stream — no watermark and no
+    state store, so the op scales with stream throughput alone.  The
+    6dp-rounded z-score threshold mirrors the batch op's cross-engine
+    parity rule."""
+    events = read_events_stream(spark, sf_dir)
+    history = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(history.dtypes).get("ts") == "bigint":
+        history = history.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    stats = history.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    zscore = F.round(
+        (F.col("value") - F.col("mu")) / F.col("sigma"), 6
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where((F.col("sigma") > 0) & (F.abs(zscore) > 2.5))
+        .select("event_id", "event_type", "value", zscore.alias("zscore"))
+    )
+
+
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window twin of ``events_sliding_agg``: 1-hour windows every
     30 minutes under a watermark — each event feeds two window states."""

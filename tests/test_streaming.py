@@ -222,3 +222,23 @@ def test_stateful_sessions_across_multiple_microbatches(spark, tmp_path):
     # the single availableNow batch holds back — so multi emits at least
     # as many sessions
     assert len(multi_rows) >= len(single_rows)
+
+
+def test_streaming_anomaly_matches_batch(spark):
+    """Stream-static anomaly scoring must flag exactly the rows the batch
+    events_anomaly op flags (same history, same rounded-z threshold)."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_anomaly,
+    )
+
+    stream_df = streaming_anomaly(spark, SF)
+    assert stream_df.isStreaming
+    got = run_stream_to_memory(stream_df, "anomaly_smoke")
+    got_rows = {
+        r["event_id"]: r["zscore"] for r in got.collect()
+    }
+    batch_rows = {
+        r["event_id"]: r["zscore"]
+        for r in all_queries()["events_anomaly"](spark, SF).collect()
+    }
+    assert got_rows == batch_rows
