@@ -40,10 +40,35 @@ def replicate(spark, src: str, out: str, n: int, key_cols: list[str]) -> None:
     rep.drop("__rep").repartition(32).write.mode("overwrite").parquet(out)
 
 
-def bench_shapes(spark, li_path: str, o_path: str) -> dict[str, float]:
+def bench_shapes(
+    spark, li_path: str, o_path: str, doc_path: str
+) -> dict[str, float]:
     li = spark.read.parquet(li_path)
     o = spark.read.parquet(o_path)
+    docs = spark.read.parquet(doc_path)
+
+    def ngram_topk():
+        from pyspark.sql.window import Window as W
+
+        toks = docs.select(
+            "doc_id", F.posexplode_outer(F.split("text", " ")).alias("pos", "w")
+        )
+        big = toks.withColumn(
+            "w2", F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
+        ).where(F.col("w2").isNotNull())
+        return (
+            big.groupBy(F.concat_ws(" ", "w", "w2").alias("bigram"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "bigram")
+            .limit(20)
+        )
+
     shapes = {
+        # round-2 text-pipeline shape: explode + window + partial-agg topk.
+        # Distinct-bigram count stays fixed under replication, so the count
+        # shuffle is constant and only the map side grows — the shape that
+        # must stay ~linear for the corpus ops to hold at 100 TB.
+        "ngram_topk": ngram_topk,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
@@ -76,11 +101,14 @@ def main() -> None:
         for n in SCALES:
             li_p = f"file:{tmp}/li_{n}"
             o_p = f"file:{tmp}/o_{n}"
+            doc_p = f"file:{tmp}/doc_{n}"
             replicate(spark, f"{BASE}/lineitem.parquet", li_p, n,
                       ["l_orderkey"])
             replicate(spark, f"{BASE}/orders.parquet", o_p, n,
                       ["o_orderkey"])
-            results[n] = bench_shapes(spark, li_p, o_p)
+            replicate(spark, f"{BASE}/documents.parquet", doc_p, n,
+                      ["doc_id"])
+            results[n] = bench_shapes(spark, li_p, o_p, doc_p)
             rows = spark.read.parquet(li_p).count()
             print(f"scale {n}x ({rows:,} lineitem rows): {results[n]}")
         for shape in results[SCALES[0]]:

@@ -325,3 +325,27 @@ def test_delete_failure_raises_205(spark, tree):
     with pytest.raises(FileNotFoundBlueprintError) as exc:
         client.delete("data/never-existed.bin")
     assert exc.value.exit_code == 205
+
+
+def test_parallel_download_matches_sequential(spark, tree, tmp_path,
+                                              monkeypatch):
+    """max_workers>1 must produce byte-identical results and the same
+    enumeration as the sequential (reference-parity) path."""
+    seq_dir = tmp_path / "seq"
+    par_dir = tmp_path / "par"
+    for d, workers in ((seq_dir, 1), (par_dir, 4)):
+        d.mkdir()
+        monkeypatch.chdir(d)
+        out = download_files(
+            spark, _uri(tree),
+            source_file_name=r"\.",
+            source_file_name_match_type="regex_match",
+            destination_file_name=None,
+            max_workers=workers,
+        )
+        assert len(out) == 4
+    seq_files = sorted(p.name for p in seq_dir.iterdir())
+    par_files = sorted(p.name for p in par_dir.iterdir())
+    assert seq_files == par_files
+    for name in seq_files:
+        assert (seq_dir / name).read_bytes() == (par_dir / name).read_bytes()

@@ -1,0 +1,49 @@
+"""End-to-end curation pipeline: stage counts must agree with the
+individual operators it composes, and the output layout must be the
+partitioned split the writer promises."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+from googlecloudstorage_blueprints_spark.pipelines import curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    out = f"file:{tmp_path}/curated"
+    report = curate_corpus(spark, SF, out)
+
+    # stage monotonicity + input count
+    assert report.n_input == 500
+    assert report.n_input >= report.n_quality >= report.n_deduped > 0
+
+    # quality stage must equal the funnel operator's final survivor count
+    funnel = {
+        r["stage"]: r["survivors"]
+        for r in all_queries()["quality_filter_funnel"](spark, SF).collect()
+    }
+    assert report.n_quality == funnel["03_max_repetition"]
+
+    # layout: hive-partitioned by split, every split non-empty
+    assert set(report.split_counts) == {"train", "val", "test"}
+    assert all(v > 0 for v in report.split_counts.values())
+    assert glob.glob(f"{tmp_path}/curated/split=*")
+
+    # no content duplicates survive, and keepers are the min doc_id
+    back = spark.read.parquet(out)
+    dup = (
+        back.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+
+    # split sizes roughly 80/10/10 (hash split on ~400 docs: loose bounds)
+    total = sum(report.split_counts.values())
+    assert report.split_counts["train"] / total > 0.6
