@@ -101,6 +101,21 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--output", dest="output", default=None,
                    help="write full result as parquet instead of printing")
     q.add_argument("--service-account", dest="service_account", default=None)
+
+    c = sub.add_parser(
+        "curate",
+        help="run the corpus curation pipeline "
+             "(quality-filter -> dedup -> split -> partitioned write)",
+    )
+    c.add_argument("--sf-dir", dest="sf_dir",
+                   default="/root/testdata/sf0.001")
+    c.add_argument("--output", dest="output", required=True,
+                   help="destination directory (partitioned by split)")
+    c.add_argument("--min-chars", dest="min_chars", type=int, default=150)
+    c.add_argument("--min-tokens", dest="min_tokens", type=int, default=30)
+    c.add_argument("--max-top-share", dest="max_top_share", type=float,
+                   default=0.15)
+    c.add_argument("--service-account", dest="service_account", default=None)
     return parser
 
 
@@ -129,10 +144,36 @@ def _run_query(args) -> int:
     return 0
 
 
+def _run_curate(args) -> int:
+    from googlecloudstorage_blueprints_spark.pipelines import curate_corpus
+
+    spark = get_spark(
+        app_name="gcs-blueprints-curate",
+        service_account=args.service_account,
+    )
+    report = curate_corpus(
+        spark,
+        args.sf_dir,
+        args.output,
+        min_chars=args.min_chars,
+        min_tokens=args.min_tokens,
+        max_top_share=args.max_top_share,
+    )
+    print(f"{report.n_input} documents read")
+    print(f"{report.n_quality} passed quality gates")
+    print(f"{report.n_deduped} after exact dedup")
+    for split in sorted(report.split_counts):
+        print(f"  {split}: {report.split_counts[split]} rows")
+    print(f"written: {args.output} (partitioned by split)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.verb == "query":
         return _run_query(args)
+    if args.verb == "curate":
+        return _run_curate(args)
     # resolve credentials here so the tempfile an inline-JSON key creates
     # is deleted on exit (download_file.py:274-276 parity)
     from googlecloudstorage_blueprints_spark.session import (

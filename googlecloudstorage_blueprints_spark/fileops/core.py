@@ -204,20 +204,26 @@ class FsClient:
 # ---------------------------------------------------------------------------
 
 def _run_copies(copies, max_workers: int) -> None:
-    """Execute (fn, *args) copy thunks; sequential by default (exact
+    """Execute (dest, fn) copy thunks; sequential by default (exact
     reference parity — ``download_file.py:254-262`` is a single-threaded
     loop), fanned out over a thread pool when ``max_workers > 1``.
     Destinations and enumeration are precomputed before any copy starts,
     so parallelism never changes naming; Hadoop FileSystem instances are
     thread-safe and the py4j gateway serializes per-thread.  This is the
     engine's throughput edge over the reference for many-file transfers
-    (IO-bound: N concurrent streams vs 1)."""
+    (IO-bound: N concurrent streams vs 1).
+
+    Colliding destinations (two matches keeping the same basename): the
+    sequential loop's observable result is last-match-wins, so the
+    parallel path dedupes to the LAST thunk per destination — same final
+    bytes, no write race."""
     if max_workers <= 1:
-        for fn, *args in copies:
-            fn(*args)
+        for _dest, fn in copies:
+            fn()
         return
+    deduped = dict(copies)  # dest -> fn, later entries win
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = [pool.submit(fn, *args) for fn, *args in copies]
+        futures = [pool.submit(fn) for fn in deduped.values()]
         for f in futures:
             f.result()  # re-raise the first failure
 
@@ -274,7 +280,7 @@ def download_files(
                 f"{client.root_uri}/{rel} successfully downloaded to {dest}"
             )  # download_file.py:176
 
-        copies.append((copy,))
+        copies.append((dest, copy))
         written.append(dest)
     _run_copies(copies, max_workers)
     return written
@@ -345,7 +351,7 @@ def upload_files(
                 f"{src} successfully uploaded to {client.root_uri}/{dest}"
             )  # upload_file.py:188-189
 
-        copies.append((copy,))
+        copies.append((dest, copy))
         written.append(dest)
     _run_copies(copies, max_workers)
     return written

@@ -104,3 +104,19 @@ def test_root_uri_scheme_passthrough():
     assert _root_uri("file:/tmp/x") == "file:/tmp/x"
     assert _root_uri("hdfs:/data/bucket") == "hdfs:/data/bucket"
     assert _root_uri("s3a://b/k") == "s3a://b/k"
+
+
+def test_cli_curate(tmp_path, capsys):
+    from googlecloudstorage_blueprints_spark.fileops.cli import main
+
+    rc = main([
+        "curate",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", f"file:{tmp_path}/curated",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "500 documents read" in out
+    assert "partitioned by split" in out
+    import glob as g
+    assert g.glob(f"{tmp_path}/curated/split=*")
