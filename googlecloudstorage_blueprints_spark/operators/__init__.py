@@ -65,6 +65,7 @@ def _load_all() -> None:
         graph,
         multimodal,
         pipeline,
+        relational_tpch2,
         scale_patterns,
     )
 
@@ -105,6 +106,12 @@ _DRIVER_FIRST = [
     "quality_filter_funnel",
     "embedding_norms",
     "similarity_knn_pandas",  # gained the bruteforce oracle this round
+    # round-2 TPC-H subquery wave (relational_tpch2.py)
+    "order_priority_exists",
+    "late_shipment_classes",
+    "small_quantity_revenue",
+    "large_volume_customer",
+    "dormant_customers",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

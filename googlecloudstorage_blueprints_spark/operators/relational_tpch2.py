@@ -1,0 +1,240 @@
+"""TPC-H breadth, second wave: the subquery-shaped queries (Q4/Q12/Q17/
+Q18/Q22 analogues over the fixture schema).
+
+These exercise the decorrelation patterns a SQL engine must plan well —
+EXISTS → left-semi join with a non-equi residual, NOT EXISTS → left-anti
+join, correlated per-group scalar → aggregate-then-rejoin, HAVING over a
+grouped child feeding a join.  Cross-engine double rules per
+``relational.py``: every aggregate-of-doubles that FEEDS A FILTER is
+rounded identically on both sides; sums in the output are rounded at the
+projection only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+
+@register(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a window) having at least one line
+    shipped >30 days after order date, counted by priority.
+
+    EXISTS decorrelates to a LEFT SEMI join whose condition carries the
+    non-equi residual (l_shipdate > o_orderdate + 30 days) alongside the
+    key equality — Spark plans the equality as the join key and the
+    residual as a post-join filter, so there is exactly one shuffle pair
+    and no row explosion."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    flagged = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "late_shipment_classes",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def late_shipment_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: very-late lines (>60 days after order) split into
+    high/low priority counts per line status — join + conditional
+    aggregation where the join predicate itself is non-equi on top of the
+    key.  One shuffle join, one partial-agg shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+            "low_line_count"
+        ),
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey, ROUND(0.2 * AVG(l_quantity), 4) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE p.p_brand = 'Brand#11' AND l.l_quantity < pa.qty_thresh
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity
+    lines of one brand.  The correlated per-part AVG subquery decorrelates
+    to aggregate-then-rejoin on l_partkey.
+
+    Parity rule: the 0.2×AVG threshold is an aggregate of DOUBLES feeding
+    a filter — rounded to 4dp on BOTH sides before the comparison (raw
+    last-ulp drift between engines' summation orders could flip a
+    boundary row); the output sum is rounded at projection only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#11"
+    ).select("p_partkey")
+    pa = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+QTY_THRESHOLD = 150
+
+
+@register(
+    "large_volume_customer",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING ROUND(SUM(l_quantity), 4) > {QTY_THRESHOLD}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+           ROUND(b.total_qty, 4) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to orders+customer, top-100 by price.
+
+    The HAVING threshold compares the ROUNDED quantity sum on both sides
+    (double aggregate feeding a filter); the top-100 carries a full total
+    order (price DESC, orderkey) so LIMIT is deterministic cross-engine.
+    Shape: one agg shuffle over lineitem, then two joins of the tiny
+    survivor set (AQE broadcasts them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.round("total_qty", 4) > QTY_THRESHOLD)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "dormant_customers",
+    oracle="""
+    WITH thresh AS (
+        SELECT ROUND(AVG(c_acctbal), 2) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c CROSS JOIN thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (none since 1999), grouped by nation.
+
+    NOT EXISTS with a correlated date filter decorrelates to a LEFT ANTI
+    join against the pre-filtered recent orders; the global average is a
+    1-row broadcast (rounded to 2dp both sides — double aggregate feeding
+    a filter)."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    thresh = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
