@@ -112,6 +112,7 @@ _DRIVER_FIRST = [
     "small_quantity_revenue",
     "large_volume_customer",
     "dormant_customers",
+    "waiting_orders_per_supplier",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

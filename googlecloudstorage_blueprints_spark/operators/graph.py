@@ -109,6 +109,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Convergence signal: labels are monotonically non-increasing (the min
+    # aggregate always includes the node's own label), so the exact label
+    # sum strictly decreases on any change and is flat exactly at the
+    # fixpoint — one scalar aggregate over the just-checkpointed round
+    # instead of a per-round join-and-compare job.  DECIMAL(38,0) keeps
+    # the sum exact for arbitrarily large id spaces (BIGINT sum of 1e9
+    # ids would overflow, and Spark's ANSI mode throws on overflow).
+    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_sum).collect()[0]["s"]
     for _ in range(MAX_ROUNDS):
         msgs = sym.join(labels, sym.dst == labels.node).select(
             F.col("src").alias("node"), "label"
@@ -119,16 +128,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)  # constant-size plan per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(_sum).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     comp = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

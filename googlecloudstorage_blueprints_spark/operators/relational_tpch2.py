@@ -196,6 +196,76 @@ def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "waiting_orders_per_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def waiting_orders_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: late lines on finished orders where ANOTHER
+    supplier is on the order but NO other supplier is also late —
+    per-supplier count.  The hardest decorrelation in the suite: two
+    correlated sub-queries (EXISTS + NOT EXISTS) against the fact table
+    itself.
+
+    The oracle runs the literal EXISTS form; Spark runs the SCALABLE
+    equivalent — one pass of per-order supplier stats (distinct suppliers,
+    distinct LATE suppliers) joined back on the order key:
+    ``EXISTS(other supplier) ⟺ n_supp > 1`` and, for a late line,
+    ``NOT EXISTS(other late supplier) ⟺ n_late_supp == 1``.  The hash
+    match proves the rewrite.  At 100 TB this is two co-partitioned
+    shuffles on l_orderkey (the groupBy reuses the join's partitioning)
+    instead of two per-row correlated probes."""
+    o_f = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    lines = li.join(
+        o_f, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        lines.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register(
     "dormant_customers",
     oracle="""
     WITH thresh AS (
