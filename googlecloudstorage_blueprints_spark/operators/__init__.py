@@ -122,6 +122,7 @@ _DRIVER_LAST = [
     "agg_approx_sketches",
     "file_manifest",
     "multimodal_features",
+    "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
 ]

@@ -5,10 +5,19 @@ Pattern for image/audio/video at 100 TB: store payloads as `binary` columns
 decode / feature-extract in Arrow-batched `mapInPandas` kernels so bytes
 move in columnar batches, never row-at-a-time.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic STUB (documented NotImplementedError path +
-byte-level fake features) — the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is real and tested, per the build brief.
+Decode tiers in this module:
+
+- ``multimodal_decode`` / ``multimodal_resize`` run a REAL image decode:
+  payloads are valid binary PPM (P6) images — ASCII header + raw RGB24 —
+  synthesized JVM-side, and the kernels parse the header and pixel buffer
+  with numpy (no codec library involved; PPM is self-describing).  Pixel
+  statistics and the nearest-neighbor thumbnail are exact image math.
+- Compressed formats (JPEG/PNG/video) need codecs absent from this
+  container: ``_decode_image_real`` stays gated on PIL with a documented
+  NotImplementedError, and ``multimodal_features``/``frame_sample`` use
+  byte-level stand-ins where a codec would slot in.  The Spark-side
+  plumbing (schema, batching, partitioning, 1:1 and 1→N kernel shapes)
+  is identical either way.
 """
 
 from __future__ import annotations
@@ -103,19 +112,101 @@ THUMB_W, THUMB_H = 32, 32
 FRAMES_PER_ASSET = 4
 
 
+def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a valid PPM (P6) image per document, JVM-side.
+
+    Width/height vary per doc_id; the RGB24 pixel buffer is the document
+    text tiled to w*h*3 bytes (ASCII corpus → 1 byte per char, so string
+    repeat+substr IS byte math).  The result is a REAL image file in a
+    self-describing uncompressed format — what a production pipeline
+    stores after transcoding, minus the codec."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (8 + F.col("doc_id") % 24).cast("int")
+    h = (8 + (F.col("doc_id") * 7) % 24).cast("int")
+    n_bytes = (w * h * 3).cast("int")
+    reps = (n_bytes / F.greatest(F.length("text"), F.lit(1)) + 1).cast("int")
+    pixels = F.substring(
+        F.repeat(F.col("text"), reps), 1, n_bytes
+    )
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    return d.select(
+        "doc_id",
+        F.encode(F.concat(header, pixels), "utf-8").alias("payload"),
+    )
+
+
+def _parse_ppm(payload: bytes):
+    """Real P6 decode: parse the ASCII header, reshape the raw pixel
+    buffer to (h, w, 3).  Raises on malformed input like any decoder."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pix = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8)
+    return pix.reshape(h, w, 3)
+
+
+@register("multimodal_decode")  # rows-only: binary decode isn't ANSI SQL;
+# exact pixel-math correctness is pinned in tests/test_multimodal.py
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + per-channel statistics over a binary column.
+
+    The kernel parses each PPM payload (header + raw RGB24) and computes
+    exact width/height and mean R/G/B — genuine decode work, not a byte
+    hash.  Arrow moves the payload batches; numpy does the pixel math.
+    At 100 TB the identical kernel signature wraps a JPEG/WEBP decoder
+    (PIL/libvips) — the engine-side contract does not change."""
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    payloads = _ppm_payloads(spark, sf_dir).repartition(n_parts, "doc_id")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = _parse_ppm(bytes(p))
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                rows["mean_r"].append(round(float(means[0]), 4))
+                rows["mean_g"].append(round(float(means[1]), 4))
+                rows["mean_b"].append(round(float(means[2]), 4))
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
 @register("multimodal_resize")  # rows-only: binary plumbing, not ANSI SQL
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize kernel plumbing: binary in → fixed-size binary out (1:1).
+    """REAL nearest-neighbor image resize: decode the PPM payload, index
+    the pixel grid down to THUMB_W×THUMB_H×3, emit the thumbnail bytes.
 
-    The stub "resize" deterministically resamples payload bytes to a
-    THUMB_W×THUMB_H byte grid (real path: PIL ``Image.resize`` behind the
-    same signature — gated on HAVE_PIL like ``_decode_image_real``).  What
-    is real and load-bearing: the output column is ``binary`` with a fixed
-    per-row size, so downstream Arrow batches have predictable memory — the
-    property that lets you size ``maxRecordsPerBatch`` for 100 TB media."""
-    d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    size = THUMB_W * THUMB_H
+    This is the exact resize math (numpy coordinate indexing — what
+    PIL's NEAREST filter computes); the output column is fixed-size
+    ``binary``, so downstream Arrow batches have predictable memory — the
+    property that lets you size ``maxRecordsPerBatch`` for 100 TB media.
+    Swapping in a real photo corpus only changes ``_parse_ppm`` to a
+    codec call."""
+    import numpy as np
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    payloads = _ppm_payloads(spark, sf_dir).repartition(n_parts, "doc_id")
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -123,11 +214,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             thumbs = []
             for p in pdf["payload"]:
-                b = bytes(p) or b"\x00"
-                # nearest-neighbor byte resample — deterministic stand-in
-                thumbs.append(
-                    bytes(b[(i * len(b)) // size] for i in range(size))
-                )
+                img = _parse_ppm(bytes(p))
+                h, w = img.shape[:2]
+                ys = (np.arange(THUMB_H) * h) // THUMB_H
+                xs = (np.arange(THUMB_W) * w) // THUMB_W
+                thumbs.append(img[ys][:, xs].tobytes())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
