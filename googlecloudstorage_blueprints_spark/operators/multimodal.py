@@ -235,17 +235,20 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_frame_sample")  # rows-only: binary plumbing
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling kernel plumbing: one asset row → N frame rows.
+    """Frame sampling: one asset row → N frame rows, each a REAL decoded
+    slice.
 
-    Emits FRAMES_PER_ASSET evenly-spaced byte slices per payload (stand-in
-    for video keyframe extraction; real path decodes with pyav/ffmpeg
-    behind the same signature).  The load-bearing part is the 1→N output
-    shape: mapInPandas output row count is independent of input — the
-    fan-out pattern for frames/clips — and each frame carries its own
-    (frame_idx, offset) metadata so downstream ops treat frames as
-    first-class rows, partitionable independently of their source asset."""
-    d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    The kernel decodes the PPM payload and emits FRAMES_PER_ASSET
+    evenly-spaced horizontal row-bands of the pixel grid (the image
+    analogue of video keyframes; a video corpus swaps ``_parse_ppm`` for
+    pyav/ffmpeg behind the same signature).  The load-bearing part is the
+    1→N output shape: mapInPandas output row count is independent of
+    input — the fan-out pattern for frames/clips — and each frame carries
+    its own (frame_idx, row_offset, frame_h) metadata so downstream ops
+    treat frames as first-class rows, partitionable independently of
+    their source asset."""
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    payloads = _ppm_payloads(spark, sf_dir).repartition(n_parts, "doc_id")
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -254,23 +257,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {
                 "doc_id": [],
                 "frame_idx": [],
-                "byte_offset": [],
+                "row_offset": [],
+                "frame_h": [],
                 "frame": [],
             }
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p) or b"\x00"
-                step = max(len(b) // FRAMES_PER_ASSET, 1)
+                img = _parse_ppm(bytes(p))
+                h = img.shape[0]
+                band = max(h // FRAMES_PER_ASSET, 1)
                 for i in range(FRAMES_PER_ASSET):
-                    off = min(i * step, len(b) - 1)
+                    top = min(i * band, h - 1)
+                    sl = img[top : top + band]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
-                    out["byte_offset"].append(off)
-                    out["frame"].append(b[off : off + step])
+                    out["row_offset"].append(top)
+                    out["frame_h"].append(sl.shape[0])
+                    out["frame"].append(sl.tobytes())
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(
         kernel,
-        schema="doc_id long, frame_idx int, byte_offset long, frame binary",
+        schema=(
+            "doc_id long, frame_idx int, row_offset int, "
+            "frame_h int, frame binary"
+        ),
     )
 
 

@@ -24,12 +24,14 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (  # noq
     run_stream_to_partitioned_parquet,
     streaming_anomaly,
     streaming_enriched,
+    streaming_quality_filter,
     streaming_sliding_agg,
 )
 
 __all__ += [
     "streaming_anomaly",
     "streaming_enriched",
+    "streaming_quality_filter",
     "streaming_sliding_agg",
     "run_stream_to_partitioned_parquet",
 ]

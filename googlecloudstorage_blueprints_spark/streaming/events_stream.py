@@ -195,6 +195,52 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the quality gates of
+    ``quality_filter_funnel`` applied to a DOCUMENT stream — new corpus
+    shards pass or fail as they land, no batch recompute.
+
+    All three gates are per-document (length, token count, top-token
+    share), so the op is map-only on the stream: the token statistics
+    come from one in-row aggregation over the split tokens, never a
+    corpus-wide shuffle — the property that makes the filter streamable
+    at all.  (``aggregate``'s per-element lambdas are interpreted, but
+    here they run once per DOCUMENT on a bounded token array, not in a
+    corpus-wide hot loop — the explode/groupBy form used by the batch
+    funnel is not available under streaming without state.)"""
+    apply_runtime_conf(spark)
+    static = spark.read.option(
+        "pathGlobFilter", "documents.parquet"
+    ).parquet(sf_dir)
+    stream = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", "documents.parquet"
+    ).parquet(sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    # top-token share via in-row frequency: for each distinct token,
+    # count its occurrences with a filter() pass; max over distincts
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return (
+        stream.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "top_token_share",
+            max_cnt.cast("double") / F.col("n_tokens"),
+        )
+        .where(
+            (F.col("n_chars") >= 150)
+            & (F.col("n_tokens") >= 30)
+            & (F.col("top_token_share") <= 0.15)
+        )
+        .select("doc_id", "lang", "source", "n_chars", "n_tokens",
+                "top_token_share")
+    )
+
+
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window twin of ``events_sliding_agg``: 1-hour windows every
     30 minutes under a watermark — each event feeds two window states."""

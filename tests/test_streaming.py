@@ -242,3 +242,23 @@ def test_streaming_anomaly_matches_batch(spark):
         for r in all_queries()["events_anomaly"](spark, SF).collect()
     }
     assert got_rows == batch_rows
+
+
+def test_streaming_quality_filter_matches_batch_funnel(spark):
+    """The streaming gates must pass exactly the batch funnel's final
+    survivor count (same thresholds, same per-doc metrics)."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_quality_filter,
+    )
+
+    stream_df = streaming_quality_filter(spark, SF)
+    assert stream_df.isStreaming
+    got = run_stream_to_memory(stream_df, "qf_smoke")
+    survivors = got.count()
+    funnel = {
+        r["stage"]: r["survivors"]
+        for r in all_queries()["quality_filter_funnel"](spark, SF).collect()
+    }
+    assert survivors == funnel["03_max_repetition"]
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == len(set(ids))
