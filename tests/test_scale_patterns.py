@@ -94,7 +94,10 @@ def test_approx_sketches_deterministic_and_close(spark):
 def test_multimodal_resize_fixed_thumb(spark):
     rows = QUERIES["multimodal_resize"](spark, SF).collect()
     assert rows
-    assert all(len(r["thumb"]) == r["thumb_w"] * r["thumb_h"] for r in rows)
+    # RGB24 thumbnails: w*h*3 bytes per row (real decoded-pixel resize)
+    assert all(
+        len(r["thumb"]) == r["thumb_w"] * r["thumb_h"] * 3 for r in rows
+    )
 
 
 def test_multimodal_frame_sample_fanout(spark):
