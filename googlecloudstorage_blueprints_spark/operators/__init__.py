@@ -113,6 +113,8 @@ _DRIVER_FIRST = [
     "large_volume_customer",
     "dormant_customers",
     "waiting_orders_per_supplier",
+    "events_hierarchical_rollup",
+    "table_checks",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

@@ -298,3 +298,109 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").cast("long").alias("dim"),
         F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("l2_norm"),
     )
+
+
+@register(
+    "table_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_key_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_key_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'documents_id_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'documents_text_not_null',
+           CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    """,
+)
+def table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-quality assertions as one queryable result: one row
+    per check with its violation count — referential integrity (anti
+    joins), key uniqueness (count vs distinct), null and range gates.
+
+    Scale shape: each FK check is ONE left-anti join (the dimension side
+    broadcasts when small); uniqueness is a single aggregate — no check
+    materializes violating rows, only counts them, so the whole suite is
+    safe to run inline before every pipeline publish."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+
+    def one(name: str, count_df) -> DataFrame:
+        return count_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_custkey_fk",
+            o.join(
+                c, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            li.join(
+                o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "customer_key_unique",
+            c.agg(
+                (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n")
+            ),
+        ),
+        one(
+            "orders_key_unique",
+            o.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+            ),
+        ),
+        one(
+            "documents_id_unique",
+            d.agg(
+                (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("n")
+            ),
+        ),
+        one(
+            "documents_text_not_null",
+            d.where(F.col("text").isNull()).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        one(
+            "lineitem_quantity_positive",
+            li.where(F.col("l_quantity") <= 0).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
