@@ -115,6 +115,7 @@ _DRIVER_FIRST = [
     "waiting_orders_per_supplier",
     "events_hierarchical_rollup",
     "table_checks",
+    "incremental_dedup",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

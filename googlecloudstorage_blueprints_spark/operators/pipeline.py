@@ -404,3 +404,45 @@ def table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE source <> 'src0'
+    )
+    SELECT d.doc_id,
+           (c.h IS NOT NULL) AS is_duplicate
+    FROM documents d
+    LEFT JOIN corpus c ON md5(d.text) = c.h
+    WHERE d.source = 'src0'
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: flag each document of a NEW shard
+    (source 'src0' stands in for tonight's crawl) whose exact content
+    already exists in the accumulated corpus — the nightly pattern that
+    avoids re-deduplicating 100 TB on every ingest.
+
+    Shape: the corpus side reduces to DISTINCT digests once (at scale
+    this digest index is a maintained table, bucketed by hash prefix so
+    the probe join is shuffle-free); the new shard probes it with one
+    equi-join on the digest.  Only hashes move — document bodies never
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_hashes = (
+        d.where(F.col("source") != "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    shard = d.where(F.col("source") == "src0").select(
+        "doc_id", F.md5("text").alias("h_new")
+    )
+    return shard.join(
+        corpus_hashes, F.col("h_new") == F.col("h"), "left_outer"
+    ).select(
+        "doc_id",
+        F.col("h").isNotNull().alias("is_duplicate"),
+    )
