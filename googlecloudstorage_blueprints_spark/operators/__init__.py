@@ -116,6 +116,9 @@ _DRIVER_FIRST = [
     "events_hierarchical_rollup",
     "table_checks",
     "incremental_dedup",
+    "string_agg_groups",
+    "numeric_correlations",
+    "join_asof_tolerance",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

@@ -308,3 +308,144 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "string_agg_groups",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (GROUP_CONCAT/STRING_AGG):
+    collect the distinct set, sort it, join to ONE scalar string — the
+    repo rule for any collected set crossing the driver boundary (the
+    canonicalizer cannot hash array cells).  At scale, cap the set with
+    slice() before concat so a hot group cannot blow a task."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "numeric_correlations",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_pop(l_discount), 6)                 AS discount_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group second-moment statistics (corr / covar_pop / stddev_pop)
+    — the profiling pass before feature selection.  All three are
+    single-pass mergeable aggregates (sum, sum-of-squares, cross-sum), so
+    one partial-aggregated shuffle at any scale; outputs rounded because
+    moment accumulation order differs between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_pop("l_discount"), 6).alias("discount_sd"),
+    )
+
+
+ASOF_TOLERANCE_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback bound
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH o1 AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN o1.o_orderdate IS NOT NULL
+                 AND epoch_us(e.ts) - epoch_us(o1.o_orderdate)
+                     <= {ASOF_TOLERANCE_US}
+                THEN o1.o_orderkey END AS asof_orderkey,
+           CASE WHEN o1.o_orderdate IS NOT NULL
+                 AND epoch_us(e.ts) - epoch_us(o1.o_orderdate)
+                     <= {ASOF_TOLERANCE_US}
+                THEN strftime(o1.o_orderdate, '%Y-%m-%d %H:%M:%S')
+           END AS asof_orderdate
+    FROM events e
+    ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join: each event takes the user's most
+    recent order at or before the event time ONLY if it is within a
+    7-day lookback; staler matches become NULL (left semantics).
+
+    Same union-merge formulation as ``join_asof`` (one shuffle on the
+    user key, O(1) state per row, no range explosion); the tolerance is
+    a pure projection on the propagated match timestamp in exact integer
+    microseconds — no second join, no extra shuffle.  This is the form
+    feature-store point-in-time lookups need (a match from last year is
+    not a feature, it is leakage)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("r_orderkey"),
+        F.lit(None).cast("timestamp").alias("r_orderdate"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("r_orderkey"),
+        F.col("o_orderdate").alias("r_orderdate"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "uid",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("r_orderkey", ignorenulls=True).over(w).alias("m_orderkey"),
+        F.last("r_orderdate", ignorenulls=True).over(w).alias("m_ts"),
+    )
+    fresh = (
+        F.unix_micros(F.col("t")) - F.unix_micros(F.col("m_ts"))
+    ) <= ASOF_TOLERANCE_US
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.when(fresh, F.col("m_orderkey")).alias("asof_orderkey"),
+        F.when(
+            fresh, F.date_format("m_ts", "yyyy-MM-dd HH:mm:ss")
+        ).alias("asof_orderdate"),
+    )
