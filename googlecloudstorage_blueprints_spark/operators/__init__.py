@@ -119,6 +119,7 @@ _DRIVER_FIRST = [
     "string_agg_groups",
     "numeric_correlations",
     "join_asof_tolerance",
+    "pareto_revenue",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

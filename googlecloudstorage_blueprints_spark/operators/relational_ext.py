@@ -892,3 +892,69 @@ def nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("bal") / F.col("total_bal"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "pareto_revenue",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+               COUNT(*) OVER ()  AS n_cust,
+               SUM(rev) OVER ()  AS total_rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_rev
+        FROM per_cust
+    )
+    SELECT CAST(rk * 10 // n_cust AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT)          AS n_customers,
+           ROUND(MAX(cum_rev / total_rev), 6) AS cum_revenue_share
+    FROM ranked
+    WHERE rk * 10 // n_cust < 10
+    GROUP BY 1
+    """,
+)
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration: customers ranked by revenue, cumulative
+    revenue share at each decile — "do the top 10% of customers carry
+    50% of revenue".
+
+    Shape: one per-customer aggregate, then ONE global-order window pass
+    computing rank, total, and running sum together (same sort serves all
+    three).  The global sort is the honest cost of an exact quantile cut;
+    the approximate path at 100 TB is approx_percentile over the
+    per-customer revenues (same downstream decile math).  Share is a
+    ratio of same-plan sums, rounded 6dp for cross-engine summation
+    order; the decile key is integer math (rk*10 div n)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w_order = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    w_all = Window.partitionBy()
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w_order).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+    )
+    return (
+        ranked.withColumn(
+            "decile", F.expr("(rk * 10) div n_cust").cast("long")
+        )
+        .where(F.col("decile") < 10)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.max(F.col("cum_rev") / F.col("total_rev")), 6
+            ).alias("cum_revenue_share"),
+        )
+    )
