@@ -120,6 +120,8 @@ _DRIVER_FIRST = [
     "numeric_correlations",
     "join_asof_tolerance",
     "pareto_revenue",
+    "events_change_points",
+    "cohort_ltv",
 ]
 _DRIVER_LAST = [
     "minhash_lsh_dedup",

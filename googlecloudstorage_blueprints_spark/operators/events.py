@@ -612,3 +612,39 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_types"),
         )
     )
+
+
+CHANGE_THRESHOLD = 50.0
+
+
+@register(
+    "events_change_points",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               ROUND(value - LAG(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id), 6) AS delta
+        FROM events
+    )
+    SELECT user_id, event_id, value, delta
+    FROM seq
+    WHERE ABS(delta) > {CHANGE_THRESHOLD}
+    """,
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection, cheapest tier: consecutive per-user value
+    deltas beyond a threshold (lag window over the total-ordered event
+    sequence).  One shuffle on user_id; the delta is rounded to 6dp
+    before BOTH the filter and the output (parity rule: any derived
+    double feeding a filter is rounded identically on both engines —
+    the subtraction itself is deterministic, the rounding removes the
+    question)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    delta = F.round(F.col("value") - F.lag("value").over(w), 6)
+    return (
+        e.select("user_id", "event_id", "value", delta.alias("delta"))
+        .where(F.abs(F.col("delta")) > CHANGE_THRESHOLD)
+    )

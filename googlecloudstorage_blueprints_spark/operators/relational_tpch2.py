@@ -13,7 +13,7 @@ projection only.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
@@ -448,4 +448,73 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             fresh, F.date_format("m_ts", "yyyy-MM-dd HH:mm:ss")
         ).alias("asof_orderdate"),
+    )
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH first_o AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+        SELECT f.cohort,
+               date_diff('month', f.cohort,
+                         date_trunc('month', o.o_orderdate)) AS offs,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+               ROUND(SUM(o.o_totalprice), 4) AS rev
+        FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+           CAST(offs AS BIGINT)      AS month_offset,
+           n_active,
+           ROUND(SUM(rev) OVER (
+               PARTITION BY cohort ORDER BY offs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_revenue
+    FROM monthly
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month, the
+    cohort's cumulative revenue tracked per month offset — the retention
+    matrix's revenue twin.
+
+    Shape: first-order aggregate (|customers| rows) joins back to the
+    fact, ONE (cohort, offset) aggregate, then a running-sum window over
+    the tiny aggregated matrix — the expensive pass is the one fact
+    shuffle.  Parity: monthly revenue is rounded at 4dp BEFORE the
+    cumulative window, so both engines accumulate identical inputs in
+    identical order (unrounded monthly sums would drift at the ulp and
+    compound through the running sum)."""
+    o = load_table(spark, sf_dir, "orders")
+    first_o = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    monthly = (
+        o.join(first_o, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            ).cast("long").alias("offs"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        F.col("offs").alias("month_offset"),
+        "n_active",
+        F.round(F.sum("rev").over(w), 4).alias("cum_revenue"),
     )
