@@ -78,60 +78,63 @@ def _load_all() -> None:
 # driver-green ops sit in the middle — they stay pinned locally by
 # tests/test_oracle_parity.py regardless of whether they re-enter the window.
 _DRIVER_FIRST = [
-    "array_agg_ops",  # round-1 red row, canonicalization fixed this round
-    "lang_id",  # oracle added this round
-    "top_supplier",  # tiebreak semantics hardened this round (ADVICE)
-    "events_sessionize",
-    "events_session_stats",
-    "events_tumbling_agg",
-    "events_type_pivot",
-    "events_funnel",
-    "events_gapfill",
-    "events_retention",
-    "events_sliding_agg",
-    "events_anomaly",
-    "events_windowed_topk",
-    "dedup_clusters",
-    "join_skew_salted",
-    "join_range_binned",
-    "similarity_knn_bruteforce",
-    "dedup_embedding_cosine",
-    "multimodal_metadata_agg",
-    "file_manifest_stats",
-    # round-2 additions (pipeline.py) — never driver-adjudicated
-    "stratified_split",
-    "doc_length_histogram",
-    "ngram_topk",
-    "repetition_score",
-    "quality_filter_funnel",
-    "embedding_norms",
-    "similarity_knn_pandas",  # gained the bruteforce oracle this round
-    # round-2 TPC-H subquery wave (relational_tpch2.py)
-    "order_priority_exists",
-    "late_shipment_classes",
-    "small_quantity_revenue",
-    "large_volume_customer",
-    "dormant_customers",
-    "waiting_orders_per_supplier",
-    "events_hierarchical_rollup",
-    "table_checks",
-    "incremental_dedup",
-    "string_agg_groups",
-    "numeric_correlations",
-    "join_asof_tolerance",
-    "pareto_revenue",
-    "events_change_points",
-    "cohort_ltv",
-]
-_DRIVER_LAST = [
-    "minhash_lsh_dedup",
+    # -- semantics or plan changed in round 4: must re-adjudicate --
+    "pareto_revenue",  # decile key fixed (last customer no longer dropped)
+    "repetition_score",  # NULL-text explode divergence fixed both engines
+    "quality_filter_funnel",  # same NULL-text fix
+    "events_hierarchical_rollup",  # persist leak fixed (plan unchanged)
+    # -- 38 oracle keys last hash-verified in round 1 (stale-green) --
+    "grouping_rollup",
+    "grouping_cube",
+    "window_ranking",
+    "window_analytic",
+    "topk_per_group",
+    "orderby_limit",
+    "set_ops",
+    "scalar_string_date_math",
+    "conditional_agg_having",
+    "multiway_join_agg",
+    "grouping_sets",
+    "subquery_scalar_agg",
+    "percentiles_agg",
+    "unpivot_metrics",
+    "window_range_frame",
+    "arg_min_max",
+    "join_asof",
+    "sql_tpch_q5",
+    "window_distribution",
+    "custdist",
+    "null_semantics",
+    "volume_shipping",
+    "returned_items_top",
+    "table_profile",
+    "promo_revenue",
+    "disjunctive_filter_join",
+    "nation_concentration",
+    "json_extract",
+    "json_schema_infer",
+    "array_ops",
+    "array_explode_agg",
+    "text_stats",
+    "token_count",
+    "quality_score",
+    "doc_fingerprint",
+    "balanced_sample",
+    "exact_dedup",
+    "ngram_jaccard_dedup",
+    # -- rows-only keys never driver-adjudicated (weaker check, but the
+    #    driver should see them at least once; remainder queue for r5) --
+    "minhash_lsh_dedup",  # shingle-frame persist added this round
     "simhash_dedup",
-    "similarity_rp_lsh",
+    "similarity_rp_lsh",  # persist leak fixed this round
     "similarity_knn_ivf",
     "agg_approx_sketches",
     "file_manifest",
     "multimodal_features",
-    "multimodal_decode",
+    "multimodal_decode",  # empty-text guard added this round
+]
+_DRIVER_LAST = [
+    # rows-only keys queued for the round-5 window rotation
     "multimodal_resize",
     "multimodal_frame_sample",
 ]
