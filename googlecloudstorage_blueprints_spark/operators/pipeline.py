@@ -149,7 +149,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     per AS (
         SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w
@@ -169,9 +169,15 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``top_token_share`` is a ratio of two EXACT integers, so the double is
     bit-identical across engines without rounding.  Two shuffles, both
     partial-aggregated; the (doc_id, word) key is high-cardinality and
-    skew-free by construction."""
+    skew-free by construction.
+
+    NULL-text documents are excluded EXPLICITLY on both engines: Spark's
+    ``explode_outer(split(NULL))`` would emit a null-token row while
+    DuckDB's ``unnest(string_split(NULL))`` emits none — the filter (not
+    the explode flavor) is what keeps the engines aligned.  explode_outer
+    itself stays, per the Catalyst pushdown trap in the verify skill."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
+    words = d.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
     )
     per = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
@@ -195,7 +201,7 @@ _MAX_TOP_SHARE = 0.15
     oracle=f"""
     WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     per AS (
         SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w
@@ -238,9 +244,14 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pass computes all per-doc metrics; a single-row aggregate holds
     every stage's conditional count, then ``stack`` unpivots it to
     stage-per-row (no per-stage re-scan).  The repetition gate compares the
-    exact-integer ratio, identical in both engines unrounded."""
+    exact-integer ratio, identical in both engines unrounded.
+
+    NULL-text documents are excluded on BOTH engines before tokenizing
+    (same cross-engine explode/unnest divergence as ``repetition_score``;
+    the ``documents_text_not_null`` check in ``table_checks`` is where
+    NULL text is surfaced)."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
+    words = d.where(F.col("text").isNotNull()).select(
         "doc_id", "n_chars", F.explode_outer(F.split("text", " ")).alias("w")
     )
     per = words.groupBy("doc_id", "w").agg(

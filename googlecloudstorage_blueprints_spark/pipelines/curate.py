@@ -45,8 +45,10 @@ def _with_quality_metrics(docs: DataFrame) -> DataFrame:
 
     Same metrics as ``quality_filter_funnel`` but computed via the
     explode/groupBy/join shape ONCE and joined back, so the curated rows
-    keep their full payload."""
-    words = docs.select(
+    keep their full payload.  NULL-text documents are dropped here (the
+    inner join back to metrics removes them), matching the operator's
+    explicit ``text IS NOT NULL`` semantics."""
+    words = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
     )
     per = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,77 @@
+"""Cross-engine parity with NULL-text documents present.
+
+Round-3 verdict defect #1: Spark's ``explode_outer(split(text, ' '))``
+emits one null-token row for a NULL ``text`` while DuckDB's
+``unnest(string_split(text, ' '))`` emits zero rows — a latent hash
+divergence in every tokenizing operator, masked only because the driver
+fixtures contain no NULL texts.  This module regenerates the documents
+fixture WITH a NULL-text row and re-runs the driver-style hash compare
+for the affected operators, proving the explicit ``text IS NOT NULL``
+guard keeps both engines aligned.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from googlecloudstorage_blueprints_spark.operators import (
+    all_oracles,
+    all_queries,
+)
+
+SF_SRC = "/root/testdata/sf0.001"
+
+# every oracle-backed operator that tokenizes `text`
+TOKENIZING_OPS = ["repetition_score", "quality_filter_funnel", "ngram_topk"]
+
+
+@pytest.fixture(scope="module")
+def nulltext_dir(tmp_path_factory):
+    """sf0.001 with one NULL-text and one empty-text document appended."""
+    out = tmp_path_factory.mktemp("nulltext_sf")
+    tbl = pq.read_table(f"{SF_SRC}/documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": pa.array([10_000_001, 10_000_002], pa.int64()),
+            "text": pa.array([None, ""], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["src0", "src0"], pa.string()),
+            "n_chars": pa.array([0, 0], pa.int64()),
+        }
+    ).cast(tbl.schema)
+    pq.write_table(pa.concat_tables([tbl, extra]), out / "documents.parquet")
+    return str(out)
+
+
+def _duck_docs(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", TOKENIZING_OPS)
+def test_tokenizing_ops_match_with_null_text(spark, name, nulltext_dir):
+    from tests.test_oracle_parity import _canon_rows
+
+    sdf = all_queries()[name](spark, nulltext_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck_docs(nulltext_dir)
+    res = con.execute(all_oracles()[name])
+    duck_colnames = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count diverged with NULL text present "
+        f"(spark={len(spark_rows)} duck={len(duck_rows)})"
+    )
+    assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+        duck_colnames, duck_rows
+    ), f"{name}: value divergence with NULL text present"
