@@ -221,9 +221,21 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from band buckets only (no cross join); the
     verify operates on 31-bit shingle hashes (collision error ~2⁻²¹ per
     pair of shingles — far below the threshold granularity), so shingle
-    strings never materialize anywhere in the pipeline."""
+    strings never materialize anywhere in the pipeline.
+
+    The expensive frame is ``docs`` (the per-doc shingle-hash projection):
+    it feeds the signature aggregation AND both sides of the verify join,
+    so it is persisted for the duration of the op (round-3 verdict: the
+    unpersisted frame recomputed the projection on the verify side — the
+    slowest query on the bench).  The verify itself joins candidates back
+    to ``docs``' distinct-hash ARRAYS and computes Jaccard with
+    ``array_intersect`` — only candidate documents' arrays ever shuffle,
+    instead of an exploded row per (doc, shingle) over the whole corpus.
+    The output is materialized eagerly (persist + count) so the
+    intermediates can be unpersisted before returning; the caller sees a
+    cached result sized to the actual duplicate pairs."""
     d = load_table(spark, sf_dir, "documents")
-    docs = hashed_shingle_docs(d)
+    docs = hashed_shingle_docs(d).persist()
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sigs.select(
@@ -257,32 +269,30 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verify on candidates only (over shingle hashes)
-    sh = docs.select("doc_id", F.explode_outer("sh_hashes").alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sha = sh.alias("sha")
-    shb = sh.alias("shb")
-    inter = (
-        candidates.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("shb.doc_id"))
-            & (F.col("sha.s") == F.col("shb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verify on candidates only: join the candidate ids back to the
+    # persisted distinct-shingle-hash arrays and intersect in the JVM —
+    # |A∩B| / (|A| + |B| - |A∩B|) over already-distinct arrays
+    da = docs.alias("da")
+    db = docs.alias("db")
+    n_common = F.size(
+        F.array_intersect(F.col("da.sh_hashes"), F.col("db.sh_hashes"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") * 1.0 / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    jac = n_common * 1.0 / (
+        F.size(F.col("da.sh_hashes"))
+        + F.size(F.col("db.sh_hashes"))
+        - n_common
     )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+    out = (
+        candidates.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist()
     )
+    out.count()  # materialize through the cached intermediates
+    docs.unpersist()
+    bands.unpersist()
+    return out
 
 
 @register("simhash_dedup")  # rows-only: 64-bit bit-bucketing isn't ANSI SQL
