@@ -80,6 +80,7 @@ def _load_all() -> None:
 _DRIVER_FIRST = [
     # -- semantics or plan changed in round 4: must re-adjudicate --
     "pareto_revenue",  # decile key fixed (last customer no longer dropped)
+    "pareto_revenue_scale",  # new: range-parallel exact decile variant
     "repetition_score",  # NULL-text explode divergence fixed both engines
     "quality_filter_funnel",  # same NULL-text fix
     "events_hierarchical_rollup",  # persist leak fixed (plan unchanged)
@@ -131,10 +132,10 @@ _DRIVER_FIRST = [
     "agg_approx_sketches",
     "file_manifest",
     "multimodal_features",
-    "multimodal_decode",  # empty-text guard added this round
 ]
 _DRIVER_LAST = [
     # rows-only keys queued for the round-5 window rotation
+    "multimodal_decode",  # empty-text guard added this round
     "multimodal_resize",
     "multimodal_frame_sample",
 ]

@@ -911,11 +911,10 @@ def nation_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AND CURRENT ROW) AS cum_rev
         FROM per_cust
     )
-    SELECT CAST(rk * 10 // n_cust AS BIGINT) AS decile,
+    SELECT CAST((rk - 1) * 10 // n_cust AS BIGINT) AS decile,
            CAST(COUNT(*) AS BIGINT)          AS n_customers,
            ROUND(MAX(cum_rev / total_rev), 6) AS cum_revenue_share
     FROM ranked
-    WHERE rk * 10 // n_cust < 10
     GROUP BY 1
     """,
 )
@@ -926,11 +925,14 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one per-customer aggregate, then ONE global-order window pass
     computing rank, total, and running sum together (same sort serves all
-    three).  The global sort is the honest cost of an exact quantile cut;
-    the approximate path at 100 TB is approx_percentile over the
-    per-customer revenues (same downstream decile math).  Share is a
-    ratio of same-plan sums, rounded 6dp for cross-engine summation
-    order; the decile key is integer math (rk*10 div n)."""
+    three).  The global sort makes this the EXACT/oracle tier, bounded to
+    per-customer row counts a single partition can sort; the scale path is
+    ``pareto_revenue_scale`` (range-partitioned parallel sort, identical
+    output).  Share is a ratio of same-plan sums, rounded 6dp for
+    cross-engine summation order; the decile key is ((rk-1)*10) div n so
+    rank n lands in decile 9 and the last decile's cumulative share is
+    exactly 1.0 (round-3 verdict: the old rk*10 div n key mapped the
+    last rank to decile 10 and filtered that customer out)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("rev")
@@ -947,9 +949,8 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.withColumn(
-            "decile", F.expr("(rk * 10) div n_cust").cast("long")
+            "decile", F.expr("((rk - 1) * 10) div n_cust").cast("long")
         )
-        .where(F.col("decile") < 10)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -958,3 +959,119 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share"),
         )
     )
+
+
+@register(
+    "pareto_revenue_scale",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+               COUNT(*) OVER ()  AS n_cust,
+               SUM(rev) OVER ()  AS total_rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_rev
+        FROM per_cust
+    )
+    SELECT CAST((rk - 1) * 10 // n_cust AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT)          AS n_customers,
+           ROUND(MAX(cum_rev / total_rev), 6) AS cum_revenue_share
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def pareto_revenue_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pareto_revenue`` without the single-partition global sort — the
+    implementation that survives 100 TB, producing the identical result
+    (same oracle SQL).
+
+    Exact global ranks WITHOUT a global-order window, via the classic
+    zipWithIndex decomposition:
+
+    1. ``repartitionByRange`` on (rev DESC, custkey): a sampled range
+       shuffle — every partition holds a contiguous, non-overlapping rank
+       range, each sorted LOCALLY in parallel (no SinglePartition sort).
+    2. ``monotonically_increasing_id`` after the in-partition sort encodes
+       (partition_id << 33) + local position, giving the per-partition
+       offset-free rank component.
+    3. Per-partition row counts (one tiny aggregate, ≤ parallelism rows)
+       turn into rank offsets with a window over that scalar-sized frame;
+       broadcast back.  global rank = offset + local index + 1.
+    4. Deciles by ((rk-1)*10) div n, per-decile sums, and the cumulative
+       share via a window over the ≤10 decile rows.
+
+    The only SinglePartition exchanges operate on ≤ max(parallelism, 10)
+    rows; all per-customer work is range-parallel.  The range-partitioned
+    frame is persisted because monotonically_increasing_id is
+    NONDETERMINISTIC — offsets and indexes must come from one
+    materialization; the output (10 rows) is materialized eagerly so the
+    intermediate can be unpersisted before returning."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    pc = (
+        per_cust.repartitionByRange(
+            parallelism, F.col("rev").desc(), "o_custkey"
+        )
+        .sortWithinPartitions(F.col("rev").desc(), "o_custkey")
+        .select("rev", F.monotonically_increasing_id().alias("mid"))
+        .select(
+            "rev",
+            F.shiftright("mid", 33).alias("pid"),
+            F.expr("mid & 8589934591").alias("idx"),  # low 33 bits
+        )
+        .persist()
+    )
+    sizes = pc.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev").alias("part_rev")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    totals = sizes.agg(
+        F.sum("cnt").alias("n_cust"), F.sum("part_rev").alias("total_rev")
+    )
+    ranked = (
+        pc.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rev",
+            (F.col("off") + F.col("idx") + 1).alias("rk"),
+            "n_cust",
+            "total_rev",
+        )
+    )
+    per_decile = (
+        ranked.withColumn(
+            "decile", F.expr("((rk - 1) * 10) div n_cust").cast("long")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").alias("dec_rev"),
+            F.max("total_rev").alias("total_rev"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = per_decile.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.sum("dec_rev").over(w_cum) / F.col("total_rev"), 6
+        ).alias("cum_revenue_share"),
+    ).persist()
+    out.count()  # materialize so the nondeterministic frame can be freed
+    pc.unpersist()
+    return out

@@ -165,6 +165,32 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_pareto_scale_has_no_global_customer_sort(spark):
+    """The scale-path Pareto must range-partition the per-customer sort
+    (parallel) instead of the single-partition global-order window the
+    exact tier uses; its only SinglePartition work is over scalar-sized
+    frames (partition counts, 10 decile rows)."""
+    df = QUERIES["pareto_revenue_scale"](spark, SF)
+    plan = explain_str(df)
+    assert "rangepartitioning(rev" in plan, (
+        "per-customer ordering must be a parallel range shuffle"
+    )
+    assert "row_number" not in plan, (
+        "scale path must not rank via a global-order window"
+    )
+
+
+def test_pareto_scale_matches_exact_tier(spark):
+    a = sorted(
+        tuple(r) for r in QUERIES["pareto_revenue"](spark, SF).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in QUERIES["pareto_revenue_scale"](spark, SF).collect()
+    )
+    assert a == b
+
+
 def test_aqe_coalesces_shuffle_partitions(spark):
     """Small shuffles must coalesce below the configured partition count
     (AQEShuffleRead coalesced) instead of running N near-empty tasks."""
