@@ -598,7 +598,7 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # the materialized rollup table stand-in
     )
-    return (
+    daily = (
         hourly.groupBy(
             F.date_format(
                 F.date_trunc("day", F.col("hour")), "yyyy-MM-dd"
@@ -611,7 +611,14 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(F.flatten(F.collect_list("types_partial")))
             ).cast("long").alias("n_types"),
         )
+        .persist()
     )
+    # materialize the (days-sized) daily layer, then free the hourly
+    # rollup — round-3 verdict: the un-unpersisted hourly cache leaked
+    # across the driver's 98-query run
+    daily.count()
+    hourly.unpersist()
+    return daily
 
 
 CHANGE_THRESHOLD = 50.0

@@ -328,9 +328,14 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return paired.mapInPandas(
+    out = paired.mapInPandas(
         verify, schema="vec_a long, vec_b long, cosine double"
-    )
+    ).persist()
+    # materialize the verified pairs, then free the sketch cache (round-3
+    # verdict: the sketched frame stayed persisted after the op returned)
+    out.count()
+    sketched.unpersist()
+    return out
 
 
 @register(
