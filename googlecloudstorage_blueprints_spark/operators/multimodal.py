@@ -119,15 +119,18 @@ def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     text tiled to w*h*3 bytes (ASCII corpus → 1 byte per char, so string
     repeat+substr IS byte math).  The result is a REAL image file in a
     self-describing uncompressed format — what a production pipeline
-    stores after transcoding, minus the codec."""
+    stores after transcoding, minus the codec.
+
+    NULL or empty text falls back to a single-space pixel source so every
+    document still yields a full w*h*3 buffer (round-3 verdict: an empty
+    buffer reached ``reshape(h, w, 3)`` and crashed all three kernels)."""
     d = load_table(spark, sf_dir, "documents")
     w = (8 + F.col("doc_id") % 24).cast("int")
     h = (8 + (F.col("doc_id") * 7) % 24).cast("int")
     n_bytes = (w * h * 3).cast("int")
-    reps = (n_bytes / F.greatest(F.length("text"), F.lit(1)) + 1).cast("int")
-    pixels = F.substring(
-        F.repeat(F.col("text"), reps), 1, n_bytes
-    )
+    src = F.coalesce(F.nullif(F.col("text"), F.lit("")), F.lit(" "))
+    reps = (n_bytes / F.greatest(F.length(src), F.lit(1)) + 1).cast("int")
+    pixels = F.substring(F.repeat(src, reps), 1, n_bytes)
     header = F.format_string("P6\n%d %d\n255\n", w, h)
     return d.select(
         "doc_id",

@@ -99,3 +99,44 @@ def test_multimodal_resize_real_nearest_neighbor(spark):
         len(bytes(r["thumb"])) == THUMB_W * THUMB_H * 3
         for r in rows.values()
     )
+
+
+def test_ppm_kernels_survive_null_and_empty_text(spark, tmp_path):
+    """Round-3 verdict defect #4: NULL/empty text produced an empty pixel
+    buffer that crashed ``reshape(h, w, 3)`` in all three PPM kernels.
+    The pixel source now falls back to a space-filled buffer; every doc
+    must come out of decode/resize/frame_sample with full dimensions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([None, "", "normal text body"], pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["src0"] * 3, pa.string()),
+                "n_chars": pa.array([0, 0, 16], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    q = all_queries()
+    sf = str(tmp_path)
+
+    dec = {r["doc_id"]: r for r in q["multimodal_decode"](spark, sf).collect()}
+    assert set(dec) == {1, 2, 3}
+    for r in dec.values():
+        assert r["width"] >= 8 and r["height"] >= 8
+    # space-filled image: all channels exactly 32.0
+    assert dec[1]["mean_r"] == 32.0 and dec[2]["mean_b"] == 32.0
+
+    thumbs = q["multimodal_resize"](spark, sf).collect()
+    assert {r["doc_id"] for r in thumbs} == {1, 2, 3}
+    assert all(len(r["thumb"]) == THUMB_W * THUMB_H * 3 for r in thumbs)
+
+    frames = q["multimodal_frame_sample"](spark, sf).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {1, 2, 3}
