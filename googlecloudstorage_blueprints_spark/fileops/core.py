@@ -214,16 +214,26 @@ def _run_copies(copies, max_workers: int) -> None:
     (IO-bound: N concurrent streams vs 1).
 
     Colliding destinations (two matches keeping the same basename): the
-    sequential loop's observable result is last-match-wins, so the
-    parallel path dedupes to the LAST thunk per destination — same final
-    bytes, no write race."""
+    sequential loop writes the destination once per match with the last
+    match winning, and prints progress for EVERY match.  The parallel
+    path reproduces both: thunks are grouped by destination, groups run
+    concurrently, and thunks WITHIN a group run in match order — same
+    final bytes, same per-file output lines (thread interleaving aside),
+    no write race."""
     if max_workers <= 1:
         for _dest, fn in copies:
             fn()
         return
-    deduped = dict(copies)  # dest -> fn, later entries win
+    groups: dict = {}
+    for dest, fn in copies:
+        groups.setdefault(dest, []).append(fn)
+
+    def run_group(fns):
+        for fn in fns:
+            fn()
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        futures = [pool.submit(fn) for fn in deduped.values()]
+        futures = [pool.submit(run_group, fns) for fns in groups.values()]
         for f in futures:
             f.result()  # re-raise the first failure
 
@@ -271,10 +281,12 @@ def download_files(
             source_full_path=rel,
             file_number=index + 1 if multi else None,
         )
-        if multi:
-            print(f"Downloading file {index + 1} of {len(matches)}")
-
-        def copy(rel=rel, dest=dest):
+        def copy(rel=rel, dest=dest, index=index):
+            # progress line lives in the thunk so sequential and parallel
+            # modes emit the same per-file lines, interleaved with the
+            # copy they describe (download_file.py:252,260 ordering)
+            if multi:
+                print(f"Downloading file {index + 1} of {len(matches)}")
             client.copy_to_local(rel, dest)
             print(
                 f"{client.root_uri}/{rel} successfully downloaded to {dest}"
@@ -342,10 +354,9 @@ def upload_files(
             source_full_path=src,
             file_number=index + 1 if multi else None,
         )
-        if multi:
-            print(f"Uploading file {index + 1} of {len(matches)}")
-
-        def copy(src=src, dest=dest):
+        def copy(src=src, dest=dest, index=index):
+            if multi:  # in-thunk for sequential/parallel line parity
+                print(f"Uploading file {index + 1} of {len(matches)}")
             client.copy_from_local(src, dest)
             print(
                 f"{src} successfully uploaded to {client.root_uri}/{dest}"
