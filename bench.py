@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query and
-total wall seconds.
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The FINAL stdout line is a compact JSON summary (metric, per-query spark
+seconds, suite ratios) sized to survive the driver's bounded output tail
+— rounds 2 and 3 recorded ``"parsed": null`` because one huge JSON line
+was truncated from the front.  The full comparison detail (DuckDB
+per-query seconds, raw + floor-adjusted ratio maps) is written to
+``BENCH_DETAIL.json`` next to this script instead of stdout.
 
 Materialization uses the `noop` sink so every output column is computed and
 written (a bare .count() would let Catalyst prune the projections and
@@ -122,14 +128,25 @@ def main() -> None:
     spark.range(1).write.format("noop").mode("overwrite").save()
     floor = round(time.perf_counter() - start, 3)
 
+    # Per-query timer covers op construction + materialization: ops with
+    # eager persist-and-free internals (minhash_lsh_dedup) do their compute
+    # during construction, which the write-only timer of rounds 1-3 missed
+    # (and for lazy ops construction = analysis/planning, a real fixed cost
+    # the earlier rounds under-reported by ~0.3-0.4 s/query).  build_secs
+    # in BENCH_DETAIL.json carries the construction share per query so the
+    # methodology change stays auditable against earlier rounds.
     total = 0.0
+    builds: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, SF_DIR)
         start = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        built = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - start
+        builds[name] = round(built - start, 3)
         timings[name] = round(elapsed, 3)
         total += elapsed
+        df.unpersist()  # free eager ops' result cache between queries
     spark.stop()
 
     duck = _time_duckdb_oracles(HEADLINE)
@@ -151,6 +168,38 @@ def main() -> None:
     spark_subtotal = sum(timings[n] for n in duck)
     duck_total = sum(duck.values())
 
+    suite_ratio = (
+        round(spark_subtotal / duck_total, 2) if duck_total > 0 else None
+    )
+    suite_ratio_adj = (
+        round(
+            sum(max(timings[n] - floor, 0.001) for n in duck) / duck_total,
+            2,
+        )
+        if duck_total > 0
+        else None
+    )
+
+    detail = {
+        "sf": sf,
+        "spark_floor_seconds": floor,
+        "spark_queries": timings,
+        "spark_build_seconds": builds,
+        "duckdb_queries": duck,
+        "spark_vs_duckdb": ratios,
+        "spark_vs_duckdb_floor_adjusted": ratios_adj,
+        "suite_ratio": suite_ratio,
+        "suite_ratio_floor_adjusted": suite_ratio_adj,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+
+    # compact summary LAST so the driver's bounded tail always contains a
+    # complete parseable line
     print(
         json.dumps(
             {
@@ -160,26 +209,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "spark_floor_seconds": floor,
-                "duckdb_queries": duck,
-                "spark_vs_duckdb": ratios,
-                "spark_vs_duckdb_floor_adjusted": ratios_adj,
-                "suite_ratio": (
-                    round(spark_subtotal / duck_total, 2)
-                    if duck_total > 0
-                    else None
-                ),
-                "suite_ratio_floor_adjusted": (
-                    round(
-                        sum(
-                            max(timings[n] - floor, 0.001) for n in duck
-                        )
-                        / duck_total,
-                        2,
-                    )
-                    if duck_total > 0
-                    else None
-                ),
-            }
+                "suite_ratio": suite_ratio,
+                "suite_ratio_floor_adjusted": suite_ratio_adj,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -172,6 +172,88 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures_arrow(
+    hashed_docs: DataFrame, emit_bands: bool = False
+) -> DataFrame:
+    """doc_id + array<bigint> minhash signature via ONE Arrow-batched
+    numpy kernel — the production signature path.  With
+    ``emit_bands=True`` the same kernel emits the LSH band rows
+    (doc_id, band_id, band_hash) directly — one Python pass for
+    signature AND banding (band_hash is an FNV-1a mix of the band's
+    permutation minima; any deterministic injective-enough combiner
+    works, since both sides of the bucket self-join use the same one).
+
+    Same permutation family as :func:`minhash_signatures`
+    (h_p(x) = ((2p+1)·x + p·12582917) mod (2⁶¹-1), exact integer math in
+    uint64 — no wraparound: x < 2³¹, a ≤ 2·perms+1), vectorized as one
+    modmul over the flattened shingle hashes per batch plus a
+    ``minimum.reduceat`` per permutation.  Chosen over the JVM
+    64-min-column aggregate because that plan pays ~3.5 s of whole-stage
+    codegen compilation PER SESSION (the generated class is huge) before
+    computing anything, and its explode feeds 64 aggregate expressions
+    per shingle row; the numpy kernel is a dense array pass with zero
+    compile cost.  The JVM version remains registered as the
+    equivalence oracle (tests/test_minhash_kernel.py pins signature
+    equality).  Map-side only: no shuffle — the kernel runs on whatever
+    partitioning ``hashed_docs`` already has."""
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        perms = np.arange(MINHASH_PERMS, dtype=np.uint64)
+        mult = 2 * perms + 1
+        add = perms * np.uint64(12582917)
+        mersenne = np.uint64(_MERSENNE)
+        fnv_prime = np.uint64(1099511628211)
+        fnv_basis = np.uint64(14695981039346656037)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["sh_hashes"].map(len).to_numpy()
+            flat = np.concatenate(pdf["sh_hashes"].to_list()).astype(
+                np.uint64
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            n = len(lens)
+            sig = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
+            for p in range(MINHASH_PERMS):
+                h = (mult[p] * flat + add[p]) % mersenne
+                sig[:, p] = np.minimum.reduceat(h, starts)
+            if not emit_bands:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "signature": list(sig.astype(np.int64)),
+                    }
+                )
+                continue
+            grouped = sig.reshape(n, LSH_BANDS, rows_per_band)
+            bh = np.full((n, LSH_BANDS), fnv_basis, dtype=np.uint64)
+            for j in range(rows_per_band):  # uint64 wrap is the FNV mod
+                bh = (bh ^ grouped[:, :, j]) * fnv_prime
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), LSH_BANDS),
+                    "band_id": np.tile(
+                        np.arange(LSH_BANDS, dtype=np.int32), n
+                    ),
+                    "band_hash": bh.reshape(-1).astype(np.int64),
+                }
+            )
+
+    if emit_bands:
+        return hashed_docs.mapInPandas(
+            kernel, schema="doc_id long, band_id int, band_hash long"
+        )
+    return hashed_docs.mapInPandas(
+        kernel, schema="doc_id long, signature array<long>"
+    )
+
+
 def minhash_signatures(hashed_docs: DataFrame) -> DataFrame:
     """doc_id + array<bigint> minhash signature (MINHASH_PERMS values)
     from (doc_id, sh_hashes) as produced by :func:`hashed_shingle_docs`.
@@ -185,7 +267,10 @@ def minhash_signatures(hashed_docs: DataFrame) -> DataFrame:
     functions (array_min∘transform), which Spark evaluates interpreted
     per-element — measured ~20× slower than the codegen'd aggregate form.
     The aggregate combines map-side, so the shuffle carries one 64-long
-    row per document regardless of shingle count."""
+    row per document regardless of shingle count.  NOTE: kept as the
+    JVM-expression equivalence oracle for
+    :func:`minhash_signatures_arrow`, which replaces it in the operator
+    (the 64-column codegen costs ~3.5 s of compile per session)."""
     # explode_outer: plain explode adds an implicit size()>0 filter that
     # Catalyst pushes below the repartition, re-running the whole
     # interpreted shingle lambda single-threaded before the shuffle
@@ -236,22 +321,10 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached result sized to the actual duplicate pairs."""
     d = load_table(spark, sf_dir, "documents")
     docs = hashed_shingle_docs(d).persist()
-    sigs = minhash_signatures(docs)
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
-                f"  struct(b AS band_id, "
-                f"         xxhash64(concat_ws(',', "
-                f"           slice(signature, b * {rows_per_band} + 1, "
-                f"                 {rows_per_band}))) AS band_hash))"
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    # one Arrow pass computes signatures AND band hashes (emit_bands)
+    bands = minhash_signatures_arrow(docs, emit_bands=True)
     # bands are tiny (LSH_BANDS rows × 24B per doc — KBs per million docs);
-    # persist so the self-join doesn't recompute the signature aggregation
+    # persist so the self-join doesn't recompute the signature kernel
     # on both sides
     bands = bands.persist()
     ba = bands.alias("ba")
