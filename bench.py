@@ -6,14 +6,37 @@ The FINAL stdout line is a compact JSON summary (metric, per-query spark
 seconds, suite ratios) sized to survive the driver's bounded output tail
 — rounds 2 and 3 recorded ``"parsed": null`` because one huge JSON line
 was truncated from the front.  The full comparison detail (DuckDB
-per-query seconds, raw + floor-adjusted ratio maps) is written to
-``BENCH_DETAIL.json`` next to this script instead of stdout.
+per-query seconds, cold-pass timings, raw + floor-adjusted ratio maps) is
+written to ``BENCH_DETAIL.json`` next to this script instead of stdout.
 
-Materialization uses the `noop` sink so every output column is computed and
-written (a bare .count() would let Catalyst prune the projections and
-under-report); timings therefore cover scan → transform → materialize.
+Methodology — steady-state timing, both engines:
 
-Each oracle-backed headline query is ALSO timed through DuckDB on the same
+- Every headline query runs TWICE at the target SF; the SECOND (warm)
+  run is the headline number, for Spark and DuckDB alike.  The first
+  Spark execution of a plan pays a one-time whole-stage-codegen JIT
+  compile (measured ~0.3-0.8 s per distinct plan; a tiny-SF warmup does
+  NOT absorb it because AQE picks different physical plans per SF) — a
+  per-plan fixed cost that amortizes to zero on a long-running cluster
+  streaming 100 TB, exactly like DuckDB's (millisecond) query compile.
+  Cold-pass numbers are retained in BENCH_DETAIL.json under
+  ``spark_queries_cold`` so the compile cost stays auditable.
+- Materialization uses the `noop` sink so every output column is computed
+  and written (a bare .count() would let Catalyst prune projections and
+  under-report); timings cover construction → scan → transform →
+  materialize.
+- ``scale_slope_ratio``: the suite is also warm-timed at the sibling
+  sf0.001 directory (≈600-row tables — data cost ≈ 0, so each plan's
+  time there is its pure dispatch floor), and the slope (Δspark /
+  Δduckdb between the two SFs) is reported.  Fixed per-query costs
+  cancel in the difference ON BOTH ENGINES, so this is the marginal
+  data-proportional cost ratio — the quantity that actually predicts
+  relative throughput at 100 TB, where fixed dispatch is noise.  The
+  same sf0.001 warm times serve as the per-plan floor for
+  ``suite_ratio_floor_adjusted`` (a 1-row single-stage noop — rounds
+  1-3's floor — under-measures the dispatch cost of a multi-stage
+  plan).
+
+Each oracle-backed headline query is timed through DuckDB on the same
 parquet (same thread budget), and the JSON carries `spark_vs_duckdb`
 per-query ratios plus `suite_ratio` — the computable stand-in for the
 "within 2× of baseline" gate (the reference itself publishes no numbers;
@@ -69,9 +92,11 @@ HEADLINE = [
 ]
 
 
-def _time_duckdb_oracles(names: list[str]) -> dict[str, float]:
-    """Wall-time each headline oracle through DuckDB on the same parquet
-    (fetchall materializes every cell, mirroring the noop sink)."""
+def _time_duckdb_oracles(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Steady-state wall-time for each headline oracle through DuckDB on
+    the same parquet (fetchall materializes every cell, mirroring the noop
+    sink).  Each oracle runs twice; the second run is recorded —
+    symmetric with the Spark warm pass."""
     import duckdb
 
     oracles = all_oracles()
@@ -80,21 +105,40 @@ def _time_duckdb_oracles(names: list[str]) -> dict[str, float]:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     timings: dict[str, float] = {}
-    warmed = False
     for name in names:
         if name not in oracles:
             continue  # rows-only op (LSH/ANN): no SQL-equivalent to race
-        if not warmed:  # first query carries catalog/IO warmup
-            con.execute(oracles[name]).fetchall()
-            warmed = True
+        con.execute(oracles[name]).fetchall()  # cold/compile/IO-warm run
         start = time.perf_counter()
         con.execute(oracles[name]).fetchall()
         timings[name] = round(time.perf_counter() - start, 3)
     con.close()
     return timings
+
+
+def _time_spark_pass(
+    spark, queries, names: list[str], sf_dir: str
+) -> tuple[dict[str, float], dict[str, float]]:
+    """One timed pass: per-query (total_seconds, build_seconds).
+
+    The timer covers op construction + noop materialization: ops with
+    eager persist-and-free internals (minhash_lsh_dedup) do their compute
+    during construction, which a write-only timer would miss (and for
+    lazy ops construction = analysis/planning, a real fixed cost)."""
+    timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        built = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        builds[name] = round(built - start, 3)
+        df.unpersist()  # free eager ops' result cache between queries
+    return timings, builds
 
 
 def main() -> None:
@@ -110,56 +154,66 @@ def main() -> None:
         app_name="gcs-blueprints-spark-bench", master=f"local[{CPUS}]"
     )
     queries = all_queries()
-    timings: dict[str, float] = {}
 
-    # JVM/codegen warmup on the smallest fixture so first-query JIT cost
-    # doesn't pollute the measured numbers; the mapInPandas op also spins
+    # JVM warmup on the smallest fixture; the mapInPandas op also spins
     # up the Python worker pool (~2 s at 32 cores), which otherwise lands
     # entirely on the first Arrow-kernel query measured (verify-skill
     # trap: profile Python ops only after a warmup kernel)
     queries["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     queries["similarity_knn_pandas"](spark, "/root/testdata/sf0.001").count()
 
+    # COLD pass (per-plan codegen compile included), then WARM pass — the
+    # steady-state headline (see module docstring).
+    cold, _cold_builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
+    timings, builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
+    total = sum(timings.values())
+
     # Spark's fixed per-query dispatch floor (plan + schedule + noop write
-    # of a 1-row DF).  Sub-second queries are floor-bound, which is what
-    # dominates the spark_vs_duckdb ratio at small SFs — the floor
-    # amortizes to ~0 at cluster scale, DuckDB's runtime does not.
+    # of a 1-row DF), measured warm like the headline pass.  Sub-second
+    # queries are floor-bound, which is what dominates the
+    # spark_vs_duckdb ratio at small SFs — the floor amortizes to ~0 at
+    # cluster scale, DuckDB's runtime does not.
+    spark.range(1).write.format("noop").mode("overwrite").save()
     start = time.perf_counter()
     spark.range(1).write.format("noop").mode("overwrite").save()
     floor = round(time.perf_counter() - start, 3)
 
-    # Per-query timer covers op construction + materialization: ops with
-    # eager persist-and-free internals (minhash_lsh_dedup) do their compute
-    # during construction, which the write-only timer of rounds 1-3 missed
-    # (and for lazy ops construction = analysis/planning, a real fixed cost
-    # the earlier rounds under-reported by ~0.3-0.4 s/query).  build_secs
-    # in BENCH_DETAIL.json carries the construction share per query so the
-    # methodology change stays auditable against earlier rounds.
-    total = 0.0
-    builds: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        built = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        builds[name] = round(built - start, 3)
-        timings[name] = round(elapsed, 3)
-        total += elapsed
-        df.unpersist()  # free eager ops' result cache between queries
+    # scale-slope pass: warm suite at the sibling sf0.001 (≈600-row
+    # tables, data cost ≈ 0) — each plan's warm time there is its
+    # per-plan dispatch floor (stage scheduling + shuffle setup for THAT
+    # plan shape, which a 1-row single-stage noop under-measures), and
+    # the sf0.001 → target-SF delta is the marginal-cost slope
+    slope_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    slope_spark = slope_duck = None
+    if os.path.isdir(slope_dir) and os.path.abspath(
+        slope_dir
+    ) != os.path.abspath(SF_DIR):
+        _time_spark_pass(spark, queries, HEADLINE, slope_dir)  # compile
+        slope_spark, _ = _time_spark_pass(spark, queries, HEADLINE, slope_dir)
     spark.stop()
 
-    duck = _time_duckdb_oracles(HEADLINE)
+    duck = _time_duckdb_oracles(HEADLINE, SF_DIR)
+    if slope_spark is not None:
+        slope_duck = _time_duckdb_oracles(HEADLINE, slope_dir)
     ratios = {
         name: round(timings[name] / duck[name], 2) if duck[name] > 0 else None
         for name in duck
     }
-    # floor-adjusted: subtract Spark's measured fixed dispatch cost, which
+    # floor-adjusted: subtract Spark's fixed dispatch cost, which
     # amortizes to ~0 on a cluster while DuckDB's runtime does not — the
-    # per-plan comparison the raw ratio obscures for sub-second queries
+    # per-plan comparison the raw ratio obscures for sub-second queries.
+    # The floor is per-plan (the same plan's warm time at sf0.001) when
+    # the slope pass ran; the scalar 1-row-noop floor is the fallback.
+    def _plan_floor(name: str) -> float:
+        if slope_spark is not None and name in slope_spark:
+            return slope_spark[name]
+        return floor
+
     ratios_adj = {
         name: (
-            round(max(timings[name] - floor, 0.001) / duck[name], 2)
+            round(
+                max(timings[name] - _plan_floor(name), 0.001) / duck[name], 2
+            )
             if duck[name] > 0
             else None
         )
@@ -173,23 +227,42 @@ def main() -> None:
     )
     suite_ratio_adj = (
         round(
-            sum(max(timings[n] - floor, 0.001) for n in duck) / duck_total,
+            sum(max(timings[n] - _plan_floor(n), 0.001) for n in duck)
+            / duck_total,
             2,
         )
         if duck_total > 0
         else None
     )
 
+    # marginal cost between sf0.001 and the target SF: fixed dispatch and
+    # compile cancel in the difference on BOTH engines, leaving the
+    # data-proportional cost ratio — the 100 TB-relevant number
+    scale_slope = None
+    if slope_spark is not None and slope_duck is not None:
+        d_spark = sum(
+            max(timings[n] - slope_spark[n], 0.0) for n in duck
+        )
+        d_duck = sum(
+            max(duck[n] - slope_duck.get(n, 0.0), 0.0) for n in duck
+        )
+        if d_duck > 0:
+            scale_slope = round(d_spark / d_duck, 2)
+
     detail = {
         "sf": sf,
         "spark_floor_seconds": floor,
         "spark_queries": timings,
+        "spark_queries_cold": cold,
         "spark_build_seconds": builds,
         "duckdb_queries": duck,
+        "spark_queries_sf001": slope_spark,
+        "duckdb_queries_sf001": slope_duck,
         "spark_vs_duckdb": ratios,
         "spark_vs_duckdb_floor_adjusted": ratios_adj,
         "suite_ratio": suite_ratio,
         "suite_ratio_floor_adjusted": suite_ratio_adj,
+        "scale_slope_ratio": scale_slope,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -208,9 +281,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_value": round(sum(cold.values()), 3),
                 "spark_floor_seconds": floor,
                 "suite_ratio": suite_ratio,
                 "suite_ratio_floor_adjusted": suite_ratio_adj,
+                "scale_slope_ratio": scale_slope,
             },
             separators=(",", ":"),
         )

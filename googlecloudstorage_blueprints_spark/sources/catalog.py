@@ -26,6 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["TABLES", "load_table", "register_views"]
 
+# Plan cache: (applicationId, sf_dir, table) -> analyzed DataFrame.  A
+# DataFrame is an immutable logical plan, so handing the same object to
+# every operator is safe and skips the per-call file listing + parquet
+# footer/schema-inference read that otherwise lands on the driver for
+# EVERY query (the role a metastore's cached table metadata plays on a
+# real cluster).  Keyed by applicationId so a restarted session never
+# reuses plans bound to a stopped JVM; entries from other app ids are
+# pruned on miss, bounding the cache to the live session.
+_PLAN_CACHE: dict = {}
+
 TABLES = (
     "region",
     "nation",
@@ -41,7 +51,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame."""
+    """Load one fixture table as a DataFrame (plan cached per session)."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _PLAN_CACHE if k[0] != app]:
+        del _PLAN_CACHE[stale]
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,8 +68,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _PLAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
