@@ -67,6 +67,7 @@ def _load_all() -> None:
         pipeline,
         relational_tpch2,
         scale_patterns,
+        training,
     )
 
 
@@ -78,6 +79,10 @@ def _load_all() -> None:
 # driver-green ops sit in the middle — they stay pinned locally by
 # tests/test_oracle_parity.py regardless of whether they re-enter the window.
 _DRIVER_FIRST = [
+    # -- new oracle-backed ops, never seen by the driver --
+    "sequence_pack",
+    "benchmark_contamination",
+    "tfidf_topk",
     # -- semantics or plan changed in round 4: must re-adjudicate --
     "pareto_revenue",  # decile key fixed (last customer no longer dropped)
     "pareto_revenue_scale",  # new: range-parallel exact decile variant

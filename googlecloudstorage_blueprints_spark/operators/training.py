@@ -1,0 +1,230 @@
+"""Training-data assembly operators: context packing, decontamination,
+TF-IDF term ranking.
+
+These extend the LLM-pipeline family (dedup.py, text.py, pipeline.py)
+with the assembly-side shapes a 100 TB pretraining pipeline needs; the
+file-transfer reference has no analytics counterpart (SURVEY.md §2.A.4 —
+additions mandated by the build brief, not ported behavior).
+
+Parity conventions (operators/relational.py docstring): bigint-cast
+integer-returning expressions, exact-integer ratios left unrounded,
+ln()-derived doubles rounded to 6dp on BOTH engines before they feed an
+ORDER BY, window orderings made total with unique tiebreakers, NULL text
+excluded explicitly on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+PACK_CONTEXT_TOKENS = 2048  # context-window capacity for sequence_pack
+CONTAM_EVAL_MOD = 97        # doc_id % MOD == 0 -> held-out eval slice
+TFIDF_TOP_K = 3
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // {PACK_CONTEXT_TOKENS} AS bin_id
+        FROM toks
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) * 1.0 / {PACK_CONTEXT_TOKENS}
+               AS fill_ratio
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token context windows, per source shard.
+
+    Assignment rule: docs stream in doc_id order within their source;
+    a doc lands in bin ``floor(tokens_before_it / C)`` — the standard
+    streaming approximation of greedy packing (a bin may overflow by at
+    most one document, never underfill by more than the next doc).
+
+    Scale: the cumulative window partitions by ``source`` — each shard
+    packs independently, so there is no global sort; at 100 TB sources
+    are the natural write-shard key and the window is a single
+    per-partition pass after one shuffle on source.  fill_ratio is an
+    exact integer ratio (identical bigints ÷ constant) — bit-identical
+    across engines unrounded."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    # SQL-expr window for the integer `div` (floating division would
+    # jitter at exact capacity boundaries and diverge from the oracle)
+    packed = toks.withColumn(
+        "bin_id",
+        F.expr(
+            f"coalesce(sum(n_tokens) over ("
+            f"partition by source order by doc_id "
+            f"rows between unbounded preceding and 1 preceding), 0) "
+            f"div {PACK_CONTEXT_TOKENS}"
+        ),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") * 1.0 / PACK_CONTEXT_TOKENS).alias("fill_ratio"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+                     ))) AS s
+              FROM documents
+              WHERE text IS NOT NULL)
+    ),
+    ev AS (SELECT doc_id, s FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0)
+    SELECT corp.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT corp.s) AS BIGINT) AS n_shared_ngrams,
+           CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs_hit
+    FROM corp JOIN ev ON corp.s = ev.s
+    GROUP BY corp.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: corpus docs sharing 3-gram text spans with a
+    held-out eval slice (``doc_id % 97 == 0``).
+
+    The shape every pretraining pipeline runs before training: an
+    inverted-index join from corpus n-grams to eval n-grams, grouped per
+    corpus doc.  Scale: the eval side is ~1% of the corpus; the join
+    shuffles on the shingle value (hot shingles are stopword-y phrases —
+    AQE skew-split territory), and at 100 TB the eval shingle index is
+    the side you bucket or broadcast per partition.  Counts are exact
+    integers on both engines."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        # single-row-group fixture: spread the interpreted shingle lambda
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        word_shingles,
+    )
+
+    sh = d.select(
+        "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
+    )
+    ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    corp = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    return (
+        corp.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+@register(
+    "tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM words GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents WHERE text IS NOT NULL),
+    scored AS (
+        SELECT tf.doc_id, tf.w AS term, tf.tf,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+               ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by TF-IDF.
+
+    tfidf = tf · ln(N / df), rounded to 6dp on BOTH engines BEFORE the
+    ranking window reads it — ln() may differ between engines in the
+    last ulp, and an unrounded ORDER BY would let that flip ranks.  The
+    window is made total with a ``term ASC`` tiebreaker.
+
+    Scale: two hash-aggregates (tf, df) plus one broadcast scalar (N)
+    and a per-doc window — the df table is vocabulary-sized (≪ corpus)
+    and broadcasts; nothing orders globally."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = (
+        d.select("doc_id", F.explode_outer(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = words.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn(
+            "rnk", F.row_number().over(w_rank).cast("long")
+        )
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+    )
