@@ -112,9 +112,13 @@ def _time_duckdb_oracles(names: list[str], sf_dir: str) -> dict[str, float]:
         if name not in oracles:
             continue  # rows-only op (LSH/ANN): no SQL-equivalent to race
         con.execute(oracles[name]).fetchall()  # cold/compile/IO-warm run
-        start = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(2):  # best-of-2, mirroring the Spark warm passes
+            start = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
     con.close()
     return timings
 
@@ -162,10 +166,15 @@ def main() -> None:
     queries["pricing_summary"](spark, "/root/testdata/sf0.001").count()
     queries["similarity_knn_pandas"](spark, "/root/testdata/sf0.001").count()
 
-    # COLD pass (per-plan codegen compile included), then WARM pass — the
-    # steady-state headline (see module docstring).
+    # COLD pass (per-plan codegen compile included), then two WARM
+    # passes — the headline is the per-query BEST of the warm passes:
+    # the host shows intermittent multi-second noisy-neighbor episodes
+    # (pure-numpy probes vary 2× run-to-run), and a single contaminated
+    # pass otherwise reads as a phantom regression.
     cold, _cold_builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
-    timings, builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
+    warm_a, builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
+    warm_b, _ = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
+    timings = {n: min(warm_a[n], warm_b[n]) for n in warm_a}
     total = sum(timings.values())
 
     # Spark's fixed per-query dispatch floor (plan + schedule + noop write
@@ -189,7 +198,11 @@ def main() -> None:
         slope_dir
     ) != os.path.abspath(SF_DIR):
         _time_spark_pass(spark, queries, HEADLINE, slope_dir)  # compile
-        slope_spark, _ = _time_spark_pass(spark, queries, HEADLINE, slope_dir)
+        w1, _ = _time_spark_pass(spark, queries, HEADLINE, slope_dir)
+        w2, _ = _time_spark_pass(spark, queries, HEADLINE, slope_dir)
+        # a floor estimate wants the MIN of repeated warm runs — single-run
+        # scheduler noise (~±0.3 s) otherwise exceeds some warm targets
+        slope_spark = {n: min(w1[n], w2[n]) for n in w1}
     spark.stop()
 
     duck = _time_duckdb_oracles(HEADLINE, SF_DIR)
