@@ -79,70 +79,70 @@ def _load_all() -> None:
 # driver-green ops sit in the middle — they stay pinned locally by
 # tests/test_oracle_parity.py regardless of whether they re-enter the window.
 _DRIVER_FIRST = [
-    # -- new oracle-backed ops, never seen by the driver --
-    "sequence_pack",
-    "benchmark_contamination",
-    "tfidf_topk",
-    # -- semantics or plan changed in round 4: must re-adjudicate --
-    "pareto_revenue",  # decile key fixed (last customer no longer dropped)
-    "pareto_revenue_scale",  # new: range-parallel exact decile variant
-    "repetition_score",  # NULL-text explode divergence fixed both engines
-    "quality_filter_funnel",  # same NULL-text fix
-    "events_hierarchical_rollup",  # persist leak fixed (plan unchanged)
-    # -- 38 oracle keys last hash-verified in round 1 (stale-green) --
-    "grouping_rollup",
-    "grouping_cube",
-    "window_ranking",
-    "window_analytic",
-    "topk_per_group",
-    "orderby_limit",
-    "set_ops",
-    "scalar_string_date_math",
-    "conditional_agg_having",
-    "multiway_join_agg",
-    "grouping_sets",
-    "subquery_scalar_agg",
-    "percentiles_agg",
-    "unpivot_metrics",
-    "window_range_frame",
-    "arg_min_max",
-    "join_asof",
-    "sql_tpch_q5",
-    "window_distribution",
-    "custdist",
-    "null_semantics",
-    "volume_shipping",
-    "returned_items_top",
-    "table_profile",
-    "promo_revenue",
-    "disjunctive_filter_join",
-    "nation_concentration",
-    "json_extract",
-    "json_schema_infer",
-    "array_ops",
-    "array_explode_agg",
-    "text_stats",
-    "token_count",
-    "quality_score",
-    "doc_fingerprint",
-    "balanced_sample",
-    "exact_dedup",
-    "ngram_jaccard_dedup",
-    # -- rows-only keys never driver-adjudicated (weaker check, but the
-    #    driver should see them at least once; remainder queue for r5) --
-    "minhash_lsh_dedup",  # shingle-frame persist added this round
-    "simhash_dedup",
-    "similarity_rp_lsh",  # persist leak fixed this round
-    "similarity_knn_ivf",
+    # -- plan/semantics changed in round 5: must re-adjudicate --
+    "sequence_pack",  # pack window sub-sharded (source, shard) + offset pass
+    "tfidf_topk",  # forced broadcast(df) dropped; AQE picks the join
+    "pareto_revenue",  # now delegates to the range-parallel scale path
+    # -- rows-only keys never driver-adjudicated (the r4 window cut off at
+    #    50; these six are the entire remaining never-seen backlog) --
     "agg_approx_sketches",
     "file_manifest",
     "multimodal_features",
-]
-_DRIVER_LAST = [
-    # rows-only keys queued for the round-5 window rotation
-    "multimodal_decode",  # empty-text guard added this round
+    "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # -- 46 oracle keys last hash-verified in round 2/3 (one window stale);
+    #    if the driver budget is 50, the last 5 spill to round 6 --
+    "scan_project_filter",
+    "pricing_summary",
+    "join_broadcast",
+    "join_shuffle",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "agg_distinct",
+    "top_supplier",
+    "array_agg_ops",
+    "lang_id",
+    "similarity_knn_bruteforce",
+    "similarity_knn_pandas",
+    "dedup_embedding_cosine",
+    "events_sessionize",
+    "events_session_stats",
+    "events_tumbling_agg",
+    "events_type_pivot",
+    "events_funnel",
+    "events_gapfill",
+    "events_retention",
+    "events_sliding_agg",
+    "events_anomaly",
+    "events_windowed_topk",
+    "events_change_points",
+    "file_manifest_stats",
+    "dedup_clusters",
+    "multimodal_metadata_agg",
+    "stratified_split",
+    "doc_length_histogram",
+    "ngram_topk",
+    "embedding_norms",
+    "table_checks",
+    "incremental_dedup",
+    "order_priority_exists",
+    "late_shipment_classes",
+    "small_quantity_revenue",
+    "large_volume_customer",
+    "waiting_orders_per_supplier",
+    "dormant_customers",
+    "string_agg_groups",
+    "numeric_correlations",
+    "join_asof_tolerance",
+    "cohort_ltv",
+    "join_skew_salted",
+    "join_range_binned",
+]
+_DRIVER_LAST: list[str] = [
+    # nothing queued: every registry key has been driver-adjudicated at
+    # least once after the r5 window lands (r4 covered the rest)
 ]
 
 

@@ -63,13 +63,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # int64 nanos → µs timestamp, truncating like DuckDB's reader
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     else:
         df = spark.read.parquet(path)
+    # Fixture vintages differ: timestamps arrive as TIMESTAMP(MICROS, ntz)
+    # in newer testdata (timestamp_ntz in Spark) vs UTC-adjusted micros (or
+    # int64 nanos for events.ts) in older ones.  Normalize every ntz column
+    # to TIMESTAMP: the session timezone is pinned to UTC
+    # (session.RUNTIME_CONF), so the cast relabels the stored microseconds
+    # without shifting them — bit-identical to DuckDB's naive read, and it
+    # keeps timestamp-only builtins (unix_micros, window(), to_utc_timestamp)
+    # working no matter which vintage generated the files.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     _PLAN_CACHE[key] = df
     return df
 

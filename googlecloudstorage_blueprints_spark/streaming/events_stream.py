@@ -46,10 +46,16 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # newer fixtures store TIMESTAMP(MICROS, ntz); session tz is pinned
+        # UTC so the cast relabels micros without shifting (watermarks and
+        # window() require TIMESTAMP, not TIMESTAMP_NTZ)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -176,11 +182,9 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded z-score threshold mirrors the batch op's cross-engine
     parity rule."""
     events = read_events_stream(spark, sf_dir)
-    history = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(history.dtypes).get("ts") == "bigint":
-        history = history.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+    history = load_table(spark, sf_dir, "events")
     stats = history.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev_pop("value").alias("sigma"),
