@@ -22,8 +22,64 @@ from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
 PACK_CONTEXT_TOKENS = 2048  # context-window capacity for sequence_pack
+PACK_SHARD_DOCS = 4096      # docs per sub-shard of the packing window
 CONTAM_EVAL_MOD = 97        # doc_id % MOD == 0 -> held-out eval slice
 TFIDF_TOP_K = 3
+
+
+def _packed_bins(toks: DataFrame, shard_docs: int = PACK_SHARD_DOCS) -> DataFrame:
+    """Assign each doc its pack ``bin_id`` without a per-source serial window.
+
+    Semantics: ``bin_id = floor(tokens_before_doc / C)`` with docs ordered
+    by doc_id within their source — identical to one cumulative-sum window
+    partitioned by ``source``, but decomposed so no window partition scales
+    with corpus size (a single hot source would otherwise serialize the
+    whole pack on one task after the sort).
+
+    Two-level exact decomposition (same trick as
+    ``relational_ext.pareto_revenue_scale``):
+
+    1. shard = ``doc_id div shard_docs`` — doc_id is monotone, so
+       (shard, doc_id) order == doc_id order and shards are contiguous
+       doc ranges; each (source, shard) window partition is ≤ shard_docs
+       rows no matter how hot the source.
+    2. ``local_before``: cumulative tokens before the doc WITHIN its
+       (source, shard) partition.
+    3. ``shard_before``: per-source cumulative total of preceding shards —
+       a window over the per-shard AGGREGATE frame (one 24-byte row per
+       shard, corpus/shard_docs rows: ~2.4 M rows for 10 B docs — the only
+       per-source serial pass left, and it runs on totals, not docs).
+    4. ``tokens_before = shard_before + local_before`` — exact, because
+       shards partition each source's doc sequence into contiguous runs.
+    """
+    sharded = toks.withColumn("shard", F.expr(f"doc_id div {shard_docs}"))
+    local = sharded.withColumn(
+        "local_before",
+        F.expr(
+            "coalesce(sum(n_tokens) over ("
+            "partition by source, shard order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0)"
+        ),
+    )
+    offsets = (
+        sharded.groupBy("source", "shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "shard_before",
+            F.expr(
+                "coalesce(sum(shard_tokens) over ("
+                "partition by source order by shard "
+                "rows between unbounded preceding and 1 preceding), 0)"
+            ),
+        )
+        .select("source", "shard", "shard_before")
+    )
+    return local.join(offsets, ["source", "shard"]).withColumn(
+        "bin_id",
+        F.expr(
+            f"(shard_before + local_before) div {PACK_CONTEXT_TOKENS}"
+        ),
+    )
 
 
 @register(
@@ -60,29 +116,23 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming approximation of greedy packing (a bin may overflow by at
     most one document, never underfill by more than the next doc).
 
-    Scale: the cumulative window partitions by ``source`` — each shard
-    packs independently, so there is no global sort; at 100 TB sources
-    are the natural write-shard key and the window is a single
-    per-partition pass after one shuffle on source.  fill_ratio is an
-    exact integer ratio (identical bigints ÷ constant) — bit-identical
-    across engines unrounded."""
+    Scale: the cumulative sum is decomposed over (source, doc_id div K)
+    sub-shards with a per-shard offset pass (``_packed_bins``) — exact
+    same bin assignment as one per-source window (the oracle keeps the
+    single-window SQL as the semantic spec), but no window partition
+    whose size scales with corpus size: a terabyte-hot source packs in
+    parallel across its shards.  fill_ratio is an exact integer ratio
+    (identical bigints ÷ constant) — bit-identical across engines
+    unrounded."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    # SQL-expr window for the integer `div` (floating division would
-    # jitter at exact capacity boundaries and diverge from the oracle)
-    packed = toks.withColumn(
-        "bin_id",
-        F.expr(
-            f"coalesce(sum(n_tokens) over ("
-            f"partition by source order by doc_id "
-            f"rows between unbounded preceding and 1 preceding), 0) "
-            f"div {PACK_CONTEXT_TOKENS}"
-        ),
-    )
+    # integer `div` throughout (floating division would jitter at exact
+    # capacity boundaries and diverge from the oracle)
+    packed = _packed_bins(toks)
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -133,21 +183,29 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
+    # the shingle projection (interpreted transform lambda over every doc)
+    # feeds BOTH sides of the inverted-index join — persist it so it is
+    # computed once, and materialize the result eagerly so the cache can
+    # be dropped before returning (same hygiene as minhash_lsh_dedup)
     sh = d.select(
         "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
-    )
+    ).persist()
     ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "s"
     )
     corp = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    return (
+    out = (
         corp.join(ev, "s")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("s").alias("n_shared_ngrams"),
             F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
         )
+        .persist()
     )
+    out.count()  # materialize through the cached shingle frame
+    sh.unpersist()
+    return out
 
 
 @register(
@@ -191,8 +249,12 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is made total with a ``term ASC`` tiebreaker.
 
     Scale: two hash-aggregates (tf, df) plus one broadcast scalar (N)
-    and a per-doc window — the df table is vocabulary-sized (≪ corpus)
-    and broadcasts; nothing orders globally."""
+    and a per-doc window.  The tf⋈df join carries NO broadcast hint: on a
+    raw web corpus the distinct-term table is billions of rows (typos,
+    code, CJK segments) — far past broadcastable — so the safe default is
+    a shuffle on ``w`` (both aggregates already partition by ``w``-derived
+    keys) and AQE upgrades to broadcast at runtime only when the measured
+    df side is actually small.  Nothing orders globally."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = (
         d.select("doc_id", F.explode_outer(F.split("text", " ")).alias("w"))
@@ -206,7 +268,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

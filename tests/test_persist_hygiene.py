@@ -23,6 +23,7 @@ PERSISTING_OPS = [
     "pareto_revenue_scale",
     "events_hierarchical_rollup",
     "similarity_rp_lsh",
+    "benchmark_contamination",
 ]
 
 

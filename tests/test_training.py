@@ -1,0 +1,95 @@
+"""Training-assembly operators: scale-shape pins beyond oracle parity.
+
+Round-4 verdict items #3/#4: ``tfidf_topk`` must not force-broadcast the
+document-frequency table (billions of rows on a raw web corpus), and
+``sequence_pack``'s cumulative window must not have a partition whose
+size scales with corpus size (one hot source would serialize the pack).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+from googlecloudstorage_blueprints_spark.operators.training import (
+    PACK_SHARD_DOCS,
+    _packed_bins,
+)
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+
+def _doc_tokens(spark):
+    d = load_table(spark, SF, "documents").where(F.col("text").isNotNull())
+    return d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def test_pack_decomposition_exact_for_any_shard_size(spark):
+    """bin_id from the sub-sharded two-level pass == single-window bin_id,
+    for a shard size small enough to force many shards per source."""
+    toks = _doc_tokens(spark)
+    single = toks.withColumn(
+        "bin_single",
+        F.expr(
+            "coalesce(sum(n_tokens) over ("
+            "partition by source order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0) div 2048"
+        ),
+    ).select("source", "doc_id", "bin_single")
+    for shard_docs in (8, PACK_SHARD_DOCS):
+        sharded = _packed_bins(toks, shard_docs).select(
+            "source", "doc_id", "bin_id"
+        )
+        diff = (
+            sharded.join(single, ["source", "doc_id"])
+            .where(F.col("bin_id") != F.col("bin_single"))
+            .count()
+        )
+        assert diff == 0, f"shard_docs={shard_docs}: decomposition drifted"
+
+
+def test_pack_window_partitions_bounded_by_shard_size(spark):
+    """No Window partition key is bare ``source``: every doc-level window
+    partitions by (source, shard), so a hot source cannot serialize."""
+    df = QUERIES["sequence_pack"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        parts = [p.strip() for p in spec.split(",")]
+        key_cols = [p.split("#")[0] for p in parts if "#" in p]
+        if "n_tokens" in spec:
+            # the doc-level cumulative window must carry the shard key
+            assert any(k == "shard" for k in key_cols), spec
+
+
+def test_tfidf_no_forced_broadcast_of_df_side(spark):
+    """The tf⋈df join carries no broadcast hint; the only hint left is the
+    1-row corpus-size scalar (legitimately broadcast)."""
+    df = QUERIES["tfidf_topk"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    joins_with_hint = [
+        line
+        for line in plan.splitlines()
+        if "Join" in line and "strategy=broadcast" in line
+    ]
+    for line in joins_with_hint:
+        # the scalar N frame aggregates count(1) — its join is a cross
+        # join; the equi-join on w must carry no broadcast strategy
+        assert "Cross" in line, f"forced broadcast on the df join: {line}"
+
+
+def test_contamination_result_cached_intermediates_freed(spark):
+    """benchmark_contamination returns an eagerly-materialized result and
+    holds no shingle-frame cache (persist-hygiene twin; blast-radius
+    check lives in test_persist_hygiene.py)."""
+    df = QUERIES["benchmark_contamination"](spark, SF)
+    assert df.storageLevel.useMemory  # returned result is the only cache
+    assert df.count() >= 0
+    df.unpersist(blocking=True)
