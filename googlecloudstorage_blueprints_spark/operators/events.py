@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -161,7 +162,8 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        .orderBy("bucket")
+        # |hourly buckets| rows (~88k for a decade of data): bounded sort
+        .transform(sort_bounded, "bucket")
     )
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -119,7 +120,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # 6 groups: bounded sort, no range-sampling job
+        .transform(sort_bounded, "l_returnflag", "l_linestatus")
     )
 
 
@@ -157,7 +159,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
         )
-        .orderBy("r_name", "n_name")
+        # 25 (region, nation) groups: bounded sort
+        .transform(sort_bounded, "r_name", "n_name")
     )
 
 
@@ -195,7 +198,8 @@ def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
-        .orderBy("o_orderpriority")
+        # 5 priority groups: bounded sort
+        .transform(sort_bounded, "o_orderpriority")
     )
 
 
@@ -302,7 +306,8 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.countDistinct("o_orderstatus").alias("n_statuses"),
         )
-        .orderBy("o_orderpriority")
+        # 5 priority groups: bounded sort
+        .transform(sort_bounded, "o_orderpriority")
     )
 
 

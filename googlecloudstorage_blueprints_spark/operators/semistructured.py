@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -51,7 +52,8 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
             F.countDistinct(F.col("k").cast("string")).alias("n_distinct_k"),
         )
-        .orderBy("event_type")
+        # |event types| groups: bounded sort, no range-sampling job
+        .transform(sort_bounded, "event_type")
     )
 
 
