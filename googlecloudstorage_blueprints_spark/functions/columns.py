@@ -49,10 +49,32 @@ def enumerate_name_col(name_col: Column, number_col: Column) -> Column:
 
 
 def word_shingles(text_col: str, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column (dedup building block)."""
+    """Distinct k-word shingles of a text column (dedup building block).
+
+    Array-returning form: the per-element lambda runs INTERPRETED (~20×
+    slower than codegen) — fine as the verify/oracle tier, but hot paths
+    should use :func:`shingle_structs` + explode + ``concat_ws`` instead,
+    which stays entirely inside whole-stage codegen."""
     return F.expr(
         f"array_distinct(transform("
         f"  sequence(0, greatest(size(split({text_col}, ' ')) - {k}, 0)),"
         f"  i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k}))"
         f"))"
     )
+
+
+def shingle_structs(text_col: str, k: int = 3) -> Column:
+    """Explode-ready k-word shingle structs, built with codegen only.
+
+    ``arrays_zip`` of k shifted ``slice``s of the token array — no
+    interpreted higher-order function anywhere.  After
+    ``explode_outer`` the shingle string is ``concat_ws(" ", p.0, ...,
+    p.{k-1})`` (``concat_ws`` skips the NULLs arrays_zip pads short docs
+    with).  Emits ``greatest(n_tokens - k + 1, 1)`` structs per doc —
+    docs shorter than k words contribute their whole text as one
+    shingle, exactly like :func:`word_shingles` — but does NOT dedup
+    within the doc; follow with ``dropDuplicates`` when per-doc
+    distinctness matters."""
+    a = F.split(text_col, " ")
+    length = F.greatest(F.size(a) - (k - 1), F.lit(1))
+    return F.arrays_zip(*[F.slice(a, i + 1, length) for i in range(k)])

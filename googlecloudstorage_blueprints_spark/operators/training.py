@@ -176,20 +176,29 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        # single-row-group fixture: spread the interpreted shingle lambda
+        # single-row-group fixture: spread the shingle explode
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     from googlecloudstorage_blueprints_spark.functions.columns import (
-        word_shingles,
+        shingle_structs,
     )
 
-    # the shingle projection (interpreted transform lambda over every doc)
-    # feeds BOTH sides of the inverted-index join — persist it so it is
-    # computed once, and materialize the result eagerly so the cache can
-    # be dropped before returning (same hygiene as minhash_lsh_dedup)
-    sh = d.select(
-        "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
-    ).persist()
+    # codegen shingles (arrays_zip of shifted slices — no interpreted
+    # lambda), deduped per doc to keep the join fan-out bounded.  The
+    # distinct shingle frame feeds BOTH sides of the inverted-index join —
+    # persist it so it is computed once, and materialize the result
+    # eagerly so the cache can be dropped before returning (same hygiene
+    # as minhash_lsh_dedup)
+    sh = (
+        d.select(
+            "doc_id", F.explode_outer(shingle_structs("text", 3)).alias("p")
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s")
+        )
+        .dropDuplicates(["doc_id", "s"])
+        .persist()
+    )
     ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "s"
     )
