@@ -79,10 +79,16 @@ def _load_all() -> None:
 # driver-green ops sit in the middle — they stay pinned locally by
 # tests/test_oracle_parity.py regardless of whether they re-enter the window.
 _DRIVER_FIRST = [
+    # -- new oracle-backed ops, never seen by the driver --
+    "source_mixture_weights",
+    "source_vocab_overlap",
     # -- plan/semantics changed in round 5: must re-adjudicate --
     "sequence_pack",  # pack window sub-sharded (source, shard) + offset pass
     "tfidf_topk",  # forced broadcast(df) dropped; AQE picks the join
     "pareto_revenue",  # now delegates to the range-parallel scale path
+    "json_extract",  # bounded sort replaces range-sampled orderBy
+    "benchmark_contamination",  # codegen shingles + per-doc distinct
+    "ngram_topk",  # in-row zip bigrams replace the lead() window
     # -- rows-only keys never driver-adjudicated (the r4 window cut off at
     #    50; these six are the entire remaining never-seen backlog) --
     "agg_approx_sketches",
@@ -91,8 +97,9 @@ _DRIVER_FIRST = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- 46 oracle keys last hash-verified in round 2/3 (one window stale);
-    #    if the driver budget is 50, the last 5 spill to round 6 --
+    # -- 45 oracle keys last hash-verified in round 2/3 (one window stale);
+    #    if the driver budget is 50, the last 9 spill to round 6 (still
+    #    pinned locally by tests/test_oracle_parity.py at sf0.01) --
     "scan_project_filter",
     "pricing_summary",
     "join_broadcast",
@@ -123,7 +130,6 @@ _DRIVER_FIRST = [
     "multimodal_metadata_agg",
     "stratified_split",
     "doc_length_histogram",
-    "ngram_topk",
     "embedding_norms",
     "table_checks",
     "incremental_dedup",

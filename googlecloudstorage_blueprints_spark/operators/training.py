@@ -299,3 +299,156 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= TFIDF_TOP_K)
     )
+
+
+MIXTURE_ALPHA = 0.7  # temperature exponent for source reweighting
+
+
+@register(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(pow(n_tokens, {MIXTURE_ALPHA})) AS z,
+               CAST(SUM(n_tokens) AS BIGINT)       AS t
+        FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(pow(n_tokens, {MIXTURE_ALPHA}) / z, 6) AS weight,
+           round((pow(n_tokens, {MIXTURE_ALPHA}) / z)
+                 / (CAST(n_tokens AS DOUBLE) / t), 6)   AS boost
+    FROM per_src CROSS JOIN tot
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based pretraining mixture: sampling weight per source
+    ∝ tokens^α (α={alpha}) — the standard recipe for upweighting small
+    high-quality sources against a dominant crawl (GPT-3/LLaMA-style
+    data mixtures; α=1 is proportional, α=0 uniform).
+
+    ``weight`` is each source's share of the training mixture; ``boost``
+    is weight ÷ natural share — >1 means the source is oversampled.
+
+    Scale: one token-count aggregate over the corpus (map-side partial
+    sum of size(split())), then a |sources|-row frame crossed with a
+    1-row normalizer — everything after the first aggregate is
+    scalar-sized.  pow()-derived doubles are rounded 6dp on BOTH engines
+    before output (libm last-ulp drift), same convention as tfidf's ln.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    w_raw = F.pow(F.col("n_tokens"), MIXTURE_ALPHA)
+    tot = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens"), MIXTURE_ALPHA)).alias("z"),
+        F.sum("n_tokens").alias("t"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w_raw / F.col("z"), 6).alias("weight"),
+        F.round(
+            (w_raw / F.col("z"))
+            / (F.col("n_tokens").cast("double") / F.col("t")),
+            6,
+        ).alias("boost"),
+    )
+
+
+source_mixture_weights.__doc__ = source_mixture_weights.__doc__.format(
+    alpha=MIXTURE_ALPHA
+)
+
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, w
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS vsize
+        FROM vocab GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS common_words
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.common_words,
+           p.common_words * 1.0
+               / (sa.vsize + sb.vsize - p.common_words) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source redundancy: vocabulary Jaccard between every pair
+    of sources — the corpus-curation probe for "are these two crawls the
+    same thing twice" before spending dedup compute on them.
+
+    Scale: the join is keyed on the WORD with fan-out bounded by
+    |sources|² per word (sources are dozens, not data-sized), so hot
+    stopwords cannot blow up the shuffle the way doc-keyed pair joins
+    do; the distinct-vocab frame is one hash-aggregate.  jaccard is an
+    exact integer ratio (bigints ÷ bigints) — bit-identical across
+    engines unrounded."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    vocab = (
+        d.select(
+            "source", F.explode_outer(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common_words"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(
+            F.broadcast(sa), F.col("source_a") == F.col("sa.source")
+        )
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "common_words",
+            (
+                F.col("common_words")
+                * 1.0
+                / (
+                    F.col("sa.vsize")
+                    + F.col("sb.vsize")
+                    - F.col("common_words")
+                )
+            ).alias("jaccard"),
+        )
+    )
