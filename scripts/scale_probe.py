@@ -48,19 +48,36 @@ def bench_shapes(
     docs = spark.read.parquet(doc_path)
 
     def ngram_topk():
-        from pyspark.sql.window import Window as W
-
-        toks = docs.select(
-            "doc_id", F.posexplode_outer(F.split("text", " ")).alias("pos", "w")
+        # round-5 form: in-row arrays_zip bigrams (no token shuffle)
+        a = F.split("text", " ")
+        pairs = F.arrays_zip(
+            F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
         )
-        big = toks.withColumn(
-            "w2", F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
-        ).where(F.col("w2").isNotNull())
+        big = docs.select(F.explode_outer(pairs).alias("p")).where(
+            F.col("p.1").isNotNull()
+        )
         return (
-            big.groupBy(F.concat_ws(" ", "w", "w2").alias("bigram"))
+            big.groupBy(F.concat_ws(" ", "p.0", "p.1").alias("bigram"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), "bigram")
             .limit(20)
+        )
+
+    def sequence_pack():
+        # round-5 sub-sharded pack window (training._packed_bins)
+        from googlecloudstorage_blueprints_spark.operators.training import (
+            _packed_bins,
+        )
+
+        toks = docs.where(F.col("text").isNotNull()).select(
+            "source",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        return (
+            _packed_bins(toks)
+            .groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)), F.sum("n_tokens"))
         )
 
     shapes = {
@@ -69,6 +86,9 @@ def bench_shapes(
         # shuffle is constant and only the map side grows — the shape that
         # must stay ~linear for the corpus ops to hold at 100 TB.
         "ngram_topk": ngram_topk,
+        # round-5 assembly shape: doc-count-sized windows stay bounded by
+        # the sub-shard size; must scale like the agg shapes, not a sort
+        "sequence_pack": sequence_pack,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
