@@ -408,12 +408,16 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ratio (bigints ÷ bigints) — bit-identical across
     engines unrounded."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # the distinct-vocab frame feeds THREE consumers (sizes + both join
+    # sides): persist it so the explode+distinct runs once, materialize
+    # the |sources|²-row result eagerly, unpersist before returning
     vocab = (
         d.select(
             "source", F.explode_outer(F.split("text", " ")).alias("w")
         )
         .where(F.col("w") != "")
         .distinct()
+        .persist()
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vsize"))
     a = vocab.alias("a")
@@ -432,7 +436,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    return (
+    out = (
         pairs.join(
             F.broadcast(sa), F.col("source_a") == F.col("sa.source")
         )
@@ -451,4 +455,8 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("jaccard"),
         )
+        .persist()
     )
+    out.count()  # materialize through the cached vocab frame
+    vocab.unpersist()
+    return out

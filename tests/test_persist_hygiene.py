@@ -25,6 +25,7 @@ PERSISTING_OPS = [
     "events_hierarchical_rollup",
     "similarity_rp_lsh",
     "benchmark_contamination",
+    "source_vocab_overlap",
 ]
 
 
