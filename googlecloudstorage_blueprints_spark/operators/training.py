@@ -125,19 +125,32 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical bigints ÷ constant) — bit-identical across engines
     unrounded."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # the token frame feeds BOTH branches of the decomposition (doc-level
+    # window + per-shard offsets) and is one 3-column row per doc — far
+    # smaller than the input — so persist it rather than scanning the
+    # corpus twice; materialize eagerly and unpersist before returning
     toks = d.select(
         "source",
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
+    ).persist()
     # integer `div` throughout (floating division would jitter at exact
     # capacity boundaries and diverge from the oracle)
     packed = _packed_bins(toks)
-    return packed.groupBy("source", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        (F.sum("n_tokens") * 1.0 / PACK_CONTEXT_TOKENS).alias("fill_ratio"),
+    out = (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens") * 1.0 / PACK_CONTEXT_TOKENS).alias(
+                "fill_ratio"
+            ),
+        )
+        .persist()
     )
+    out.count()  # materialize through the cached token frame
+    toks.unpersist()
+    return out
 
 
 @register(

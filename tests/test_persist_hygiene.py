@@ -26,6 +26,7 @@ PERSISTING_OPS = [
     "similarity_rp_lsh",
     "benchmark_contamination",
     "source_vocab_overlap",
+    "sequence_pack",
 ]
 
 
