@@ -82,6 +82,8 @@ _DRIVER_FIRST = [
     # -- new oracle-backed ops, never seen by the driver --
     "source_mixture_weights",
     "source_vocab_overlap",
+    "dup_ngram_fraction",
+    "chunk_dedup",
     # -- plan/semantics changed in round 5: must re-adjudicate --
     "sequence_pack",  # pack window sub-sharded (source, shard) + offset pass
     "tfidf_topk",  # forced broadcast(df) dropped; AQE picks the join

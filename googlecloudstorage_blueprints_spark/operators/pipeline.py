@@ -458,3 +458,141 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("h").isNotNull().alias("is_duplicate"),
     )
+
+
+@register(
+    "dup_ngram_fraction",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+               )) AS s
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)          AS n_ngrams,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+           (COUNT(*) - COUNT(DISTINCT s)) * 1.0 / COUNT(*) AS dup_fraction
+    FROM sh GROUP BY doc_id
+    """,
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate 3-gram share — the Gopher repetition
+    rule one level up from ``repetition_score``'s top-token share: a doc
+    whose n-grams repeat is boilerplate/spam even when no single token
+    dominates.
+
+    Shape: codegen shingle structs (arrays_zip of shifted slices)
+    exploded into ONE per-doc aggregate (count + count-distinct) — the
+    only shuffle carries (doc_id, shingle) rows with map-side partials.
+    dup_fraction is an exact integer ratio, bit-identical unrounded."""
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        shingle_structs,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    sh = d.select(
+        "doc_id", F.explode_outer(shingle_structs("text", 3)).alias("p")
+    ).select("doc_id", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s"))
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.countDistinct("s").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("s"))
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("dup_fraction"),
+    )
+
+
+CHUNK_TOKENS = 16  # non-overlapping chunk width for chunk-level dedup
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   string_split(text, ' ')[(i - 1) * {CHUNK_TOKENS} + 1
+                                           : (i - 1) * {CHUNK_TOKENS}
+                                             + {CHUNK_TOKENS}], ' '
+               )) AS ch
+        FROM documents,
+             unnest(range(1,
+                 greatest((len(string_split(text, ' ')) - 1)
+                          // {CHUNK_TOKENS} + 1, 1) + 1)) AS t(i)
+        WHERE text IS NOT NULL
+    ),
+    freq AS (
+        SELECT ch, COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY ch
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_chunks,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1.0 / COUNT(*) AS shared_share
+    FROM chunks c JOIN freq f ON c.ch = f.ch
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document duplication (RefinedWeb/C4-style line
+    dedup, with fixed {k}-token chunks standing in for lines in the
+    newline-free fixture corpus): per doc, how many of its chunks also
+    appear verbatim in ANOTHER document.
+
+    Chunks are md5-hashed before they leave the row, so the
+    corpus-wide frequency aggregate and the join back shuffle 32-byte
+    digests, never chunk text (same posture as exact_dedup).  The chunk
+    assembly is a transform() lambda — interpreted, but per CHUNK (1/{k}
+    of the per-token cost that disqualified it for shingles) and with a
+    stride the zip-slice trick cannot express.  Counts and the share are
+    exact integers / integer ratios on both engines."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    chunk_arr = F.expr(
+        f"transform(sequence(0, greatest((size(split(text, ' ')) - 1) "
+        f"div {CHUNK_TOKENS}, 0)), "
+        f"i -> md5(concat_ws(' ', slice(split(text, ' '), "
+        f"i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}))))"
+    )
+    chunks = d.select(
+        "doc_id", F.explode_outer(chunk_arr).alias("ch")
+    ).persist()
+    freq = chunks.groupBy("ch").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    out = (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            (
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("shared_share"),
+        )
+        .persist()
+    )
+    out.count()  # materialize through the cached chunk frame
+    chunks.unpersist()
+    return out
+
+
+chunk_dedup.__doc__ = chunk_dedup.__doc__.format(k=CHUNK_TOKENS)

@@ -27,6 +27,7 @@ PERSISTING_OPS = [
     "benchmark_contamination",
     "source_vocab_overlap",
     "sequence_pack",
+    "chunk_dedup",
 ]
 
 
