@@ -11,8 +11,11 @@ written to ``BENCH_DETAIL.json`` next to this script instead of stdout.
 
 Methodology — steady-state timing, both engines:
 
-- Every headline query runs TWICE at the target SF; the SECOND (warm)
-  run is the headline number, for Spark and DuckDB alike.  The first
+- Every headline query runs FOUR times at the target SF (one cold +
+  three warm); the per-query BEST of the warm runs is the headline
+  number — this box shows 20-45% noisy-neighbor spread on sub-second
+  queries, and best-of-3 keeps one contaminated pass from reading as a
+  regression.  DuckDB gets the symmetric best-of-warm treatment.  The first
   Spark execution of a plan pays a one-time whole-stage-codegen JIT
   compile (measured ~0.3-0.8 s per distinct plan; a tiny-SF warmup does
   NOT absorb it because AQE picks different physical plans per SF) — a
@@ -174,7 +177,10 @@ def main() -> None:
     cold, _cold_builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
     warm_a, builds = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
     warm_b, _ = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
-    timings = {n: min(warm_a[n], warm_b[n]) for n in warm_a}
+    warm_c, _ = _time_spark_pass(spark, queries, HEADLINE, SF_DIR)
+    timings = {
+        n: min(warm_a[n], warm_b[n], warm_c[n]) for n in warm_a
+    }
     total = sum(timings.values())
 
     # Spark's fixed per-query dispatch floor (plan + schedule + noop write
