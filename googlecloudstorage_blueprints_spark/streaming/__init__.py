@@ -23,6 +23,7 @@ __all__ = [
 from googlecloudstorage_blueprints_spark.streaming.events_stream import (  # noqa: E402
     run_stream_to_partitioned_parquet,
     streaming_anomaly,
+    streaming_contamination,
     streaming_enriched,
     streaming_quality_filter,
     streaming_sliding_agg,
@@ -30,6 +31,7 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (  # noq
 
 __all__ += [
     "streaming_anomaly",
+    "streaming_contamination",
     "streaming_enriched",
     "streaming_quality_filter",
     "streaming_sliding_agg",

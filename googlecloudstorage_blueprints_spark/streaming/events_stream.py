@@ -245,6 +245,61 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static decontamination gate: incoming corpus documents are
+    checked against a STATIC held-out eval-set shingle index before
+    admission — the streaming twin of ``benchmark_contamination``, run as
+    each crawl shard lands instead of as a batch sweep.
+
+    The eval index (distinct 3-gram shingles of the ``doc_id % 97 == 0``
+    slice — ~1% of the corpus) is a static frame broadcast into each
+    micro-batch; the stream side explodes its shingles with the same
+    codegen ``shingle_structs`` the batch op uses and LEFT-SEMI joins the
+    index.  Map-only: no watermark, no state store — throughput-bound,
+    which is what an admission gate must be.  Output rows are
+    (doc_id, source, shingle) HITS; per-doc aggregation/dedup is the
+    (stateful) consumer's choice — emitting hits keeps the gate itself
+    stateless at any scale."""
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        shingle_structs,
+    )
+    from googlecloudstorage_blueprints_spark.operators.training import (
+        CONTAM_EVAL_MOD,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+    apply_runtime_conf(spark)
+    docs_static = load_table(spark, sf_dir, "documents")
+    eval_index = (
+        docs_static.where(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        )
+        .select(F.explode_outer(shingle_structs("text", 3)).alias("p"))
+        .select(F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s"))
+        .distinct()
+    )
+    stream = spark.readStream.schema(docs_static.schema).option(
+        "pathGlobFilter", "documents.parquet"
+    ).parquet(sf_dir)
+    hits = (
+        stream.where(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(shingle_structs("text", 3)).alias("p"),
+        )
+        .select(
+            "doc_id", "source", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s")
+        )
+        .join(F.broadcast(eval_index), "s", "left_semi")
+    )
+    return hits
+
+
 def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window twin of ``events_sliding_agg``: 1-hour windows every
     30 minutes under a watermark — each event feeds two window states."""

@@ -262,3 +262,22 @@ def test_streaming_quality_filter_matches_batch_funnel(spark):
     assert survivors == funnel["03_max_repetition"]
     ids = [r["doc_id"] for r in got.collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_contamination_matches_batch(spark):
+    """The stream-static admission gate must flag exactly the corpus docs
+    the batch decontamination sweep flags (same shingles, same eval
+    slice); the gate itself must be stateless (map-only, no watermark)."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_contamination,
+    )
+
+    stream_df = streaming_contamination(spark, SF)
+    assert stream_df.isStreaming
+    got = run_stream_to_memory(stream_df, "contam_smoke")
+    got_ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    batch_ids = {
+        r["doc_id"]
+        for r in all_queries()["benchmark_contamination"](spark, SF).collect()
+    }
+    assert got_ids == batch_ids and len(batch_ids) > 0
