@@ -84,6 +84,7 @@ _DRIVER_FIRST = [
     "source_vocab_overlap",
     "dup_ngram_fraction",
     "chunk_dedup",
+    "sql_tpch_q8",
     # -- plan/semantics changed in round 5: must re-adjudicate --
     "sequence_pack",  # pack window sub-sharded (source, shard) + offset pass
     "tfidf_topk",  # forced broadcast(df) dropped; AQE picks the join

@@ -367,6 +367,44 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5)
 
 
+_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_region = 'ASIA' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS asia_supp_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT)       AS o_year,
+           l.l_extendedprice * (1 - l.l_discount)     AS volume,
+           r2.r_name                                  AS supp_region
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN part p      ON p.p_partkey = l.l_partkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE p.p_type = 'PROMO'
+) all_volume
+GROUP BY o_year
+"""
+
+
+@register("sql_tpch_q8", oracle=_Q8)
+def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (market share) shape through the SQL frontend: what share
+    of PROMO-part volume was supplied from ASIA, per order year — a
+    two-level conditional aggregate over a six-way join, the SAME ANSI
+    string on both engines (like ``sql_tpch_q5``).
+
+    Catalyst broadcast-chains the four dims into the lineitem⋈orders
+    join; the CASE/SUM ratio is rounded 6dp (summation-order drift) and
+    ``year`` is BIGINT-cast in the shared string so both engines emit
+    identical schemas.  (Classic Q8 filters the CUSTOMER region and
+    splits by supplier NATION; the fixture schema has no partsupp, so
+    the supplier-region split keeps the same shape on the tables that
+    exist — cited against the spirit of TPC-H Q8, not its letter.)"""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8)
+
+
 # --------------------------------------------------------------------------
 # distribution window functions (ntile / percent_rank / cume_dist / edges)
 # --------------------------------------------------------------------------

@@ -270,6 +270,12 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_conf(spark)
     docs_static = load_table(spark, sf_dir, "documents")
+    # the static side of a stream-static join re-plans per micro-batch:
+    # persist the (small, ~1%-of-corpus distinct-shingle) index so each
+    # batch broadcasts the cached frame instead of re-running the
+    # explode+distinct.  Its lifetime is the stream's — the caller owns
+    # unpersist after stopping the query (in production this index is a
+    # precomputed table, refreshed when the eval suite changes).
     eval_index = (
         docs_static.where(
             F.col("text").isNotNull()
@@ -278,6 +284,7 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode_outer(shingle_structs("text", 3)).alias("p"))
         .select(F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s"))
         .distinct()
+        .persist()
     )
     stream = spark.readStream.schema(docs_static.schema).option(
         "pathGlobFilter", "documents.parquet"
