@@ -113,3 +113,38 @@ def test_survey_counts_match_registry():
     assert m, "SURVEY.md no longer states the registry size"
     assert int(m.group(1)) == len(all_queries())
     assert int(m.group(2)) == len(all_oracles())
+
+
+def test_shingle_structs_equals_word_shingles_on_adversarial_text(spark):
+    """The codegen shingle form must agree with the interpreted
+    word_shingles spec (as a per-doc SET) on edge-case inputs: empty
+    text, single token, doubled spaces, doc shorter than k, unicode."""
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        shingle_structs,
+        word_shingles,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "two words"),
+        (4, "exactly three words"),
+        (5, "a  b   c"),  # doubled spaces → empty tokens, same both forms
+        (6, "naïve café über schnell läuft"),
+        (7, "x " * 50),  # trailing space → trailing empty token
+        (8, "repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (
+        df.select(
+            "doc_id", F.explode_outer(shingle_structs("text", 3)).alias("p")
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s")
+        )
+        .distinct()
+    )
+    b = df.select(
+        "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
+    ).distinct()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
