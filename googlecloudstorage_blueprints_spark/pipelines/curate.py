@@ -11,9 +11,14 @@ Stage order is deliberate and matters at 100 TB:
 1. **Quality gates first** (map-only): cheap predicates drop the bulk of
    the corpus before anything shuffles.
 2. **Exact dedup second**: the hash-agg shuffle runs on survivors only.
-3. **Split assignment** (map-only projection) after dedup so replicate
-   documents cannot straddle train/test (leakage).
-4. **Partitioned write** via the layout-aware writer (repartition-first,
+3. **Decontamination third**: drop corpus docs sharing 3-gram spans with
+   the held-out eval slice (inverted-index anti-join; the eval index is
+   ~1% of the corpus and broadcastable) — AFTER dedup so the expensive
+   shingle join runs on the deduped survivor set only.
+4. **Split assignment** (map-only projection) after decontamination so
+   neither replicate documents nor eval-overlapping documents can
+   straddle train/test (leakage).
+5. **Partitioned write** via the layout-aware writer (repartition-first,
    bounded file counts per split).
 """
 
@@ -37,6 +42,7 @@ class CurationReport:
     n_input: int
     n_quality: int      # after quality gates
     n_deduped: int      # after exact dedup
+    n_clean: int        # after eval-set decontamination
     split_counts: dict  # split -> rows written
 
 
@@ -93,13 +99,51 @@ def curate_corpus(
     )
     deduped = quality.join(keeper, "doc_id")
 
+    # decontamination: anti-join deduped survivors against the held-out
+    # eval slice's distinct 3-gram index (same shingles and eval rule as
+    # the benchmark_contamination operator); a doc sharing ANY eval
+    # shingle is dropped before split assignment
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        shingle_structs,
+    )
+    from googlecloudstorage_blueprints_spark.operators.training import (
+        CONTAM_EVAL_MOD,
+    )
+
+    def shingles_of(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id", F.explode_outer(shingle_structs("text", 3)).alias("p")
+        ).select(
+            "doc_id", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s")
+        )
+
+    eval_index = (
+        shingles_of(
+            docs.where(
+                F.col("text").isNotNull()
+                & (F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+            )
+        )
+        .select("s")
+        .distinct()
+    )
+    contaminated = (
+        shingles_of(deduped.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0))
+        .join(eval_index, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.where(
+        F.col("doc_id") % CONTAM_EVAL_MOD != 0
+    ).join(contaminated, "doc_id", "left_anti")
+
     bucket = F.expr("((doc_id % 1000003) * 2654435761) % 100")
     split = (
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    curated = deduped.withColumn("split", split).select(
+    curated = clean.withColumn("split", split).select(
         "doc_id", "text", "lang", "source", "n_chars",
         "n_tokens", "top_token_share", "split",
     )
@@ -113,10 +157,13 @@ def curate_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    n_deduped = sum(split_counts.values())
+    # eval-slice docs themselves are held out of the written corpus along
+    # with anything sharing a 3-gram with them, so rows written == n_clean
+    n_clean = sum(split_counts.values())
     return CurationReport(
         n_input=n_input,
         n_quality=quality.count(),
-        n_deduped=n_deduped,
+        n_deduped=deduped.count(),
+        n_clean=n_clean,
         split_counts=split_counts,
     )

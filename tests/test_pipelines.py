@@ -20,7 +20,26 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
 
     # stage monotonicity + input count
     assert report.n_input == 500
-    assert report.n_input >= report.n_quality >= report.n_deduped > 0
+    assert (
+        report.n_input
+        >= report.n_quality
+        >= report.n_deduped
+        >= report.n_clean
+        > 0
+    )
+
+    # decontamination: no written doc is in the eval slice, and no written
+    # doc shares a 3-gram with it (cross-check vs the operator's flag set)
+    contaminated_ids = {
+        r["doc_id"]
+        for r in all_queries()["benchmark_contamination"](spark, SF).collect()
+    }
+    written_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert not any(i % 97 == 0 for i in written_ids)
+    assert not (written_ids & contaminated_ids)
 
     # quality stage must equal the funnel operator's final survivor count
     funnel = {
