@@ -85,11 +85,13 @@ def curate_corpus(
     n_input = docs.count()
 
     scored = _with_quality_metrics(docs)
+    # quality survivors feed dedup, decontamination AND the report count:
+    # persist so the metrics join runs once (freed before returning)
     quality = scored.where(
         (F.col("n_chars") >= min_chars)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("top_token_share") <= max_top_share)
-    )
+    ).persist()
 
     # exact dedup: one hash-agg on the digest, deterministic min keeper
     keeper = (
@@ -97,7 +99,9 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = quality.join(keeper, "doc_id")
+    # deduped feeds the contamination probe, the clean anti-join and the
+    # report count — persist (freed before returning)
+    deduped = quality.join(keeper, "doc_id").persist()
 
     # decontamination: anti-join deduped survivors against the held-out
     # eval slice's distinct 3-gram index (same shingles and eval rule as
@@ -160,10 +164,13 @@ def curate_corpus(
     # eval-slice docs themselves are held out of the written corpus along
     # with anything sharing a 3-gram with them, so rows written == n_clean
     n_clean = sum(split_counts.values())
-    return CurationReport(
+    report = CurationReport(
         n_input=n_input,
         n_quality=quality.count(),
         n_deduped=deduped.count(),
         n_clean=n_clean,
         split_counts=split_counts,
     )
+    deduped.unpersist()
+    quality.unpersist()
+    return report
