@@ -22,7 +22,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -150,4 +152,96 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup candidates: LSH band buckets as keyed state
+# ---------------------------------------------------------------------------
+
+_LSH_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("band_id", IntegerType()),
+    ]
+)
+
+_LSH_STATE_SCHEMA = StructType(
+    [StructField("doc_ids", ArrayType(LongType()))]
+)
+
+
+def _band_bucket_pairs(key: tuple, pdfs, state: GroupState):
+    """Per-(band_id, band_hash) bucket state: the doc_ids seen in this
+    bucket so far.  Each arriving doc pairs with every resident (and with
+    earlier docs of its own micro-batch) — exactly the pairs the batch
+    band self-join produces, emitted incrementally."""
+    import pandas as pd
+
+    band_id = int(key[0])
+    new_ids = sorted(
+        {int(i) for pdf in pdfs for i in pdf["doc_id"].tolist()}
+    )
+    seen = list(state.get[0]) if state.exists else []
+    out = []
+    for idx, b in enumerate(new_ids):
+        for a in seen + new_ids[:idx]:
+            lo, hi = (a, b) if a < b else (b, a)
+            out.append({"doc_a": lo, "doc_b": hi, "band_id": band_id})
+    state.update((seen + new_ids,))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate CANDIDATE pairs — the
+    incremental twin of ``minhash_lsh_dedup``'s banding stage, as a
+    custom stateful operator.
+
+    Per micro-batch: the same JVM shingle-hash projection and Arrow
+    minhash/banding kernel as the batch op (shared code — signatures are
+    bit-identical), then ``applyInPandasWithState`` keyed on
+    (band_id, band_hash): state is the bucket's resident doc_ids, and a
+    new doc emits one candidate row per resident.  Over any replayed
+    backlog the emitted pair set EQUALS the batch band self-join's
+    (test-pinned) — but arrives as docs land, which is how near-dup
+    admission control actually runs.
+
+    State sizing: one long per (doc, band) ever seen — hot buckets are
+    real duplicate clusters.  On an unbounded stream, bound the horizon
+    with ProcessingTimeTimeout eviction or periodic state snapshots to a
+    table; the fixture backlog is finite so NoTimeout keeps the test
+    semantics exact.  Downstream, pairs are verified exactly like the
+    batch op (Jaccard on shingle arrays) — verification is stateless and
+    joins only candidate ids."""
+    from googlecloudstorage_blueprints_spark.operators.dedup import (
+        hashed_shingle_docs,
+        minhash_signatures_arrow,
+    )
+    from googlecloudstorage_blueprints_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    bands = minhash_signatures_arrow(
+        hashed_shingle_docs(stream.where(F.col("text").isNotNull())),
+        emit_bands=True,
+    )
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _band_bucket_pairs,
+        _LSH_OUT_SCHEMA,
+        _LSH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )

@@ -281,3 +281,88 @@ def test_streaming_contamination_matches_batch(spark):
         for r in all_queries()["benchmark_contamination"](spark, SF).collect()
     }
     assert got_ids == batch_ids and len(batch_ids) > 0
+
+
+def test_streaming_lsh_candidates_match_batch_band_join(spark):
+    """The stateful bucket operator must emit EXACTLY the candidate pairs
+    the batch band self-join produces over the same backlog (same shingle
+    hashes, same Arrow kernel, same banding)."""
+    from googlecloudstorage_blueprints_spark.operators.dedup import (
+        hashed_shingle_docs,
+        minhash_signatures_arrow,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_lsh_candidates,
+    )
+
+    stream_df = streaming_lsh_candidates(spark, SF)
+    assert stream_df.isStreaming
+    got = run_stream_to_memory(stream_df, "lsh_cand_smoke")
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in got.select("doc_a", "doc_b").distinct().collect()
+    }
+
+    docs = hashed_shingle_docs(load_table(spark, SF, "documents"))
+    bands = minhash_signatures_arrow(docs, emit_bands=True)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            ba.join(
+                bb,
+                (F.col("ba.band_id") == F.col("bb.band_id"))
+                & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("doc_a"),
+                F.col("bb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert got_pairs == batch_pairs and len(batch_pairs) > 0
+
+
+def test_streaming_lsh_candidates_across_microbatches(spark, tmp_path):
+    """Replaying the corpus as MULTIPLE micro-batches must produce the
+    same pair set: residents from earlier batches pair with later
+    arrivals only via the bucket state."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_lsh_candidates,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = f"file:{tmp_path}/docs_replay"
+    # two part files in one directory -> two micro-batches at
+    # maxFilesPerTrigger=1
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    stream_df = streaming_lsh_candidates(
+        spark,
+        out,
+        glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    got = run_stream_to_memory(stream_df, "lsh_cand_batches")
+    got_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in got.select("doc_a", "doc_b").distinct().collect()
+    }
+    single = run_stream_to_memory(
+        streaming_lsh_candidates(spark, SF), "lsh_cand_single"
+    )
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in single.select("doc_a", "doc_b").distinct().collect()
+    }
+    assert got_pairs == expected and len(expected) > 0
