@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -242,6 +243,100 @@ def streaming_lsh_candidates(
         _band_bucket_pairs,
         _LSH_OUT_SCHEMA,
         _LSH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming sequence packing: per-source running token offset as state
+# ---------------------------------------------------------------------------
+
+_PACK_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("bin_id", LongType()),
+    ]
+)
+
+_PACK_STATE_SCHEMA = StructType(
+    [StructField("tokens_so_far", LongType())]
+)
+
+
+def _pack_bins(key: tuple, pdfs, state: GroupState):
+    """Per-source packer: assign each arriving doc the bin
+    ``floor(tokens_before_it / C)`` where the running token total is the
+    keyed state — the streaming form of the batch op's cumulative
+    window.  Docs are packed in doc_id order WITHIN each micro-batch;
+    cross-batch order is arrival order (for the replayed fixture that is
+    doc_id order, matching the batch oracle exactly)."""
+    import pandas as pd
+
+    from googlecloudstorage_blueprints_spark.operators.training import (
+        PACK_CONTEXT_TOKENS,
+    )
+
+    (source,) = key
+    offset = int(state.get[0]) if state.exists else 0
+    frames = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")
+        toks = pdf["n_tokens"].to_numpy()
+        before = offset + toks.cumsum() - toks
+        frames.append(
+            pd.DataFrame(
+                {
+                    "source": source,
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": toks,
+                    "bin_id": before // PACK_CONTEXT_TOKENS,
+                }
+            )
+        )
+        offset = int(before[-1] + toks[-1]) if len(toks) else offset
+    state.update((offset,))
+    if frames:
+        yield pd.concat(frames)
+
+
+def streaming_sequence_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming context-window packing — the incremental twin of
+    ``sequence_pack``: documents land, are tokenized map-side (JVM
+    split/size), and each source's running token total lives in keyed
+    state, so bin assignment needs no batch recompute and no window.
+
+    One shuffle on ``source`` per micro-batch; state is ONE bigint per
+    source — the smallest possible stateful footprint.  Bin ids match
+    the batch operator bit-for-bit when replay order is doc_id order
+    (test-pinned); out-of-order arrival packs in arrival order, which is
+    the correct online semantics (a packer cannot reorder history)."""
+    from googlecloudstorage_blueprints_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    toks = stream.where(F.col("text").isNotNull()).select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return toks.groupBy("source").applyInPandasWithState(
+        _pack_bins,
+        _PACK_OUT_SCHEMA,
+        _PACK_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -366,3 +366,34 @@ def test_streaming_lsh_candidates_across_microbatches(spark, tmp_path):
         for r in single.select("doc_a", "doc_b").distinct().collect()
     }
     assert got_pairs == expected and len(expected) > 0
+
+
+def test_streaming_sequence_pack_matches_batch_bins(spark):
+    """Per-doc bin assignment from the running-state packer must equal
+    the batch decomposition's over an in-order replay."""
+    from googlecloudstorage_blueprints_spark.operators.training import (
+        _packed_bins,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_sequence_pack,
+    )
+
+    got_df = run_stream_to_memory(
+        streaming_sequence_pack(spark, SF), "seq_pack_smoke"
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["bin_id"] for r in got_df.collect()
+    }
+
+    d = load_table(spark, SF, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    expected = {
+        (r["source"], r["doc_id"]): r["bin_id"]
+        for r in _packed_bins(toks).collect()
+    }
+    assert got == expected and len(expected) > 0
