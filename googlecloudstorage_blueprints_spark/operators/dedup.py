@@ -297,6 +297,13 @@ def minhash_signatures(hashed_docs: DataFrame) -> DataFrame:
 
 @register("minhash_lsh_dedup")  # rows-only: minhash banding isn't ANSI SQL
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs over the fixture corpus —
+    thin registry wrapper around :func:`minhash_pairs` (which the
+    curation pipeline also calls on its survivor frame)."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(d: DataFrame) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
 
     Pipeline: hashed shingles → 64-perm minhash signature → 16 bands × 4
@@ -319,7 +326,6 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The output is materialized eagerly (persist + count) so the
     intermediates can be unpersisted before returning; the caller sees a
     cached result sized to the actual duplicate pairs."""
-    d = load_table(spark, sf_dir, "documents")
     docs = hashed_shingle_docs(d).persist()
     # one Arrow pass computes signatures AND band hashes (emit_bands)
     bands = minhash_signatures_arrow(docs, emit_bands=True)

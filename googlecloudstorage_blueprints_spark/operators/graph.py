@@ -39,6 +39,55 @@ from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
 MAX_ROUNDS = 20
 
+
+def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint: ``(node, label)`` where label
+    is the smallest node id reachable in the undirected graph ``pairs``
+    (columns ``doc_a``/``doc_b``).  Shared by the ``dedup_clusters``
+    operator and the curation pipeline's near-dup stage.
+
+    Convergence signal: labels are monotonically non-increasing (the min
+    aggregate always includes the node's own label), so the exact label
+    sum strictly decreases on any change and is flat exactly at the
+    fixpoint — one scalar aggregate over the just-checkpointed round
+    instead of a per-round join-and-compare job.  DECIMAL(38,0) keeps
+    the sum exact for arbitrarily large id spaces (BIGINT sum of 1e9
+    ids would overflow, and Spark's ANSI mode throws on overflow).
+    ``localCheckpoint`` per round keeps the plan constant-size (the
+    classic iterative-Spark failure is plan growth, not data)."""
+    sym = (
+        pairs.select("doc_a", "doc_b")
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_sum).collect()[0]["s"]
+    for _ in range(MAX_ROUNDS):
+        msgs = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # constant-size plan per round
+        )
+        new_sum = new_labels.agg(_sum).collect()[0]["s"]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels
+
 _PAIR_SQL = f"""
     WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id, s
@@ -100,40 +149,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component), keeper flag, and cluster size.  WITH RECURSIVE twin makes
     the iterative fixpoint oracle-checkable value-for-value."""
     pairs = ngram_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").cache()
-
-    labels = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
     )
-    # Convergence signal: labels are monotonically non-increasing (the min
-    # aggregate always includes the node's own label), so the exact label
-    # sum strictly decreases on any change and is flat exactly at the
-    # fixpoint — one scalar aggregate over the just-checkpointed round
-    # instead of a per-round join-and-compare job.  DECIMAL(38,0) keeps
-    # the sum exact for arbitrarily large id spaces (BIGINT sum of 1e9
-    # ids would overflow, and Spark's ANSI mode throws on overflow).
-    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(_sum).collect()[0]["s"]
-    for _ in range(MAX_ROUNDS):
-        msgs = sym.join(labels, sym.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
-        )
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # constant-size plan per round
-        )
-        new_sum = new_labels.agg(_sum).collect()[0]["s"]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-
+    labels = min_label_components(nodes, pairs)
     comp = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -1,4 +1,5 @@
-"""End-to-end corpus curation: quality-filter → dedup → split → write.
+"""End-to-end corpus curation: quality-filter → exact dedup → near-dup
+removal → eval-set decontamination → split → partitioned write.
 
 The composed form of the training-data operator family
 (``operators/pipeline.py``, ``operators/dedup.py``, ``sinks/writers.py``)
@@ -11,14 +12,19 @@ Stage order is deliberate and matters at 100 TB:
 1. **Quality gates first** (map-only): cheap predicates drop the bulk of
    the corpus before anything shuffles.
 2. **Exact dedup second**: the hash-agg shuffle runs on survivors only.
-3. **Decontamination third**: drop corpus docs sharing 3-gram spans with
+3. **Near-dup removal third**: MinHash-LSH verified pairs over the exact
+   survivors (``operators.dedup.minhash_pairs``) → connected components
+   (``operators.graph.min_label_components``) → keep the min-doc_id per
+   cluster.  After exact dedup because byte-identical copies are gone by
+   then — the banding kernel runs once per unique content.
+4. **Decontamination fourth**: drop corpus docs sharing 3-gram spans with
    the held-out eval slice (inverted-index anti-join; the eval index is
-   ~1% of the corpus and broadcastable) — AFTER dedup so the expensive
-   shingle join runs on the deduped survivor set only.
-4. **Split assignment** (map-only projection) after decontamination so
-   neither replicate documents nor eval-overlapping documents can
+   ~1% of the corpus and broadcastable) — last of the filters so the
+   shingle join runs on the smallest surviving set.
+5. **Split assignment** (map-only projection) after all filters so
+   neither replicate, near-replicate, nor eval-overlapping documents can
    straddle train/test (leakage).
-5. **Partitioned write** via the layout-aware writer (repartition-first,
+6. **Partitioned write** via the layout-aware writer (repartition-first,
    bounded file counts per split).
 """
 
@@ -42,6 +48,7 @@ class CurationReport:
     n_input: int
     n_quality: int      # after quality gates
     n_deduped: int      # after exact dedup
+    n_near_deduped: int  # after near-dup cluster keeper selection
     n_clean: int        # after eval-set decontamination
     split_counts: dict  # split -> rows written
 
@@ -99,9 +106,29 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # deduped feeds the contamination probe, the clean anti-join and the
-    # report count — persist (freed before returning)
+    # deduped feeds the near-dup stage, the contamination probe, the
+    # clean anti-join and the report count — persist (freed on return)
     deduped = quality.join(keeper, "doc_id").persist()
+
+    # near-dup removal: verified MinHash pairs over the exact survivors,
+    # connected components, keep the min doc_id per cluster.  Docs with
+    # no near-dup edge are their own component and survive untouched.
+    from googlecloudstorage_blueprints_spark.operators.dedup import (
+        minhash_pairs,
+    )
+    from googlecloudstorage_blueprints_spark.operators.graph import (
+        min_label_components,
+    )
+
+    pairs = minhash_pairs(deduped.select("doc_id", "text"))
+    labels = min_label_components(
+        deduped.select(F.col("doc_id").alias("node")), pairs
+    )
+    near_keepers = labels.where(
+        F.col("node") == F.col("label")
+    ).select(F.col("node").alias("doc_id"))
+    near_deduped = deduped.join(near_keepers, "doc_id").persist()
+    pairs.unpersist()
 
     # decontamination: anti-join deduped survivors against the held-out
     # eval slice's distinct 3-gram index (same shingles and eval rule as
@@ -132,12 +159,12 @@ def curate_corpus(
         .distinct()
     )
     contaminated = (
-        shingles_of(deduped.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0))
+        shingles_of(near_deduped.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0))
         .join(eval_index, "s", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    clean = deduped.where(
+    clean = near_deduped.where(
         F.col("doc_id") % CONTAM_EVAL_MOD != 0
     ).join(contaminated, "doc_id", "left_anti")
 
@@ -168,9 +195,11 @@ def curate_corpus(
         n_input=n_input,
         n_quality=quality.count(),
         n_deduped=deduped.count(),
+        n_near_deduped=near_deduped.count(),
         n_clean=n_clean,
         split_counts=split_counts,
     )
+    near_deduped.unpersist()
     deduped.unpersist()
     quality.unpersist()
     return report

@@ -24,9 +24,17 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         report.n_input
         >= report.n_quality
         >= report.n_deduped
+        >= report.n_near_deduped
         >= report.n_clean
         > 0
     )
+
+    # near-dup stage: written docs may not contain BOTH sides of any
+    # verified near-dup pair
+    nd_pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["minhash_lsh_dedup"](spark, SF).collect()
+    ]
 
     # decontamination: no written doc is in the eval slice, and no written
     # doc shares a 3-gram with it (cross-check vs the operator's flag set)
@@ -40,6 +48,9 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     }
     assert not any(i % 97 == 0 for i in written_ids)
     assert not (written_ids & contaminated_ids)
+    assert not any(
+        a in written_ids and b in written_ids for a, b in nd_pairs
+    )
 
     # quality stage must equal the funnel operator's final survivor count
     funnel = {
