@@ -596,3 +596,71 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 chunk_dedup.__doc__ = chunk_dedup.__doc__.format(k=CHUNK_TOKENS)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT vec_id, MAX(ABS(v)) AS max_abs FROM ex GROUP BY vec_id
+    ),
+    q AS (
+        SELECT ex.vec_id, v, max_abs,
+               CASE WHEN max_abs > 0
+                    THEN v - floor(v * (127.0 / max_abs) + 0.5)
+                             / (127.0 / max_abs)
+                    ELSE 0.0 END AS err
+        FROM ex JOIN stats ON ex.vec_id = stats.vec_id
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT)      AS dim,
+           ROUND(MAX(max_abs), 6)        AS max_abs,
+           ROUND(SQRT(AVG(err * err)), 6) AS quant_rmse,
+           ROUND(MAX(ABS(err)), 6)       AS quant_max_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization report per vector: scale =
+    127/max|x|, quantize with the explicit ``floor(x·scale + 0.5)``
+    rule (identical integer rounding on every engine — bare ``round``
+    half-up/half-even conventions differ), and measure the round-trip
+    RMSE and max error — the metrics that decide whether an embedding
+    store can ship int8 (4× smaller, GEMM-compatible) instead of
+    float32.
+
+    Shape: explode → per-vector max aggregate → join back → per-vector
+    error aggregate — all codegen (the same explode convention as
+    ``embedding_norms``; interpreted per-element lambdas are the slow
+    path).  max_abs is an exact MAX (no summation order), so the scale
+    is bit-identical across engines; averaged errors are rounded 6dp.
+    Zero vectors quantize to themselves (error 0) rather than dividing
+    by zero."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.explode_outer(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    stats = ex.groupBy("vec_id").agg(
+        F.max(F.abs(F.col("v"))).alias("max_abs")
+    )
+    scale = F.lit(127.0) / F.col("max_abs")
+    err = F.when(F.col("max_abs") > 0,
+                 F.col("v")
+                 - F.floor(F.col("v") * scale + 0.5) / scale
+                 ).otherwise(F.lit(0.0))
+    q = ex.join(stats, "vec_id").select(
+        "vec_id", "max_abs", err.alias("err")
+    )
+    return q.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(F.max("max_abs"), 6).alias("max_abs"),
+        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias(
+            "quant_rmse"
+        ),
+        F.round(F.max(F.abs(F.col("err"))), 6).alias("quant_max_err"),
+    )
