@@ -279,3 +279,35 @@ def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= F.col("per_class"))
         .drop("per_class")
     )
+
+
+_LANG_CONFUSION_ORACLE = (
+    "WITH lang_pred AS (\n" + _LANG_ID_ORACLE + "\n)\n"
+    "SELECT labeled_lang, predicted_lang,\n"
+    "       CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+    "       (labeled_lang = predicted_lang) AS agree\n"
+    "FROM lang_pred\n"
+    "GROUP BY labeled_lang, predicted_lang"
+)
+
+
+@register("lang_confusion_matrix", oracle=_LANG_CONFUSION_ORACLE)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: the (labeled, predicted) confusion
+    matrix of the ``lang_id`` heuristic against the corpus's labeled
+    ``lang`` column — the report that decides whether a cheap map-only
+    classifier is good enough to route documents, or which language
+    pairs need a real model.
+
+    Composes the registered ``lang_id`` projection (map-only, no UDF)
+    with one |langs|²-bounded aggregate; counts are exact integers."""
+    return (
+        lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+                "agree"
+            ),
+        )
+    )
