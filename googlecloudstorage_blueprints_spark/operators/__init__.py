@@ -87,6 +87,7 @@ _DRIVER_FIRST = [
     "sql_tpch_q8",
     "embedding_quantize_int8",
     "lang_confusion_matrix",
+    "doc_logprob_unigram",
     # -- plan/semantics changed in round 5: must re-adjudicate --
     "sequence_pack",  # pack window sub-sharded (source, shard) + offset pass
     "tfidf_topk",  # forced broadcast(df) dropped; AQE picks the join

@@ -664,3 +664,58 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max(F.abs(F.col("err"))), 6).alias("quant_max_err"),
     )
+
+
+@register(
+    "doc_logprob_unigram",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq),
+    scored AS (
+        SELECT words.doc_id,
+               ln(CAST(freq.cnt AS DOUBLE) / tot.n) AS lp
+        FROM words JOIN freq ON words.w = freq.w CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)       AS n_tokens,
+           ROUND(AVG(-lp), 6)             AS avg_neg_logprob,
+           ROUND(MAX(-lp), 6)             AS max_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_logprob_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus
+    unigram distribution — the cheapest useful language-model quality
+    filter (degenerate/rare-token documents score high, boilerplate
+    scores low); the unigram tier of perplexity-based corpus filtering.
+
+    Scale: one corpus word-count aggregate (map-side partials), a scalar
+    total, and a words⋈freq join keyed on the word with NO broadcast
+    hint — the distinct-token table is billions of rows on a raw web
+    corpus (same reasoning as tfidf_topk) and AQE upgrades to broadcast
+    only when the measured side is small.  ln()-derived doubles are
+    rounded 6dp on both engines (parity convention)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = (
+        d.select("doc_id", F.explode_outer(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("n"))
+    scored = (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(-F.col("lp")), 6).alias("avg_neg_logprob"),
+        F.round(F.max(-F.col("lp")), 6).alias("max_neg_logprob"),
+    )
