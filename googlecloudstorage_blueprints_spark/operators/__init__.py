@@ -72,90 +72,19 @@ def _load_all() -> None:
 
 
 # The correctness driver adjudicates keys in dict order and has a bounded
-# budget (round 1 stopped after the first 50 keys), so ordering is part of
-# the driver contract.  Front-load the oracle-backed ops the driver has not
-# yet adjudicated (plus any op whose semantics changed this round); push
-# rows-only keys (weaker check; pinned by pytest) to the tail.  Previously
-# driver-green ops sit in the middle — they stay pinned locally by
-# tests/test_oracle_parity.py regardless of whether they re-enter the window.
-_DRIVER_FIRST = [
-    # -- new oracle-backed ops, never seen by the driver --
-    "source_mixture_weights",
-    "source_vocab_overlap",
-    "dup_ngram_fraction",
-    "chunk_dedup",
-    "sql_tpch_q8",
-    "embedding_quantize_int8",
-    "lang_confusion_matrix",
-    "doc_logprob_unigram",
-    # -- plan/semantics changed in round 5: must re-adjudicate --
-    "sequence_pack",  # pack window sub-sharded (source, shard) + offset pass
-    "tfidf_topk",  # forced broadcast(df) dropped; AQE picks the join
-    "pareto_revenue",  # now delegates to the range-parallel scale path
-    "json_extract",  # bounded sort replaces range-sampled orderBy
-    "benchmark_contamination",  # codegen shingles + per-doc distinct
-    "ngram_topk",  # in-row zip bigrams replace the lead() window
-    # -- rows-only keys never driver-adjudicated (the r4 window cut off at
-    #    50; these six are the entire remaining never-seen backlog) --
-    "agg_approx_sketches",
-    "file_manifest",
-    "multimodal_features",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # -- 45 oracle keys last hash-verified in round 2/3 (one window stale);
-    #    if the driver budget is 50, the last 9 spill to round 6 (still
-    #    pinned locally by tests/test_oracle_parity.py at sf0.01) --
-    "scan_project_filter",
-    "pricing_summary",
-    "join_broadcast",
-    "join_shuffle",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "agg_distinct",
-    "top_supplier",
-    "array_agg_ops",
-    "lang_id",
-    "similarity_knn_bruteforce",
-    "similarity_knn_pandas",
-    "dedup_embedding_cosine",
-    "events_sessionize",
-    "events_session_stats",
-    "events_tumbling_agg",
-    "events_type_pivot",
-    "events_funnel",
-    "events_gapfill",
-    "events_retention",
-    "events_sliding_agg",
-    "events_anomaly",
-    "events_windowed_topk",
-    "events_change_points",
-    "file_manifest_stats",
-    "dedup_clusters",
-    "multimodal_metadata_agg",
-    "stratified_split",
-    "doc_length_histogram",
-    "embedding_norms",
-    "table_checks",
-    "incremental_dedup",
-    "order_priority_exists",
-    "late_shipment_classes",
-    "small_quantity_revenue",
-    "large_volume_customer",
-    "waiting_orders_per_supplier",
-    "dormant_customers",
-    "string_agg_groups",
-    "numeric_correlations",
-    "join_asof_tolerance",
-    "cohort_ltv",
-    "join_skew_salted",
-    "join_range_binned",
-]
-_DRIVER_LAST: list[str] = [
-    # nothing queued: every registry key has been driver-adjudicated at
-    # least once after the r5 window lands (r4 covered the rest)
-]
+# budget (~50 keys per round), so ordering is part of the driver contract.
+# The ordering is GENERATED from the CORRECTNESS_r{N}.json history by
+# scripts/gen_driver_first.py (oldest-adjudication-first; see its module
+# docstring for the tiebreak rules) into _driver_order.py.  Rerun the
+# script after adding operators or when a new CORRECTNESS file lands;
+# tests/test_driver_order.py fails if the committed order is stale.
+try:
+    from googlecloudstorage_blueprints_spark.operators._driver_order import (
+        DRIVER_FIRST as _DRIVER_FIRST,
+    )
+except ImportError:  # pragma: no cover - pre-generation bootstrap
+    _DRIVER_FIRST: list[str] = []
+_DRIVER_LAST: list[str] = []
 
 
 def _ordered_names() -> list[str]:
