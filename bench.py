@@ -116,7 +116,7 @@ def _time_duckdb_oracles(names: list[str], sf_dir: str) -> dict[str, float]:
             continue  # rows-only op (LSH/ANN): no SQL-equivalent to race
         con.execute(oracles[name]).fetchall()  # cold/compile/IO-warm run
         best = None
-        for _ in range(2):  # best-of-2, mirroring the Spark warm passes
+        for _ in range(3):  # best-of-3, mirroring the Spark warm passes
             start = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             elapsed = time.perf_counter() - start

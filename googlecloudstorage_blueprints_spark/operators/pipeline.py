@@ -641,9 +641,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero vectors quantize to themselves (error 0) rather than dividing
     by zero."""
     e = load_table(spark, sf_dir, "embeddings")
+    # inner explode (not explode_outer): the oracle's unnest() emits no
+    # rows for NULL/empty embedding arrays, so a NULL-vector doc must
+    # vanish here too, not surface as a (dim=1, rmse=0) row.  The column
+    # is stored (not computed), so the implicit size()>0 filter lands in
+    # the scan — the explode_outer perf trap doesn't apply.
     ex = e.select(
         "vec_id",
-        F.explode_outer(F.col("embedding").cast("array<double>")).alias("v"),
+        F.explode(F.col("embedding").cast("array<double>")).alias("v"),
     )
     stats = ex.groupBy("vec_id").agg(
         F.max(F.abs(F.col("v"))).alias("max_abs")

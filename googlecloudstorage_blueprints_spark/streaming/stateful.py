@@ -181,10 +181,16 @@ def _band_bucket_pairs(key: tuple, pdfs, state: GroupState):
     import pandas as pd
 
     band_id = int(key[0])
+    seen = list(state.get[0]) if state.exists else []
+    # drop ids already resident in the bucket: an at-least-once replay
+    # re-delivers a doc into the same (band_id, band_hash) bucket, and
+    # without this filter it would duplicate its state entry and re-emit
+    # every pair against the residents on each redelivery.
+    resident = set(seen)
     new_ids = sorted(
         {int(i) for pdf in pdfs for i in pdf["doc_id"].tolist()}
+        - resident
     )
-    seen = list(state.get[0]) if state.exists else []
     out = []
     for idx, b in enumerate(new_ids):
         for a in seen + new_ids[:idx]:

@@ -368,6 +368,49 @@ def test_streaming_lsh_candidates_across_microbatches(spark, tmp_path):
     assert got_pairs == expected and len(expected) > 0
 
 
+def test_streaming_lsh_candidates_idempotent_on_redelivery(spark, tmp_path):
+    """At-least-once redelivery of the SAME docs must emit no new pairs
+    and must not grow bucket state: arriving ids are filtered against the
+    bucket residents before pairing (stateful.py _band_bucket_pairs)."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_lsh_candidates,
+    )
+
+    docs = load_table(spark, SF, "documents").where(F.col("doc_id") < 200)
+    out = f"file:{tmp_path}/docs_redeliver"
+    # the same doc set written twice -> two micro-batches at
+    # maxFilesPerTrigger=1, the second a pure replay of the first
+    docs.coalesce(1).write.mode("append").parquet(out)
+    docs.coalesce(1).write.mode("append").parquet(out)
+    got = run_stream_to_memory(
+        streaming_lsh_candidates(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "lsh_cand_redeliver",
+    )
+    emitted = [
+        (r["doc_a"], r["doc_b"], r["band_id"])
+        for r in got.select("doc_a", "doc_b", "band_id").collect()
+    ]
+    # no duplicate emissions at all: replayed docs are dropped before
+    # pairing, so the raw (non-distinct) emission count equals the
+    # distinct pair set size
+    assert len(emitted) == len(set(emitted))
+    single_out = f"file:{tmp_path}/docs_once"
+    docs.coalesce(1).write.mode("append").parquet(single_out)
+    single = run_stream_to_memory(
+        streaming_lsh_candidates(spark, single_out, glob="*.parquet"),
+        "lsh_cand_once",
+    )
+    expected = {
+        (r["doc_a"], r["doc_b"], r["band_id"])
+        for r in single.select("doc_a", "doc_b", "band_id").collect()
+    }
+    assert set(emitted) == expected
+
+
 def test_streaming_sequence_pack_matches_batch_bins(spark):
     """Per-doc bin assignment from the running-state packer must equal
     the batch decomposition's over an in-order replay."""
