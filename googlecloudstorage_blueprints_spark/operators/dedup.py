@@ -28,6 +28,7 @@ SHINGLE_K = 3            # words per shingle
 MINHASH_PERMS = 64       # minhash signature length
 LSH_BANDS = 16           # 16 bands × 4 rows — ~0.5 jaccard threshold knee
 JACCARD_THRESHOLD = 0.6  # verified-duplicate cutoff
+SHINGLE_DF_CAP = 256     # drop shingles seen in more docs (stopword n-grams)
 
 # fixed odd multipliers for the (a*x+b) universal-hash family, seed=42 spirit
 _MERSENNE = (1 << 61) - 1
@@ -109,7 +110,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_dedup",
     oracle=f"""
-    WITH sh AS (
+    WITH sh_all AS (
         SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id,
                      unnest(list_distinct(list_transform(
@@ -118,6 +119,9 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ))) AS s
               FROM documents)
     ),
+    kept AS (SELECT s FROM sh_all GROUP BY s
+             HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN kept USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -133,21 +137,44 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-word-shingle) Jaccard near-dup pairs ≥ threshold.
+    """Exact n-gram (3-word-shingle) Jaccard near-dup pairs ≥ threshold,
+    over the df-capped shingle universe.
 
-    Inverted-index join: explode distinct shingles, self-join on shingle,
-    count intersections, derive |A∪B| from set sizes.  Jaccard is a ratio
-    of identical integers on both engines → exact double, no rounding.
+    Inverted-index join: explode distinct shingles, drop shingles whose
+    document frequency exceeds ``SHINGLE_DF_CAP`` (a corpus-wide n-gram
+    — boilerplate, stopword runs — carries no near-dup signal but makes
+    the self-join emit df² candidate rows; capping bounds every
+    shingle's join fan-out at CAP², the standard stopword-shingle trick),
+    then self-join on shingle, count intersections, and derive |A∪B|
+    from the capped set sizes.  Jaccard is a ratio of identical integers
+    on both engines → exact double, no rounding.  Both the Spark plan
+    and the DuckDB oracle cap identically, so values stay hash-equal.
 
-    Scale: the shingle join is the quadratic danger zone — in production
-    this exact verify runs ONLY on LSH candidate pairs (see
-    minhash_lsh_dedup); it's registered standalone because it is the
-    ground-truth oracle the LSH recall is judged against."""
+    Scale: with the cap, worst-case candidate volume is
+    Σ_kept df(s)² ≤ CAP · Σ df(s) — linear in corpus shingle count, not
+    quadratic in hot-shingle df.  In production the exact verify still
+    runs preferentially on LSH candidate pairs (see minhash_lsh_dedup);
+    standalone it is the ground-truth oracle the LSH recall is judged
+    against, now safe to run as registered."""
     d = load_table(spark, sf_dir, "documents")
     # repartition before the interpreted shingle-string lambda: the fixture
     # is one unsplittable row group (see hashed_shingle_docs)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = d.select("doc_id", F.explode_outer(_shingles()).alias("s"))
+    sh_all = d.select("doc_id", F.explode_outer(_shingles()).alias("s"))
+    # single computation of the exploded shingles feeds df-count AND join
+    sh_all = sh_all.persist()
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    # anti-join out the hot shingles.  No forced broadcast: the hot set
+    # is usually tiny (boilerplate n-grams) and AQE will broadcast it
+    # from runtime stats, but its worst-case size is rows/CAP — on an
+    # adversarial corpus a shuffle anti-join on s is the safe fallback,
+    # and the self-join below needs sh partitioned by s anyway.
+    sh = sh_all.join(hot, "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -164,12 +191,16 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common") * 1.0 / (
         F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
     )
-    return (
+    out = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist()
     )
+    out.count()  # materialize through the cached shingle frame
+    sh_all.unpersist()
+    return out
 
 
 def minhash_signatures_arrow(

@@ -20,6 +20,7 @@ SF = "/root/testdata/sf0.001"
 # every operator that persists an intermediate frame
 PERSISTING_OPS = [
     "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
     "pareto_revenue",
     "pareto_revenue_scale",
     "events_hierarchical_rollup",
