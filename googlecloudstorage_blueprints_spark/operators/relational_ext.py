@@ -405,6 +405,91 @@ def sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q8)
 
 
+_Q2 = """
+SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+       l.l_extendedprice AS min_price
+FROM part p, supplier s, lineitem l, nation n, region r
+WHERE p.p_partkey = l.l_partkey
+  AND s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND p.p_type = 'LARGE'
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice)
+      FROM lineitem l2, supplier s2, nation n2, region r2
+      WHERE l2.l_partkey = p.p_partkey
+        AND s2.s_suppkey = l2.l_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("sql_tpch_q2", oracle=_Q2)
+def sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier) shape through the SQL frontend: for
+    each LARGE part, the EUROPE supplier(s) offering it at the regional
+    minimum price — a correlated scalar-MIN subquery over a five-way
+    join, correlated on the outer part key (cf. reference has no SQL
+    surface; shape cited from TPC-H spec Q2, re-based on lineitem since
+    the fixture schema has no partsupp).
+
+    Catalyst decorrelates the scalar MIN into an aggregate-then-rejoin
+    on p_partkey and broadcast-chains region→nation→supplier into both
+    the outer and inner lineitem scans; the whole plan is two fact
+    shuffles (outer join keys + decorrelated agg), no per-row subquery
+    execution.  Parity: MIN is an exact double (no summation order), so
+    the equality filter and the emitted min_price are bit-identical; the
+    ORDER BY ... LIMIT is total-ordered — after DISTINCT each row is
+    unique on (s_name, p_partkey) and s_acctbal/n_name are functions of
+    s_name — so the 100-row cut is deterministic on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2)
+
+
+_Q20 = """
+SELECT s_name, n_name, s_acctbal
+FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(l.l_quantity) > (
+        SELECT 2.0 * SUM(l2.l_quantity) / COUNT(DISTINCT l2.l_suppkey)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+)
+ORDER BY s_name
+"""
+
+
+@register("sql_tpch_q20", oracle=_Q20)
+def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock supplier) shape through the SQL frontend:
+    suppliers who shipped more than 2× the average supplier's volume of
+    some 'small%' part — a nested IN chain (supplier ← grouped lineitem
+    ← part) whose HAVING holds a correlated scalar aggregate keyed on a
+    GROUP BY column (shape cited from TPC-H spec Q20; availqty re-based
+    on shipped volume since the fixture schema has no partsupp).
+
+    This is the decorrelation double-whammy: the part IN-list becomes a
+    left-semi join pushed below the aggregate, and the correlated HAVING
+    subquery decorrelates to a per-part aggregate joined back on
+    l_partkey — one extra shuffle, never a per-group re-scan.  Parity:
+    l_quantity holds integral doubles, so SUM is order-independent-exact
+    and 2·S/COUNT(DISTINCT) is a single IEEE division — the filter is
+    bit-identical unrounded on both engines (exact-integer-ratio rule,
+    relational.py).  Final ORDER BY s_name is unique (one row per
+    supplier)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20)
+
+
 # --------------------------------------------------------------------------
 # distribution window functions (ntile / percent_rank / cume_dist / edges)
 # --------------------------------------------------------------------------
