@@ -8,6 +8,7 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (
 )
 from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_dedup,
+    streaming_gapfill,
     streaming_lsh_candidates,
     streaming_sequence_pack,
     streaming_stateful_sessions,
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_session_window",
     "streaming_stateful_sessions",
     "streaming_dedup",
+    "streaming_gapfill",
     "streaming_lsh_candidates",
     "streaming_sequence_pack",
     "run_stream_to_memory",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -345,4 +346,167 @@ def streaming_sequence_pack(
         _PACK_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming gap-fill: per-user forward-fill state with event-time eviction
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600 * 1_000_000
+# Evict a user's fill state once the watermark passes their last bucket by
+# this horizon: a returning user restarts their grid instead of emitting an
+# unbounded catch-up run of filled rows.  Bounds both state size (one tuple
+# per user active within the horizon) and per-arrival output (≤ horizon
+# hours of fill rows) — the two quantities that must not scale with history
+# on an unbounded stream.  The fixture backlog spans well under this, so
+# the replay test sees batch-identical output.
+GAPFILL_EVICT_HORIZON_US = 90 * 24 * HOUR_US
+
+_GAPFILL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("bucket", StringType()),
+        StructField("observed", BooleanType()),
+        StructField("filled_value", DoubleType()),
+    ]
+)
+
+_GAPFILL_STATE_SCHEMA = StructType(
+    [
+        StructField("last_bucket_us", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def _bucket_str(us: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        us / 1_000_000, tz=_dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _make_gapfill(evict_horizon_us: int):
+    """Build the per-user gap-fill kernel with the eviction horizon
+    captured in the closure (module globals don't survive the trip to
+    the Python workers, so the horizon must travel with the function)."""
+
+    def _gapfill(key: tuple, pdfs, state: GroupState):
+        """Per-user gap-filler: state is (last emitted grid bucket, last
+        hourly value).  New events extend the user's hourly grid from the
+        bucket after the last emitted one through their newest bucket,
+        emitting observed rows (this batch's rounded hourly sum) and filled
+        rows (the forward-carried value) — the streaming form of the batch
+        op's grid-explode + last(ignorenulls) window, built incrementally so
+        no window ever spans history.
+
+        Event-time timeout evicts idle users (see GAPFILL_EVICT_HORIZON_US).
+        Late buckets at or before the last emitted one re-emit as observed
+        rows with their partial sum but never rewrite emitted history
+        (append-mode semantics; downstream merges on (user_id, bucket))."""
+        import pandas as pd
+
+        (user_id,) = key
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("int64") // 1000
+        bucket_us = ts_us - (ts_us % HOUR_US)
+        hourly = (
+            pd.DataFrame({"b": bucket_us, "v": rows["value"].astype("float64")})
+            .groupby("b")["v"]
+            .sum()
+            .round(4)
+            .sort_index()
+        )
+
+        out = []
+        if state.exists:
+            last_b, last_v = int(state.get[0]), float(state.get[1])
+            late = hourly[hourly.index <= last_b]
+            for b, v in late.items():
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "bucket": _bucket_str(int(b)),
+                        "observed": True,
+                        "filled_value": float(v),
+                    }
+                )
+            fresh = hourly[hourly.index > last_b]
+            start_b = last_b + HOUR_US
+        else:
+            fresh = hourly
+            last_b, last_v = None, None
+            start_b = int(fresh.index[0]) if len(fresh) else None
+
+        if len(fresh):
+            observed = {int(b): float(v) for b, v in fresh.items()}
+            end_b = int(fresh.index[-1])
+            for b in range(start_b, end_b + HOUR_US, HOUR_US):
+                if b in observed:
+                    last_v = observed[b]
+                    obs = True
+                else:
+                    obs = False
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "bucket": _bucket_str(b),
+                        "observed": obs,
+                        "filled_value": last_v,
+                    }
+                )
+            last_b = end_b
+        if last_b is not None:
+            state.update((int(last_b), float(last_v)))
+            state.setTimeoutTimestamp(
+                (last_b + evict_horizon_us) // 1000
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    return _gapfill
+
+
+def streaming_gapfill(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    evict_horizon_us: int = GAPFILL_EVICT_HORIZON_US,
+) -> DataFrame:
+    """Streaming time-series gap-fill — the incremental twin of the batch
+    ``events_gapfill`` operator (operators/events.py): densify each
+    user's hourly grid as events land, forward-filling holes from keyed
+    state instead of a history-wide window.
+
+    One shuffle on user_id per micro-batch; state is one
+    (bucket, value) tuple per user, evicted by event-time timer once the
+    watermark passes their last bucket + horizon — the property that
+    bounds state on an unbounded stream (an idle-then-returning user
+    restarts their grid rather than emitting months of filled rows).
+    Over an in-order replay of a bounded backlog the emitted rows EQUAL
+    the batch operator's output (test-pinned), except a user's leading
+    batch NULL-fill rows, which cannot exist here because a streaming
+    grid starts at the first observation."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_gapfill(evict_horizon_us),
+            _GAPFILL_OUT_SCHEMA,
+            _GAPFILL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )

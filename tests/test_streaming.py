@@ -440,3 +440,122 @@ def test_streaming_sequence_pack_matches_batch_bins(spark):
         for r in _packed_bins(toks).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_gapfill_matches_batch(spark, tmp_path):
+    """In-order replay of the events backlog must produce exactly the
+    batch events_gapfill rows: same grid, same observed flags, same
+    forward-filled values."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_gapfill,
+    )
+
+    got = run_stream_to_memory(
+        streaming_gapfill(spark, SF), "gapfill_smoke"
+    )
+    got_rows = {
+        (r["user_id"], r["bucket"], r["observed"], r["filled_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["bucket"], r["observed"], r["filled_value"])
+        for r in all_queries()["events_gapfill"](spark, SF).collect()
+    }
+    assert got_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_streaming_gapfill_across_microbatches(spark, tmp_path):
+    """A time-ordered two-batch replay (split on an hour boundary) fills
+    the cross-batch gap from keyed state and still equals the batch op."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_gapfill,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "date_trunc('hour', timestamp_micros(CAST("
+        "percentile_approx(unix_micros(ts), 0.5) AS BIGINT))) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_split"
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    got = run_stream_to_memory(
+        streaming_gapfill(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "gapfill_batches",
+    )
+    got_rows = {
+        (r["user_id"], r["bucket"], r["observed"], r["filled_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["bucket"], r["observed"], r["filled_value"])
+        for r in all_queries()["events_gapfill"](spark, SF).collect()
+    }
+    assert got_rows == batch_rows
+
+
+def test_streaming_gapfill_timer_evicts_idle_users(spark, tmp_path):
+    """Once the watermark passes a user's last bucket + horizon, their
+    state is evicted: a return after the horizon restarts the grid
+    instead of emitting an unbounded catch-up fill."""
+    import googlecloudstorage_blueprints_spark.streaming.stateful as st
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+    )
+
+    base = 1_600_000_000_000_000  # µs, on an hour boundary? normalize below
+    base -= base % st.HOUR_US
+    rows = [
+        # user 1: one event, then silence
+        (1, base + 10, 1.0),
+        # user 2 keeps the watermark advancing: hours 0..6
+        *[(2, base + h * st.HOUR_US + 20, 2.0) for h in range(7)],
+        # user 1 returns 6 hours later — far past the 2h horizon
+        (1, base + 6 * st.HOUR_US + 30, 3.0),
+    ]
+    out = f"file:{tmp_path}/events_evict"
+    # four micro-batches: user 1's return is ALONE in the last one — a
+    # key with arriving data is never handed hasTimedOut=True, so the
+    # eviction must fire in a batch where user 1 is silent (batch 3)
+    for off, chunk in (
+        (0, rows[:1]),
+        (100, rows[1:6]),
+        (200, rows[6:8]),
+        (300, rows[8:]),
+    ):
+        spark.createDataFrame(
+            [(off + i, r[0], r[1], r[2]) for i, r in enumerate(chunk)],
+            "event_id long, user_id long, ts_us long, value double",
+        ).selectExpr(
+            "event_id", "user_id",
+            "timestamp_micros(ts_us) AS ts", "value",
+        ).coalesce(1).write.mode("append").parquet(out)
+    got = run_stream_to_memory(
+        st.streaming_gapfill(
+            spark,
+            out,
+            glob="*.parquet",
+            max_files_per_trigger=1,
+            evict_horizon_us=2 * st.HOUR_US,
+        ),
+        "gapfill_evict",
+    )
+    u1 = sorted(
+        (r["bucket"], r["observed"], r["filled_value"])
+        for r in got.where(F.col("user_id") == 1).collect()
+    )
+    # evicted between the two sightings: exactly two observed rows and NO
+    # filled catch-up rows spanning the 6-hour gap
+    assert [o for _, o, _ in u1] == [True, True], u1
+    assert len(u1) == 2
