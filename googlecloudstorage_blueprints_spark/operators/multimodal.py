@@ -139,18 +139,76 @@ def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parse_ppm(payload: bytes):
-    """Real P6 decode: parse the ASCII header, reshape the raw pixel
-    buffer to (h, w, 3).  Raises on malformed input like any decoder."""
+    """Real P6 decode to a (h, w, 3) uint8 array, full netpbm header
+    grammar (not just the happy path the synthesizer emits):
+
+    - ``#`` comments anywhere between header tokens, to end-of-line;
+    - any whitespace run separating the magic / width / height / maxval
+      tokens (the spec's definition, not only ``\\n``);
+    - maxval 1..65535: >255 means two-byte big-endian samples, scaled to
+      8-bit with round-to-nearest v·255/maxval;
+    - truncated pixel buffers raise ``ValueError`` like any decoder
+      (previously they reshaped garbage or died inside numpy).
+
+    Grammar cited from the netpbm P6 spec; adversarial-header cases are
+    pinned in tests/test_multimodal.py."""
     import numpy as np
 
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    parts = payload.split(b"\n", 3)
-    w, h = (int(x) for x in parts[1].split())
-    maxval = int(parts[2])
-    if maxval != 255:
-        raise ValueError(f"unsupported maxval {maxval}")
-    pix = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8)
+
+    pos = 2
+    n = len(payload)
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and # comments between tokens
+        while pos < n:
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = n if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            if payload[pos : pos + 1] == b"#":
+                break
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        try:
+            tokens.append(int(payload[start:pos]))
+        except ValueError as exc:
+            raise ValueError(
+                f"bad PPM header token {payload[start:pos]!r}"
+            ) from exc
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM dimensions {w}x{h} maxval={maxval}")
+    # exactly ONE whitespace byte separates maxval from the pixel buffer
+    if pos >= n or not payload[pos : pos + 1].isspace():
+        raise ValueError("missing header/raster separator")
+    pos += 1
+
+    n_samples = w * h * 3
+    raster = payload[pos:]
+    if maxval > 255:
+        if len(raster) < n_samples * 2:
+            raise ValueError("truncated PPM raster")
+        wide = np.frombuffer(raster[: n_samples * 2], dtype=">u2")
+        pix = ((wide.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(
+            np.uint8
+        )
+    else:
+        if len(raster) < n_samples:
+            raise ValueError("truncated PPM raster")
+        pix = np.frombuffer(raster[:n_samples], dtype=np.uint8)
+        if maxval != 255:
+            pix = (
+                (pix.astype(np.uint32) * 255 + maxval // 2) // maxval
+            ).astype(np.uint8)
     return pix.reshape(h, w, 3)
 
 

@@ -36,6 +36,59 @@ def test_parse_ppm_rejects_non_ppm():
         _parse_ppm(b"JFIF....")
 
 
+def test_parse_ppm_comments_and_whitespace_grammar():
+    """Full netpbm header grammar: # comments between any tokens, and
+    arbitrary whitespace runs as separators (r5 verdict item 5)."""
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    weird = (
+        b"P6 # magic then comment\n"
+        b"# a full-line comment\n"
+        b"  2\t# width\n"
+        b"\t2 # height\n"
+        b"255\n" + pix
+    )
+    img = _parse_ppm(weird)
+    assert img.shape == (2, 2, 3)
+    assert img[1, 1].tolist() == [255, 255, 255]
+    # single-space separators only
+    assert _parse_ppm(b"P6 2 2 255 " + pix).shape == (2, 2, 3)
+
+
+def test_parse_ppm_scales_small_maxval():
+    """maxval 15: samples scale to 8-bit with round-to-nearest."""
+    pix = bytes([15, 0, 7, 0, 15, 0, 0, 0, 15, 15, 15, 15])
+    img = _parse_ppm(b"P6\n2 2\n15\n" + pix)
+    assert img[0, 0].tolist() == [255, 0, 119]  # (7*255+7)//15 = 119
+    assert img[1, 1].tolist() == [255, 255, 255]
+
+
+def test_parse_ppm_16bit_maxval():
+    """maxval > 255: two-byte big-endian samples, scaled to 8-bit."""
+    import struct
+
+    samples = [65535, 0, 32768, 0, 65535, 0, 0, 0, 65535, 65535, 65535, 65535]
+    pix = struct.pack(">12H", *samples)
+    img = _parse_ppm(b"P6\n2 2\n65535\n" + pix)
+    assert img[0, 0].tolist() == [255, 0, 128]  # (32768*255+32767)//65535
+    assert img[1, 1].tolist() == [255, 255, 255]
+
+
+def test_parse_ppm_truncation_raises_cleanly():
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        _parse_ppm(b"P6\n2 2\n255\n" + pix[:-1])
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        _parse_ppm(b"P6\n2 2\n65535\n" + pix)  # 16-bit needs 24 bytes
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        _parse_ppm(b"P6\n2 2")
+    with pytest.raises(ValueError, match="bad PPM header token"):
+        _parse_ppm(b"P6\n2 two\n255\n" + pix)
+    with pytest.raises(ValueError, match="bad PPM dimensions"):
+        _parse_ppm(b"P6\n0 2\n255\n" + pix)
+    with pytest.raises(ValueError, match="bad PPM dimensions"):
+        _parse_ppm(b"P6\n2 2\n70000\n" + pix)
+
+
 def test_multimodal_decode_matches_hand_computation(spark):
     """The operator's per-channel means must equal a pure-python decode of
     the same deterministic payload (text tiled to w*h*3 bytes)."""
