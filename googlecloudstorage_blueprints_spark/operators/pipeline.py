@@ -724,3 +724,42 @@ def doc_logprob_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(-F.col("lp")), 6).alias("avg_neg_logprob"),
         F.round(F.max(-F.col("lp")), 6).alias("max_neg_logprob"),
     )
+
+
+SAMPLE_PER_SOURCE = 20
+
+
+@register(
+    "uniform_sample_hash",
+    oracle=f"""
+    SELECT source, doc_id, sample_rank FROM (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= {SAMPLE_PER_SOURCE}
+    """,
+)
+def uniform_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source uniform sample: the first
+    SAMPLE_PER_SOURCE docs of each source in md5(doc_id) order — the
+    distributed replacement for reservoir sampling when reproducibility
+    matters (same sample on every run/retry/engine, no RNG state, no
+    driver pass; md5 of the id is a uniform permutation of the corpus).
+
+    One shuffle (partition by source); the rank window computes a
+    partial top-k per partition before it, so only candidate rows move.
+    md5 hex strings compare identically on both engines; doc_id breaks
+    the (impossible) hash tie to keep the order total."""
+    d = load_table(spark, sf_dir, "documents")
+    hkey = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= SAMPLE_PER_SOURCE)
+    )

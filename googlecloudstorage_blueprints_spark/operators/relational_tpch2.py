@@ -518,3 +518,87 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.sum("rev").over(w), 4).alias("cum_revenue"),
     )
+
+
+@register(
+    "sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate
+                                            + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) shape: lines
+    shipped >60 days after order date where ANOTHER supplier was on the
+    order (EXISTS) but NO other supplier was late (NOT EXISTS) — the
+    one decorrelation pattern q2/q4/q20 don't cover: EXISTS and
+    NOT EXISTS correlated against the SAME table with an inequality on
+    an outer column from a third table (o_orderdate).  Shape cited from
+    TPC-H spec Q21, lateness re-based on l_shipdate (the fixture has no
+    l_receiptdate/l_commitdate).
+
+    DataFrame form: EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI, both on
+    l_orderkey with the supplier-inequality (and lateness) residuals in
+    the join condition — one shuffle pair per quantifier, no per-row
+    re-scan; supplier names arrive by broadcast.  TakeOrderedAndProject
+    caps the output (numwait DESC, s_name — total order, s_name is
+    unique)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    with_other = late1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey"))
+        & (
+            F.col("x_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

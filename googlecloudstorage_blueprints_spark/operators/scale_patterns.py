@@ -145,3 +145,77 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tb") - F.col("ta")).alias("gap_us"),
         )
     )
+
+
+ROWNUM_BUCKET = 4096  # ids per range bucket for the two-level numbering
+
+
+@register(
+    "global_row_number",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_num
+    FROM documents
+    """,
+)
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense row numbering by a total order WITHOUT the
+    SinglePartition window ``row_number().over(Window.orderBy(...))``
+    plans (which serializes the entire table through one task — the
+    canonical Spark scale trap).
+
+    Two-level offset decomposition, the same shape sequence_pack uses
+    (training.py): rows bucket by ``doc_id div 4096``; a per-bucket
+    window numbers rows locally (parallel across buckets); bucket sizes
+    aggregate once, and bucket start-offsets come from a cumulative sum
+    decomposed as (offset of the bucket's super-bucket) + (cumulative
+    within the super-bucket) — the only single-partition work is the
+    super-bucket ledger, |ids| / 4096² rows, bounded at any realistic
+    scale (100 TB of docs ≈ 10¹² ids → ~60k ledger rows).  The final
+    offset join keys on bucket, reusing the window's hash partitioning.
+    Row numbers equal the oracle's global ROW_NUMBER because doc_id is
+    unique and buckets are id-ordered."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("bucket", F.expr(f"doc_id div {ROWNUM_BUCKET}"))
+    d = d.withColumn("sup", F.expr(f"bucket div {ROWNUM_BUCKET}"))
+
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("bucket").orderBy("doc_id")
+    local = d.withColumn(
+        "local_rn", F.row_number().over(w_local).cast("long")
+    )
+
+    bcnt = d.groupBy("sup", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w_in_sup = (
+        Window.partitionBy("sup")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcnt = bcnt.withColumn(
+        "off_in_sup", F.coalesce(F.sum("n_rows").over(w_in_sup), F.lit(0))
+    )
+    scnt = bcnt.groupBy("sup").agg(F.sum("n_rows").alias("sup_rows"))
+    w_sup = (
+        Window.orderBy("sup")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # single-partition cumulative over the SUPER-bucket ledger only:
+    # |ids|/4096² rows — the bounded driver-side-free analogue of a
+    # grand-total pass
+    scnt = scnt.withColumn(
+        "sup_off", F.coalesce(F.sum("sup_rows").over(w_sup), F.lit(0))
+    )
+    offsets = bcnt.join(scnt.select("sup", "sup_off"), "sup").select(
+        "bucket",
+        (F.col("sup_off") + F.col("off_in_sup")).alias("bucket_off"),
+    )
+    return (
+        local.join(offsets, "bucket")
+        .select(
+            "doc_id",
+            (F.col("bucket_off") + F.col("local_rn")).alias("row_num"),
+        )
+    )

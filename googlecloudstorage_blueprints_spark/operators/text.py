@@ -311,3 +311,135 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)
+        WHERE text IS NOT NULL
+    ),
+    freq AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM chars GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM freq GROUP BY doc_id)
+    SELECT f.doc_id,
+           t.n AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS alphabet_size,
+           ROUND(-SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6)
+               AS char_entropy
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id, t.n
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    detector for pathological text (base64 blobs and hex dumps read
+    ~5-6 bits/char, repeated boilerplate reads ~1-2, natural language
+    ~4), used as a gating feature alongside ``quality_score``.
+
+    Plan: per-position explode (sequence+explode, codegen — the
+    higher-order-transform form runs interpreted) → (doc, char) counts →
+    per-doc entropy aggregate.  Two shuffles, both on doc_id-rooted
+    keys.  Entropy sums ~dozens of p·log2 p doubles whose order differs
+    across engines — rounded 6dp, the convention every ln/pow aggregate
+    in this registry follows (see doc_logprob_unigram).  At 100 TB the
+    same result comes from one Arrow pass (np.unique per doc); the
+    expression form is registered because it is oracle-checkable and the
+    explode is map-side."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    chars = d.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr("sequence(1, length(text))")
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id", F.expr("substring(text, i, 1)").alias("c")
+    )
+    freq = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") * 1.0 / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("alphabet_size"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars_counted"),
+            "alphabet_size",
+            "char_entropy",
+        )
+    )
+
+
+# PII-shaped scan patterns: emails/digits are the real scrub targets (the
+# synthetic corpus contains none — the zero counts still hash-verify the
+# plumbing); long tokens and the stopword literal exercise non-zero paths.
+_SCAN_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+_SCAN_DIGITS = "[0-9]+"
+_SCAN_LONG = "[a-z]{6,}"
+_SCAN_THE = "the"
+
+
+@register(
+    "pii_pattern_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCAN_EMAIL}')) AS BIGINT)
+               AS n_email_like,
+           CAST(len(regexp_extract_all(text, '{_SCAN_DIGITS}')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '{_SCAN_LONG}')) AS BIGINT)
+               AS n_long_tokens,
+           CAST(len(regexp_extract_all(text, '{_SCAN_THE}')) AS BIGINT)
+               AS n_stopword_the,
+           CAST(len(regexp_replace(text, '{_SCAN_DIGITS}', '', 'g'))
+                AS BIGINT) AS scrubbed_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped pattern scan per document: email-like and digit-run
+    counts (the scrub targets a training pipeline must report before
+    release), plus long-token and stopword counts as live non-zero
+    controls, plus the post-scrub length — all map-only JVM regex, no
+    UDF.
+
+    Regex parity: the patterns use only character classes, literals and
+    bounded repetition — the subset where Java regex (Spark) and RE2
+    (DuckDB) agree on non-overlapping left-to-right scan counts;
+    backreferences/lookarounds are deliberately excluded (RE2 has
+    neither).  Scrub uses the global-replace form on both engines."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_SCAN_EMAIL))
+        .cast("long")
+        .alias("n_email_like"),
+        F.regexp_count("text", F.lit(_SCAN_DIGITS))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.regexp_count("text", F.lit(_SCAN_LONG))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.regexp_count("text", F.lit(_SCAN_THE))
+        .cast("long")
+        .alias("n_stopword_the"),
+        F.length(F.regexp_replace("text", _SCAN_DIGITS, ""))
+        .cast("long")
+        .alias("scrubbed_len"),
+    )

@@ -217,3 +217,16 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     df.collect()
     final = explain_str(df, "simple").split("== Initial Plan ==")[0]
     assert "AQEShuffleRead coalesced" in final
+
+
+def test_global_row_number_ledger_only_single_partition(spark):
+    """Global numbering must not serialize the DATA through one task:
+    the only SinglePartition work allowed is the super-bucket ledger
+    cumulative (|ids|/4096² rows), and the local numbering window must
+    partition on the bucket key."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+
+    df = all_queries()["global_row_number"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") <= 1
+    assert "hashpartitioning(bucket" in plan
