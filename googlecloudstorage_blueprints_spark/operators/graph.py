@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.operators.dedup import (
     JACCARD_THRESHOLD,
+    SHINGLE_DF_CAP,
     SHINGLE_K,
     ngram_jaccard_dedup,
 )
@@ -54,7 +55,25 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     the sum exact for arbitrarily large id spaces (BIGINT sum of 1e9
     ids would overflow, and Spark's ANSI mode throws on overflow).
     ``localCheckpoint`` per round keeps the plan constant-size (the
-    classic iterative-Spark failure is plan growth, not data)."""
+    classic iterative-Spark failure is plan growth, not data).
+
+    Returns a PLAIN-persisted frame: the fixpoint labels are copied into
+    an ordinary cache and every round's checkpoint RDD is explicitly
+    released before returning (checkpoint storage is invisible to
+    ``DataFrame.unpersist`` and otherwise accumulates across a long
+    driver session — persist-hygiene test pins this).  Callers free the
+    result with ``labels.unpersist()``."""
+
+    def _persisted_rdd_ids(sc) -> set[int]:
+        jmap = sc._jsc.sc().getPersistentRDDs()
+        it = jmap.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    sc = nodes.sparkSession.sparkContext
+    ids_before = _persisted_rdd_ids(sc)
     sym = (
         pairs.select("doc_a", "doc_b")
         .union(
@@ -85,11 +104,27 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
-    return labels
+    sym.unpersist(blocking=True)
+    # everything still persisted beyond the entry snapshot is checkpoint
+    # storage from the loop — snapshot it BEFORE caching the result so
+    # the two are distinguishable by id
+    checkpoint_ids = _persisted_rdd_ids(sc) - ids_before
+    result = labels.persist()
+    result.count()  # materialize the plain cache off the checkpoints
+    # caveat: result's lineage is truncated at the freed checkpoints, so
+    # a partition evicted AFTER this point cannot recompute — the same
+    # trade localCheckpoint itself makes vs reliable checkpointing; for
+    # a long-lived production job, point spark.checkpoint.dir at durable
+    # storage and swap localCheckpoint → checkpoint in the loop
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    for rid in sorted(checkpoint_ids):
+        rdd = jmap.get(rid)
+        if rdd.isDefined():
+            rdd.get().unpersist(True)
+    return result
 
 _PAIR_SQL = f"""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh_all AS (
         SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id,
                      unnest(list_distinct(list_transform(
@@ -98,6 +133,9 @@ _PAIR_SQL = f"""
                      ))) AS s
               FROM documents)
     ),
+    kept AS (SELECT s FROM sh_all GROUP BY s
+             HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN kept USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -148,20 +186,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document labeled with its cluster id (= min doc_id in the
     component), keeper flag, and cluster size.  WITH RECURSIVE twin makes
     the iterative fixpoint oracle-checkable value-for-value."""
-    pairs = ngram_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    jac = ngram_jaccard_dedup(spark, sf_dir)  # returns a persisted frame
+    pairs = jac.select("doc_a", "doc_b")
     nodes = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
+    # labels are eagerly materialized inside (localCheckpoint per round),
+    # so the pair frame's cache can be freed before returning
     labels = min_label_components(nodes, pairs)
+    jac.unpersist()
     comp = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     csize = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return comp.join(csize, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
-        "n_members",
+    out = (
+        comp.join(csize, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+            "n_members",
+        )
+        .persist()
     )
+    out.count()  # materialize, then free both upstream caches
+    labels.unpersist()
+    jac.unpersist()
+    return out

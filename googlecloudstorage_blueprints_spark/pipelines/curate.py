@@ -128,6 +128,8 @@ def curate_corpus(
         F.col("node") == F.col("label")
     ).select(F.col("node").alias("doc_id"))
     near_deduped = deduped.join(near_keepers, "doc_id").persist()
+    near_deduped.count()  # materialize before freeing the label cache
+    labels.unpersist()
     pairs.unpersist()
 
     # decontamination: anti-join deduped survivors against the held-out

@@ -21,6 +21,7 @@ SF = "/root/testdata/sf0.001"
 PERSISTING_OPS = [
     "minhash_lsh_dedup",
     "ngram_jaccard_dedup",
+    "dedup_clusters",
     "pareto_revenue",
     "pareto_revenue_scale",
     "events_hierarchical_rollup",
