@@ -57,7 +57,9 @@ def _load_all() -> None:
         relational_ext,
         semistructured,
         text,
+        corpus_stats,
         dedup,
+        embedding_stats,
         similarity,
         similarity_ivf,
         events,

@@ -1,0 +1,372 @@
+"""Corpus-distribution statistics over the ``documents`` table.
+
+Training-data curation reads distribution summaries before touching any
+document: Zipf slope (is this source natural language or boilerplate?),
+per-source KL divergence against the corpus unigram model (is one crawl
+lexically alien?), character-class composition, length outliers, and a
+canonical normalize→fingerprint pass.  Everything is codegen'd JVM
+expressions — split/explode/regexp/agg — over one or two shuffles keyed
+on (source) or (source, word); no Python in any hot path.  The reference
+has no text surface (SURVEY §2.A.4); these extend §2.B's text family.
+
+Parity notes (conventions from operators/relational.py + CLAUDE.md):
+ln()/sqrt() doubles round 6dp before output; means/variances use the
+SAME explicit sum formula on both engines instead of each engine's
+streaming aggregate; exact-integer ratios stay unrounded; regex patterns
+stay inside the Java/RE2-shared subset and DuckDB regexp_replace gets
+the 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+# rank cutoff for the Zipf regression: deep-tail ranks are count-1 ties
+# that flatten the fit; 500 covers the head on every fixture SF
+ZIPF_TOP_RANKS = 500
+
+# |z| threshold for length outliers (rounded z on both engines)
+OUTLIER_Z = 1.5
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, word) token stream — explode_outer so the computed split
+    array is built once post-shuffle (see verify SKILL: explode's
+    implicit size()>0 filter re-runs the array expression)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return (
+        d.select("source", F.explode_outer(F.split("text", " ")).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+
+
+@register(
+    "word_zipf_slope",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT source, w, COUNT(*) AS cnt
+        FROM words WHERE w <> ''
+        GROUP BY source, w
+    ),
+    ranked AS (
+        SELECT source,
+               ROUND(LN(CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY cnt DESC, w)
+                   AS DOUBLE)), 6) AS x,
+               ROUND(LN(CAST(cnt AS DOUBLE)), 6) AS y
+        FROM counts
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY cnt DESC, w) <= {ZIPF_TOP_RANKS}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+               AS zipf_slope
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def word_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per source: OLS slope of ln(freq) on ln(rank)
+    over the top word ranks.  Natural language sits near −1; templated
+    or machine-generated sources drift toward 0 (flat head) — a one-scan
+    source-quality screen (Gopher/C4-style curation uses exactly this
+    family of distribution checks).
+
+    Shape: one (source, word) count aggregate, a per-source row_number
+    window on the bounded count frame, then a |sources|-row regression
+    aggregate.  The slope is the explicit OLS sum formula — NOT each
+    engine's regr_slope, whose internal accumulation orders differ —
+    with ln() inputs pre-rounded 6dp (JVM StrictMath vs libm last-ulp)
+    and the final ratio rounded 6dp for summation-order drift."""
+    counts = _words(spark, sf_dir).groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("w")
+    )
+    ranked = (
+        counts.select(
+            "source",
+            F.row_number().over(w_rank).alias("r"),
+            "cnt",
+        )
+        .where(F.col("r") <= ZIPF_TOP_RANKS)
+        .select(
+            "source",
+            F.round(F.log(F.col("r").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_ranks"),
+            F.round(
+                (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_unigram_kl",
+    oracle="""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sw AS (
+        SELECT source, w, COUNT(*) AS cnt
+        FROM words WHERE w <> ''
+        GROUP BY source, w
+    ),
+    s_tot AS (SELECT source, SUM(cnt) AS tot_s FROM sw GROUP BY source),
+    c AS (SELECT w, SUM(cnt) AS cnt_w FROM sw GROUP BY w),
+    t AS (SELECT SUM(cnt_w) AS tot FROM c)
+    SELECT sw.source,
+           CAST(s_tot.tot_s AS BIGINT) AS n_tokens,
+           ROUND(SUM(
+               (CAST(sw.cnt AS DOUBLE) / CAST(s_tot.tot_s AS DOUBLE))
+               * ROUND(LN(
+                   (CAST(sw.cnt AS DOUBLE) / CAST(s_tot.tot_s AS DOUBLE))
+                   / (CAST(c.cnt_w AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                 ), 6)
+           ), 6) AS kl_vs_corpus
+    FROM sw
+    JOIN s_tot ON s_tot.source = sw.source
+    JOIN c     ON c.w = sw.w
+    CROSS JOIN t
+    GROUP BY sw.source, s_tot.tot_s
+    ORDER BY sw.source
+    """,
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over word unigrams: how lexically alien each
+    source is relative to the pooled distribution — the standard
+    domain-shift screen before mixing sources into a training run.
+    Source vocabularies are subsets of the corpus vocabulary by
+    construction, so q(w) > 0 whenever p(w) > 0 and no smoothing term
+    is needed.
+
+    Shape: ONE (source, word) count aggregate feeds three consumers
+    (per-source totals, corpus word counts re-aggregated from the same
+    frame, and the scoring join) — persisted, eagerly materialized,
+    unpersisted (repo persist-hygiene rule).  The corpus total is a
+    1-row broadcast crossJoin; the word-keyed join fans out at most
+    |sources| per word.  Parity: p and q are exact integer ratios
+    (identical doubles), ln(p/q) pre-rounds 6dp, the weighted sum
+    rounds 6dp for order drift."""
+    sw = (
+        _words(spark, sf_dir)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    s_tot = sw.groupBy("source").agg(F.sum("cnt").alias("tot_s"))
+    c = sw.groupBy("w").agg(F.sum("cnt").alias("cnt_w"))
+    t = c.agg(F.sum("cnt_w").alias("tot"))
+    p = F.col("cnt").cast("double") / F.col("tot_s").cast("double")
+    q = F.col("cnt_w").cast("double") / F.col("tot").cast("double")
+    out = (
+        sw.join(F.broadcast(s_tot), "source")
+        .join(c, "w")
+        .crossJoin(F.broadcast(t))
+        .groupBy("source", "tot_s")
+        .agg(
+            F.round(F.sum(p * F.round(F.log(p / q), 6)), 6).alias(
+                "kl_vs_corpus"
+            )
+        )
+        .select(
+            "source",
+            F.col("tot_s").cast("long").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+        .persist()
+    )
+    out.count()  # materialize through the cached word-count frame
+    sw.unpersist()
+    return out
+
+
+@register(
+    "char_class_profile",
+    oracle="""
+    SELECT source,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')))
+                AS BIGINT)                   AS alpha_chars,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')))
+                AS BIGINT)                   AS digit_chars,
+           CAST(SUM(LENGTH(regexp_replace(text, '[^ ]', '', 'g')))
+                AS BIGINT)                   AS space_chars,
+           CAST(SUM(LENGTH(text)) AS DOUBLE)
+               / CAST(SUM(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')))
+                      AS DOUBLE)             AS chars_per_alpha
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: total/alpha/digit/space
+    char counts and the chars-per-alpha dilution ratio — the C4-style
+    "is this prose or a symbol dump" screen, one codegen scan.
+
+    The class counters are negated-class regexp_replace + length (the
+    Java/RE2-shared subset; DuckDB needs the 'g' flag to match Spark's
+    replace-all).  All counts are exact bigints; the ratio is one IEEE
+    division of exact integers — unrounded by the exact-ratio rule."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+
+    def n_of(pat: str):
+        return F.length(F.regexp_replace("text", pat, ""))
+
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(n_of("[^a-z]")).cast("long").alias("alpha_chars"),
+            F.sum(n_of("[^0-9]")).cast("long").alias("digit_chars"),
+            F.sum(n_of("[^ ]")).cast("long").alias("space_chars"),
+            (
+                F.sum(F.length("text")).cast("double")
+                / F.sum(n_of("[^a-z]")).cast("double")
+            ).alias("chars_per_alpha"),
+        )
+        .select(
+            "source",
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "alpha_chars",
+            "digit_chars",
+            "space_chars",
+            "chars_per_alpha",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "length_outlier_zscore",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE)                  AS n,
+               CAST(SUM(n_chars) AS DOUBLE)              AS s,
+               CAST(SUM(n_chars * n_chars) AS DOUBLE)    AS q
+        FROM documents
+        GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           ROUND((CAST(d.n_chars AS DOUBLE) - st.s / st.n)
+                 / SQRT((st.q - st.s * st.s / st.n) / (st.n - 1)), 6)
+               AS z
+    FROM documents d JOIN stats st ON st.source = d.source
+    WHERE ABS(ROUND((CAST(d.n_chars AS DOUBLE) - st.s / st.n)
+                    / SQRT((st.q - st.s * st.s / st.n) / (st.n - 1)), 6))
+          > {OUTLIER_Z}
+    """,
+)
+def length_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length outliers: documents whose char count sits more
+    than {z} rounded standard deviations from their source's mean — the
+    truncation/concatenation-artifact detector curation runs before
+    dedup (an 800 KB doc inside a tweet source is a scrape bug, not
+    data).
+
+    Shape: a |sources|-row moment aggregate (count, Σx, Σx² — all exact
+    integers) broadcast-joined back onto the scan; no second pass, no
+    window.  Parity: mean and stddev are derived from exact integer
+    sums via the SAME expression text on both engines, so z is
+    deterministic; it is still rounded 6dp before BOTH the filter and
+    the output (rounded-before-filter rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("n_chars").cast("double").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias(
+            "q"
+        ),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    z = F.round(
+        (F.col("n_chars").cast("double") - mean) / F.sqrt(var), 6
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select("doc_id", "source", "n_chars", z.alias("z"))
+        .where(F.abs(F.col("z")) > OUTLIER_Z)
+    )
+
+
+length_outlier_zscore.__doc__ = length_outlier_zscore.__doc__.format(
+    z=OUTLIER_Z
+)
+
+
+@register(
+    "text_normalize_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(TRIM(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')))
+               AS BIGINT) AS n_norm_chars,
+           md5(TRIM(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')))
+               AS fp
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalize→fingerprint pass: lowercase, map every
+    non-alphanumeric to space, collapse runs of spaces, trim, md5 — the
+    normalization layer every exact-dedup pipeline keys on (cf.
+    ``exact_dedup`` hashes raw text; this is the forgiving variant that
+    ignores case/punct/whitespace differences).
+
+    One codegen scan, no shuffle: regexp_replace chains and md5 are all
+    JVM builtins.  The patterns are the Java/RE2-shared subset ('  +'
+    rather than a lookaround; 'g' flag on the DuckDB side); md5 hex is
+    lowercase on both engines."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_norm_chars"),
+        F.md5(norm).alias("fp"),
+    )

@@ -1,0 +1,142 @@
+"""Embedding-column statistics over the ``embeddings`` fixture.
+
+A 100 TB embedding store needs corpus-level QA before any ANN index is
+built: per-dimension distribution drift (a dead or exploding dimension
+breaks cosine geometry silently) and per-label cluster shape (centroid
+norms approaching zero mean label collapse).  Both operators keep the
+vectors JVM-side — posexplode + codegen aggregates, no Python — and both
+shuffle only (dim)- or (label, dim)-keyed partial aggregates, never raw
+vectors.  The reference has no embedding surface (SURVEY §2.A.4); these
+extend the §2.B similarity family's QA tier.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                 AS val
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT)           AS n,
+           ROUND(SUM(val) / COUNT(*), 6)      AS mean,
+           ROUND(MIN(val), 6)                 AS min_val,
+           ROUND(MAX(val), 6)                 AS max_val,
+           ROUND((SUM(val * val) - SUM(val) * SUM(val) / COUNT(*))
+                 / (COUNT(*) - 1), 6)         AS var
+    FROM vals
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile: count, mean, min/max, sample
+    variance — the drift dashboard for an embedding store.
+
+    posexplode flattens each vector to (dim, val) rows (1-based to match
+    DuckDB's generate_subscripts); one hash-aggregate on dim does the
+    rest map-side-partial.  Scale: the shuffle carries |dims| × partials,
+    never vectors.  Parity: float32→double widening is exact; mean and
+    variance are spelled as the SAME explicit sum formula on both engines
+    (not each engine's streaming var_samp, whose accumulation orders
+    differ) and rounded 6dp against summation-order drift; min/max are
+    exact but rounded for symmetry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("val")
+    q = F.sum(F.col("val") * F.col("val"))
+    return (
+        vals.groupBy("dim")
+        .agg(
+            n.cast("long").alias("n"),
+            F.round(s / n, 6).alias("mean"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+            F.round((q - s * s / n) / (n - F.lit(1)), 6).alias("var"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH vals AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                 AS val
+        FROM embeddings
+    ),
+    centroid AS (
+        SELECT label, dim,
+               COUNT(*)           AS n_vals,
+               SUM(val) / COUNT(*) AS c
+        FROM vals
+        GROUP BY label, dim
+    )
+    SELECT CAST(label AS BIGINT)            AS label,
+           CAST(MAX(n_vals) AS BIGINT)      AS n_vecs,
+           ROUND(SQRT(SUM(c * c)), 6)       AS centroid_norm,
+           ROUND(MAX(ABS(c)), 6)            AS max_abs_coord
+    FROM centroid
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid geometry: vector count, centroid L2 norm, and
+    the largest-magnitude centroid coordinate.  Centroid norms near zero
+    flag label collapse (members cancel); a dominant coordinate flags a
+    degenerate axis — the two cheapest cluster-health checks that need
+    no pairwise distances.
+
+    Two-level aggregate: (label, dim) partial means, then a |labels|-row
+    rollup — the shuffle carries |labels|×|dims| partials.  Parity: the
+    per-cell count equals the label's vector count (fixture vectors are
+    fixed-width), so n_vecs is MAX(n_vals); mean/norm use the explicit
+    sum formula rounded 6dp (SQRT of an identical double is identical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    centroid = vals.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        (F.sum("val") / F.count(F.lit(1))).alias("c"),
+    )
+    return (
+        centroid.groupBy("label")
+        .agg(
+            F.max("n_vals").cast("long").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.round(F.max(F.abs("c")), 6).alias("max_abs_coord"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "centroid_norm",
+            "max_abs_coord",
+        )
+        .orderBy("label")
+    )

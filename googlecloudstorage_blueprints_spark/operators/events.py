@@ -657,3 +657,114 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "event_id", "value", delta.alias("delta"))
         .where(F.abs(F.col("delta")) > CHANGE_THRESHOLD)
     )
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT)              AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT)                AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT)                AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT)                AS total_gap_us,
+           CAST(FLOOR(CAST(MEDIAN(gap_us) AS DOUBLE)) AS BIGINT)
+               AS median_gap_us
+    FROM gaps
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: per event type, stats over the gap to
+    the previous event of the SAME USER (any type) — the load-model view
+    a capacity planner reads (cf. the reference has no event surface;
+    this extends SURVEY §2.B's behavioral family).
+
+    All math is integer µs (exact on both engines); the median is an
+    exact percentile over bigint gaps — DuckDB MEDIAN(bigint)
+    interpolates to double then truncates back, Spark uses
+    percentile(0.5) with the same interpolation, floor-cast on both.
+    One shuffle on user_id for the lag window, then a bounded
+    |event_type| aggregate; sort_bounded would fit but the output is
+    5 rows and already grouped — a plain orderBy on the enum key keeps
+    the oracle string shared."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gaps = e.select(
+        "event_type",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.expr("CAST(FLOOR(percentile(gap_us, 0.5D)) AS BIGINT)").alias(
+                "median_gap_us"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events
+    ),
+    counts AS (
+        SELECT src, dst, COUNT(*) AS n
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM counts
+    ORDER BY src, dst
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and row-normalized probability of event_type → next event_type.
+
+    The lead window shuffles once on user_id; the |types|² count table is
+    bounded (25 rows here), so the normalizing window runs on a tiny
+    frame.  Parity: n and SUM(n) are exact bigints, so n/Σn is the
+    exact-integer-ratio case — a single IEEE division, identical on both
+    engines — rounded 6dp only for display symmetry."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    w_src = Window.partitionBy("src")
+    return (
+        counts.select(
+            "src",
+            "dst",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w_src), 6
+            ).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -490,6 +490,100 @@ def sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q20)
 
 
+_Q3 = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(o_orderdate AS DATE)                          AS orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_tpch_q3", oracle=_Q3)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the SQL frontend: the ten
+    highest-revenue BUILDING-segment orders placed before a cutoff and
+    still shipping after it — the classic sel-join-agg-topN pipeline, the
+    SAME ANSI string on both engines (cf. TPC-H spec Q3; the fixture
+    orders table has no o_shippriority so the output carries orderdate
+    only).
+
+    Catalyst broadcast-filters customer into orders, sort-merges the
+    orders⋈lineitem fact join, and AQE plans the top-10 as a
+    TakeOrderedAndProject — no global sort materializes.  Parity: the
+    ORDER BY is total (revenue, then orderdate, then the grouped
+    l_orderkey which is unique), so the 10-row cut is deterministic; the
+    2dp-rounded revenue lands inside the cut, never decides it, except at
+    exact double ties which the unique key then breaks."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3)
+
+
+_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT)                    AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.05
+  AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6", oracle=_Q6)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) through the SQL frontend: one
+    full-scan filter-aggregate, no join, no group — the purest test that
+    predicate pushdown reaches the parquet scan and the aggregate stays
+    map-side (partial agg → single-row exchange).  Same ANSI string on
+    both engines (cf. TPC-H spec Q6 re-based to the fixture date range).
+
+    Parity: discounts are exact 2dp doubles (0.00..0.10 step 0.01), so
+    the range predicate is exact on both engines; the revenue sum is
+    rounded 2dp for summation-order drift and COUNT is BIGINT-cast."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6)
+
+
+_Q9 = """
+SELECT n_name                              AS nation,
+       CAST(year(o_orderdate) AS BIGINT)   AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS profit
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN part p     ON p.p_partkey  = l.l_partkey
+JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("sql_tpch_q9", oracle=_Q9)
+def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) shape through the SQL frontend:
+    revenue on '%gear%' parts by supplier nation and order year — a
+    five-way star join grouped on two dim attributes, the SAME ANSI
+    string on both engines (cf. TPC-H spec Q9; the fixture schema has no
+    partsupp, so profit is revenue without the supplycost term — shape
+    over letter, as with q2/q8/q20).
+
+    The '%gear%' LIKE prunes part before the join (Catalyst pushes it
+    into the scan); part and the supplier→nation chain broadcast; the one
+    fact shuffle is the grouped aggregate.  |nations|×|years| output is
+    bounded, ORDER BY (nation, o_year) is unique."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9)
+
+
 # --------------------------------------------------------------------------
 # distribution window functions (ntile / percent_rank / cume_dist / edges)
 # --------------------------------------------------------------------------

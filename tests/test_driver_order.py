@@ -58,6 +58,14 @@ def test_oldest_adjudication_comes_first():
 
 def test_changed_keys_lead():
     order = gen.compute_order()
-    head = order[: len(gen.CHANGED_THIS_ROUND) + 5]
+    latest = gen.latest_adjudication()
+    # changed keys share the front -1 group with never-seen keys; the
+    # head is that whole group (all of it fits the driver's ~50 budget)
+    n_front = sum(
+        1
+        for n in order
+        if n in set(gen.CHANGED_THIS_ROUND) or n not in latest
+    )
+    head = order[:n_front]
     for key in gen.CHANGED_THIS_ROUND:
         assert key in head, f"{key} marked changed but not front-loaded"

@@ -28,6 +28,7 @@ PERSISTING_OPS = [
     "similarity_rp_lsh",
     "benchmark_contamination",
     "source_vocab_overlap",
+    "source_unigram_kl",
     "sequence_pack",
     "chunk_dedup",
 ]
