@@ -65,6 +65,7 @@ def _load_all() -> None:
         events,
         fileops_query,
         graph,
+        ir,
         multimodal,
         pipeline,
         relational_tpch2,

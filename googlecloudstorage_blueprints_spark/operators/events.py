@@ -768,3 +768,83 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "events_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+            FROM events),
+    n AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           ROUND(CAST(p.n_ab AS DOUBLE) * tot.n_users
+                 / (CAST(na.n_t AS DOUBLE) * CAST(nb.n_t AS DOUBLE)), 6)
+               AS lift
+    FROM pairs p
+    JOIN n na ON na.event_type = p.type_a
+    JOIN n nb ON nb.event_type = p.type_b
+    CROSS JOIN tot
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift: for each unordered type pair,
+    how many users did both, and the ratio of that count to what
+    independence predicts — market-basket association over behavioral
+    data, the same shape as ``source_vocab_overlap``'s key-bounded
+    self-join.
+
+    Scale: the self-join is keyed on user_id with fan-out bounded by
+    |types|² per user (types are an enum, not data-sized); the distinct
+    (user, type) frame is one hash-aggregate.  Parity: lift is
+    (a·N)/(b·c) over exact integer counts — identical expression text,
+    deterministic doubles — rounded 6dp for display symmetry."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tot = e.agg(
+        F.countDistinct("user_id").cast("double").alias("n_users")
+    )
+    n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = n.alias("na")
+    nb = n.alias("nb")
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_users")
+        / (F.col("na.n_t").cast("double") * F.col("nb.n_t").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
+        .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            lift.alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -602,3 +603,128 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 4) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    th AS (
+        SELECT ROUND(quantile_cont(recency_days, 0.25), 6) AS r1,
+               ROUND(quantile_cont(recency_days, 0.50), 6) AS r2,
+               ROUND(quantile_cont(recency_days, 0.75), 6) AS r3,
+               ROUND(quantile_cont(frequency, 0.25), 6)    AS f1,
+               ROUND(quantile_cont(frequency, 0.50), 6)    AS f2,
+               ROUND(quantile_cont(frequency, 0.75), 6)    AS f3,
+               ROUND(quantile_cont(monetary, 0.25), 6)     AS m1,
+               ROUND(quantile_cont(monetary, 0.50), 6)     AS m2,
+               ROUND(quantile_cont(monetary, 0.75), 6)     AS m3
+        FROM cust
+    ),
+    seg AS (
+        SELECT CASE WHEN recency_days <= r1 THEN 1
+                    WHEN recency_days <= r2 THEN 2
+                    WHEN recency_days <= r3 THEN 3 ELSE 4 END AS r_q,
+               CASE WHEN frequency <= f1 THEN 1
+                    WHEN frequency <= f2 THEN 2
+                    WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_q,
+               CASE WHEN monetary <= m1 THEN 1
+                    WHEN monetary <= m2 THEN 2
+                    WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_q,
+               monetary
+        FROM cust CROSS JOIN th
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q,
+           CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT)      AS n_customers,
+           ROUND(SUM(monetary), 4)       AS total_monetary
+    FROM seg
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles) — the classic CRM cube, built WITHOUT the classic global
+    NTILE: a SinglePartition window over all customers dies at scale, so
+    quartile THRESHOLDS come from one 9-percentile aggregate row that
+    broadcasts back over the per-customer frame (same decomposition
+    argument as ``global_row_number``).
+
+    Shape: one orders shuffle (per-customer aggregate, persisted — two
+    consumers), a 1-row threshold aggregate, broadcast crossJoin, then a
+    ≤64-row segment rollup via sort_bounded.  Parity: recency/frequency
+    are exact integers and monetary is a 4dp-rounded sum of 2-decimal
+    prices (boundary-free); thresholds are interpolated percentiles
+    (Spark percentile ≡ DuckDB quantile_cont) rounded 6dp on both
+    engines BEFORE the bucket comparisons, so every CASE edge is
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    corpus_max = o.agg(F.max("o_orderdate").alias("max_date"))
+    cust = (
+        o.crossJoin(F.broadcast(corpus_max))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("max_date"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+        .persist()
+    )
+    th = cust.agg(
+        *[
+            F.round(F.expr(f"percentile({col}, {p}D)"), 6).alias(name)
+            for col, p, name in [
+                ("recency_days", 0.25, "r1"),
+                ("recency_days", 0.50, "r2"),
+                ("recency_days", 0.75, "r3"),
+                ("frequency", 0.25, "f1"),
+                ("frequency", 0.50, "f2"),
+                ("frequency", 0.75, "f3"),
+                ("monetary", 0.25, "m1"),
+                ("monetary", 0.50, "m2"),
+                ("monetary", 0.75, "m3"),
+            ]
+        ]
+    )
+
+    def quart(col: str, t1: str, t2: str, t3: str):
+        c = F.col(col)
+        return (
+            F.when(c <= F.col(t1), 1)
+            .when(c <= F.col(t2), 2)
+            .when(c <= F.col(t3), 3)
+            .otherwise(4)
+            .cast("long")
+        )
+
+    seg = cust.crossJoin(F.broadcast(th)).select(
+        quart("recency_days", "r1", "r2", "r3").alias("r_q"),
+        quart("frequency", "f1", "f2", "f3").alias("f_q"),
+        quart("monetary", "m1", "m2", "m3").alias("m_q"),
+        "monetary",
+    )
+    out = (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 4).alias("total_monetary"),
+        )
+        .transform(sort_bounded, "r_q", "f_q", "m_q")
+        .persist()
+    )
+    out.count()  # materialize through the cached per-customer frame
+    cust.unpersist()
+    return out

@@ -29,6 +29,7 @@ PERSISTING_OPS = [
     "benchmark_contamination",
     "source_vocab_overlap",
     "source_unigram_kl",
+    "rfm_segments",
     "sequence_pack",
     "chunk_dedup",
 ]
