@@ -71,6 +71,7 @@ def _load_all() -> None:
         relational_tpch2,
         scale_patterns,
         training,
+        warehouse,
     )
 
 

@@ -1,0 +1,179 @@
+"""Warehouse-maintenance operators: the CDC/dimension patterns every
+lakehouse runs nightly — latest-record compaction (SCD type 1 view),
+slowly-changing-dimension interval reconstruction (SCD type 2), and
+calendar-spine densification.  All are single- or two-window shapes over
+one keyed shuffle; nothing here needs state beyond what the window
+partitioning already co-locates, which is exactly why they survive
+100 TB.  The reference has no warehouse surface (SURVEY §2.A.4); the
+physical-sink counterpart is ``sinks/writers.py``'s ``upsert_parquet``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+
+@register(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+           ROUND(value, 6) AS value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    """,
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the SCD-1 / CDC-compaction view (the
+    batch form of "apply the changelog, keep the newest version").
+
+    One shuffle on the key; WindowGroupLimit pushes the rank-1 cut
+    map-side so only per-partition winners reach the exchange.  The
+    ordering carries the unique event_id tiebreaker (ts alone is not
+    unique — parity rule from relational.py).  The physical-write twin
+    is ``upsert_parquet`` (sinks/writers.py), which merges such a
+    snapshot into a stored table."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        ts_us.desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            ts_us.alias("ts_us"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, event_id, ts_us
+        FROM seq
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS valid_to_us
+    FROM changes
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history reconstruction: collapse a per-key changelog to
+    validity intervals — a row survives only where the tracked attribute
+    CHANGES, and each surviving row's interval runs to the next change
+    (NULL = still current).  This is the dimension-history build every
+    warehouse derives from CDC feeds.
+
+    Two windows over the SAME (user_id)-keyed shuffle — Catalyst plans
+    one exchange; the second window runs on the change rows only.
+    Integer-µs bounds; (ts, event_id) total order on both passes."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+
+
+@register(
+    "date_spine_monthly",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+               date_trunc('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+        FROM bounds
+    ),
+    actual AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT strftime(spine.m, '%Y-%m')            AS month,
+           CAST(COALESCE(actual.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(actual.revenue, 0.0)         AS revenue
+    FROM spine LEFT JOIN actual ON actual.m = spine.m
+    ORDER BY month
+    """,
+)
+def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: a generated month dimension LEFT
+    JOINed to the monthly revenue rollup so empty months surface as
+    explicit zero rows — the dbt date-spine pattern, and the batch
+    analogue of ``events_gapfill``'s stream form.
+
+    The spine is sequence() over the corpus [min, max] month bounds —
+    computed as a 1-row aggregate, exploded to |months| rows, always
+    broadcastable; the fact side is one grouped shuffle.  explode_outer
+    per the computed-array rule; month emitted as a formatted string so
+    both engines hash identical values."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode_outer(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m")
+    )
+    actual = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(actual, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias(
+                "n_orders"
+            ),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .transform(sort_bounded, "month")
+    )
