@@ -9,6 +9,7 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (
 from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_dedup,
     streaming_gapfill,
+    streaming_latest_snapshot,
     streaming_lsh_candidates,
     streaming_sequence_pack,
     streaming_stateful_sessions,
@@ -21,6 +22,7 @@ __all__ = [
     "streaming_stateful_sessions",
     "streaming_dedup",
     "streaming_gapfill",
+    "streaming_latest_snapshot",
     "streaming_lsh_candidates",
     "streaming_sequence_pack",
     "run_stream_to_memory",

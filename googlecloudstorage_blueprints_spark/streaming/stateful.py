@@ -510,3 +510,103 @@ def streaming_gapfill(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming latest-snapshot: CDC compaction as keyed state
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_SNAPSHOT_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _latest_per_key(key: tuple, pdfs, state: GroupState):
+    """Per-key CDC compaction: state holds the newest (ts_us, event_id)
+    record seen so far; a micro-batch emits one row per key IFF it
+    advances the snapshot (out-of-order and redelivered rows that lose
+    the (ts_us, event_id) race are absorbed silently — replay-idempotent
+    by construction).  Emitted rows form the snapshot's changelog; the
+    newest emission per key IS the snapshot (test-pinned against the
+    batch ``latest_snapshot`` operator)."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us)
+    best = rows.sort_values(["ts_us", "event_id"]).iloc[-1]
+    if state.exists:
+        cur_ts, cur_id = int(state.get[0]), int(state.get[1])
+        if (int(best["ts_us"]), int(best["event_id"])) <= (cur_ts, cur_id):
+            return
+    state.update(
+        (
+            int(best["ts_us"]),
+            int(best["event_id"]),
+            str(best["event_type"]),
+            float(best["value"]),
+        )
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(user_id),
+                "event_id": int(best["event_id"]),
+                "ts_us": int(best["ts_us"]),
+                "event_type": str(best["event_type"]),
+                "value": round(float(best["value"]), 6),
+            }
+        ]
+    )
+
+
+def streaming_latest_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CDC compaction — the incremental twin of the batch
+    ``latest_snapshot`` operator (operators/warehouse.py): keyed state
+    keeps each key's newest (ts_us, event_id) record and emits an update
+    row only when the snapshot advances.
+
+    One shuffle on user_id per micro-batch; state is ONE fixed-width
+    tuple per key — deliberately NO timeout, because a snapshot's state
+    is its value (dropping an idle key would forget its latest record;
+    memory is O(|live keys|), the same bound the downstream compacted
+    table has).  Losing races to (ts_us, event_id) makes redelivery and
+    out-of-order arrival no-ops, so the changelog is replay-idempotent;
+    its newest row per key equals the batch operator over any in-order
+    replay (test-pinned in tests/test_streaming.py)."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _latest_per_key,
+            _SNAPSHOT_OUT_SCHEMA,
+            _SNAPSHOT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

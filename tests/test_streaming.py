@@ -559,3 +559,77 @@ def test_streaming_gapfill_timer_evicts_idle_users(spark, tmp_path):
     # filled catch-up rows spanning the 6-hour gap
     assert [o for _, o, _ in u1] == [True, True], u1
     assert len(u1) == 2
+
+
+def test_streaming_latest_snapshot_matches_batch(spark):
+    """The newest emission per key of the streaming CDC compaction must
+    equal the batch latest_snapshot rows exactly."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_latest_snapshot,
+    )
+
+    got = run_stream_to_memory(
+        streaming_latest_snapshot(spark, SF), "snapshot_single"
+    )
+    newest = {}
+    for r in got.collect():
+        k = r["user_id"]
+        if k not in newest or (r["ts_us"], r["event_id"]) > (
+            newest[k]["ts_us"],
+            newest[k]["event_id"],
+        ):
+            newest[k] = r
+    got_rows = {
+        (r["user_id"], r["event_id"], r["ts_us"], r["event_type"], r["value"])
+        for r in newest.values()
+    }
+    batch_rows = {
+        (r["user_id"], r["event_id"], r["ts_us"], r["event_type"], r["value"])
+        for r in all_queries()["latest_snapshot"](spark, SF).collect()
+    }
+    assert got_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_streaming_latest_snapshot_idempotent_on_redelivery(spark, tmp_path):
+    """Redelivering the whole backlog as a second micro-batch must emit
+    ZERO new rows (every row loses the (ts_us, event_id) race to state)
+    and the snapshot must still equal the batch operator."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_latest_snapshot,
+    )
+
+    src = f"{SF}/events.parquet"
+    (tmp_path / "replay").mkdir()
+    shutil.copy(src, tmp_path / "replay" / "00_events.parquet")
+    shutil.copy(src, tmp_path / "replay" / "01_events.parquet")
+    got = run_stream_to_memory(
+        streaming_latest_snapshot(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "snapshot_redelivery",
+    )
+    rows = got.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["user_id"], []).append(r)
+    # one emission per key total: the redelivered batch advanced nothing
+    multi = {k: v for k, v in per_key.items() if len(v) > 1}
+    assert not multi, f"redelivery re-emitted for keys: {sorted(multi)[:5]}"
+    got_rows = {
+        (r["user_id"], r["event_id"], r["ts_us"], r["event_type"], r["value"])
+        for r in rows
+    }
+    batch_rows = {
+        (r["user_id"], r["event_id"], r["ts_us"], r["event_type"], r["value"])
+        for r in all_queries()["latest_snapshot"](spark, SF).collect()
+    }
+    assert got_rows == batch_rows
