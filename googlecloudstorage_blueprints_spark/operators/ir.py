@@ -179,3 +179,108 @@ def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("posting_len")
     )
+
+
+PMI_TOP_VOCAB = 100
+PMI_MIN_PAIR_DOCS = 5
+PMI_TOP_PAIRS = 50
+
+
+@register(
+    "word_pmi_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT DISTINCT doc_id, w FROM toks WHERE w <> ''),
+    df AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+    top AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT {PMI_TOP_VOCAB}),
+    pres AS (SELECT t.doc_id, t.w FROM tok t JOIN top ON top.w = t.w),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+        SELECT a.w AS word_a, b.w AS word_b, COUNT(*) AS n_ab
+        FROM pres a JOIN pres b
+          ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY 1, 2
+    )
+    SELECT p.word_a, p.word_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           ROUND(LN(CAST(p.n_ab AS DOUBLE) * n.n_docs
+                    / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))), 6)
+               AS pmi
+    FROM pairs p
+    JOIN top da ON da.w = p.word_a
+    JOIN top db ON db.w = p.word_b
+    CROSS JOIN n
+    WHERE p.n_ab >= {PMI_MIN_PAIR_DOCS}
+    ORDER BY pmi DESC, word_a, word_b
+    LIMIT {PMI_TOP_PAIRS}
+    """,
+)
+def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between head-vocabulary word pairs
+    (document-level co-occurrence): the collocation/topic-structure probe
+    (Church & Hanks 1990) that tells a curator which terms travel
+    together — and, run per source, whether a crawl is topically
+    degenerate.
+
+    Scale: the pair join is the quadratic step, so it is BOUNDED before
+    it happens — only the top-{vocab} words by document frequency enter
+    the presence frame (deterministic df-then-word cut via
+    TakeOrderedAndProject, always broadcastable), capping per-doc join
+    fan-out at {vocab}²; the doc-keyed self-join then scales linearly
+    with corpus size.  Same cap-the-head discipline as
+    ngram_jaccard_dedup's HOT_SHINGLE_CAP, from the opposite side.
+    Parity: PMI is ln of an exact-integer ratio, rounded 6dp before the
+    ORDER BY with (word_a, word_b) tiebreak, so the top-pair cut is
+    deterministic on both engines."""
+    tok = _tokens(spark, sf_dir).select("doc_id", "w").distinct()
+    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = df.orderBy(F.col("df").desc(), "w").limit(PMI_TOP_VOCAB)
+    pres = tok.join(F.broadcast(top.select("w")), "w").select("doc_id", "w")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n = d.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    a = pres.alias("a")
+    b = pres.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_PAIR_DOCS)
+    )
+    da = top.alias("da")
+    db = top.alias("db")
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n_docs")
+            / (F.col("da.df").cast("double") * F.col("db.df").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(da), F.col("word_a") == F.col("da.w"))
+        .join(F.broadcast(db), F.col("word_b") == F.col("db.w"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "word_a", "word_b")
+        .limit(PMI_TOP_PAIRS)
+    )
+
+
+word_pmi_pairs.__doc__ = word_pmi_pairs.__doc__.format(vocab=PMI_TOP_VOCAB)
