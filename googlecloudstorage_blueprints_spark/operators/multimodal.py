@@ -373,3 +373,117 @@ def multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup: dHash + banded Hamming buckets
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit dHash
+PHASH_HAMMING_MAX = 6  # report pairs within this Hamming radius
+
+
+def _dhash64(img) -> int:
+    """64-bit difference hash (dHash) of a decoded (h, w, 3) uint8 image:
+    grayscale → nearest-neighbor 9×8 grid → row-wise brightness-gradient
+    sign bits, packed row-major (Krawetz's dHash; the standard cheap
+    perceptual fingerprint).  Returns an UNSIGNED 64-bit value as a
+    Python int — callers mask/shift for bands and two's-complement for
+    storage in a signed Spark long."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.float64).mean(axis=2)
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = gray[np.ix_(rows, cols)]
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+@register("multimodal_phash_dedup")  # rows-only: binary kernel, not ANSI
+# SQL; exactness vs a brute-force reference is pinned in
+# tests/test_multimodal.py (banded candidates ∩ Hamming radius)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection: per-payload 64-bit dHash in one
+    Arrow kernel, then the same banded-bucket discipline as
+    ``simhash_dedup`` — the hash splits into 4×16-bit bands, candidates
+    are pairs sharing a (band_id, band_value) bucket, and the exact
+    Hamming distance is codegen ``bit_count(a ^ b)`` on the candidates
+    only.  By pigeonhole every pair within Hamming ≤ 3 shares a clean
+    band (guaranteed recall); the reported radius is ≤ {radius}.
+
+    Scale: no all-pairs stage exists — signatures are one kernel pass
+    (8 bigints per image shuffle, payloads never leave their scan), the
+    self-join is bucket-keyed, and hot buckets are real near-dup
+    clusters (AQE skew territory).  This is the image twin of the text
+    MinHash/SimHash path, sharing its plan shape end-to-end."""
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    payloads = _ppm_payloads(spark, sf_dir).repartition(n_parts, "doc_id")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "phash": [], "b0": [], "b1": [],
+                    "b2": [], "b3": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                u = _dhash64(_parse_ppm(bytes(p)))
+                rows["doc_id"].append(doc_id)
+                # two's-complement into a signed Spark long
+                rows["phash"].append(u - (1 << 64) if u >= (1 << 63) else u)
+                for k in range(PHASH_BANDS):
+                    rows[f"b{k}"].append((u >> (16 * k)) & 0xFFFF)
+            yield pd.DataFrame(rows)
+
+    sig = payloads.mapInPandas(
+        kernel,
+        schema="doc_id long, phash long, b0 int, b1 int, b2 int, b3 int",
+    ).persist()
+
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("phash").alias("phash_a"))
+    hb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("phash").alias("phash_b"))
+    out = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("phash_a").bitwiseXOR(F.col("phash_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .persist()
+    )
+    out.count()  # materialize through the cached signature frame
+    sig.unpersist()
+    return out
+
+
+multimodal_phash_dedup.__doc__ = multimodal_phash_dedup.__doc__.format(
+    radius=PHASH_HAMMING_MAX
+)

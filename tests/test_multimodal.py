@@ -280,3 +280,76 @@ def test_multimodal_resize_golden_hash_sf0_01_corpus():
         exp_digest.update(str(doc_id).encode())
         exp_digest.update(img[ys][:, xs].tobytes())
     assert got == exp_digest.hexdigest()
+
+
+def test_multimodal_phash_dedup_equals_bruteforce(spark):
+    """The banded-bucket op must return EXACTLY the pairs a brute-force
+    reference finds within the Hamming radius among band-sharing pairs —
+    and by pigeonhole, every pair within Hamming ≤ 3 (4 bands, 3 bit
+    flips can't dirty all four)."""
+    from googlecloudstorage_blueprints_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        _dhash64,
+    )
+
+    ref = _expected_decode_frame(SF)
+    hashes = {doc_id: _dhash64(img) for doc_id, (_, _, img) in ref.items()}
+    ids = sorted(hashes)
+
+    def bands(u):
+        return [(u >> (16 * k)) & 0xFFFF for k in range(PHASH_BANDS)]
+
+    expected = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            ham = bin(hashes[da] ^ hashes[db]).count("1")
+            if ham <= PHASH_HAMMING_MAX and any(
+                x == y for x, y in zip(bands(hashes[da]), bands(hashes[db]))
+            ):
+                expected[(da, db)] = ham
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in all_queries()["multimodal_phash_dedup"](
+            spark, SF
+        ).collect()
+    }
+    assert got == expected
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            if bin(hashes[da] ^ hashes[db]).count("1") <= 3:
+                assert (da, db) in got, "pigeonhole recall violated"
+
+
+def test_multimodal_phash_dedup_finds_planted_duplicates(spark, tmp_path):
+    """A corpus with two identical images (same text, doc_ids congruent
+    mod 24 so the synthesized dimensions match) must yield that pair at
+    Hamming 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        i: f"doc {i} body words vary {i * 17 % 31}" for i in range(50)
+    }
+    texts[27] = texts[3]  # 27 ≡ 3 (mod 24) → same w, h, same pixels
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[i] for i in texts],
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(texts[i]) for i in texts],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf), tmp_path / "documents.parquet"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in all_queries()["multimodal_phash_dedup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got.get((3, 27)) == 0

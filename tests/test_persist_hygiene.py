@@ -30,6 +30,7 @@ PERSISTING_OPS = [
     "source_vocab_overlap",
     "source_unigram_kl",
     "rfm_segments",
+    "multimodal_phash_dedup",
     "sequence_pack",
     "chunk_dedup",
 ]
