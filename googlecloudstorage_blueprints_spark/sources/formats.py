@@ -66,3 +66,42 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.mode(mode).options(**options).json(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read a parquet dataset whose files span SCHEMA VINTAGES — the
+    normal state of a 100 TB lake (columns get added; old files don't
+    get rewritten).
+
+    ``mergeSchema`` makes the footer union the scan schema, so files
+    missing a newer column yield NULLs for it instead of failing the
+    read; with ``target_schema`` given, the result is then projected and
+    cast to exactly that schema (select-with-cast, not schema-on-read:
+    extra legacy columns drop, missing ones stay NULL, and type widening
+    — int→long, float→double — is explicit and visible in the plan).
+
+    mergeSchema costs one footer read per file at planning time (no data
+    pass); production keeps it ON for evolving tables and OFF for
+    frozen ones.  The fixture-vintage analogue inside the engine is
+    sources/catalog.py's timestamp_ntz normalization (round-5 finding:
+    physical types drift between fixture generations)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is None:
+        return df
+    if isinstance(target_schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        target_schema = _parse_datatype_string(target_schema)
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -78,3 +78,53 @@ def test_csv_header_can_be_disabled(spark, tmp_path):
     write_csv(region, out, header=False)
     raw = read_text(spark, f"{out}/*.csv").collect()
     assert not any("r_regionkey" in r["value"] for r in raw)
+
+
+def test_read_parquet_evolved_merges_vintages(spark, tmp_path):
+    """Two schema vintages in one directory: the merged scan unions the
+    columns, old files yield NULL for the added column, and the target
+    schema projects/casts deterministically (drop extra, add missing,
+    widen int->long)."""
+    from googlecloudstorage_blueprints_spark.sources.formats import (
+        read_parquet_evolved,
+    )
+
+    out = f"file:{tmp_path}/evolved"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    ).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 0.5, "x")],
+        "id int, name string, score double, legacy_debug string",
+    ).write.mode("append").parquet(out)
+
+    merged = read_parquet_evolved(spark, out)
+    assert {"id", "name", "score", "legacy_debug"} <= set(merged.columns)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 0.5
+
+    target = "id long, name string, score double, added_later string"
+    shaped = read_parquet_evolved(spark, out, target)
+    assert [f.name for f in shaped.schema.fields] == [
+        "id", "name", "score", "added_later",
+    ]
+    assert dict(shaped.dtypes)["id"] == "bigint"
+    assert "legacy_debug" not in shaped.columns
+    got = {r["id"]: r for r in shaped.collect()}
+    assert got[2]["added_later"] is None and got[3]["score"] == 0.5
+
+
+def test_read_parquet_evolved_without_merge_would_miss_columns(spark, tmp_path):
+    """Control: a plain read of the same directory picks ONE footer's
+    schema (whichever file seeds inference), so the added column is not
+    reliably visible - the failure mode read_parquet_evolved removes."""
+    out = f"file:{tmp_path}/plain"
+    spark.createDataFrame([(1, "a")], "id int, name string").write.mode(
+        "append"
+    ).parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id int, name string, score double"
+    ).write.mode("append").parquet(out)
+    plain_cols = set(spark.read.parquet(out).columns)
+    # either vintage may win inference; the union is only guaranteed merged
+    assert plain_cols in ({"id", "name"}, {"id", "name", "score"})
