@@ -13,6 +13,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_lsh_candidates,
     streaming_sequence_pack,
     streaming_stateful_sessions,
+    streaming_transition_matrix,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "streaming_latest_snapshot",
     "streaming_lsh_candidates",
     "streaming_sequence_pack",
+    "streaming_transition_matrix",
     "run_stream_to_memory",
 ]
 

@@ -610,3 +610,92 @@ def streaming_latest_snapshot(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming transition counts: last-event-type keyed state
+# ---------------------------------------------------------------------------
+
+_TRANSITION_OUT_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transition_counts(key: tuple, pdfs, state: GroupState):
+    """Per-user transition counter: state carries the newest event's
+    (ts_us, event_id, type); each micro-batch sorts its rows into the
+    user's sequence, counts consecutive type pairs (bridging the batch
+    boundary through state), and emits per-batch (src, dst, n) partial
+    counts.  Downstream sums partials — the streaming decomposition of
+    the batch lead() window, exact over an in-order replay (the same
+    contract as streaming_sequence_pack; a late event older than state
+    would fabricate a transition the batch op doesn't have)."""
+    import collections
+
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+    types = rows["event_type"].tolist()
+    if state.exists:
+        prev = [str(state.get[2])]
+        types = prev + types
+    counts = collections.Counter(zip(types, types[1:]))
+    last = rows.iloc[-1]
+    state.update(
+        (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
+    )
+    if counts:
+        yield pd.DataFrame(
+            [
+                {"src": s, "dst": d, "n": int(n)}
+                for (s, d), n in sorted(counts.items())
+            ]
+        )
+
+
+def streaming_transition_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming first-order Markov transition counts — the incremental
+    twin of the batch ``events_transition_matrix`` (operators/events.py):
+    keyed state holds one (ts_us, event_id, type) tuple per user to
+    bridge micro-batch boundaries; emissions are per-batch partial
+    (src, dst, n) counts that sum to the batch lead-window counts over
+    any in-order replay (test-pinned, including a multi-batch split).
+
+    State is O(|live users|) fixed-width tuples; each micro-batch
+    shuffles once on user_id and emits at most |types|² rows per user —
+    the unbounded stream never accumulates more than the last event per
+    key."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transition_counts,
+            _TRANSITION_OUT_SCHEMA,
+            _TRANSITION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -633,3 +633,70 @@ def test_streaming_latest_snapshot_idempotent_on_redelivery(spark, tmp_path):
         for r in all_queries()["latest_snapshot"](spark, SF).collect()
     }
     assert got_rows == batch_rows
+
+
+def _batch_transition_counts(spark):
+    return {
+        (r["src"], r["dst"]): r["n"]
+        for r in all_queries()["events_transition_matrix"](
+            spark, SF
+        ).collect()
+    }
+
+
+def test_streaming_transition_matrix_matches_batch(spark):
+    """Summed partial emissions over a single availableNow replay must
+    equal the batch lead-window transition counts exactly."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_transition_matrix,
+    )
+
+    got_df = run_stream_to_memory(
+        streaming_transition_matrix(spark, SF), "transition_single"
+    )
+    got = {
+        (r["src"], r["dst"]): r["total"]
+        for r in got_df.groupBy("src", "dst")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    batch = _batch_transition_counts(spark)
+    assert got == batch and len(batch) > 0
+
+
+def test_streaming_transition_matrix_across_microbatches(spark, tmp_path):
+    """A time-ordered two-batch split must bridge the boundary through
+    keyed state: per-user transitions spanning the split still count,
+    and totals equal the batch op."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_transition_matrix,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_split"
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    got_df = run_stream_to_memory(
+        streaming_transition_matrix(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "transition_batches",
+    )
+    got = {
+        (r["src"], r["dst"]): r["total"]
+        for r in got_df.groupBy("src", "dst")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got == _batch_transition_counts(spark)
