@@ -241,3 +241,70 @@ def compact_parquet(
         "overwrite"
     ).parquet(dst)
     return n_files
+
+
+def table_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two parquet snapshots by key: the audit view
+    behind every upsert/compaction/backfill — what did the rewrite
+    actually change?  Returns one row per differing key with
+    ``change_type`` ∈ {inserted, deleted, updated} plus the new-side
+    column values (NULL for deleted keys).
+
+    Formulation: full outer join on the (null-safe) keys, then a
+    comparison expression over ``compare`` columns (default: every
+    non-key column both sides share).  Unchanged keys are filtered OUT
+    before anything materializes, so the result is |changes|-sized, not
+    |table|-sized — at 100 TB the outer join is the one shuffle per
+    side, co-located if both snapshots are bucketed by the key, and
+    partition-pruned when the caller diffs only rewritten partitions.
+    Value comparison is null-safe equality (``<=>``): NULL → NULL is
+    unchanged, NULL → value is a change — the SQL trap a naive ``=``
+    diff silently drops."""
+    import pyspark.sql.functions as F
+
+    old = spark.read.parquet(old_path)
+    new = spark.read.parquet(new_path)
+    if compare is None:
+        compare = [
+            c
+            for c in new.columns
+            if c not in keys and c in set(old.columns)
+        ]
+    # presence markers must survive legitimately-NULL keys: key columns
+    # can't distinguish "row absent" from "key is NULL", so each side
+    # carries a literal that is NULL exactly when the side didn't match
+    o = old.withColumn("__present", F.lit(1)).alias("o")
+    n = new.withColumn("__present", F.lit(1)).alias("n")
+    cond = None
+    for k in keys:
+        clause = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = o.join(n, cond, "full_outer")
+    old_mark = F.col("o.__present").isNotNull()
+    new_mark = F.col("n.__present").isNotNull()
+    changed_vals = F.lit(False)
+    for c in compare:
+        changed_vals = changed_vals | ~F.col(f"o.{c}").eqNullSafe(
+            F.col(f"n.{c}")
+        )
+    change_type = (
+        F.when(~old_mark, F.lit("inserted"))
+        .when(~new_mark, F.lit("deleted"))
+        .when(changed_vals, F.lit("updated"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+        for k in keys
+    ]
+    out_cols.append(change_type.alias("change_type"))
+    out_cols.extend(F.col(f"n.{c}").alias(c) for c in compare)
+    return (
+        joined.select(*out_cols)
+        .where(F.col("change_type").isNotNull())
+    )

@@ -190,3 +190,67 @@ def test_upsert_parquet_recovers_from_mid_swap_crash(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "one", 2: "TWO"}, got
     assert not (tmp_path / "t__upsert_old").exists()  # cleaned up
+
+
+def test_table_diff_classifies_changes(spark, tmp_path):
+    """insert/delete/update classification by key, null-safe on both the
+    key and the compared values."""
+    from googlecloudstorage_blueprints_spark.sinks.writers import table_diff
+
+    old = f"file:{tmp_path}/old"
+    new = f"file:{tmp_path}/new"
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (None, "nk", 0.0)],
+        "id int, name string, score double",
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> absent from diff
+            (2, "b", 2.0),      # NULL -> value: updated
+            (4, "d", 4.0),      # inserted
+            (None, "nk", 0.5),  # NULL key matches null-safely: updated
+        ],
+        "id int, name string, score double",
+    ).write.parquet(new)
+
+    rows = {
+        r["id"]: r
+        for r in table_diff(spark, old, new, keys=["id"]).collect()
+    }
+    assert rows[2]["change_type"] == "updated" and rows[2]["score"] == 2.0
+    assert rows[3]["change_type"] == "deleted" and rows[3]["score"] is None
+    assert rows[4]["change_type"] == "inserted"
+    assert rows[None]["change_type"] == "updated"
+    assert 1 not in rows  # unchanged keys filtered before materializing
+    assert len(rows) == 4
+
+
+def test_table_diff_after_upsert_shows_exactly_the_upsert(spark, tmp_path):
+    """Composition audit: diffing a table against its post-upsert state
+    returns exactly the upserted keys."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sinks.writers import (
+        table_diff,
+        upsert_parquet,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id int, val string"
+    )
+    target = f"file:{tmp_path}/t"
+    base.write.parquet(target)
+    shutil.copytree(f"{tmp_path}/t", f"{tmp_path}/t_before")
+
+    updates = spark.createDataFrame(
+        [(3, "v3-new"), (42, "v42")], "id int, val string"
+    )
+    upsert_parquet(spark, target, updates, keys=["id"])
+
+    diff = {
+        r["id"]: r["change_type"]
+        for r in table_diff(
+            spark, f"file:{tmp_path}/t_before", target, keys=["id"]
+        ).collect()
+    }
+    assert diff == {3: "updated", 42: "inserted"}
