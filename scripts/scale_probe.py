@@ -80,6 +80,58 @@ def bench_shapes(
             .agg(F.count(F.lit(1)), F.sum("n_tokens"))
         )
 
+    def bm25():
+        # round-6 IR shape: token explode → dl agg; tf keeps query terms
+        # only, so the scoring joins stay |query|-bounded per doc
+        tok = (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+            )
+            .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        )
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        corpus = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        tf = (
+            tok.where(F.col("w").isin("spark", "query", "table"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        )
+        dfq = tf.groupBy("w").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+        score = (
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+        )
+        return (
+            tf.join(F.broadcast(dfq), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .groupBy("doc_id")
+            .agg(F.sum(score).alias("score"))
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(10)
+        )
+
+    def latest_snapshot():
+        # round-6 warehouse shape: rank-1 per key → WindowGroupLimit cuts
+        # map-side; replicated customers add partitions, not depth
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -89,6 +141,10 @@ def bench_shapes(
         # round-5 assembly shape: doc-count-sized windows stay bounded by
         # the sub-shard size; must scale like the agg shapes, not a sort
         "sequence_pack": sequence_pack,
+        # round-6 shapes (see SCALE.md "Retrieval, corpus statistics,
+        # warehouse"): both must track the agg/join exponents
+        "bm25": bm25,
+        "latest_snapshot": latest_snapshot,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
