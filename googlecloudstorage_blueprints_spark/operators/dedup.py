@@ -19,7 +19,7 @@ itself has no dedup — SURVEY.md §2.A.4).  Design rules:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
@@ -475,4 +475,42 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", hamming.cast("long").alias("hamming")
         )
         .where(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           CAST(COUNT(*) OVER w AS BIGINT)          AS n_copies,
+           MIN(doc_id) OVER w                       AS keeper_doc_id,
+           CASE WHEN doc_id = MIN(doc_id) OVER w
+                THEN 1 ELSE 0 END                   AS is_keeper
+    FROM documents
+    WINDOW w AS (PARTITION BY md5(text))
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level survivorship view of exact dedup: one row PER DOCUMENT
+    with its group's keeper and a keep/drop flag — the decision table a
+    pipeline actually materializes and joins against (``exact_dedup`` is
+    the group-level rollup of the same aggregate; the curation pipeline
+    consumes exactly this shape between its gate and split stages,
+    pipelines/curate.py).
+
+    One shuffle on the 16-byte digest serves both window functions
+    (COUNT and MIN share the partition); text never shuffles.  Keeper =
+    min(doc_id) — deterministic, never dropDuplicates() partition-order
+    roulette.  All-integer output plus the digest: no rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+        F.min("doc_id").over(w).alias("keeper_doc_id"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("is_keeper"),
     )
