@@ -105,3 +105,24 @@ def read_parquet_evolved(
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC ingestion (native Spark reader: predicate pushdown, column
+    pruning and vectorized decode apply exactly as for parquet).  ORC
+    shows up wherever a Hive-era warehouse is the upstream — a 100 TB
+    migration reads it in place rather than transcoding first.
+    Schema-explicit by the same rule as read_csv/read_jsonl."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """ORC sink (zlib by default; pass compression='zstd'/'snappy')."""
+    df.write.mode(mode).options(**options).orc(path)

@@ -128,3 +128,32 @@ def test_read_parquet_evolved_without_merge_would_miss_columns(spark, tmp_path):
     plain_cols = set(spark.read.parquet(out).columns)
     # either vintage may win inference; the union is only guaranteed merged
     assert plain_cols in ({"id", "name"}, {"id", "name", "score"})
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values and the read plan shows pushed
+    filters + pruned columns, same as parquet."""
+    from googlecloudstorage_blueprints_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    src = spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS bucket", "CONCAT('v', id) AS name",
+        "CAST(id AS DOUBLE) / 3 AS score",
+    )
+    out = f"file:{tmp_path}/orc_t"
+    write_orc(src, out, compression="zstd")
+
+    back = read_orc(spark, out)
+    assert back.count() == 1000
+    got = back.where("bucket = 3").selectExpr("id", "name").orderBy("id")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # filter reached the scan
+    rows = got.collect()
+    assert rows[0]["id"] == 3 and rows[0]["name"] == "v3"
+    assert len(rows) == len([i for i in range(1000) if i % 7 == 3])
+
+    # schema-explicit read shapes types without inference
+    shaped = read_orc(spark, out, "id bigint, score double")
+    assert shaped.columns == ["id", "score"]
