@@ -140,3 +140,82 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MAHALANOBIS_TOP_K = 20
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                 AS val
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, dim,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(val)                 AS s,
+               SUM(val * val)           AS q
+        FROM vals
+        GROUP BY label, dim
+    )
+    SELECT v.vec_id,
+           CAST(v.label AS BIGINT) AS label,
+           ROUND(SUM(
+               (v.val - st.s / st.n) * (v.val - st.s / st.n)
+               / ((st.q - st.s * st.s / st.n) / (st.n - 1))
+           ), 6) AS m2
+    FROM vals v
+    JOIN stats st ON st.label = v.label AND st.dim = v.dim
+    GROUP BY v.vec_id, v.label
+    ORDER BY m2 DESC, v.vec_id
+    LIMIT {MAHALANOBIS_TOP_K}
+    """,
+)
+def embedding_outlier_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal Mahalanobis distance to their
+    OWN label's distribution: Σ_dims (x−μ)²/σ² with per-(label, dim)
+    moments — the mislabeled-vector / corrupted-embedding detector that
+    needs no pairwise distances and no covariance inversion (diagonal
+    approximation: the standard first screen before anything O(d²)).
+
+    Scale: the moment table is |labels|×|dims| rows — always broadcast;
+    the per-vector reduce is one (vec_id)-keyed aggregate over exploded
+    values, so vectors never shuffle whole.  Parity: moments are spelled
+    as the explicit n/Σx/Σx² formula (identical expression text both
+    engines); the per-vector sum of ~|dims| deterministic doubles rounds
+    6dp before the ordered top-k cut with the vec_id tiebreaker."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    stats = vals.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("val").alias("s"),
+        F.sum(F.col("val") * F.col("val")).alias("q"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    term = (F.col("val") - mu) * (F.col("val") - mu) / var
+    return (
+        vals.join(F.broadcast(stats), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(term), 6).alias("m2"))
+        .select(
+            "vec_id", F.col("label").cast("long").alias("label"), "m2"
+        )
+        .orderBy(F.col("m2").desc(), "vec_id")
+        .limit(MAHALANOBIS_TOP_K)
+    )

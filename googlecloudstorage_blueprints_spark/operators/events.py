@@ -848,3 +848,136 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "events_sessionized_funnel",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type, ts_us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM seq
+    ),
+    s1 AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.session_id, s1.t_view,
+               MIN(CASE WHEN s.event_type = 'click'
+                         AND s.ts_us >= s1.t_view
+                        THEN s.ts_us END) AS t_click
+        FROM s1 JOIN sessions s
+          ON s.user_id = s1.user_id AND s.session_id = s1.session_id
+        GROUP BY s1.user_id, s1.session_id, s1.t_view
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.session_id, s2.t_view, s2.t_click,
+               MIN(CASE WHEN s.event_type = 'purchase'
+                         AND s.ts_us >= s2.t_click
+                        THEN s.ts_us END) AS t_purchase
+        FROM s2 JOIN sessions s
+          ON s.user_id = s2.user_id AND s.session_id = s2.session_id
+        GROUP BY s2.user_id, s2.session_id, s2.t_view, s2.t_click
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)            AS n_sessions,
+           CAST(COUNT(t_view) AS BIGINT)       AS n_viewed,
+           CAST(COUNT(t_click) AS BIGINT)      AS n_clicked_after_view,
+           CAST(COUNT(t_purchase) AS BIGINT)   AS n_purchased_after_click
+    FROM s3
+    """,
+)
+def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel WITHIN sessions: each step must
+    occur at-or-after the previous step's first occurrence in the SAME
+    session — the product-analytics funnel (``events_funnel`` is the
+    lifetime signup→purchase fold; this one is session-scoped and
+    order-constrained).
+
+    Scale: sessionization and all three step-resolution joins share the
+    user_id partitioning (session_id is derived within it), so Catalyst
+    plans one exchange for the windows and co-partitioned joins for the
+    steps; the final fold shuffles |sessions| pre-aggregated rows into
+    one.  The sessionized frame feeds three consumers — persisted,
+    materialized, unpersisted.  Integer-µs step comparisons, exact on
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > SESSION_GAP_SECONDS * 1_000_000, 1).otherwise(0)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ts_us.alias("ts_us"),
+            is_new.alias("is_new"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            F.sum("is_new").over(w2).cast("long").alias("session_id"),
+        )
+        .persist()
+    )
+    key = ["user_id", "session_id"]
+    s1 = sessions.groupBy(*key).agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).alias("t_view")
+    )
+    s2 = (
+        s1.join(sessions, key)
+        .groupBy("user_id", "session_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") >= F.col("t_view")),
+                    F.col("ts_us"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        s2.join(sessions, key)
+        .groupBy("user_id", "session_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= F.col("t_click")),
+                    F.col("ts_us"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    out = s3.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    ).persist()
+    out.count()  # materialize through the cached sessionized frame
+    sessions.unpersist()
+    return out

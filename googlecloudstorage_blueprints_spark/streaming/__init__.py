@@ -7,6 +7,7 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (
     run_stream_to_memory,
 )
 from googlecloudstorage_blueprints_spark.streaming.stateful import (
+    streaming_cooccurrence,
     streaming_dedup,
     streaming_gapfill,
     streaming_latest_snapshot,
@@ -21,6 +22,7 @@ __all__ = [
     "streaming_tumbling_agg",
     "streaming_session_window",
     "streaming_stateful_sessions",
+    "streaming_cooccurrence",
     "streaming_dedup",
     "streaming_gapfill",
     "streaming_latest_snapshot",

@@ -699,3 +699,79 @@ def streaming_transition_matrix(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming co-occurrence: seen-type-set keyed state
+# ---------------------------------------------------------------------------
+
+_COOC_OUT_SCHEMA = StructType(
+    [
+        StructField("type_a", StringType()),
+        StructField("type_b", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_COOC_STATE_SCHEMA = StructType(
+    [StructField("seen_types", ArrayType(StringType()))]
+)
+
+
+def _cooccurrence_pairs(key: tuple, pdfs, state: GroupState):
+    """Per-user co-occurrence: state is the user's SEEN TYPE SET (bounded
+    by the type enum, not history).  A type seen for the first time emits
+    one pair with every previously-seen type; repeats emit nothing — so
+    each (user, pair) contributes exactly once ever, and summed emissions
+    equal the batch distinct-pair counts.  Redelivered rows find their
+    type already in state and are no-ops (replay-idempotent)."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+    seen = set(state.get[0]) if state.exists else set()
+    out = []
+    for t in rows["event_type"]:
+        t = str(t)
+        if t in seen:
+            continue
+        for s in seen:
+            a, b = (s, t) if s < t else (t, s)
+            out.append({"type_a": a, "type_b": b, "n": 1})
+        seen.add(t)
+    state.update((sorted(seen),))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_cooccurrence(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming event-type co-occurrence — the incremental twin of the
+    batch ``events_cooccurrence`` counts (operators/events.py): keyed
+    state holds each user's seen-type set (≤|types| strings, an
+    enum-bounded NOT history-bounded state), and a first sighting of a
+    type emits one increment per previously-seen type.  Summed emissions
+    equal the batch distinct-(user, pair) counts over any replay —
+    including redelivery, since repeats are absorbed by the set
+    (test-pinned).  One shuffle on user_id per micro-batch; emission
+    volume is bounded by |types|² per user EVER, not per batch."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cooccurrence_pairs,
+            _COOC_OUT_SCHEMA,
+            _COOC_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

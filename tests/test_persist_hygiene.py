@@ -31,6 +31,7 @@ PERSISTING_OPS = [
     "source_unigram_kl",
     "rfm_segments",
     "multimodal_phash_dedup",
+    "events_sessionized_funnel",
     "sequence_pack",
     "chunk_dedup",
 ]

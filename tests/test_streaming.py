@@ -700,3 +700,53 @@ def test_streaming_transition_matrix_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == _batch_transition_counts(spark)
+
+
+def test_streaming_cooccurrence_matches_batch_and_redelivery(
+    spark, tmp_path
+):
+    """Summed pair emissions must equal the batch events_cooccurrence
+    counts; redelivering the backlog as a second micro-batch must add
+    ZERO emissions (seen-type sets absorb repeats)."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_cooccurrence,
+    )
+
+    batch = {
+        (r["type_a"], r["type_b"]): r["n_both"]
+        for r in all_queries()["events_cooccurrence"](spark, SF).collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_cooccurrence(spark, SF), "cooc_single"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["total"]
+        for r in single.groupBy("type_a", "type_b")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got == batch and len(batch) > 0
+
+    (tmp_path / "replay").mkdir()
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "00.parquet")
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "01.parquet")
+    redelivered = run_stream_to_memory(
+        streaming_cooccurrence(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "cooc_redelivery",
+    )
+    got2 = {
+        (r["type_a"], r["type_b"]): r["total"]
+        for r in redelivered.groupBy("type_a", "type_b")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got2 == batch
