@@ -981,3 +981,72 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize through the cached sessionized frame
     sessions.unpersist()
     return out
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    cover AS (
+        SELECT user_id,
+               unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS b
+        FROM ud
+    ),
+    wau AS (SELECT b AS d, COUNT(DISTINCT user_id) AS wau
+            FROM cover GROUP BY b)
+    SELECT strftime(dau.d, '%Y-%m-%d')      AS day,
+           CAST(dau.dau AS BIGINT)          AS dau,
+           CAST(wau.wau AS BIGINT)          AS wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                                            AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    dashboard, built WITHOUT a rolling-distinct window (distinct counts
+    don't merge across window frames): each (user, active-day) row is
+    EXPLODED over the 7 trailing days it covers, turning the rolling
+    distinct into a plain per-day COUNT DISTINCT — constant 7× fan-out
+    of the distinct-activity frame, embarrassingly parallel, the
+    decomposition that survives any corpus size.
+
+    Shapes: one distinct aggregate, one 7-row-per-activity explode
+    (explode_outer per the computed-array rule), two day-keyed counts, a
+    |days|-bounded join and sort_bounded.  Stickiness is an exact
+    integer ratio — unrounded by the exact-ratio rule."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode_outer(
+            F.sequence(
+                "d",
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("b"),
+    )
+    wau = cover.groupBy(F.col("b").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .transform(sort_bounded, "day")
+    )
