@@ -177,3 +177,79 @@ def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "month")
     )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+               date_trunc('month', MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+        FROM bounds
+    ),
+    actual AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY 1
+    ),
+    dense AS (
+        SELECT spine.m, COALESCE(actual.revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN actual ON actual.m = spine.m
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY m))
+                 / NULLIF(LAG(revenue) OVER (ORDER BY m), 0), 6)
+               AS mom_growth
+    FROM dense
+    ORDER BY month
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth over the DENSIFIED month spine —
+    the BI trend line done right: missing months appear as explicit
+    zeros (so the growth series shows the crash, instead of silently
+    comparing across the gap), the first month and zero-denominator
+    months yield NULL via NULLIF.
+
+    The lag window is ordered over the |months| spine — a bounded frame
+    (decades = hundreds of rows), which is the ONE case a global-order
+    window is fine at any scale; the data-sized work is the same one
+    grouped shuffle as ``date_spine_monthly``.  Parity: revenue is the
+    4dp-rounded sum (boundary-free, round-6 rule), and growth is a
+    single division of identical doubles rounded 6dp."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode_outer(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m")
+    )
+    actual = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    dense = (
+        F.broadcast(spine)
+        .join(actual, "m", "left")
+        .select("m", F.coalesce("revenue", F.lit(0.0)).alias("revenue"))
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("revenue").over(w)
+    return (
+        dense.select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "revenue",
+            F.round(
+                (F.col("revenue") - prev) / F.nullif(prev, F.lit(0)), 6
+            ).alias("mom_growth"),
+        )
+        .transform(sort_bounded, "month")
+    )
