@@ -43,10 +43,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
-CHANGED_THIS_ROUND: list[str] = [
-    "ngram_jaccard_dedup",  # r6: hot-shingle df cap added (both engines)
-    "embedding_quantize_int8",  # r6: explode_outer -> explode (unnest parity)
-]
+CHANGED_THIS_ROUND: list[str] = []
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
 
