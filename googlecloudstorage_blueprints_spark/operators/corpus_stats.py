@@ -75,6 +75,7 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS zipf_slope
     FROM ranked
     GROUP BY source
+    HAVING COUNT(*) >= 2
     ORDER BY source
     """,
 )
@@ -90,7 +91,12 @@ def word_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  The slope is the explicit OLS sum formula — NOT each
     engine's regr_slope, whose internal accumulation orders differ —
     with ln() inputs pre-rounded 6dp (JVM StrictMath vs libm last-ulp)
-    and the final ratio rounded 6dp for summation-order drift."""
+    and the final ratio rounded 6dp for summation-order drift.  Sources
+    with a single ranked word are dropped (HAVING n >= 2 on both
+    engines): a one-point fit has a zero OLS denominator, where Spark's
+    non-ANSI double division yields NULL but DuckDB's IEEE division
+    yields inf — a cross-engine parity trap, and a slope needs two
+    points anyway."""
     counts = _words(spark, sf_dir).groupBy("source", "w").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -123,6 +129,7 @@ def word_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
             ).alias("zipf_slope"),
         )
+        .where(F.col("n_ranks") >= 2)
         .orderBy("source")
     )
 
@@ -221,7 +228,8 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(LENGTH(regexp_replace(text, '[^ ]', '', 'g')))
                 AS BIGINT)                   AS space_chars,
            CAST(SUM(LENGTH(text)) AS DOUBLE)
-               / CAST(SUM(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')))
+               / CAST(NULLIF(
+                   SUM(LENGTH(regexp_replace(text, '[^a-z]', '', 'g'))), 0)
                       AS DOUBLE)             AS chars_per_alpha
     FROM documents
     WHERE text IS NOT NULL
@@ -237,7 +245,10 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The class counters are negated-class regexp_replace + length (the
     Java/RE2-shared subset; DuckDB needs the 'g' flag to match Spark's
     replace-all).  All counts are exact bigints; the ratio is one IEEE
-    division of exact integers — unrounded by the exact-ratio rule."""
+    division of exact integers — unrounded by the exact-ratio rule.
+    The alpha denominator is NULLIF-guarded identically on both engines:
+    a source with zero a-z characters would otherwise split NULL
+    (Spark, non-ANSI division) vs inf (DuckDB IEEE division)."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
@@ -254,7 +265,7 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_of("[^ ]")).cast("long").alias("space_chars"),
             (
                 F.sum(F.length("text")).cast("double")
-                / F.sum(n_of("[^a-z]")).cast("double")
+                / F.nullif(F.sum(n_of("[^a-z]")), F.lit(0)).cast("double")
             ).alias("chars_per_alpha"),
         )
         .select(

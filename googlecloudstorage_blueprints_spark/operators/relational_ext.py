@@ -547,7 +547,9 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: discounts are exact 2dp doubles (0.00..0.10 step 0.01), so
     the range predicate is exact on both engines; the revenue sum is
-    rounded 2dp for summation-order drift and COUNT is BIGINT-cast."""
+    rounded 4dp — the products carry exactly 4 decimals, so 4dp can
+    never sit on a half-cent summation-order tiebreak boundary the way
+    2dp can (round-6 finding) — and COUNT is BIGINT-cast."""
     register_views(spark, sf_dir)
     return spark.sql(_Q6)
 

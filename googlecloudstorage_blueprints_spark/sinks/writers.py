@@ -265,7 +265,15 @@ def table_diff(
     partition-pruned when the caller diffs only rewritten partitions.
     Value comparison is null-safe equality (``<=>``): NULL → NULL is
     unchanged, NULL → value is a change — the SQL trap a naive ``=``
-    diff silently drops."""
+    diff silently drops.
+
+    Precondition: ``keys`` must uniquely identify rows in BOTH
+    snapshots.  A duplicated key turns the outer join into a per-key
+    cross product — every old-row × new-row pairing is classified
+    independently, inflating and misclassifying the diff.  Deduplicate
+    or aggregate to key grain first (``upsert_parquet`` asserts this;
+    here it is the caller's contract because asserting uniqueness costs
+    a full aggregate over both snapshots per diff)."""
     import pyspark.sql.functions as F
 
     old = spark.read.parquet(old_path)
