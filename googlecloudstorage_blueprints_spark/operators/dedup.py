@@ -405,19 +405,17 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     return out
 
 
-@register("simhash_dedup")  # rows-only: 64-bit bit-bucketing isn't ANSI SQL
-def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from token hashes, candidate
-    pairs via 4-segment Hamming blocking (pigeonhole: Hamming ≤ 3 ⇒ at
-    least one of 4 16-bit segments equal), verified with exact popcount.
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the 64-bit SimHash signature stage, factored
+    out so ground-truth tests can brute-force Hamming over the SAME
+    signatures the banded op buckets (tests/test_candidate_recall.py).
 
-    Signature bit j = sign of Σ_tokens (±1 by bit j of xxhash64(token)) —
-    computed with aggregate() over the token array, no UDF."""
+    Signature bit j = sign of Σ_tokens (±1 by bit j of xxhash64(token)):
+    explode token hashes → 64 codegen'd conditional-sum aggregates (one
+    per signature bit); HOF aggregate∘transform would run interpreted
+    per-element — same ~20× penalty minhash_signatures avoids."""
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    # explode token hashes → 64 codegen'd conditional-sum aggregates (one
-    # per signature bit); HOF aggregate∘transform would run interpreted
-    # per-element — same ~20× penalty minhash_signatures avoids
     toks = d.select(
         "doc_id",
         F.explode_outer(
@@ -435,11 +433,19 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
         for j in range(64)
     )
-    sigs = (
+    return (
         toks.groupBy("doc_id")
         .agg(*votes)
         .select("doc_id", F.expr(sig_expr).alias("simhash"))
     )
+
+
+@register("simhash_dedup")  # rows-only: 64-bit bit-bucketing isn't ANSI SQL
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from token hashes, candidate
+    pairs via 4-segment Hamming blocking (pigeonhole: Hamming ≤ 3 ⇒ at
+    least one of 4 16-bit segments equal), verified with exact popcount."""
+    sigs = simhash_signatures(spark, sf_dir)
     # block on 16-bit segments (Hamming ≤ 3 guaranteed recall)
     segs = sigs.select(
         "doc_id",

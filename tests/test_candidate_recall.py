@@ -42,3 +42,63 @@ def test_rp_lsh_recall_vs_exact_cosine(spark):
     # 8 tables x 5 planes: theory ~0.63 at the fixture's cosine range
     # (banded-OR curve in similarity.py); measured 0.59
     assert recall >= 0.5, f"rp-lsh recall {recall:.2f} below floor"
+
+
+def test_simhash_dedup_equals_bruteforce_hamming(spark):
+    """The banded simhash op must return EXACTLY the pairs brute-force
+    Hamming finds within radius 3 over the same signatures: pigeonhole
+    (4 disjoint 16-bit segments, at most 3 differing bits) guarantees
+    every such pair shares a segment, so recall is 1.0 by construction
+    and the popcount verify removes every false candidate."""
+    from googlecloudstorage_blueprints_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+        for r in simhash_signatures(spark, SF).collect()
+    }
+    ids = sorted(sigs)
+    expected = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            ham = bin(sigs[da] ^ sigs[db]).count("1")
+            if ham <= 3:
+                expected[(da, db)] = ham
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["simhash_dedup"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_dedup_finds_planted_token_permutation(spark, tmp_path):
+    """SimHash is order-invariant over the token multiset: a document
+    whose words are a permutation of another's must pair at Hamming 0
+    even though the texts differ byte-wise (exact dedup would miss it)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        i: " ".join(f"w{i}t{j}" for j in range(40)) for i in range(50)
+    }
+    texts[27] = " ".join(reversed(texts[3].split(" ")))  # permuted dup
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[i] for i in texts],
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(texts[i]) for i in texts],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf), tmp_path / "documents.parquet"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["simhash_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert got.get((3, 27)) == 0
