@@ -89,6 +89,62 @@ def test_parse_ppm_truncation_raises_cleanly():
         _parse_ppm(b"P6\n2 2\n70000\n" + pix)
 
 
+def test_parse_ppm_rejects_ascii_p3_variant():
+    """P3 is the ASCII-raster sibling format: same header grammar, but
+    decimal sample text instead of binary — structurally valid netpbm
+    that a P6 decoder must refuse at the magic, not misread as pixels
+    (r6 verdict item 4)."""
+    p3 = b"P3\n2 2\n255\n255 0 0  0 255 0\n0 0 255  255 255 255\n"
+    with pytest.raises(ValueError, match="not a P6"):
+        _parse_ppm(p3)
+    # magic must be exactly 'P6' + separator: a glued suffix makes the
+    # first header token non-numeric, never a silent 'P6' match
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    with pytest.raises(ValueError, match="bad PPM header token"):
+        _parse_ppm(b"P6x\n2 2\n255\n" + pix)
+
+
+def test_parse_ppm_overlong_header_fuzz():
+    """Pathological headers must fail with ValueError, never hang,
+    overflow, or allocate raster-sized buffers (r6 verdict item 4):
+    a 5000-digit width trips CPython's int-conversion digit limit inside
+    the token parse (re-raised as a bad header token); a 4000-digit one
+    parses as a bignum and dies at the raster-length check; a header
+    that is ONE giant comment dies as truncated; a negative width dies
+    at the dimension check."""
+    pix = bytes(12)
+    with pytest.raises(ValueError, match="bad PPM header token"):
+        _parse_ppm(b"P6\n" + b"9" * 5000 + b" 2\n255\n" + pix)
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        _parse_ppm(b"P6\n" + b"9" * 4000 + b" 2\n255\n" + pix)
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        _parse_ppm(b"P6\n#" + b"c" * 10000)
+    with pytest.raises(ValueError, match="bad PPM dimensions"):
+        _parse_ppm(b"P6\n-2 2\n255\n" + pix)
+    with pytest.raises(ValueError, match="bad PPM dimensions"):
+        _parse_ppm(b"P6\n2 2\n0\n" + pix)
+
+
+def test_parse_ppm_random_bytes_never_crash_uncontrolled():
+    """Property fuzz: any byte soup after the magic either decodes or
+    raises ValueError — no IndexError/OverflowError/numpy internals
+    escaping the decoder (the contract the mapInPandas kernels rely on
+    to classify rows as decode_ok=false)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(tail):
+        try:
+            img = _parse_ppm(b"P6" + tail)
+            assert img.ndim == 3 and img.shape[2] == 3
+        except ValueError:
+            pass
+
+    run()
+
+
 def test_multimodal_decode_matches_hand_computation(spark):
     """The operator's per-channel means must equal a pure-python decode of
     the same deterministic payload (text tiled to w*h*3 bytes)."""
