@@ -47,8 +47,13 @@ Methodology — steady-state timing, both engines:
   dominated by task-count growth (more partitions, not more data-work),
   so the low ratio systematically overshoots (measured ~5× where the
   honest spans read 1.6-1.7×) — task dispatch amortizes to zero at
-  cluster scale.  The gate-relevant numbers are the full span and
-  ``scale_slope_ratio_high``, where DuckDB's deltas are real compute.
+  cluster scale.  **The ≤2× gate metric is ``scale_slope_ratio_high``**
+  (named in the summary's ``gate_metric`` field since round 7): it is
+  floor-free by construction — no subtraction step a skeptical reader
+  could call generous — with the full span as the confirming second
+  estimate and the floor-adjusted suite ratio demoted to secondary
+  (its per-plan floor subtrahend contains real, if tiny, work).  See
+  BASELINE.md's reading guidance.
 
 Each oracle-backed headline query is timed through DuckDB on the same
 parquet (same thread budget), and the JSON carries `spark_vs_duckdb`
@@ -343,6 +348,12 @@ def main() -> None:
                 "scale_slope_ratio": scale_slope,
                 "scale_slope_ratio_low": scale_slope_low,
                 "scale_slope_ratio_high": scale_slope_high,
+                # the ≤2× gate rides on the floor-FREE slope (fixed costs
+                # cancel in the Δ on both engines; see BASELINE.md):
+                # high-span primary, full-span confirming, floor-adjusted
+                # suite ratio secondary only
+                "gate_metric": "scale_slope_ratio_high",
+                "gate_value": scale_slope_high,
             },
             separators=(",", ":"),
         )
