@@ -12,6 +12,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_gapfill,
     streaming_latest_snapshot,
     streaming_lsh_candidates,
+    streaming_scd2_intervals,
     streaming_sequence_pack,
     streaming_stateful_sessions,
     streaming_transition_matrix,
@@ -27,6 +28,7 @@ __all__ = [
     "streaming_gapfill",
     "streaming_latest_snapshot",
     "streaming_lsh_candidates",
+    "streaming_scd2_intervals",
     "streaming_sequence_pack",
     "streaming_transition_matrix",
     "run_stream_to_memory",

@@ -775,3 +775,119 @@ def streaming_cooccurrence(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 maintenance: open-interval keyed state
+# ---------------------------------------------------------------------------
+
+_SCD2_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("cur_type", StringType()),
+        StructField("cur_from_us", LongType()),
+    ]
+)
+
+
+def _scd2_intervals(key: tuple, pdfs, state: GroupState):
+    """Per-key CDC-to-SCD2 maintenance: state carries the OPEN validity
+    interval (cur_type, cur_from_us) plus the newest (ts_us, event_id)
+    applied.  A micro-batch sorts its rows into the key's sequence,
+    closes an interval at every attribute change (emitting the closed
+    row — final, emitted exactly once) and re-emits the currently-open
+    interval with valid_to_us NULL (superseded by its closed form when
+    the next change arrives).  Rows that lose the (ts_us, event_id)
+    race against state are absorbed, so full-backlog redelivery emits
+    nothing — replay-idempotent like ``_latest_per_key``."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    rows = rows.assign(ts_us=rows["ts"].astype("int64") // 1000)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    if state.exists:
+        last_ts, last_id, cur_type, cur_from = state.get
+        keep = (rows["ts_us"] > last_ts) | (
+            (rows["ts_us"] == last_ts) & (rows["event_id"] > last_id)
+        )
+        rows = rows[keep]
+    else:
+        cur_type, cur_from = None, None
+    if rows.empty:
+        return
+    out: list[dict] = []
+    for ts_us, event_id, etype in zip(
+        rows["ts_us"], rows["event_id"], rows["event_type"]
+    ):
+        if cur_type is None:
+            cur_type, cur_from = str(etype), int(ts_us)
+        elif str(etype) != cur_type:
+            out.append(
+                {
+                    "user_id": int(user_id),
+                    "event_type": cur_type,
+                    "valid_from_us": int(cur_from),
+                    "valid_to_us": int(ts_us),
+                }
+            )
+            cur_type, cur_from = str(etype), int(ts_us)
+        last_ts, last_id = int(ts_us), int(event_id)
+    out.append(
+        {
+            "user_id": int(user_id),
+            "event_type": cur_type,
+            "valid_from_us": int(cur_from),
+            "valid_to_us": None,
+        }
+    )
+    state.update((last_ts, last_id, cur_type, int(cur_from)))
+    yield pd.DataFrame(out)
+
+
+def streaming_scd2_intervals(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming SCD type-2 maintenance — the incremental twin of the
+    batch ``scd2_intervals`` operator (operators/warehouse.py): the
+    classic warehouse job of applying a CDC feed to a dimension-history
+    table without rebuilding it.
+
+    Keyed state is ONE open interval per key (fixed width — never the
+    key's history), so memory is O(|live keys|), the same bound the
+    dimension table itself has; one shuffle on user_id per micro-batch.
+    Closed intervals are emitted exactly once and are final — exactly
+    the append stream an SCD2 table sink wants; the open interval is
+    re-emitted with NULL valid_to_us and superseded by its closed form
+    at the next change (newest-emission-per-(key, valid_from) is the
+    current table, mirroring ``streaming_latest_snapshot``'s changelog
+    contract).  (ts_us, event_id)-race absorption makes full-backlog
+    redelivery a no-op (test-pinned in tests/test_streaming.py)."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_intervals,
+            _SCD2_OUT_SCHEMA,
+            _SCD2_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
