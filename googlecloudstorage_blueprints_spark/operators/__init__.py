@@ -53,6 +53,7 @@ def register(name: str, oracle: str | None = None):
 def _load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from googlecloudstorage_blueprints_spark.operators import (  # noqa: F401
+        audit,
         relational,
         relational_ext,
         semistructured,

@@ -1,0 +1,297 @@
+"""Data-audit operators: the integrity checks a lakehouse runs on every
+load — referential integrity, fact-vs-rollup reconciliation, key-skew
+diagnosis, partition-size profiling, and point-in-time dimension lookup.
+
+These are the "trust the 100 TB before querying it" surface: each is one
+or two shuffles keyed on the audited key, aggregates are map-side
+partial, and nothing materializes more than the violation/profile rows.
+The reference has no audit surface (SURVEY §2.A.4); these extend §2.B's
+warehouse family (operators/warehouse.py holds the maintenance ops, this
+module the verification ops).
+
+Parity conventions (operators/relational.py + CLAUDE.md): BIGINT-cast
+integer outputs and CAST oracle integer SUMs, exact-integer ratios stay
+unrounded, double aggregates round before output AND before any ORDER
+BY/filter they feed, total-order every top-k with a unique tiebreaker,
+integer-µs timestamp math.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+# (name, child table, child key, parent table, parent key) — every FK
+# edge in the fixture star schema
+_FK_EDGES = [
+    ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@register(
+    "fk_orphan_check",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_orphan
+    FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}
+    """
+        for name, child, ck, parent, pk in _FK_EDGES
+    )
+    + "\nORDER BY relationship",
+)
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge in the star
+    schema: child row count and orphan count (child keys with no parent)
+    per relationship — the load-validation gate that runs before any
+    join-based query is trusted (an orphan silently drops rows from
+    every inner join downstream).
+
+    Shape: one outer join per edge, keyed on the FK — dims broadcast,
+    the two fact edges shuffle on their natural join key (the same
+    exchange the production joins reuse); each edge reduces to ONE row
+    before the 6-row union.  All-integer output: no rounding."""
+    parts = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .withColumn("__p", F.lit(1))
+        )
+        parts.append(
+            c.join(p, c.k == p.pk, "left").agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.when(F.col("__p").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphan"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return sort_bounded(out, "relationship")
+
+
+@register(
+    "order_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 4) AS computed_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           li.computed_total,
+           ROUND(ABS(o.o_totalprice - li.computed_total)
+                 / o.o_totalprice, 4) AS rel_diff
+    FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ORDER BY rel_diff DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation: recompute each order's total from
+    its line items (price × (1−discount) × (1+tax)) and surface the 20
+    worst relative mismatches — the audit every finance-grade pipeline
+    runs between a fact table and its header rollup.
+
+    Shape: one orderkey-keyed partial aggregate over lineitem, one
+    shuffle join against orders, TakeOrderedAndProject for the top-20 —
+    no window, no global sort.  Parity: the recomputed sum rounds 4dp
+    (the revenue-sum rule — the products carry bounded decimals, so 4dp
+    avoids half-cent tiebreak boundaries); rel_diff is derived from the
+    ROUNDED sum, itself rounded 4dp before both the ORDER BY and the
+    output; (rel_diff, o_orderkey) is a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    computed = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            4,
+        ).alias("computed_total")
+    )
+    rel = F.round(
+        F.abs(F.col("o_totalprice") - F.col("computed_total"))
+        / F.col("o_totalprice"),
+        4,
+    )
+    return (
+        o.join(computed, o.o_orderkey == computed.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "computed_total",
+            rel.alias("rel_diff"),
+        )
+        .orderBy(F.col("rel_diff").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT l_partkey,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join key: the 20 hottest l_partkey
+    values with their row share — the diagnostic you run BEFORE choosing
+    between plain shuffle, salting, and AQE skew-join for a key (the
+    mitigation itself is ``join_skew_salted``, scale_patterns.py).
+
+    Shape: one map-side-combined count aggregate (shuffle carries one
+    row per distinct key), a 1-row total broadcast, TakeOrdered top-20.
+    Parity: share is an exact integer ratio (unrounded by the
+    exact-ratio rule); (n, l_partkey) is a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "partition_stats_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT)                    AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)     AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)  AS n_types,
+           ROUND(SUM(value), 4)                        AS total_value,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+                                                       AS events_per_user
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def partition_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day partition profile of the event stream: row count,
+    distinct users/types, value total, events-per-user — the table a
+    partitioned-layout planner reads to size ``maxPartitionBytes`` /
+    file counts and to spot ingestion gaps or replay bursts before they
+    skew downstream day-keyed work.
+
+    Shape: one day-keyed aggregate; COUNT DISTINCT expands to Spark's
+    standard two-phase expand-aggregate, still partial map-side.
+    Parity: value sum rounds 4dp (events_tumbling_agg precedent);
+    events_per_user is an exact integer ratio, unrounded; day is a
+    formatted string so both engines hash identical values."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.countDistinct("user_id").cast("double")
+            ).alias("events_per_user"),
+        )
+        .transform(sort_bounded, "day")
+    )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH bounds AS (
+        SELECT (CAST(MIN(epoch_us(ts)) AS BIGINT)
+                + CAST(MAX(epoch_us(ts)) AS BIGINT)) // 2 AS t
+        FROM events
+    )
+    SELECT user_id,
+           event_type,
+           epoch_us(ts) AS asof_ts_us,
+           event_id     AS asof_event_id
+    FROM events CROSS JOIN bounds
+    WHERE epoch_us(ts) <= bounds.t
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each key's valid attribute AS OF
+    the corpus midpoint timestamp — the "what did the dimension say when
+    this fact happened" query every SCD2 table exists to answer
+    (``scd2_intervals`` builds the history; this is the probe against
+    it, expressed directly on the changelog so it needs no materialized
+    interval table).
+
+    Shape: a 1-row bounds aggregate broadcast over the scan, the as-of
+    cut as a plain filter (pushable below the window), then rank-1 per
+    key — WindowGroupLimit cuts map-side like ``latest_snapshot``.
+    Parity: the midpoint is integer-µs floor-division math ((min+max)
+    div 2 — exact on both engines, no doubles); (ts, event_id) is the
+    total order."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(
+        F.expr(
+            "(CAST(min(unix_micros(ts)) AS BIGINT)"
+            " + CAST(max(unix_micros(ts)) AS BIGINT)) div 2"
+        ).alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("asof_ts_us").desc(), F.col("asof_event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            ts_us.alias("asof_ts_us"),
+            F.col("event_id").alias("asof_event_id"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("asof_ts_us") <= F.col("t"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "asof_ts_us", "asof_event_id")
+    )

@@ -219,3 +219,131 @@ def embedding_outlier_mahalanobis(
         .orderBy(F.col("m2").desc(), "vec_id")
         .limit(MAHALANOBIS_TOP_K)
     )
+
+
+CENTROID_MARGIN_TOP_K = 20
+
+
+@register(
+    "embedding_centroid_margin",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                 AS val
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, dim, SUM(val) / COUNT(*) AS c
+        FROM vals GROUP BY label, dim
+    ),
+    cnorm AS (
+        SELECT clabel, SQRT(SUM(c * c)) AS cn FROM cent GROUP BY clabel
+    ),
+    vnorm AS (
+        SELECT vec_id, SQRT(SUM(val * val)) AS vn
+        FROM vals GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT v.vec_id, v.label, ce.clabel, SUM(v.val * ce.c) AS dot
+        FROM vals v JOIN cent ce ON ce.dim = v.dim
+        GROUP BY v.vec_id, v.label, ce.clabel
+    ),
+    cosines AS (
+        SELECT d.vec_id, d.label, d.clabel,
+               ROUND(d.dot / (vn.vn * cn.cn), 6) AS cos
+        FROM dots d
+        JOIN vnorm vn ON vn.vec_id = d.vec_id
+        JOIN cnorm cn ON cn.clabel = d.clabel
+    )
+    SELECT vec_id,
+           CAST(label AS BIGINT) AS label,
+           MAX(CASE WHEN clabel = label THEN cos END) AS own_cos,
+           MAX(CASE WHEN clabel <> label THEN cos END) AS best_other_cos,
+           ROUND(MAX(CASE WHEN clabel = label THEN cos END)
+                 - MAX(CASE WHEN clabel <> label THEN cos END), 6)
+               AS margin
+    FROM cosines
+    GROUP BY vec_id, label
+    ORDER BY margin, vec_id
+    LIMIT {CENTROID_MARGIN_TOP_K}
+    """,
+)
+def embedding_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: each vector's cosine to its own label
+    centroid vs its best cosine to any OTHER centroid, surfacing the
+    {k} worst margins — vectors that sit closer to a foreign cluster
+    than their own are the mislabeled-example candidates every
+    classifier-data pipeline reviews first.
+
+    Shape: the |labels|×|dims| centroid frame and the |labels| norm row
+    are broadcast; the dim-keyed score join fans the exploded (vec, dim)
+    frame out |labels|× and immediately re-aggregates on (vec_id,
+    clabel) — the shuffle carries per-vector partial dots, never raw
+    vectors; TakeOrdered cuts the top-k.  Parity: cosines use the
+    explicit sum formulas (no engine-native aggregates) rounded 6dp
+    before the margin subtraction, so both engines difference identical
+    doubles; (margin, vec_id) is a total order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    cent = vals.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    vnorm = vals.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    dots = (
+        vals.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    cosines = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                F.col("dot") / (F.col("vn") * F.col("cn")), 6
+            ).alias("cos"),
+        )
+    )
+    own = F.max(
+        F.when(F.col("clabel") == F.col("label"), F.col("cos"))
+    )
+    other = F.max(
+        F.when(F.col("clabel") != F.col("label"), F.col("cos"))
+    )
+    return (
+        cosines.groupBy("vec_id", "label")
+        .agg(
+            own.alias("own_cos"),
+            other.alias("best_other_cos"),
+            F.round(own - other, 6).alias("margin"),
+        )
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "own_cos",
+            "best_other_cos",
+            "margin",
+        )
+        .orderBy("margin", "vec_id")
+        .limit(CENTROID_MARGIN_TOP_K)
+    )
+
+
+embedding_centroid_margin.__doc__ = embedding_centroid_margin.__doc__.format(
+    k=CENTROID_MARGIN_TOP_K
+)

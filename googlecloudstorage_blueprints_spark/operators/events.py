@@ -1050,3 +1050,111 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "day")
     )
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, hour(ts) AS hour_of_day, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, hour(ts)
+    )
+    SELECT event_type,
+           CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           CAST(n AS BIGINT)           AS n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                                       AS share_of_type
+    FROM hourly
+    ORDER BY event_type, hour_of_day
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: activity count
+    and within-type share for each of the 24 clock hours — the diurnal
+    fingerprint that separates human traffic from bot/batch traffic and
+    calibrates anomaly baselines (``events_anomaly``) by time of day.
+
+    Shape: one (type, hour)-keyed aggregate — map-side partial, shuffle
+    carries ≤ |types|×24 rows — then a share window ON THE BOUNDED
+    AGGREGATE (never the raw stream).  Parity: share is an exact
+    integer ratio (SUM of exact longs per type is order-independent),
+    unrounded by the exact-ratio rule; sort_bounded total order."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return (
+        hourly.select(
+            "event_type",
+            "hour_of_day",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(w).cast("double")
+            ).alias("share_of_type"),
+        )
+        .transform(sort_bounded, "event_type", "hour_of_day")
+    )
+
+
+# fixed histogram bin width over events.value (range ~0-330 in the
+# fixtures; 2-decimal values make value/width deterministic IEEE math,
+# identical on both engines)
+VALUE_HIST_BIN_WIDTH = 10
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {VALUE_HIST_BIN_WIDTH}.0) AS BIGINT)
+               AS bin,
+           CAST(FLOOR(value / {VALUE_HIST_BIN_WIDTH}.0) AS BIGINT)
+               * {VALUE_HIST_BIN_WIDTH} AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6)     AS min_val,
+           ROUND(MAX(value), 6)     AS max_val
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: bin counts plus the
+    per-bin observed min/max — the distribution sketch a monitoring
+    pipeline materializes instead of shipping raw values (the exact
+    counterpart of the sketch tier in ``agg_approx_sketches``).
+
+    Shape: one (type, bin)-keyed aggregate; the bin key is computed
+    map-side so the shuffle carries ≤ |types|×|bins| partials.  Parity:
+    FLOOR(value / literal) is deterministic IEEE division of identical
+    doubles on both engines, and FLOOR-then-CAST sidesteps the DuckDB
+    round-vs-Spark-truncate CAST divergence (round-6 rule); min/max are
+    exact, rounded 6dp for symmetry only."""
+    e = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(
+        F.col("value") / F.lit(float(VALUE_HIST_BIN_WIDTH))
+    ).cast("long")
+    return (
+        e.groupBy(
+            "event_type",
+            bin_col.alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("min_val"),
+            F.round(F.max("value"), 6).alias("max_val"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * VALUE_HIST_BIN_WIDTH).alias("bin_lo"),
+            "n",
+            "min_val",
+            "max_val",
+        )
+        .transform(sort_bounded, "event_type", "bin")
+    )

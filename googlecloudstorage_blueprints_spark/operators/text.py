@@ -443,3 +443,85 @@ def pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("scrubbed_len"),
     )
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH red AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_SCAN_EMAIL}'))
+                    AS BIGINT) AS n_email_redacted,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text, '{_SCAN_EMAIL}', '[EMAIL]', 'g'),
+                   '{_SCAN_DIGITS}')) AS BIGINT) AS n_digit_redacted,
+               regexp_replace(
+                   regexp_replace(text, '{_SCAN_EMAIL}', '[EMAIL]', 'g'),
+                   '{_SCAN_DIGITS}', '[NUM]', 'g') AS redacted
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           n_email_redacted,
+           n_digit_redacted,
+           CAST(LENGTH(redacted) AS BIGINT) AS n_redacted_chars,
+           md5(redacted)                    AS redacted_fp
+    FROM red
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace email-like tokens then digit runs
+    with placeholder tags, reporting per-document redaction counts and
+    the redacted text's length + fingerprint — the TRANSFORM stage whose
+    report tier is ``pii_pattern_scan`` (scan tells you what's there;
+    this is the scrub a release pipeline actually applies).
+
+    Map-only JVM regex, no shuffle.  Emails are replaced BEFORE digit
+    runs (identical order on both engines — emails contain digits, so
+    the opposite order changes counts); the digit count is taken on the
+    email-redacted text for the same reason.  The fingerprint stands in
+    for the redacted text itself (scalar-columns rule; the value-exact
+    md5 still pins every byte cross-engine).  Patterns are the
+    Java/RE2-shared subset with DuckDB's 'g' replace-all flag."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    email_red = F.regexp_replace("text", _SCAN_EMAIL, "[EMAIL]")
+    full_red = F.regexp_replace(email_red, _SCAN_DIGITS, "[NUM]")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_SCAN_EMAIL))
+        .cast("long")
+        .alias("n_email_redacted"),
+        F.regexp_count(email_red, F.lit(_SCAN_DIGITS))
+        .cast("long")
+        .alias("n_digit_redacted"),
+        F.length(full_red).cast("long").alias("n_redacted_chars"),
+        F.md5(full_red).alias("redacted_fp"),
+    )
+
+
+@register(
+    "doc_lang_mismatch",
+    oracle=(
+        "WITH l AS (\n" + _LANG_ID_ORACLE + "\n)\n"
+        "SELECT doc_id, labeled_lang, predicted_lang, best_score\n"
+        "FROM l\n"
+        "WHERE predicted_lang <> labeled_lang AND best_score >= 1"
+    ),
+)
+def doc_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level language-label disagreements: documents whose
+    marker-lexicon prediction contradicts the stored label with at least
+    one marker hit — the relabel/review queue behind the aggregate
+    ``lang_confusion_matrix`` (the matrix sizes the problem; this lists
+    the rows to fix).  Zero-score docs are excluded: no evidence is not
+    a disagreement.
+
+    Composes the registered ``lang_id`` operator (same scoring
+    expression, same lexicographic argmax tiebreak on both engines) and
+    filters — map-only, no shuffle."""
+    scored = lang_id(spark, sf_dir)
+    return scored.where(
+        (F.col("predicted_lang") != F.col("labeled_lang"))
+        & (F.col("best_score") >= 1)
+    )

@@ -10,6 +10,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_cooccurrence,
     streaming_dedup,
     streaming_gapfill,
+    streaming_dau_wau,
     streaming_latest_snapshot,
     streaming_lsh_candidates,
     streaming_scd2_intervals,
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_cooccurrence",
     "streaming_dedup",
     "streaming_gapfill",
+    "streaming_dau_wau",
     "streaming_latest_snapshot",
     "streaming_lsh_candidates",
     "streaming_scd2_intervals",

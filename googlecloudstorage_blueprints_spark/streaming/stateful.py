@@ -891,3 +891,81 @@ def streaming_scd2_intervals(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming user-activity distinct: seen-day-set keyed state (DAU/WAU feed)
+# ---------------------------------------------------------------------------
+
+_ACTIVITY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("epoch_day", LongType()),
+    ]
+)
+
+_ACTIVITY_STATE_SCHEMA = StructType(
+    [StructField("seen_days", ArrayType(LongType()))]
+)
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def _activity_days(key: tuple, pdfs, state: GroupState):
+    """Per-user activity-day dedup: state holds the set of UTC epoch
+    days already emitted; a micro-batch emits one (user, day) row per
+    FIRST sighting of a day.  Re-sighted days (later events, redelivered
+    batches) are absorbed by the set, so summed emissions equal the
+    batch distinct-(user, day) frame over any replay."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    days = set(
+        (rows["ts"].astype("int64") // 1000 // _US_PER_DAY).tolist()
+    )
+    seen = set(state.get[0]) if state.exists else set()
+    fresh = sorted(days - seen)
+    if not fresh:
+        return
+    state.update((sorted(seen | days),))
+    yield pd.DataFrame(
+        {"user_id": int(user_id), "epoch_day": fresh}
+    )
+
+
+def streaming_dau_wau(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming activity-distinct feed — the incremental twin of the
+    batch ``events_dau_wau`` operator's core (operators/events.py): that
+    op's entire decomposition rides on the distinct (user, active-day)
+    frame; this maintains that frame incrementally, emitting each (user,
+    day) exactly once.  Downstream DAU is a per-day count of emissions
+    and WAU a count over each day's trailing 7 — plain stateless
+    aggregations of this append stream (the same constant 7× explode,
+    applied to a stream that only ever grows by first sightings).
+
+    Keyed state is the user's seen-day set — bounded by |days in
+    retention|, NOT event volume (a user's thousandth event on a day
+    adds nothing); one shuffle on user_id per micro-batch.  Set
+    absorption makes full-backlog redelivery a no-op (test-pinned in
+    tests/test_streaming.py)."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _activity_days,
+            _ACTIVITY_OUT_SCHEMA,
+            _ACTIVITY_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -41,11 +41,14 @@ def replicate(spark, src: str, out: str, n: int, key_cols: list[str]) -> None:
 
 
 def bench_shapes(
-    spark, li_path: str, o_path: str, doc_path: str
+    spark, li_path: str, o_path: str, doc_path: str, ev_path: str
 ) -> dict[str, float]:
     li = spark.read.parquet(li_path)
     o = spark.read.parquet(o_path)
     docs = spark.read.parquet(doc_path)
+    ev = spark.read.parquet(ev_path)
+    if "ts" in ev.columns:  # fixture stores timestamp_ntz (catalog rule)
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def ngram_topk():
         # round-5 form: in-row arrays_zip bigrams (no token shuffle)
@@ -132,6 +135,55 @@ def bench_shapes(
             .drop("rn")
         )
 
+    def scd2_intervals():
+        # round-6 warehouse claim: two windows over ONE (user_id)-keyed
+        # exchange; replicated users add partitions, not depth
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        ch = seq.where(
+            F.col("prev").isNull()
+            | (F.col("event_type") != F.col("prev"))
+        )
+        w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ch.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+
+    def dau_wau():
+        # round-6 engagement claim: constant 7× explode of the distinct
+        # (user, day) frame instead of a rolling-distinct window — the
+        # fan-out scales with activity rows, the day-keyed shuffle with
+        # |days| (fixed under user replication)
+        ud = ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("d")
+        ).distinct()
+        dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+        cover = ud.select(
+            "user_id",
+            F.explode_outer(
+                F.sequence(
+                    "d",
+                    F.col("d") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("b"),
+        )
+        wau = cover.groupBy(F.col("b").alias("d")).agg(
+            F.countDistinct("user_id").alias("wau")
+        )
+        return dau.join(wau, "d")
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -145,6 +197,9 @@ def bench_shapes(
         # warehouse"): both must track the agg/join exponents
         "bm25": bm25,
         "latest_snapshot": latest_snapshot,
+        # round-7 additions: measure the two newest SCALE.md claims
+        "scd2_intervals": scd2_intervals,
+        "dau_wau": dau_wau,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
@@ -178,13 +233,16 @@ def main() -> None:
             li_p = f"file:{tmp}/li_{n}"
             o_p = f"file:{tmp}/o_{n}"
             doc_p = f"file:{tmp}/doc_{n}"
+            ev_p = f"file:{tmp}/ev_{n}"
             replicate(spark, f"{BASE}/lineitem.parquet", li_p, n,
                       ["l_orderkey"])
             replicate(spark, f"{BASE}/orders.parquet", o_p, n,
                       ["o_orderkey"])
             replicate(spark, f"{BASE}/documents.parquet", doc_p, n,
                       ["doc_id"])
-            results[n] = bench_shapes(spark, li_p, o_p, doc_p)
+            replicate(spark, f"{BASE}/events.parquet", ev_p, n,
+                      ["user_id", "event_id"])
+            results[n] = bench_shapes(spark, li_p, o_p, doc_p, ev_p)
             rows = spark.read.parquet(li_p).count()
             print(f"scale {n}x ({rows:,} lineitem rows): {results[n]}")
         for shape in results[SCALES[0]]:

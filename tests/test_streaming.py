@@ -857,3 +857,96 @@ def test_streaming_scd2_idempotent_on_redelivery(spark, tmp_path):
     ).collect()
     assert len(got) == len(single)
     assert _reduce_scd2_emissions(got) == _batch_scd2(spark)
+
+
+def test_streaming_dau_wau_feed_matches_batch_and_redelivery(
+    spark, tmp_path
+):
+    """The streaming activity-distinct feed must emit exactly the batch
+    distinct (user, epoch-day) frame — the core the events_dau_wau
+    decomposition rides on — and redelivering the backlog must add ZERO
+    emissions (the seen-day set absorbs repeats)."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_dau_wau,
+    )
+
+    batch = {
+        (r["user_id"], r["epoch_day"])
+        for r in load_table(spark, SF, "events")
+        .selectExpr(
+            "user_id", "unix_micros(ts) div 86400000000 AS epoch_day"
+        )
+        .distinct()
+        .collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_dau_wau(spark, SF), "dau_single"
+    ).collect()
+    assert len(single) == len(batch), "duplicate or missing emissions"
+    assert {(r["user_id"], r["epoch_day"]) for r in single} == batch
+
+    (tmp_path / "replay").mkdir()
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "00.parquet")
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "01.parquet")
+    redelivered = run_stream_to_memory(
+        streaming_dau_wau(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "dau_redelivery",
+    ).collect()
+    assert len(redelivered) == len(batch)
+    assert {(r["user_id"], r["epoch_day"]) for r in redelivered} == batch
+
+
+def test_streaming_dau_wau_rollup_equals_batch_operator(spark):
+    """Rolling the emission stream up through the same 7-day-cover
+    aggregation must reproduce the batch events_dau_wau table exactly —
+    the end-to-end proof that the incremental feed carries everything
+    the dashboard needs."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_dau_wau,
+    )
+
+    feed = run_stream_to_memory(
+        streaming_dau_wau(spark, SF), "dau_rollup"
+    )
+    ud = feed.selectExpr(
+        "user_id",
+        "timestamp_micros(epoch_day * 86400000000) AS d",
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode_outer(
+            F.sequence(
+                "d",
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("b"),
+    )
+    wau = cover.groupBy(F.col("b").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    got = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau"
+        )
+        .collect()
+    }
+    batch = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in all_queries()["events_dau_wau"](spark, SF).collect()
+    }
+    assert got == batch and len(batch) > 0
