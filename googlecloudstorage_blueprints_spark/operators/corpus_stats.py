@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -380,4 +381,146 @@ def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(norm).cast("long").alias("n_norm_chars"),
         F.md5(norm).alias("fp"),
+    )
+
+
+# checkpoints for the vocabulary coverage curve; the largest bounds the
+# only non-map-side frame the op keeps (TakeOrdered top-K, never the vocab)
+COVERAGE_KS = [10, 100, 1000, 10000]
+
+
+@register(
+    "ngram_coverage_curve",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT w, COUNT(*) AS cnt FROM words WHERE w <> '' GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT)  AS total_tokens,
+               CAST(COUNT(*) AS BIGINT)  AS vocab_size
+        FROM counts
+    ),
+    ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS r
+        FROM counts
+        QUALIFY r <= {max(COVERAGE_KS)}
+    ),
+    ks AS (SELECT unnest({COVERAGE_KS}) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN ranked.r <= ks.k THEN ranked.cnt
+                         ELSE 0 END) AS BIGINT) AS covered_tokens,
+           tot.total_tokens,
+           tot.vocab_size,
+           CAST(SUM(CASE WHEN ranked.r <= ks.k THEN ranked.cnt
+                         ELSE 0 END) AS DOUBLE)
+               / CAST(tot.total_tokens AS DOUBLE) AS coverage
+    FROM ranked CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k, tot.total_tokens, tot.vocab_size
+    ORDER BY k
+    """,
+)
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token occurrences
+    covered by the top-K words at K ∈ {ks} — the table a tokenizer
+    budget is sized from (how much of the corpus does a 10k vocab
+    actually cover?) and the Zipf-head companion to ``word_zipf_slope``.
+
+    Shape: one pooled word-count aggregate, a 1-row total broadcast,
+    then TakeOrderedAndProject cuts the top-{kmax} BEFORE any window —
+    the rank runs on that literal-bounded frame (the vocab itself never
+    sees a global window; the ``global_row_number`` decomposition
+    argument).  The |ks|× fan-out and conditional sums reduce to
+    {nks} rows.  Parity: coverage is an exact integer ratio, unrounded;
+    (cnt DESC, w) is the total order on both engines."""
+    kmax = max(COVERAGE_KS)
+    counts = _words(spark, sf_dir).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    head = counts.orderBy(F.col("cnt").desc(), "w").limit(kmax)
+    ranked = head.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "w"))
+        .alias("r"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
+    covered = F.sum(
+        F.when(F.col("r") <= F.col("k"), F.col("cnt")).otherwise(0)
+    )
+    return (
+        ranked.select("cnt", "r", ks)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total_tokens", "vocab_size")
+        .agg(covered.cast("long").alias("covered_tokens"))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .transform(sort_bounded, "k")
+    )
+
+
+ngram_coverage_curve.__doc__ = ngram_coverage_curve.__doc__.format(
+    ks=COVERAGE_KS, kmax=max(COVERAGE_KS), nks=len(COVERAGE_KS)
+)
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    lens AS (
+        SELECT LENGTH(w) AS token_len FROM words WHERE w <> ''
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lens)
+    SELECT CAST(token_len AS BIGINT) AS token_len,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+    FROM lens CROSS JOIN tot
+    GROUP BY token_len, tot.total
+    ORDER BY token_len
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token length distribution over the pooled corpus — the subword
+    budget estimator (mean piece length drives tokens-per-byte, and a
+    heavy long-token tail flags URLs/base64 that inflate any
+    whitespace-based token count).
+
+    Shape: map-side explode → length, one aggregate keyed on the
+    ≤|max token length| domain, a 1-row total broadcast.  Parity: share
+    is an exact integer ratio, unrounded; all else integer."""
+    lens = _words(spark, sf_dir).select(
+        F.length("w").cast("long").alias("token_len")
+    )
+    tot = lens.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        lens.groupBy("token_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token_len",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .transform(sort_bounded, "token_len")
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -519,4 +520,61 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
         .otherwise(0)
         .alias("is_keeper"),
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS fp
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT LEAST(a.source, b.source)    AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT)     AS n_dup_pairs,
+           CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared_texts
+    FROM h a JOIN h b ON b.fp = a.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-flow matrix between sources: exact-duplicate pairs
+    aggregated by normalized source pair — WHICH crawls copy each other
+    (off-diagonal) and how much each source self-duplicates (diagonal).
+    This is the table that decides dedup ORDER in a multi-crawl corpus:
+    dedup the copier against the copied, not alphabetically.
+
+    Shape: one digest self-join — the only shuffle key is md5(text), so
+    text never shuffles and the join fan-out is |group|² per duplicated
+    digest (duplicate groups are small by nature; a pathological
+    corpus-wide duplicate is exactly what the report exists to expose,
+    and AQE skew-split handles its bucket).  LEAST/GREATEST normalize
+    the pair so (a,b) and (b,a) merge.  All-integer output."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    h = d.select("doc_id", "source", F.md5("text").alias("fp"))
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.fp") == F.col("a.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+            F.greatest(F.col("a.source"), F.col("b.source")).alias(
+                "source_b"
+            ),
+            F.col("a.fp").alias("fp"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.countDistinct("fp").cast("long").alias("n_shared_texts"),
+        )
+        .transform(sort_bounded, "source_a", "source_b")
     )

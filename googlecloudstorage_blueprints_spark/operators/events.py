@@ -1158,3 +1158,129 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "event_type", "bin")
     )
+
+
+# exponential-decay trailing window: half-life 7 days over a 14-day cover
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_WINDOW_DAYS = 14
+
+
+@register(
+    "events_decay_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day_num,
+               ROUND(SUM(value), 4)        AS v,
+               CAST(ROUND(ROUND(SUM(value), 4) * 10000, 0) AS BIGINT)
+                                           AS v4
+        FROM events
+        GROUP BY 1, 2
+    ),
+    offsets AS (
+        SELECT unnest(range(0, {DECAY_WINDOW_DAYS})) AS k
+    ),
+    cover AS (
+        SELECT d.event_type,
+               d.day_num + o.k AS target_day,
+               CAST(ROUND(POW(0.5, o.k / {DECAY_HALF_LIFE_DAYS}.0)
+                          * 1000000, 0) AS BIGINT) AS w6,
+               d.v4
+        FROM daily d CROSS JOIN offsets o
+    ),
+    smoothed AS (
+        SELECT event_type, target_day,
+               CAST(SUM(w6 * v4) AS BIGINT) AS num,
+               CAST(SUM(w6) AS BIGINT)      AS den
+        FROM cover
+        GROUP BY 1, 2
+    )
+    SELECT s.event_type,
+           CAST(s.target_day AS BIGINT)  AS epoch_day,
+           d.v                           AS day_value,
+           ROUND(CAST(s.num AS DOUBLE)
+                 / (CAST(s.den AS DOUBLE) * 10000.0), 6) AS decayed_mean
+    FROM smoothed s
+    JOIN daily d ON d.event_type = s.event_type
+                AND d.day_num = s.target_day
+    ORDER BY s.event_type, epoch_day
+    """,
+)
+def events_decay_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trailing mean of daily value per event type
+    (half-life {hl} days over a {win}-day cover) — the smoothed trend
+    line monitoring alerts on instead of raw daily totals, robust to
+    single-day spikes yet fresher than a flat moving average.
+
+    A rolling window can't weight rows BY DISTANCE from the frame end,
+    so the decomposition mirrors ``events_dau_wau``: each daily total
+    explodes over the {win} future days it influences with its decay
+    weight attached, and a plain (type, day) aggregate re-assembles the
+    smoothed value — constant {win}× fan-out of the BOUNDED daily frame
+    (|types|×|days|), embarrassingly parallel at any scale.
+
+    Parity: the weighted sums run in FIXED-POINT integers — v scaled
+    1e4 (exact: the daily sum was rounded 4dp) and the 6dp pow() weight
+    scaled 1e6 — because ROUND(SUM(double),6) is order-sensitive in the
+    last ulp and a sum landing on a rounding boundary flips BETWEEN
+    RUNS of the same engine (observed at sf0.01), not just between
+    engines; integer sums are order-independent, so the ratio divides
+    identical doubles on both engines.  Headroom: w6·v4 ≤ 1e6·v·1e4 —
+    safe while a (type, day) value total stays under ~9·10⁸ (ANSI long
+    overflow throws rather than corrupts).  The day key is exact
+    integer-µs floor division."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.sum("value"), 4)
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+    ).agg(
+        v.alias("v"),
+        F.round(v * 10000, 0).cast("long").alias("v4"),
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(k) for k in range(DECAY_WINDOW_DAYS)])
+    ).alias("k")
+    cover = daily.select("event_type", "day_num", "v4", offsets).select(
+        "event_type",
+        (F.col("day_num") + F.col("k")).alias("target_day"),
+        F.round(
+            F.pow(
+                F.lit(0.5), F.col("k") / F.lit(float(DECAY_HALF_LIFE_DAYS))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("w6"),
+        "v4",
+    )
+    smoothed = cover.groupBy("event_type", "target_day").agg(
+        F.sum(F.col("w6") * F.col("v4")).cast("long").alias("num"),
+        F.sum("w6").cast("long").alias("den"),
+    )
+    s = smoothed.alias("s")
+    d2 = daily.alias("d")
+    return (
+        s.join(
+            d2,
+            (F.col("d.event_type") == F.col("s.event_type"))
+            & (F.col("d.day_num") == F.col("s.target_day")),
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.target_day").cast("long").alias("epoch_day"),
+            F.col("d.v").alias("day_value"),
+            F.round(
+                F.col("s.num").cast("double")
+                / (F.col("s.den").cast("double") * 10000.0),
+                6,
+            ).alias("decayed_mean"),
+        )
+        .transform(sort_bounded, "event_type", "epoch_day")
+    )
+
+
+events_decay_trend.__doc__ = events_decay_trend.__doc__.format(
+    hl=DECAY_HALF_LIFE_DAYS, win=DECAY_WINDOW_DAYS
+)

@@ -728,3 +728,70 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize through the cached per-customer frame
     cust.unpersist()
     return out
+
+
+@register(
+    "customer_order_gap_percentiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               datediff('day',
+                        LAG(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS gap_days
+        FROM orders
+    ),
+    g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)                       AS n_gaps,
+           ROUND(quantile_cont(g.gap_days, 0.5), 4)       AS p50_gap_days,
+           ROUND(quantile_cont(g.gap_days, 0.9), 4)       AS p90_gap_days,
+           CAST(MAX(g.gap_days) AS BIGINT)                AS max_gap_days
+    FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def customer_order_gap_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Re-order cadence profile: per-customer gaps between consecutive
+    orders (lag window), summarized per market segment as interpolated
+    percentiles — the churn-model feature table (a segment whose p90
+    gap stretches is quietly churning long before counts drop).
+
+    Shape: one custkey-keyed lag window, a broadcast customer join for
+    the segment, a |segments|-row sort-aggregate.  Exact percentiles
+    need each group's full gap set — the verifiable form; at 100 TB the
+    sketch tier is approx_percentile (see ``percentiles_agg``'s scale
+    note).  Parity: gaps are exact integer day differences with the
+    (o_orderdate, o_orderkey) total order; F.percentile ≡ quantile_cont
+    linear interpolation of exact integers, rounded 4dp."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            gaps.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(F.percentile("gap_days", 0.5), 4).alias(
+                "p50_gap_days"
+            ),
+            F.round(F.percentile("gap_days", 0.9), 4).alias(
+                "p90_gap_days"
+            ),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .transform(sort_bounded, "c_mktsegment")
+    )

@@ -253,3 +253,67 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "month")
     )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+    WITH bounds AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    aged AS (
+        SELECT o_orderstatus,
+               o_totalprice,
+               datediff('day', o_orderdate, bounds.maxd) AS age_days
+        FROM orders CROSS JOIN bounds
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_days <= 30 THEN '00-030d'
+                WHEN age_days <= 90 THEN '031-090d'
+                WHEN age_days <= 365 THEN '091-365d'
+                ELSE '365d+' END          AS age_bucket,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           ROUND(SUM(o_totalprice), 4)   AS total_value,
+           CAST(MIN(age_days) AS BIGINT) AS min_age_days,
+           CAST(MAX(age_days) AS BIGINT) AS max_age_days
+    FROM aged
+    GROUP BY 1, 2
+    ORDER BY o_orderstatus, age_bucket
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: order count and value by status × age
+    bucket relative to the newest order date — the ops dashboard that
+    finds stuck open orders (a warehouse 'P' row aging past a year is a
+    process bug, not commerce).
+
+    Shape: a 1-row MAX bounds broadcast over the scan, the age and its
+    CASE bucket computed map-side, one ≤|status|×4-row aggregate,
+    sort_bounded.  Parity: ages are exact integer day differences on
+    both engines; the value sum rounds 4dp (revenue rule); bucket
+    labels are zero-padded so lexicographic ORDER BY equals age
+    order."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.max("o_orderdate").alias("maxd"))
+    age = F.datediff(F.col("maxd"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "00-030d")
+        .when(age <= 90, "031-090d")
+        .when(age <= 365, "091-365d")
+        .otherwise("365d+")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderstatus",
+            bucket.alias("age_bucket"),
+            "o_totalprice",
+            age.alias("age_days"),
+        )
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+            F.min("age_days").cast("long").alias("min_age_days"),
+            F.max("age_days").cast("long").alias("max_age_days"),
+        )
+        .transform(sort_bounded, "o_orderstatus", "age_bucket")
+    )

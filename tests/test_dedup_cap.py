@@ -130,3 +130,40 @@ def test_capped_oracle_matches_spark_on_hot_corpus(spark, tmp_path):
     # the genuine near-dup pair survives the cap: 5 shared 3-gram
     # shingles of 6 each -> jaccard 5/7 ≈ 0.714 ≥ 0.6
     assert any(a == 10_000 and b == 10_001 for a, b, _ in got)
+
+
+def test_cross_source_matrix_finds_planted_copies(spark, tmp_path):
+    """The fixtures contain no exact cross-source duplicates (the op
+    returns 0 rows there, a trivially-passing oracle) — plant copies
+    across and within sources and pin the full matrix: pair counts,
+    shared-text counts, and LEAST/GREATEST pair normalization."""
+    rows = []
+    # 10 unique docs per source
+    for s in ("crawl_a", "crawl_b", "crawl_c"):
+        for i in range(10):
+            rows.append((len(rows), f"unique {s} doc {i} words", s))
+    rows.append((100, "copied text one", "crawl_a"))
+    rows.append((101, "copied text one", "crawl_b"))   # a<->b
+    rows.append((102, "copied text one", "crawl_b"))   # b self-dup too
+    rows.append((103, "copied text two", "crawl_c"))
+    rows.append((104, "copied text two", "crawl_a"))   # a<->c
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_shared_texts"])
+        for r in all_queries()["dedup_cross_source_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        # "copied text one": pairs (100,101),(100,102) cross + (101,102) self
+        ("crawl_a", "crawl_b"): (2, 1),
+        ("crawl_b", "crawl_b"): (1, 1),
+        # "copied text two": pair (103,104) normalized to (a, c)
+        ("crawl_a", "crawl_c"): (1, 1),
+    }

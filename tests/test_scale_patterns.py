@@ -7,7 +7,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from googlecloudstorage_blueprints_spark.operators import all_queries
-from googlecloudstorage_blueprints_spark.plans import shuffle_count
+from googlecloudstorage_blueprints_spark.plans import (
+    explain_str,
+    shuffle_count,
+)
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -108,3 +111,34 @@ def test_multimodal_frame_sample_fanout(spark):
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Partition the fact by a dim-derived key, join with a filtered dim
+    → Spark's dynamic partition pruning must inject a runtime subquery
+    filter on the partition column so only matching partitions scan (the
+    fundamental 100 TB pattern: a date/region-partitioned fact joined to
+    a small filtered dim reads only the partitions the dim selects)."""
+    out = f"file:{tmp_path}/orders_by_year"
+    o = load_table(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+
+    fact = spark.read.parquet(out)
+    years = (
+        o.select("o_year")
+        .distinct()
+        .withColumn("pick", F.col("o_year") % 2)
+        .where(F.col("pick") == 0)
+        .drop("pick")
+    )
+    joined = fact.join(years, "o_year").select("o_orderkey", "o_year")
+    plan = explain_str(joined)
+    assert (
+        "dynamicpruningexpression" in plan.lower()
+    ), "partitioned fact ⋈ filtered dim must plan dynamic partition pruning"
+    # correctness: row count equals a static filter on the same years
+    picked = [r["o_year"] for r in years.collect()]
+    expect = o.where(F.col("o_year").isin(picked)).count()
+    assert joined.count() == expect
