@@ -524,3 +524,86 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "token_len")
     )
+
+
+# robust-z threshold (the classic 3.5 from Iglewicz–Hoaglin)
+MAD_ROBUST_Z = 3.5
+
+
+@register(
+    "length_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               ABS(CAST(d.n_chars AS DOUBLE) - med.med) AS adev,
+               med.med
+        FROM documents d JOIN med ON med.source = d.source
+    ),
+    mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source,
+           CAST(dev.n_chars AS BIGINT) AS n_chars,
+           ROUND(0.6745 * (CAST(dev.n_chars AS DOUBLE) - dev.med)
+                 / NULLIF(mad.mad, 0), 6) AS robust_z
+    FROM dev JOIN mad ON mad.source = dev.source
+    WHERE ABS(ROUND(0.6745 * (CAST(dev.n_chars AS DOUBLE) - dev.med)
+                    / NULLIF(mad.mad, 0), 6)) > {MAD_ROBUST_Z}
+    """,
+)
+def length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers via the median/MAD z-score
+    (|0.6745·(x−med)/MAD| > {z}) — the screen that survives what breaks
+    ``length_outlier_zscore``: one 800 MB scrape artifact inflates a
+    mean/stddev enough to hide itself, but cannot move a median.
+
+    Shape: two |sources|-row percentile aggregates (median, then median
+    absolute deviation) each broadcast back onto the scan — two joins,
+    no window over data.  Exact interpolated percentiles of integers
+    are deterministic halves on both engines; the robust z is one chain
+    of identical IEEE ops rounded 6dp before BOTH the filter and the
+    output; MAD=0 sources (≥ half identical lengths) are NULLIF-guarded
+    identically — NULL z fails the threshold on both engines, avoiding
+    the NULL-vs-inf division divergence (round-7 advice rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.groupBy("source").agg(
+        F.percentile("n_chars", 0.5).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med",
+        F.abs(F.col("n_chars").cast("double") - F.col("med")).alias(
+            "adev"
+        ),
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    rz = F.round(
+        F.lit(0.6745)
+        * (F.col("n_chars").cast("double") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            rz.alias("robust_z"),
+        )
+        .where(F.abs(F.col("robust_z")) > MAD_ROBUST_Z)
+    )
+
+
+length_outlier_mad.__doc__ = length_outlier_mad.__doc__.format(
+    z=MAD_ROBUST_Z
+)

@@ -763,3 +763,126 @@ def uniform_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= SAMPLE_PER_SOURCE)
     )
+
+
+# interpolation weight for the bigram LM: λ·p(w2|w1) + (1−λ)·p(w2)
+BIGRAM_LAMBDA = 0.8
+
+
+@register(
+    "doc_logprob_bigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)), i -> a[i]))     AS w1,
+               unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+        FROM toks
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1
+           FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cnt2
+           FROM bg GROUP BY w2),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(-LN(
+                   {BIGRAM_LAMBDA} * (CAST(cb.cnt AS DOUBLE)
+                                      / CAST(c1.cnt1 AS DOUBLE))
+                   + {1 - BIGRAM_LAMBDA} * (CAST(c2.cnt2 AS DOUBLE)
+                                            / CAST(t.n AS DOUBLE))
+               ) * 1000000, 0) AS BIGINT) AS nll6
+        FROM bg
+        JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
+        JOIN c2 ON c2.w2 = bg.w2
+        CROSS JOIN t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(CAST(SUM(nll6) AS BIGINT) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_neg_logprob,
+           ROUND(CAST(MAX(nll6) AS DOUBLE) / 1000000.0, 6)
+               AS max_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-probability under an INTERPOLATED
+    corpus bigram model (λ·p(w₂|w₁) + (1−λ)·p(w₂)) — the second rung of
+    perplexity-based corpus filtering above ``doc_logprob_unigram``:
+    shuffled or template-stitched text that fools unigram stats scores
+    high here because its word ORDER is unnatural.
+
+    Shape: in-row adjacent bigrams via arrays_zip of shifted slices
+    (codegen — never a lead() window that would shuffle every token,
+    per the round-5 n-gram rule), three keyed count joins (AQE decides
+    broadcasts; the bigram table is huge on a web corpus, same
+    reasoning as tfidf_topk), one scalar broadcast.  Every bigram in a
+    doc exists in the corpus model by construction, so no smoothing
+    floor is needed.
+
+    Parity: p components are exact integer ratios; the mixed
+    probability is one chain of identical IEEE ops; −ln() is scaled 1e6
+    and rounded to a BIGINT immediately (the decay-trend rule: summing
+    rounded DOUBLES is order-sensitive in the last ulp and can flip a
+    6dp rounding between runs — integer sums cannot), so per-doc
+    avg/max divide identical integers on both engines."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    # no pre-explode repartition: the bigram build is pure codegen
+    # (arrays_zip of slices), and measured timing showed the extra
+    # full-text shuffle costs more than the single-task scan saves —
+    # the downstream count groupBys restore parallelism immediately
+    a = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
+    )
+    bg = (
+        d.where(F.size(a) >= 2)
+        .select("doc_id", F.explode_outer(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+        )
+        .persist()
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    t = bg.agg(F.count(F.lit(1)).alias("n"))
+    mix = F.lit(BIGRAM_LAMBDA) * (
+        F.col("cnt").cast("double") / F.col("cnt1").cast("double")
+    ) + F.lit(1 - BIGRAM_LAMBDA) * (
+        F.col("cnt2").cast("double") / F.col("n").cast("double")
+    )
+    nll6 = F.round(-F.log(mix) * 1000000, 0).cast("long")
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", nll6.alias("nll6"))
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("nll6").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("avg_neg_logprob"),
+        F.round(F.max("nll6").cast("double") / 1000000.0, 6).alias(
+            "max_neg_logprob"
+        ),
+    ).persist()
+    out.count()  # materialize through the cached bigram frame
+    bg.unpersist()
+    return out

@@ -89,3 +89,54 @@ def test_divzero_edges_match(spark, name, divzero_dir):
     assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
         duck_colnames, duck_rows
     ), f"{name}: value divergence at the div-zero edge"
+
+
+def test_length_outlier_mad_planted_artifact(spark, tmp_path):
+    """The driver fixtures produce no MAD outliers (the oracle pass is
+    0 == 0 rows there) — plant a scrape artifact and a MAD=0 source and
+    pin both paths: the artifact is flagged on BOTH engines with the
+    same rounded robust-z, and the zero-MAD source is silently excluded
+    (NULLIF guard) instead of diverging NULL-vs-inf."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from googlecloudstorage_blueprints_spark.operators import all_oracles
+
+    rows = []
+    # normal source: lengths spread 100..148, one 50_000-char artifact
+    for i in range(25):
+        rows.append((i, "x" * (100 + 2 * i), "normal", 100 + 2 * i))
+    rows.append((99, "y" * 50_000, "normal", 50_000))
+    # degenerate source: every doc identical length -> MAD = 0
+    for i in range(10):
+        rows.append((200 + i, "z" * 77, "constant", 77))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": [r[2] for r in rows],
+            "n_chars": [r[3] for r in rows],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), tmp_path / "documents.parquet")
+
+    sdf = all_queries()["length_outlier_mad"](spark, str(tmp_path))
+    got = {r["doc_id"]: r["robust_z"] for r in sdf.collect()}
+    assert 99 in got, "planted artifact not flagged"
+    assert all(r != 99 for r in got if got[r] is None)
+    assert not any(200 <= d < 210 for d in got), "MAD=0 source leaked"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    duck = {
+        r[0]: r[3]
+        for r in con.execute(all_oracles()["length_outlier_mad"]).fetchall()
+    }
+    con.close()
+    assert got == duck, "cross-engine divergence on planted corpus"

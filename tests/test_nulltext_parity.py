@@ -25,7 +25,21 @@ from googlecloudstorage_blueprints_spark.operators import (
 SF_SRC = "/root/testdata/sf0.001"
 
 # every oracle-backed operator that tokenizes `text`
-TOKENIZING_OPS = ["repetition_score", "quality_filter_funnel", "ngram_topk"]
+TOKENIZING_OPS = [
+    "repetition_score",
+    "quality_filter_funnel",
+    "ngram_topk",
+    # r7: lang_id does NOT filter NULL text by design — both engines emit
+    # the row with NULL prediction/score identically (probed cross-engine);
+    # doc_lang_mismatch's best_score>=1 filter then drops it.  Pinned here
+    # so a refactor that breaks the NULL path fails fast.
+    "lang_id",
+    "doc_lang_mismatch",
+    # r7 additions that tokenize or regex over text behind IS NOT NULL
+    "ngram_coverage_curve",
+    "token_length_histogram",
+    "pii_redact",
+]
 
 
 @pytest.fixture(scope="module")
