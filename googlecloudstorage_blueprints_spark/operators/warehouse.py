@@ -88,15 +88,34 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two windows over the SAME (user_id)-keyed shuffle — Catalyst plans
     one exchange; the second window runs on the change rows only.
-    Integer-µs bounds; (ts, event_id) total order on both passes."""
+    Integer-µs bounds; (ts, event_id) total order on both passes.
+    The reconstruction itself is :func:`scd2_from_changelog`, shared
+    with the ``apply_scd2_batch`` sink (sinks/writers.py)."""
     e = load_table(spark, sf_dir, "events")
-    ts_us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
-    seq = e.select(
+    changelog = e.select(
         "user_id",
         "event_type",
         "event_id",
-        ts_us.alias("ts_us"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    return scd2_from_changelog(changelog)
+
+
+def scd2_from_changelog(changelog: DataFrame) -> DataFrame:
+    """(user_id, event_type, ts_us, event_id) changelog → SCD2 validity
+    intervals (user_id, event_type, valid_from_us, valid_to_us).
+
+    The shared reconstruction core of the batch ``scd2_intervals``
+    operator and the ``apply_scd2_batch`` incremental sink: lag-compare
+    to keep only attribute CHANGES, lead() for each change's validity
+    end — two windows over one (user_id)-keyed exchange, (ts_us,
+    event_id) total order on both passes."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = changelog.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts_us",
         F.lag("event_type").over(w).alias("prev_type"),
     )
     changes = seq.where(

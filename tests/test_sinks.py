@@ -254,3 +254,93 @@ def test_table_diff_after_upsert_shows_exactly_the_upsert(spark, tmp_path):
         ).collect()
     }
     assert diff == {3: "updated", 42: "inserted"}
+
+
+def _scd2_split_frames(spark):
+    """Full-history SCD2 truth plus a (first-half, second-half) changelog
+    split of the events fixture at the median timestamp."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+
+    e = load_table(spark, SF, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    mid = e.selectExpr(
+        "CAST(percentile_approx(ts_us, 0.5) AS BIGINT) AS m"
+    ).collect()[0]["m"]
+    first = e.where(F.col("ts_us") < mid)
+    second = e.where(F.col("ts_us") >= mid)
+    truth = all_queries()["scd2_intervals"](spark, SF)
+    return first, second, truth
+
+
+def test_apply_scd2_batch_equals_full_rebuild(spark, tmp_path):
+    """Build the SCD2 table from the first half of history, apply the
+    second half as a CDC batch — the merged table must equal the batch
+    operator's full-history reconstruction exactly, and re-applying the
+    SAME batch must change nothing (idempotent MERGE)."""
+    from googlecloudstorage_blueprints_spark.operators.warehouse import (
+        scd2_from_changelog,
+    )
+    from googlecloudstorage_blueprints_spark.sinks import apply_scd2_batch
+
+    first, second, truth = _scd2_split_frames(spark)
+    target = f"file:{tmp_path}/scd2_table"
+    scd2_from_changelog(first).write.parquet(target)
+
+    apply_scd2_batch(spark, target, second)
+    got = {
+        (r["user_id"], r["valid_from_us"]): (
+            r["event_type"],
+            r["valid_to_us"],
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+    expect = {
+        (r["user_id"], r["valid_from_us"]): (
+            r["event_type"],
+            r["valid_to_us"],
+        )
+        for r in truth.collect()
+    }
+    assert got == expect and len(expect) > 0
+
+    # replay the identical batch: same-type rows absorb, table unchanged
+    apply_scd2_batch(spark, target, second)
+    again = {
+        (r["user_id"], r["valid_from_us"]): (
+            r["event_type"],
+            r["valid_to_us"],
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == expect
+
+
+def test_apply_scd2_batch_untouched_keys_copy_through(spark, tmp_path):
+    """A batch touching ONE user must leave every other key's rows
+    byte-identical (the anti-join copy-through path, the property that
+    bounds rewrite cost by the batch's key set)."""
+    from googlecloudstorage_blueprints_spark.operators.warehouse import (
+        scd2_from_changelog,
+    )
+    from googlecloudstorage_blueprints_spark.sinks import apply_scd2_batch
+
+    first, second, _ = _scd2_split_frames(spark)
+    target = f"file:{tmp_path}/scd2_one"
+    scd2_from_changelog(first).write.parquet(target)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(target).collect()
+    }
+    one_user = second.orderBy("user_id").limit(1).collect()[0]["user_id"]
+    apply_scd2_batch(
+        spark, target, second.where(F.col("user_id") == one_user)
+    )
+    after = {tuple(r) for r in spark.read.parquet(target).collect()}
+    changed_users = {
+        r[0] for r in before.symmetric_difference(after)
+    }
+    assert changed_users <= {one_user}

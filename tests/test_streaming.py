@@ -950,3 +950,97 @@ def test_streaming_dau_wau_rollup_equals_batch_operator(spark):
         for r in all_queries()["events_dau_wau"](spark, SF).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """True restart semantics, not just in-session redelivery: run the
+    CDC-compaction stream to a FILE sink with a checkpoint, stop it,
+    drop the same backlog in again PLUS a genuinely new advancing
+    update, and restart the SAME query (same checkpoint + sink).  The
+    checkpoint must skip the already-committed source file entirely and
+    the state store must absorb the non-advancing rows — the restarted
+    run may emit ONLY the one advancing update."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_latest_snapshot,
+    )
+
+    src = tmp_path / "src"
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "00.parquet")
+
+    def run_once():
+        q = (
+            streaming_latest_snapshot(
+                spark, f"file:{src}", glob="*.parquet",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first > 0
+
+    # redeliver the identical backlog under a new name AND one advancing
+    # row: newest ts_us + 1 for one user
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+    shutil.copy(f"{SF}/events.parquet", src / "01.parquet")
+    top = (
+        load_table(spark, SF, "events")
+        .selectExpr(
+            "user_id", "event_id", "ts", "event_type", "value",
+            "unix_micros(ts) AS us",
+        )
+        .orderBy(F.col("us").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    adv = spark.createDataFrame(
+        [
+            (
+                top["event_id"] + 1_000_000,
+                top["user_id"],
+                "advanced",
+                float(top["value"]),
+                top["ts"],
+            )
+        ],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(unix_micros(ts) + 1) AS ts",
+        "user_id",
+        "'advanced' AS event_type",
+        "value",
+        "'{}' AS props",
+    )
+    # write.parquet makes a DIRECTORY; the file stream lists flat files —
+    # move the part file to a flat src/02.parquet
+    import glob as globmod
+
+    adv.coalesce(1).write.mode("overwrite").parquet(
+        f"file:{tmp_path}/adv_dir"
+    )
+    part = globmod.glob(f"{tmp_path}/adv_dir/part-*.parquet")[0]
+    shutil.move(part, src / "02.parquet")
+
+    run_once()
+    after = spark.read.parquet(sink)
+    total = after.count()
+    assert total == first + 1, (
+        f"restart must add exactly the one advancing row "
+        f"(before={first}, after={total})"
+    )
+    newest = after.orderBy(F.col("ts_us").desc()).limit(1).collect()[0]
+    assert newest["event_type"] == "advanced"
