@@ -21,10 +21,17 @@ Stage order is deliberate and matters at 100 TB:
    the held-out eval slice (inverted-index anti-join; the eval index is
    ~1% of the corpus and broadcastable) — last of the filters so the
    shingle join runs on the smallest surviving set.
-5. **Split assignment** (map-only projection) after all filters so
+5. **PII redaction** (map-only regex transform, the ``pii_redact``
+   operator's scrub applied to the text itself): runs on final
+   survivors only — redacting dropped rows is wasted work — and BEFORE
+   split assignment so no un-scrubbed byte reaches any output split.
+   After dedup deliberately: redaction collapses distinct originals
+   ("call 555-0100" / "call 555-0199" both become "call [NUM]"), and
+   dedup must key on what was actually crawled.
+6. **Split assignment** (map-only projection) after all filters so
    neither replicate, near-replicate, nor eval-overlapping documents can
    straddle train/test (leakage).
-6. **Partitioned write** via the layout-aware writer (repartition-first,
+7. **Partitioned write** via the layout-aware writer (repartition-first,
    bounded file counts per split).
 """
 
@@ -50,6 +57,7 @@ class CurationReport:
     n_deduped: int      # after exact dedup
     n_near_deduped: int  # after near-dup cluster keeper selection
     n_clean: int        # after eval-set decontamination
+    n_redactions: int   # PII placeholders substituted across the corpus
     split_counts: dict  # split -> rows written
 
 
@@ -170,26 +178,43 @@ def curate_corpus(
         F.col("doc_id") % CONTAM_EVAL_MOD != 0
     ).join(contaminated, "doc_id", "left_anti")
 
+    # PII redaction on the final survivors (same patterns and
+    # email-before-digits order as the pii_redact operator — emails
+    # contain digits, so the opposite order changes counts)
+    from googlecloudstorage_blueprints_spark.operators.text import (
+        _SCAN_DIGITS,
+        _SCAN_EMAIL,
+    )
+
+    email_red = F.regexp_replace("text", _SCAN_EMAIL, "[EMAIL]")
+    n_red = F.regexp_count("text", F.lit(_SCAN_EMAIL)) + F.regexp_count(
+        email_red, F.lit(_SCAN_DIGITS)
+    )
+    redacted = clean.withColumn(
+        "n_redactions", n_red.cast("long")
+    ).withColumn(
+        "text", F.regexp_replace(email_red, _SCAN_DIGITS, "[NUM]")
+    )
+
     bucket = F.expr("((doc_id % 1000003) * 2654435761) % 100")
     split = (
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    curated = clean.withColumn("split", split).select(
+    curated = redacted.withColumn("split", split).select(
         "doc_id", "text", "lang", "source", "n_chars",
-        "n_tokens", "top_token_share", "split",
+        "n_tokens", "top_token_share", "n_redactions", "split",
     )
 
     write_partitioned(curated, out_path, ["split"])
 
     written = spark.read.parquet(out_path)
-    split_counts = {
-        r["split"]: r["n"]
-        for r in written.groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    stats = written.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_redactions").alias("red"),
+    ).collect()
+    split_counts = {r["split"]: r["n"] for r in stats}
     # eval-slice docs themselves are held out of the written corpus along
     # with anything sharing a 3-gram with them, so rows written == n_clean
     n_clean = sum(split_counts.values())
@@ -199,6 +224,7 @@ def curate_corpus(
         n_deduped=deduped.count(),
         n_near_deduped=near_deduped.count(),
         n_clean=n_clean,
+        n_redactions=int(sum(r["red"] or 0 for r in stats)),
         split_counts=split_counts,
     )
     near_deduped.unpersist()

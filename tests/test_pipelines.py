@@ -77,3 +77,24 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # split sizes roughly 80/10/10 (hash split on ~400 docs: loose bounds)
     total = sum(report.split_counts.values())
     assert report.split_counts["train"] / total > 0.6
+
+
+def test_curate_corpus_redacts_pii_in_written_text(spark, tmp_path):
+    """The written corpus must contain no raw digit runs or email-like
+    tokens (the redaction stage ran on every survivor), the placeholder
+    counts must reconcile with the report, and redaction must NOT have
+    affected dedup (it runs after — originals were deduped as crawled)."""
+    import re
+
+    out = f"file:{tmp_path}/curated_red"
+    report = curate_corpus(spark, SF, out)
+    rows = spark.read.parquet(out).select("text", "n_redactions").collect()
+    assert rows
+    digit_run = re.compile(r"[0-9]+")
+    email_like = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+")
+    for r in rows:
+        assert not digit_run.search(r["text"]), "unredacted digits written"
+        assert not email_like.search(r["text"]), "unredacted email written"
+        n_markers = r["text"].count("[NUM]") + r["text"].count("[EMAIL]")
+        assert n_markers == r["n_redactions"]
+    assert report.n_redactions == sum(r["n_redactions"] for r in rows)
