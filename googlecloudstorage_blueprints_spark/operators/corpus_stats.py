@@ -607,3 +607,89 @@ def length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 length_outlier_mad.__doc__ = length_outlier_mad.__doc__.format(
     z=MAD_ROBUST_Z
 )
+
+
+@register(
+    "lang_source_chisq",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rn FROM cells
+           GROUP BY lang),
+    cs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cn FROM cells
+           GROUP BY source),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(ROUND(
+            POW(CAST(cells.o AS DOUBLE)
+                - CAST(rl.rn AS DOUBLE) * CAST(cs.cn AS DOUBLE)
+                  / CAST(t.n AS DOUBLE), 2)
+            / (CAST(rl.rn AS DOUBLE) * CAST(cs.cn AS DOUBLE)
+               / CAST(t.n AS DOUBLE))
+            * 1000000, 0) AS BIGINT) AS t6
+        FROM cells
+        JOIN rl ON rl.lang = cells.lang
+        JOIN cs ON cs.source = cells.source
+        CROSS JOIN t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rl) AS BIGINT)    AS n_langs,
+           CAST((SELECT COUNT(*) FROM cs) AS BIGINT)    AS n_sources,
+           CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST(((SELECT COUNT(*) FROM rl) - 1)
+                * ((SELECT COUNT(*) FROM cs) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(CAST(SUM(t6) AS BIGINT) AS DOUBLE)
+                 / 1000000.0, 6) AS chi2
+    FROM terms
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence statistic between the lang and source columns —
+    the composition-drift alarm: if language mix varies strongly by
+    source (large χ² vs the (|langs|−1)(|sources|−1) dof), per-source
+    curation thresholds tuned on the pooled corpus are miscalibrated.
+
+    Shape: one |langs|×|sources|-cell contingency aggregate; marginals
+    re-aggregate from the cells; everything after the first aggregate
+    is ≤100 rows.  Parity: expected counts are exact-integer-ratio
+    doubles (identical both engines); each cell's (o−e)²/e term is
+    scaled 1e6 and rounded to BIGINT before summation (the fixed-point
+    rule: integer sums are order-independent where double sums flake in
+    the last ulp), and the statistic divides identical integers."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rl = cells.groupBy("lang").agg(F.sum("o").alias("rn"))
+    cs = cells.groupBy("source").agg(F.sum("o").alias("cn"))
+    t = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("n").cast("double")
+    )
+    t6 = F.round(
+        F.pow(F.col("o").cast("double") - e, 2) / e * 1000000, 0
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            t6.alias("t6"),
+            "lang",
+            "source",
+        )
+    )
+    n_langs = F.countDistinct("lang")
+    n_sources = F.countDistinct("source")
+    return terms.agg(
+        n_langs.cast("long").alias("n_langs"),
+        n_sources.cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        ((n_langs - 1) * (n_sources - 1)).cast("long").alias("dof"),
+        F.round(F.sum("t6").cast("double") / 1000000.0, 6).alias(
+            "chi2"
+        ),
+    )

@@ -473,3 +473,77 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize through the cached vocab frame
     vocab.unpersist()
     return out
+
+
+# docs drawn when materializing the temperature mixture (constant across
+# SFs: the mixture is a per-source quota, not a fraction of the corpus)
+MIXTURE_SAMPLE_TOTAL = 200
+
+
+def _mixture_resample_oracle() -> str:
+    from googlecloudstorage_blueprints_spark.operators import REGISTRY
+
+    weights_sql = REGISTRY["source_mixture_weights"].oracle
+    return f"""
+    WITH w AS ({weights_sql}),
+    quota AS (
+        SELECT source,
+               CAST(FLOOR(weight * {MIXTURE_SAMPLE_TOTAL}) AS BIGINT)
+                   AS quota
+        FROM w
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT r.source, r.doc_id, r.sample_rank, q.quota
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.sample_rank <= q.quota
+    """
+
+
+@register("mixture_resample", oracle=_mixture_resample_oracle())
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-based training mixture: draw each
+    source's quota of {total} docs per ``source_mixture_weights`` — the
+    APPLY step of the mixture recipe (the weights op sizes the mixture;
+    this emits the actual reproducible sample a training run reads).
+
+    Deterministic sampling by md5(doc_id) order (the
+    ``uniform_sample_hash`` convention — same sample on every run,
+    retry, and engine; no RNG state, no driver pass), with the
+    per-source quota joined from the |sources|-row weight frame
+    (broadcast).  The rank window computes a partial top-k per
+    partition before its shuffle, so only candidate rows move.
+    Parity: quota = FLOOR(6dp-rounded weight × {total}) — FLOOR of an
+    identical double on both engines; ranks are BIGINT."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    weights = source_mixture_weights(spark, sf_dir).select(
+        "source",
+        F.floor(F.col("weight") * MIXTURE_SAMPLE_TOTAL)
+        .cast("long")
+        .alias("quota"),
+    )
+    hkey = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id"))
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(weights), "source")
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select("source", "doc_id", "sample_rank", "quota")
+    )
+
+
+mixture_resample.__doc__ = mixture_resample.__doc__.format(
+    total=MIXTURE_SAMPLE_TOTAL
+)
