@@ -578,3 +578,59 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "source_a", "source_b")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS fp,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id <> keeper
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)           AS drop_rate
+    FROM h
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup loss dashboard: per source, how many documents would
+    be DROPPED by min-doc_id survivorship — the number a curation run
+    reports per crawl before committing to a dedup pass (a source
+    losing half its rows to dedup is a re-crawl bug, not redundancy).
+
+    Shape: one digest-partitioned window (same single md5-keyed shuffle
+    as ``dedup_survivorship`` — text never shuffles) feeding a
+    |sources|-row aggregate.  drop_rate is an exact integer ratio,
+    unrounded; all else integer."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    w = Window.partitionBy(F.md5("text"))
+    h = d.select(
+        "doc_id",
+        "source",
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    dropped = F.sum(
+        F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            dropped.cast("long").alias("n_dropped"),
+            (
+                dropped.cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("drop_rate"),
+        )
+        .transform(sort_bounded, "source")
+    )

@@ -795,3 +795,59 @@ def customer_order_gap_percentiles(
         )
         .transform(sort_bounded, "c_mktsegment")
     )
+
+
+@register(
+    "supplier_part_coverage",
+    oracle="""
+    WITH rel AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand,
+           CAST(p.p_size % 5 AS BIGINT)                 AS size_class,
+           CAST(COUNT(DISTINCT rel.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(COUNT(DISTINCT rel.l_partkey) AS BIGINT) AS part_cnt
+    FROM rel
+    JOIN part p ON p.p_partkey = rel.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+    GROUP BY p.p_brand, p.p_size % 5
+    ORDER BY supplier_cnt DESC, p.p_brand, size_class
+    """,
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape over the fixture schema (which has no partsupp:
+    the observed lineitem (part, supplier) pairs stand in for it):
+    distinct supplier/part counts per brand × size class with a brand
+    exclusion — the supplier-diversity report behind sourcing risk.
+
+    Shape: DISTINCT on the fact's (part, supplier) pair first (the
+    shuffle carries the deduped relation, far smaller than lineitem),
+    then a broadcast part join and a two-level distinct aggregate.
+    Parity: size_class is exact integer modulo; counts BIGINT; ordered
+    with a (brand, size_class) tiebreak under the count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        rel.join(
+            F.broadcast(
+                p.where(F.col("p_brand") != "Brand#1").select(
+                    "p_partkey", "p_brand", "p_size"
+                )
+            ),
+            rel.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            (F.col("p_size") % 5).cast("long").alias("size_class"),
+        )
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias(
+                "supplier_cnt"
+            ),
+            F.countDistinct("l_partkey").cast("long").alias("part_cnt"),
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "size_class"
+        )
+    )

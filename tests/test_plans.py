@@ -230,3 +230,28 @@ def test_global_row_number_ledger_only_single_partition(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SinglePartition") <= 1
     assert "hashpartitioning(bucket" in plan
+
+
+def test_no_operator_plans_cartesian_or_python_udf(spark):
+    """Repo-wide plan lint over EVERY registered operator: no
+    CartesianProduct (a 1-row cross is a BroadcastNestedLoopJoin; a
+    genuine cartesian is always a bug here) and no BatchEvalPython (a
+    row-at-a-time Python UDF — the Arrow paths show as
+    ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas and are allowed).
+    Catches the classes of scale-killer the per-op pins can't cover for
+    operators added later."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            plan = explain_str(fn(spark, SF))
+        except Exception as exc:  # pragma: no cover - lint must not mask
+            offenders[name] = f"explain failed: {exc}"
+            continue
+        hits = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"plan lint violations: {offenders}"
