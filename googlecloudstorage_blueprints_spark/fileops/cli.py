@@ -102,6 +102,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write full result as parquet instead of printing")
     q.add_argument("--service-account", dest="service_account", default=None)
 
+    s = sub.add_parser(
+        "sql",
+        help="run free-form SQL over the dataset tables "
+             "(region nation customer supplier part orders lineitem "
+             "events documents embeddings registered as views)",
+    )
+    s.add_argument("statement", help="ANSI SQL text")
+    s.add_argument("--sf-dir", dest="sf_dir",
+                   default="/root/testdata/sf0.001")
+    s.add_argument("--limit", dest="limit", type=int, default=20)
+    s.add_argument("--output", dest="output", default=None,
+                   help="write full result as parquet instead of printing")
+    s.add_argument("--service-account", dest="service_account", default=None)
+
     c = sub.add_parser(
         "curate",
         help="run the corpus curation pipeline "
@@ -144,6 +158,33 @@ def _run_query(args) -> int:
     return 0
 
 
+def _run_sql(args) -> int:
+    """Free-form SQL over the fixture tables — the "any query they run
+    today" surface: the same catalog views the SQL-frontend operators
+    (sql_tpch_*) run through, so Catalyst pushdown/pruning applies to
+    ad-hoc statements exactly as to registered ones."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import (
+        register_views,
+    )
+
+    spark = get_spark(
+        app_name="gcs-blueprints-sql",
+        service_account=args.service_account,
+    )
+    register_views(spark, args.sf_dir)
+    try:
+        df = spark.sql(args.statement)
+    except Exception as exc:  # analysis errors are user errors, not crashes
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"written: {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def _run_curate(args) -> int:
     from googlecloudstorage_blueprints_spark.pipelines import curate_corpus
 
@@ -172,6 +213,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.verb == "query":
         return _run_query(args)
+    if args.verb == "sql":
+        return _run_sql(args)
     if args.verb == "curate":
         return _run_curate(args)
     # resolve credentials here so the tempfile an inline-JSON key creates

@@ -120,3 +120,44 @@ def test_cli_curate(tmp_path, capsys):
     assert "partitioned by split" in out
     import glob as g
     assert g.glob(f"{tmp_path}/curated/split=*")
+
+
+def test_cli_sql_runs_statement(spark, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "o_orderstatus" in out and "|F" in out.replace(" ", "")
+
+
+def test_cli_sql_writes_parquet(spark, tmp_path, capsys):
+    out_dir = f"file:{tmp_path}/sql_out"
+    rc = main(
+        [
+            "sql",
+            "SELECT COUNT(*) AS n FROM lineitem",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output", out_dir,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out_dir).collect()
+    assert got[0]["n"] > 0
+
+
+def test_cli_sql_bad_statement_is_user_error(spark, capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT nope FROM not_a_table",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
