@@ -693,3 +693,65 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+def _scorecard_oracle() -> str:
+    from googlecloudstorage_blueprints_spark.operators import REGISTRY
+
+    zipf_sql = REGISTRY["word_zipf_slope"].oracle
+    kl_sql = REGISTRY["source_unigram_kl"].oracle
+    chars_sql = REGISTRY["char_class_profile"].oracle
+    return f"""
+    WITH z AS ({zipf_sql}),
+    k AS ({kl_sql}),
+    c AS ({chars_sql})
+    SELECT c.source,
+           k.n_tokens,
+           z.zipf_slope,
+           k.kl_vs_corpus,
+           c.chars_per_alpha,
+           CAST(c.digit_chars AS DOUBLE)
+               / CAST(c.total_chars AS DOUBLE) AS digit_share
+    FROM c
+    JOIN k ON k.source = c.source
+    LEFT JOIN z ON z.source = c.source
+    ORDER BY c.source
+    """
+
+
+@register("source_quality_scorecard", oracle=_scorecard_oracle())
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per source joining the three distribution screens —
+    Zipf slope (natural language vs template), unigram KL (lexical
+    drift from the pooled corpus), character-class dilution and digit
+    share — the scorecard a curation run actually reviews, instead of
+    three separate reports.  Sources too small for a Zipf fit (n < 2
+    ranks) carry a NULL slope by the zipf op's guard, preserved through
+    the LEFT join on both engines.
+
+    Composes the registered operators (identical expressions on both
+    engines by construction); all joins are |sources|-row broadcasts;
+    digit_share is an exact integer ratio, unrounded."""
+    z = word_zipf_slope(spark, sf_dir).select("source", "zipf_slope")
+    k = source_unigram_kl(spark, sf_dir)
+    c = char_class_profile(spark, sf_dir)
+    out = (
+        c.join(F.broadcast(k), "source")
+        .join(F.broadcast(z), "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "zipf_slope",
+            "kl_vs_corpus",
+            "chars_per_alpha",
+            (
+                F.col("digit_chars").cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("digit_share"),
+        )
+        .orderBy("source")
+        .persist()
+    )
+    out.count()  # materialize through the KL op's cached word counts
+    k.unpersist()
+    return out

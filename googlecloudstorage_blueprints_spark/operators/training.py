@@ -547,3 +547,59 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 mixture_resample.__doc__ = mixture_resample.__doc__.format(
     total=MIXTURE_SAMPLE_TOTAL
 )
+
+
+# a bin whose fill is below this is "underfilled" (wasted context window)
+PACK_UNDERFILL = 0.5
+
+
+def _packing_efficiency_oracle() -> str:
+    from googlecloudstorage_blueprints_spark.operators import REGISTRY
+
+    pack_sql = REGISTRY["sequence_pack"].oracle
+    return f"""
+    WITH bins AS ({pack_sql})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)           AS n_bins,
+           CAST(SUM(total_tokens) AS BIGINT)  AS total_tokens,
+           CAST(SUM(total_tokens) AS DOUBLE)
+               / (COUNT(*) * {PACK_CONTEXT_TOKENS}.0) AS mean_fill,
+           CAST(SUM(CASE WHEN fill_ratio < {PACK_UNDERFILL}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_underfilled,
+           CAST(MAX(total_tokens) AS BIGINT)  AS max_bin_tokens
+    FROM bins
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("packing_efficiency_report", oracle=_packing_efficiency_oracle())
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup of ``sequence_pack``'s bins into the per-source packing
+    scorecard a training run reads before committing a layout: bin
+    count, mean fill, underfilled-bin count (wasted context windows —
+    the padding a packer exists to eliminate), and the largest bin (an
+    overflow sentinel: the streaming rule may overflow by at most one
+    document).
+
+    Composes the registered packer — same bins, one extra
+    |sources|-row aggregate.  Parity: mean_fill divides exact integers
+    by a constant; fill_ratio is already exact, so the underfill
+    comparison is exact on both engines."""
+    bins = sequence_pack(spark, sf_dir)
+    out = bins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum("total_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(PACK_CONTEXT_TOKENS)))
+        ).alias("mean_fill"),
+        F.sum(
+            F.when(F.col("fill_ratio") < PACK_UNDERFILL, 1).otherwise(0)
+        ).cast("long").alias("n_underfilled"),
+        F.max("total_tokens").cast("long").alias("max_bin_tokens"),
+    )
+    out = out.orderBy("source").persist()
+    out.count()  # materialize before the packer's cached frames free
+    bins.unpersist()
+    return out
