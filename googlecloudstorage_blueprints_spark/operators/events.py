@@ -1284,3 +1284,180 @@ def events_decay_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_decay_trend.__doc__ = events_decay_trend.__doc__.format(
     hl=DECAY_HALF_LIFE_DAYS, win=DECAY_WINDOW_DAYS
 )
+
+
+# |z| threshold for the seasonal anomaly screen (rounded z on both engines)
+SEASONAL_ANOMALY_Z = 3.0
+
+
+@register(
+    "events_anomaly_seasonal",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type, hour(ts) AS hour_of_day,
+               CAST(COUNT(*) AS DOUBLE)        AS n,
+               SUM(value)                      AS s,
+               SUM(value * value)              AS q
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(hour(e.ts) AS BIGINT) AS hour_of_day,
+           e.value,
+           ROUND((e.value - st.s / st.n)
+                 / SQRT(st.q / st.n - (st.s / st.n) * (st.s / st.n)), 6)
+               AS zscore
+    FROM events e
+    JOIN stats st ON st.event_type = e.event_type
+                 AND st.hour_of_day = hour(e.ts)
+    WHERE st.q / st.n - (st.s / st.n) * (st.s / st.n) > 0
+      AND ABS(ROUND((e.value - st.s / st.n)
+                    / SQRT(st.q / st.n - (st.s / st.n) * (st.s / st.n)),
+                    6)) > {SEASONAL_ANOMALY_Z}
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted outliers: z-score against the (type,
+    hour-of-day) baseline instead of the global per-type one — the
+    detector ``events_seasonality`` exists to calibrate.  A value normal
+    at peak hour is anomalous at 4am; the flat-baseline ``events_anomaly``
+    cannot see that, and conversely diurnal peaks stop tripping it.
+
+    Shape: a ≤|types|×24-row moment aggregate broadcast back onto the
+    scan — same aggregate-then-broadcast shape as ``events_anomaly``
+    (never a window shuffling every row to attach two numbers).
+    Parity: explicit Σ/Σ² population-variance formula (r6 rule — no
+    engine-native stddev across engines), z rounded 6dp before BOTH the
+    filter and the output; zero-variance cells excluded identically."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("q"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("q") / F.col("n") - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        e.withColumn("hour_of_day", F.hour("ts"))
+        .join(F.broadcast(stats), ["event_type", "hour_of_day"])
+        .where((var > 0) & (F.abs(z) > SEASONAL_ANOMALY_Z))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hour_of_day").cast("long").alias("hour_of_day"),
+            "value",
+            z.alias("zscore"),
+        )
+    )
+
+
+# duration histogram bin width for sessions (seconds)
+SESSION_HIST_BIN_SECONDS = 300
+
+
+@register(
+    "session_duration_histogram",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {1800} * 1000000
+                         OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts_us
+        FROM seq
+    ),
+    bounds AS (
+        SELECT user_id, session_id,
+               (MAX(ts_us) - MIN(ts_us)) // 1000000 AS dur_s,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(dur_s // {SESSION_HIST_BIN_SECONDS} AS BIGINT) AS bin,
+           CAST(dur_s // {SESSION_HIST_BIN_SECONDS}
+                * {SESSION_HIST_BIN_SECONDS} AS BIGINT)        AS bin_lo_s,
+           CAST(COUNT(*) AS BIGINT)                            AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT)                       AS n_events,
+           CAST(MIN(dur_s) AS BIGINT)                          AS min_dur_s,
+           CAST(MAX(dur_s) AS BIGINT)                          AS max_dur_s
+    FROM bounds
+    GROUP BY 1, 2
+    ORDER BY bin
+    """,
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution in {w}-second bins — the engagement
+    shape behind ``events_session_stats``' averages (a bimodal histogram
+    means two behaviors averaged into a meaningless mean; the histogram
+    is what actually gets reviewed).
+
+    Shape: the same lag/cumsum sessionization as ``events_sessionize``
+    (one user-keyed exchange serves both windows), per-session bounds,
+    then a ≤|bins|-row histogram aggregate.  Parity: durations and bin
+    keys are exact integer-µs/``div`` math end-to-end — no doubles
+    anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | (ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = seq.select(
+        "user_id",
+        F.sum("is_start").over(w2).alias("session_id"),
+        "ts_us",
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bin_col = F.expr(f"dur_s div {SESSION_HIST_BIN_SECONDS}")
+    return (
+        bounds.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("dur_s").cast("long").alias("min_dur_s"),
+            F.max("dur_s").cast("long").alias("max_dur_s"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * SESSION_HIST_BIN_SECONDS)
+            .cast("long")
+            .alias("bin_lo_s"),
+            "n_sessions",
+            "n_events",
+            "min_dur_s",
+            "max_dur_s",
+        )
+        .transform(sort_bounded, "bin")
+    )
+
+
+session_duration_histogram.__doc__ = session_duration_histogram.__doc__.format(
+    w=SESSION_HIST_BIN_SECONDS
+)

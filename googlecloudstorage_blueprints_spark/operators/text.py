@@ -525,3 +525,45 @@ def doc_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("predicted_lang") != F.col("labeled_lang"))
         & (F.col("best_score") >= 1)
     )
+
+
+@register(
+    "doc_ttr",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)          AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT w) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)    AS ttr
+    FROM words GROUP BY doc_id
+    """,
+)
+def doc_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio (lexical diversity): distinct words
+    over total words — the Gopher-rule companion to
+    ``repetition_score`` (repetition counts duplicated n-grams; TTR
+    catches the complementary failure of a tiny vocabulary stretched
+    over a long document, e.g. keyword stuffing).
+
+    One doc-keyed count/count-distinct aggregate over the token
+    explode; TTR is an exact integer ratio, unrounded."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    words = d.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    return words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+        (
+            F.countDistinct("w").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("ttr"),
+    )
