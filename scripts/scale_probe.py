@@ -184,6 +184,33 @@ def bench_shapes(
         )
         return dau.join(wau, "d")
 
+    def bigram_lm():
+        # round-7 LM claim: in-row arrays_zip bigrams (no token shuffle
+        # to build pairs), three keyed count joins AQE-decided; the
+        # bigram table grows with the corpus but every join is keyed
+        a = F.split("text", " ")
+        pairs = F.arrays_zip(
+            F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
+        )
+        bg = (
+            docs.where(F.col("text").isNotNull() & (F.size(a) >= 2))
+            .select("doc_id", F.explode_outer(pairs).alias("p"))
+            .select(
+                "doc_id",
+                F.col("p.0").alias("w1"),
+                F.col("p.1").alias("w2"),
+            )
+        )
+        cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+        mix = F.col("cnt").cast("double") / F.col("cnt1").cast("double")
+        return (
+            bg.join(cb, ["w1", "w2"])
+            .join(c1, "w1")
+            .groupBy("doc_id")
+            .agg(F.sum(-F.log(mix)).alias("nll"))
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -197,9 +224,10 @@ def bench_shapes(
         # warehouse"): both must track the agg/join exponents
         "bm25": bm25,
         "latest_snapshot": latest_snapshot,
-        # round-7 additions: measure the two newest SCALE.md claims
+        # round-7 additions: measure the newest SCALE.md claims
         "scd2_intervals": scd2_intervals,
         "dau_wau": dau_wau,
+        "bigram_lm": bigram_lm,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
