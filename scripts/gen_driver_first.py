@@ -44,8 +44,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    "word_zipf_slope",  # r7: n>=2 guard vs NULL/inf divide-by-zero parity
-    "char_class_profile",  # r7: NULLIF(alpha,0) denominator guard
+    # r8 changes land here as they happen; r7 entries cleared after
+    # CORRECTNESS_r07.json adjudicated them (both passed).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
