@@ -265,6 +265,7 @@ CENTROID_MARGIN_TOP_K = 20
                AS margin
     FROM cosines
     GROUP BY vec_id, label
+    HAVING MAX(CASE WHEN clabel <> label THEN cos END) IS NOT NULL
     ORDER BY margin, vec_id
     LIMIT {CENTROID_MARGIN_TOP_K}
     """,
@@ -339,6 +340,11 @@ def embedding_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_other_cos",
             "margin",
         )
+        # single-label corpus ⇒ best_other_cos/margin are NULL; Spark
+        # sorts NULLs first ascending, DuckDB last, so the top-k cut
+        # would diverge — a NULL margin is "no competing centroid",
+        # which is not a candidate anyway: drop it on both engines.
+        .where(F.col("best_other_cos").isNotNull())
         .orderBy("margin", "vec_id")
         .limit(CENTROID_MARGIN_TOP_K)
     )

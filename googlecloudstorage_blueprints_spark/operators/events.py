@@ -1295,24 +1295,33 @@ SEASONAL_ANOMALY_Z = 3.0
     oracle=f"""
     WITH stats AS (
         SELECT event_type, hour(ts) AS hour_of_day,
-               CAST(COUNT(*) AS DOUBLE)        AS n,
-               SUM(value)                      AS s,
-               SUM(value * value)              AS q
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    AS BIGINT)          AS s,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                        * CAST(ROUND(value * 100, 0) AS BIGINT))
+                    AS BIGINT)          AS q
         FROM events
         GROUP BY 1, 2
     )
     SELECT e.event_id, e.event_type,
            CAST(hour(e.ts) AS BIGINT) AS hour_of_day,
            e.value,
-           ROUND((e.value - st.s / st.n)
-                 / SQRT(st.q / st.n - (st.s / st.n) * (st.s / st.n)), 6)
+           ROUND((e.value - CAST(st.s AS DOUBLE) / st.n / 100.0)
+                 / SQRT(CAST(st.q AS DOUBLE) / st.n / 10000.0
+                        - (CAST(st.s AS DOUBLE) / st.n / 100.0)
+                          * (CAST(st.s AS DOUBLE) / st.n / 100.0)), 6)
                AS zscore
     FROM events e
     JOIN stats st ON st.event_type = e.event_type
                  AND st.hour_of_day = hour(e.ts)
-    WHERE st.q / st.n - (st.s / st.n) * (st.s / st.n) > 0
-      AND ABS(ROUND((e.value - st.s / st.n)
-                    / SQRT(st.q / st.n - (st.s / st.n) * (st.s / st.n)),
+    WHERE CAST(st.q AS DOUBLE) / st.n / 10000.0
+          - (CAST(st.s AS DOUBLE) / st.n / 100.0)
+            * (CAST(st.s AS DOUBLE) / st.n / 100.0) > 0
+      AND ABS(ROUND((e.value - CAST(st.s AS DOUBLE) / st.n / 100.0)
+                    / SQRT(CAST(st.q AS DOUBLE) / st.n / 10000.0
+                           - (CAST(st.s AS DOUBLE) / st.n / 100.0)
+                             * (CAST(st.s AS DOUBLE) / st.n / 100.0)),
                     6)) > {SEASONAL_ANOMALY_Z}
     """,
 )
@@ -1327,18 +1336,28 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — same aggregate-then-broadcast shape as ``events_anomaly``
     (never a window shuffling every row to attach two numbers).
     Parity: explicit Σ/Σ² population-variance formula (r6 rule — no
-    engine-native stddev across engines), z rounded 6dp before BOTH the
-    filter and the output; zero-variance cells excluded identically."""
+    engine-native stddev across engines), accumulated as BIGINT
+    fixed-point (value carries 2 decimals → ×100 at birth, r7 rule:
+    double sums feeding a rounded filter are order-sensitive in the last
+    ulp); mean/variance derived from the exact integer sums identically
+    on both engines, z rounded 6dp before BOTH the filter and the
+    output; zero-variance cells excluded identically.  Scale note: Σc²
+    of 2dp values bounded ~1e5 stays within BIGINT through ~1e8 rows per
+    (type, hour) cell — beyond that, shift the fixed-point scale down."""
     e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("long")
     stats = e.groupBy(
         "event_type", F.hour("ts").alias("hour_of_day")
     ).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("value").alias("s"),
-        F.sum(F.col("value") * F.col("value")).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("q"),
     )
-    mean = F.col("s") / F.col("n")
-    var = F.col("q") / F.col("n") - mean * mean
+    mean = F.col("s").cast("double") / F.col("n") / F.lit(100.0)
+    var = (
+        F.col("q").cast("double") / F.col("n") / F.lit(10000.0)
+        - mean * mean
+    )
     z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
     return (
         e.withColumn("hour_of_day", F.hour("ts"))
@@ -1362,7 +1381,7 @@ SESSION_HIST_BIN_SECONDS = 300
     "session_duration_histogram",
     oracle=f"""
     WITH seq AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                          > {1800} * 1000000
                          OR LAG(epoch_us(ts)) OVER w IS NULL
@@ -1373,7 +1392,7 @@ SESSION_HIST_BIN_SECONDS = 300
     sess AS (
         SELECT user_id,
                SUM(is_start) OVER (
-                   PARTITION BY user_id ORDER BY ts_us
+                   PARTITION BY user_id ORDER BY ts_us, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id,
                ts_us
         FROM seq
@@ -1413,6 +1432,7 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "user_id",
         ts_us.alias("ts_us"),
+        "event_id",
         F.when(
             F.lag(ts_us).over(w).isNull()
             | (ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000),
@@ -1421,9 +1441,12 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
+    # event_id tiebreaker: with tied (user_id, ts_us) rows a ROWS frame
+    # ordered by ts_us alone assigns sessions nondeterministically (and
+    # differently across engines); total order matches the lag window.
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = seq.select(

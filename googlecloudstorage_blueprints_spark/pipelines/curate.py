@@ -202,9 +202,22 @@ def curate_corpus(
         .when(bucket < 90, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # the written stats must describe the written text: n_chars/n_tokens
+    # are recomputed map-side post-redaction (redaction shortens rows —
+    # "call 555-0100" → "call [NUM]").  top_token_share would need the
+    # full explode/groupBy again, so it keeps the PRE-redaction value the
+    # quality gate actually used, renamed orig_* so consumers can't
+    # mistake it for a property of the written text.
     curated = redacted.withColumn("split", split).select(
-        "doc_id", "text", "lang", "source", "n_chars",
-        "n_tokens", "top_token_share", "n_redactions", "split",
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.col("top_token_share").alias("orig_top_token_share"),
+        "n_redactions",
+        "split",
     )
 
     write_partitioned(curated, out_path, ["split"])

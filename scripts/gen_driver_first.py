@@ -46,6 +46,9 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHANGED_THIS_ROUND: list[str] = [
     # r8 changes land here as they happen; r7 entries cleared after
     # CORRECTNESS_r07.json adjudicated them (both passed).
+    "session_duration_histogram",  # r8: event_id tiebreaker on cumsum windows
+    "events_anomaly_seasonal",  # r8: BIGINT fixed-point moment sums
+    "embedding_centroid_margin",  # r8: NULL-margin rows filtered both engines
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
