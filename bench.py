@@ -42,7 +42,11 @@ Methodology — steady-state timing, both engines:
   ``scale_slope_ratio_low`` (sf0.001→sf0.01) and
   ``scale_slope_ratio_high`` (sf0.01→target) — so the scale-posture
   gate rests on two independent measurements instead of one pass at
-  the headline SF.  READ THE LOW SPAN WITH CARE: over 60k-row fixtures
+  the headline SF.  Since round 8 the published ``gate_value`` is the
+  MEDIAN of three high-span estimates, pairing DuckDB sweep i at the
+  target SF with sweep i at sf0.01 (the r6→r7 gate moved 1.20→1.47 on
+  denominator host noise alone); the per-sweep values and min-max
+  spread ride beside it.  READ THE LOW SPAN WITH CARE: over 60k-row fixtures
   DuckDB's Δ is a few ms/query (measurement floor), while Spark's Δ is
   dominated by task-count growth (more partitions, not more data-work),
   so the low ratio systematically overshoots (measured ~5× where the
@@ -111,11 +115,17 @@ HEADLINE = [
 ]
 
 
-def _time_duckdb_oracles(names: list[str], sf_dir: str) -> dict[str, float]:
+def _time_duckdb_oracles(
+    names: list[str], sf_dir: str, n_runs: int = 3
+) -> list[dict[str, float]]:
     """Steady-state wall-time for each headline oracle through DuckDB on
     the same parquet (fetchall materializes every cell, mirroring the noop
-    sink).  Each oracle runs twice; the second run is recorded —
-    symmetric with the Spark warm pass."""
+    sink).  One warm sweep runs unrecorded (compile + IO cache), then
+    ``n_runs`` full sweeps are recorded SEPARATELY — the r7→r8 change:
+    the ≤2× gate's denominator is a DuckDB *delta* between SFs, and a
+    single sweep's host noise moved the gate 1.20→1.47 across rounds
+    while every Spark time improved.  Per-sweep maps let the gate be a
+    median-of-sweeps with an auditable spread."""
     import duckdb
 
     oracles = all_oracles()
@@ -126,20 +136,28 @@ def _time_duckdb_oracles(names: list[str], sf_dir: str) -> dict[str, float]:
             f"CREATE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    timings: dict[str, float] = {}
-    for name in names:
-        if name not in oracles:
-            continue  # rows-only op (LSH/ANN): no SQL-equivalent to race
-        con.execute(oracles[name]).fetchall()  # cold/compile/IO-warm run
-        best = None
-        for _ in range(3):  # best-of-3, mirroring the Spark warm passes
+    todo = [n for n in names if n in oracles]
+    # rows-only ops (LSH/ANN) have no SQL-equivalent to race: skipped
+    for name in todo:
+        con.execute(oracles[name]).fetchall()  # cold/compile/IO-warm sweep
+    runs: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        sweep: dict[str, float] = {}
+        for name in todo:
             start = time.perf_counter()
             con.execute(oracles[name]).fetchall()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            sweep[name] = round(time.perf_counter() - start, 3)
+        runs.append(sweep)
     con.close()
-    return timings
+    return runs
+
+
+def _best_of(runs: list[dict[str, float]]) -> dict[str, float]:
+    """Per-query min across recorded sweeps — the steady-state number,
+    symmetric with the Spark best-of-warm treatment."""
+    return {
+        n: min(r[n] for r in runs) for n in (runs[0] if runs else {})
+    }
 
 
 def _time_spark_pass(
@@ -241,11 +259,15 @@ def main() -> None:
         mid_spark = {n: min(m1[n], m2[n]) for n in m1}
     spark.stop()
 
-    duck = _time_duckdb_oracles(HEADLINE, SF_DIR)
+    duck_runs = _time_duckdb_oracles(HEADLINE, SF_DIR)
+    duck = _best_of(duck_runs)
+    slope_duck_runs = mid_duck_runs = None
     if slope_spark is not None:
-        slope_duck = _time_duckdb_oracles(HEADLINE, slope_dir)
+        slope_duck_runs = _time_duckdb_oracles(HEADLINE, slope_dir)
+        slope_duck = _best_of(slope_duck_runs)
     if mid_spark is not None:
-        mid_duck = _time_duckdb_oracles(HEADLINE, mid_dir)
+        mid_duck_runs = _time_duckdb_oracles(HEADLINE, mid_dir)
+        mid_duck = _best_of(mid_duck_runs)
     ratios = {
         name: round(timings[name] / duck[name], 2) if duck[name] > 0 else None
         for name in duck
@@ -305,6 +327,29 @@ def main() -> None:
                                    slope_duck)
     scale_slope_high = _slope_ratio(timings, duck, mid_spark, mid_duck)
 
+    # gate robustness (r7 verdict item 3): the gate's DuckDB denominator
+    # is a delta of sub-second sweeps with measured 20-45% host noise —
+    # pair DuckDB sweep i at the target SF with sweep i at sf0.01 for
+    # three independent slope estimates (Spark side stays best-of-warm:
+    # its per-pass noise would only widen the spread artificially), and
+    # gate on the MEDIAN with the min-max spread reported beside it.
+    gate_runs = None
+    if mid_duck_runs is not None:
+        gate_runs = [
+            r
+            for r in (
+                _slope_ratio(timings, hi_d, mid_spark, mid_d)
+                for hi_d, mid_d in zip(duck_runs, mid_duck_runs)
+            )
+            if r is not None
+        ]
+    if gate_runs:
+        gate_median = sorted(gate_runs)[len(gate_runs) // 2]
+        gate_spread = [min(gate_runs), max(gate_runs)]
+    else:
+        gate_median = scale_slope_high
+        gate_spread = None
+
     detail = {
         "sf": sf,
         "spark_floor_seconds": floor,
@@ -312,10 +357,12 @@ def main() -> None:
         "spark_queries_cold": cold,
         "spark_build_seconds": builds,
         "duckdb_queries": duck,
+        "duckdb_query_runs": duck_runs,
         "spark_queries_sf001": slope_spark,
         "duckdb_queries_sf001": slope_duck,
         "spark_queries_sf01": mid_spark,
         "duckdb_queries_sf01": mid_duck,
+        "duckdb_query_runs_sf01": mid_duck_runs,
         "spark_vs_duckdb": ratios,
         "spark_vs_duckdb_floor_adjusted": ratios_adj,
         "suite_ratio": suite_ratio,
@@ -323,6 +370,9 @@ def main() -> None:
         "scale_slope_ratio": scale_slope,
         "scale_slope_ratio_low": scale_slope_low,
         "scale_slope_ratio_high": scale_slope_high,
+        "scale_slope_ratio_high_runs": gate_runs,
+        "scale_slope_ratio_high_median": gate_median,
+        "scale_slope_ratio_high_spread": gate_spread,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -348,12 +398,15 @@ def main() -> None:
                 "scale_slope_ratio": scale_slope,
                 "scale_slope_ratio_low": scale_slope_low,
                 "scale_slope_ratio_high": scale_slope_high,
+                "scale_slope_ratio_high_spread": gate_spread,
                 # the ≤2× gate rides on the floor-FREE slope (fixed costs
                 # cancel in the Δ on both engines; see BASELINE.md):
                 # high-span primary, full-span confirming, floor-adjusted
-                # suite ratio secondary only
+                # suite ratio secondary only.  Since r8 the gate value is
+                # the MEDIAN over 3 paired DuckDB sweeps (denominator
+                # noise moved the gate 27% between r6 and r7).
                 "gate_metric": "scale_slope_ratio_high",
-                "gate_value": scale_slope_high,
+                "gate_value": gate_median,
             },
             separators=(",", ":"),
         )
