@@ -1,0 +1,131 @@
+"""Planted-input cross-engine tests for oracle ops whose driver pass is
+(or contains) a vacuous zero (r7 verdict item 7).
+
+Audit of the full 159-oracle surface through DuckDB (r8, both driver
+SFs): the only zero-ROW oracles are ``join_anti`` (every fixture
+customer has orders), ``dedup_cross_source_matrix`` and
+``length_outlier_mad`` (both already covered by planted tests in
+test_dedup_cap.py / test_divzero_parity.py); ``volume_shipping`` is
+empty at sf0.001 only (date-range filter), non-empty at the driver's
+sf0.01.  The r7 verdict's other candidates — ``fk_orphan_check``,
+``events_change_points``, ``doc_lang_mismatch`` — return rows at
+sf0.01, but ``fk_orphan_check`` is the sharper case: it ALWAYS emits 6
+rows while every ``n_orphan`` is 0 on the clean fixtures, so the
+orphan-DETECTION path has never been driver-exercised.
+
+This module plants the missing inputs and re-runs the driver-style
+hash compare on both engines:
+
+- ``join_anti``: a customer with no orders must surface, identically.
+- ``fk_orphan_check``: a lineitem row pointing at a nonexistent order
+  must be counted as an orphan on the ``lineitem.order`` edge,
+  identically, while the other five edges stay clean.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from googlecloudstorage_blueprints_spark.operators import (
+    all_oracles,
+    all_queries,
+)
+from googlecloudstorage_blueprints_spark.sources.catalog import TABLES
+
+SF_SRC = "/root/testdata/sf0.001"
+
+_GHOST_CUSTKEY = 77_000_001
+_GHOST_ORDERKEY = 999_999_999
+
+
+def _planted_dir(tmp_path_factory) -> str:
+    """sf0.001 with one order-less customer and one orphan lineitem.
+
+    Unmodified tables are symlinked (both engines follow file: links);
+    customer gains a ghost row with no orders, lineitem gains a copy of
+    its first row re-keyed to a nonexistent l_orderkey."""
+    out = tmp_path_factory.mktemp("planted_sf")
+
+    cust = pq.read_table(f"{SF_SRC}/customer.parquet")
+    first = cust.slice(0, 1).to_pydict()
+    first["c_custkey"] = [_GHOST_CUSTKEY]
+    first["c_name"] = ["Customer#ghost-no-orders"]
+    pq.write_table(
+        pa.concat_tables(
+            [cust, pa.Table.from_pydict(first, schema=cust.schema)]
+        ),
+        out / "customer.parquet",
+    )
+
+    li = pq.read_table(f"{SF_SRC}/lineitem.parquet")
+    orphan = li.slice(0, 1).to_pydict()
+    orphan["l_orderkey"] = [_GHOST_ORDERKEY]
+    pq.write_table(
+        pa.concat_tables(
+            [li, pa.Table.from_pydict(orphan, schema=li.schema)]
+        ),
+        out / "lineitem.parquet",
+    )
+
+    for t in TABLES:
+        if t in ("customer", "lineitem"):
+            continue
+        os.symlink(f"{SF_SRC}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    return _planted_dir(tmp_path_factory)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _compare(spark, name: str, sf_dir: str):
+    from tests.test_oracle_parity import _canon_rows
+
+    sdf = all_queries()[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(sf_dir)
+    res = con.execute(all_oracles()[name])
+    duck_colnames = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+        duck_colnames, duck_rows
+    ), f"{name}: cross-engine divergence on planted corpus"
+    return spark_rows
+
+
+def test_join_anti_planted_orderless_customer(spark, planted_dir):
+    """The fixture pass is 0 == 0 rows — prove the anti-join actually
+    emits when an order-less customer exists, identically on both."""
+    rows = _compare(spark, "join_anti", planted_dir)
+    assert len(rows) == 1 and rows[0][0] == _GHOST_CUSTKEY
+
+
+def test_fk_orphan_check_planted_orphan_lineitem(spark, planted_dir):
+    """Every fixture n_orphan is 0 — prove a dangling l_orderkey is
+    counted on the lineitem.order edge on BOTH engines, and that the
+    ghost CUSTOMER row registers as +1 n_child (not an orphan: the
+    orders.customer edge audits orders' keys, not customers')."""
+    rows = _compare(spark, "fk_orphan_check", planted_dir)
+    by_edge = {r[0]: (r[1], r[2]) for r in rows}
+    base_li = pq.read_metadata(f"{SF_SRC}/lineitem.parquet").num_rows
+    assert by_edge["lineitem.order"] == (base_li + 1, 1)
+    assert all(
+        v[1] == 0 for k, v in by_edge.items() if k != "lineitem.order"
+    )
