@@ -54,6 +54,7 @@ def _load_all() -> None:
     """Import every operator module (side effect: registration)."""
     from googlecloudstorage_blueprints_spark.operators import (  # noqa: F401
         audit,
+        behavior,
         relational,
         relational_ext,
         semistructured,
@@ -71,6 +72,7 @@ def _load_all() -> None:
         pipeline,
         relational_tpch2,
         scale_patterns,
+        segments,
         training,
         warehouse,
     )

@@ -1,0 +1,424 @@
+"""Behavioral analytics over the events stream: burstiness, temporal
+autocorrelation, weekday/weekend contrast, and session entry/exit/path
+structure.
+
+Round-8 extensions of the events family (operators/events.py holds the
+core sessionize/window/anomaly ops; this module the user-behavior
+diagnostics a product-analytics team layers on top).  The reference has
+no query surface at all (SURVEY §2.A.4); these extend §2.B.
+
+Parity conventions (operators/relational.py + CLAUDE.md): integer-µs
+timestamp math; any statistic feeding a filter/sort is derived from
+exact BIGINT sums (fixed-point r7 rule) and rounded 6dp identically on
+both engines; every window/top-k carries a unique tiebreaker; possibly
+zero denominators guarded with NULLIF spelled identically; bounded
+grouped outputs sort via sort_bounded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
+from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+BURSTY_TOP_K = 20
+PATH_TRIGRAM_TOP_K = 20
+SESSION_GAP_S = 1800  # same 30-min gap as events_sessionize
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "events_user_burstiness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)     AS n_days,
+               CAST(SUM(c) AS BIGINT)       AS s,
+               CAST(SUM(c * c) AS BIGINT)   AS q
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n_days, s AS n_events,
+           ROUND(CAST(n_days * q - s * s AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * s), 6) AS fano
+    FROM per_user
+    ORDER BY fano DESC, user_id
+    LIMIT {BURSTY_TOP_K}
+    """,
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} burstiest users by the Fano factor (variance/mean) of
+    their daily event counts — Fano ≈ 1 is Poisson-like steady usage,
+    ≫ 1 is bursty (bot bursts, scripted scrapes, binge sessions), the
+    dispersion screen behind rate-limiting and bot triage.
+
+    Shape: two hash-aggregates — (user, day) counts, then per-user
+    moments — and a TakeOrdered top-k; nothing data-sized is sorted.
+    Parity: daily counts are integers, so Σc/Σc² are exact BIGINTs and
+    Fano reduces to (n·q − s²)/(n·s) — one deterministic double
+    division, rounded 6dp before the ORDER BY (fixed-point r7 rule);
+    (fano DESC, user_id) is a total order; s ≥ n ≥ 1 so the denominator
+    cannot be zero."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_user = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    fano = F.round(
+        (F.col("n_days") * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (F.col("n_days").cast("double") * F.col("s")),
+        6,
+    )
+    return (
+        per_user.select(
+            "user_id", "n_days", F.col("s").alias("n_events"),
+            fano.alias("fano"),
+        )
+        .orderBy(F.col("fano").desc(), "user_id")
+        .limit(BURSTY_TOP_K)
+    )
+
+
+events_user_burstiness.__doc__ = events_user_burstiness.__doc__.format(
+    k=BURSTY_TOP_K
+)
+
+
+@register(
+    "events_hour_autocorr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.c AS x, b.c AS y
+        FROM hourly a JOIN hourly b
+          ON b.event_type = a.event_type AND b.h = a.h + 1
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)     AS n,
+               CAST(SUM(x) AS BIGINT)       AS sx,
+               CAST(SUM(y) AS BIGINT)       AS sy,
+               CAST(SUM(x * y) AS BIGINT)   AS sxy,
+               CAST(SUM(x * x) AS BIGINT)   AS sxx,
+               CAST(SUM(y * y) AS BIGINT)   AS syy
+        FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                 6) AS autocorr
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def events_hour_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type — the
+    persistence diagnostic behind capacity planning: autocorr near 1
+    means load momentum (this hour predicts the next), near 0 means
+    memoryless arrivals, negative means alternating spikes.  Pairs are
+    adjacent *present* hours (an empty hour contributes no pair).
+
+    Shape: the hourly count frame is |types|×|hours| (time-bounded, not
+    data-sized); the lag pairing is a self-join on (type, h+1) over
+    that bounded frame, then one Pearson aggregate per type.  Parity:
+    counts are integers so every Σ is an exact BIGINT and the Pearson
+    numerator/variance factors are exact integer expressions; the two
+    factors are cast to double SEPARATELY before multiplying (their
+    BIGINT product could overflow where the factors themselves cannot),
+    NULLIF guards the zero-variance case identically, 6dp round.  Scale
+    note: factors stay in BIGINT while hourly counts are < ~1e7; beyond
+    that pre-scale the counts."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.h") == F.col("a.h") + 1),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    fx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    fy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    autocorr = F.round(
+        num / F.nullif(F.sqrt(fx * fy), F.lit(0.0)), 6
+    )
+    return sort_bounded(
+        sums.select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            autocorr.alias("autocorr"),
+        ),
+        "event_type",
+    )
+
+
+@register(
+    "events_weekday_profile",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN (epoch_us(ts) // {_US_PER_DAY}) % 7 IN (2, 3)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_weekday,
+           CAST(SUM(CASE WHEN (epoch_us(ts) // {_US_PER_DAY}) % 7 IN (2, 3)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           CAST(SUM(CASE WHEN (epoch_us(ts) // {_US_PER_DAY}) % 7 IN (2, 3)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS weekend_share
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-vs-weekend volume per event type — the first cut of any
+    seasonality review (a type whose weekend share diverges from the
+    corpus norm has a different audience or automation behind it).
+
+    Weekend is derived in pure integer math portable across engines:
+    epoch day 0 (1970-01-01) was a Thursday, so day_index % 7 in (2, 3)
+    ⇔ Saturday/Sunday — never an engine dayofweek() (their week-start
+    conventions differ).  Shape: one map-side-combined aggregate to
+    |types| rows.  Parity: weekend_share is a ratio of exact integers —
+    bit-identical unrounded on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    is_we = (
+        F.expr(f"(unix_micros(ts) div {_US_PER_DAY}) % 7").isin(2, 3)
+    )
+    return sort_bounded(
+        e.groupBy("event_type").agg(
+            F.sum(F.when(is_we, 0).otherwise(1)).cast("long").alias(
+                "n_weekday"
+            ),
+            F.sum(F.when(is_we, 1).otherwise(0)).cast("long").alias(
+                "n_weekend"
+            ),
+            (
+                F.sum(F.when(is_we, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("weekend_share"),
+        ),
+        "event_type",
+    )
+
+
+def _sessionized(e: DataFrame) -> DataFrame:
+    """(user_id, session_id, ts_us, event_id, event_type) with the same
+    30-min-gap cumulative-sum sessionization and (ts_us, event_id)
+    total order as events_sessionize / session_duration_histogram —
+    both downstream windows reuse ONE (user_id)-keyed exchange."""
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | (ts_us - F.lag(ts_us).over(w) > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        F.sum("is_start").over(w2).alias("session_id"),
+        "ts_us",
+        "event_id",
+        "event_type",
+    )
+
+
+_SESS_CTE = f"""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                         OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts_us, event_id, event_type
+        FROM seq
+    )
+"""
+
+
+@register(
+    "events_session_entry_exit",
+    oracle=_SESS_CTE
+    + """
+    , ranked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts_us, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts_us DESC, event_id DESC)
+                   AS rn_last
+        FROM sess
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_entries,
+           CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exits,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_session_entry_exit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per event type: how many sessions START with it vs END with it
+    (plus total volume) — the landing/abandonment profile: a type with
+    high exits but low entries is where sessions die.
+
+    Shape: the shared sessionization exchange (see _sessionized), then
+    two row_number windows over the SAME (user_id, session_id) keys —
+    identical partitioning, so Catalyst plans one exchange with two
+    sorts — and a final |types|-row aggregate.  Parity: both
+    row_numbers are total-ordered by (ts_us, event_id) [DESC for the
+    exit rank]; all-integer output, no rounding."""
+    sess = _sessionized(load_table(spark, sf_dir, "events"))
+    w_first = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    w_last = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    ranked = sess.select(
+        "event_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return sort_bounded(
+        ranked.groupBy("event_type").agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_entries"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exits"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        ),
+        "event_type",
+    )
+
+
+@register(
+    "session_path_trigrams",
+    oracle=_SESS_CTE
+    + f"""
+    , paths AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ts_us, event_id) AS p
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT tg AS trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(p) - 1),
+                      i -> array_to_string(p[i:i+2], ' '))) AS tg
+        FROM paths
+    )
+    GROUP BY tg
+    ORDER BY n DESC, trigram
+    LIMIT {PATH_TRIGRAM_TOP_K}
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} within-session event-type trigrams — the dominant
+    3-step navigation motifs (view→click→purchase vs view→error→exit),
+    the path-mining primitive funnels are hand-built from.
+
+    Shape: the shared sessionization exchange, one per-session ordered
+    collect (array_sort of (ts_us, event_id, type) structs — total
+    order by the unique key prefix), then the r5 in-row adjacent-n-gram
+    build: arrays_zip of three shifted slices (codegen) + explode —
+    never a lead()-window over exploded tokens.  The only interpreted
+    lambda is the |session|-bounded field extraction after the sort.
+    Parity: DuckDB builds the same ordered list and zips positionally
+    (r7 positional-unnest rule); counts are exact and (n DESC, trigram)
+    is a total order."""
+    sess = _sessionized(load_table(spark, sf_dir, "events"))
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts_us, event_id, event_type))), e -> e.event_type)"
+        ).alias("p")
+    )
+    n3 = F.size(F.col("p")) - 2
+    zipped = F.arrays_zip(
+        F.slice("p", 1, n3), F.slice("p", 2, n3), F.slice("p", 3, n3)
+    )
+    tris = (
+        paths.where(F.size("p") >= 3)
+        .select(F.explode_outer(zipped).alias("t"))
+        .select(F.concat_ws(" ", "t.0", "t.1", "t.2").alias("trigram"))
+    )
+    return (
+        tris.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(PATH_TRIGRAM_TOP_K)
+    )
+
+
+session_path_trigrams.__doc__ = session_path_trigrams.__doc__.format(
+    k=PATH_TRIGRAM_TOP_K
+)

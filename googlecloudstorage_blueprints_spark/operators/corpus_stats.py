@@ -755,3 +755,119 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize through the KL op's cached word counts
     k.unpersist()
     return out
+
+
+# closed-class function words for the stopword density screen — a FIXED
+# list shared verbatim by both engines (never an engine/library list,
+# whose contents would differ)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "as", "at", "by", "it", "that", "this", "be", "are",
+)
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "stopword_ratio_by_source",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, lower(unnest(string_split(text, ' '))) AS w
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN w IN {_STOP_IN} THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_stopwords,
+           CAST(SUM(CASE WHEN w IN {_STOP_IN} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS stopword_ratio
+    FROM words WHERE w <> ''
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stopword_ratio_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Function-word density per source — the cheapest
+    natural-language-ness screen in the quality stack: English prose
+    sits near 0.3-0.4 stopword share, while code, tables, tag soup and
+    keyword-stuffed spam sit far below (quality_score uses the same
+    signal per document; this is the source-level calibration view).
+
+    Shape: map-side explode → one aggregate keyed on |sources|; the
+    stopword membership test is a 20-literal IN list evaluated in
+    codegen — no join, no broadcast.  Parity: both engines test
+    lower(w) against the IDENTICAL literal list; stopword_ratio is an
+    exact integer ratio, unrounded."""
+    w = _words(spark, sf_dir).select(
+        "source", F.lower(F.col("w")).alias("w")
+    )
+    is_stop = F.col("w").isin(*STOPWORDS)
+    return sort_bounded(
+        w.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(is_stop, 1).otherwise(0)).cast("long").alias(
+                "n_stopwords"
+            ),
+            (
+                F.sum(F.when(is_stop, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("stopword_ratio"),
+        ),
+        "source",
+    )
+
+
+@register(
+    "hapax_ratio_by_source",
+    oracle="""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM words WHERE w <> ''
+        GROUP BY source, w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS hapax_ratio
+    FROM counts
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena share of each source's vocabulary (words seen
+    exactly once) — the lexical-productivity twin of word_zipf_slope:
+    natural text runs ~0.4-0.6 hapax share, templated/boilerplate
+    corpora collapse toward 0, and OCR/garbage noise pushes toward 1.
+
+    Shape: the same (source, word)-keyed count aggregate the Zipf and
+    KL ops shuffle on, then a |sources|-row reduction — hapaxness needs
+    the exact per-word count, so the first shuffle is irreducible, but
+    the second pass carries one row per distinct word, not per token.
+    Parity: all-integer counts; hapax_ratio is an exact integer ratio,
+    unrounded."""
+    counts = _words(spark, sf_dir).groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return sort_bounded(
+        counts.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            (
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("hapax_ratio"),
+        ),
+        "source",
+    )

@@ -211,6 +211,65 @@ def bench_shapes(
             .agg(F.sum(-F.log(mix)).alias("nll"))
         )
 
+    def anomaly_seasonal():
+        # round-8 claim: (type, hour-of-day) moment cells are enum-bounded
+        # (≤ |types|×24 regardless of data size), broadcast back onto the
+        # scan — replication grows only the map side, never the stats frame
+        c = F.round(F.col("value") * 100, 0).cast("long")
+        stats = ev.groupBy(
+            "event_type", F.hour("ts").alias("hour_of_day")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(c).alias("s"),
+            F.sum(c * c).alias("q"),
+        )
+        mean = F.col("s").cast("double") / F.col("n") / F.lit(100.0)
+        var = (
+            F.col("q").cast("double") / F.col("n") / F.lit(10000.0)
+            - mean * mean
+        )
+        z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+        return (
+            ev.withColumn("hour_of_day", F.hour("ts"))
+            .join(F.broadcast(stats), ["event_type", "hour_of_day"])
+            .where((var > 0) & (F.abs(z) > 3.0))
+            .select("event_id", "event_type", "value", z.alias("z"))
+        )
+
+    def session_hist():
+        # round-8 claim: the lag window and the cumsum window share ONE
+        # (user_id)-keyed exchange (replicated users add partitions, not
+        # window depth), and the histogram reduces to ≤|bins| rows
+        from pyspark.sql.window import Window
+
+        ts_us = F.unix_micros(F.col("ts"))
+        w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+        seq = ev.select(
+            "user_id",
+            ts_us.alias("ts_us"),
+            "event_id",
+            F.when(
+                F.lag(ts_us).over(w).isNull()
+                | (ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000),
+                1,
+            ).otherwise(0).alias("is_start"),
+        )
+        w2 = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sess = seq.select(
+            "user_id", F.sum("is_start").over(w2).alias("sid"), "ts_us"
+        )
+        bounds = sess.groupBy("user_id", "sid").agg(
+            F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("dur_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        return bounds.groupBy(F.expr("dur_s div 300").alias("bin")).agg(
+            F.count(F.lit(1)), F.sum("n_events"), F.max("dur_s")
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -228,6 +287,10 @@ def bench_shapes(
         "scd2_intervals": scd2_intervals,
         "dau_wau": dau_wau,
         "bigram_lm": bigram_lm,
+        # round-8 additions: broadcast-moments anomaly + shared-exchange
+        # sessionize histogram
+        "anomaly_seasonal": anomaly_seasonal,
+        "session_hist": session_hist,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
