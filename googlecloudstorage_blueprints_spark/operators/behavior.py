@@ -395,7 +395,18 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: DuckDB builds the same ordered list and zips positionally
     (r7 positional-unnest rule); counts are exact and (n DESC, trigram)
     is a total order."""
-    sess = _sessionized(load_table(spark, sf_dir, "events"))
+    counts = session_trigram_counts(
+        _sessionized(load_table(spark, sf_dir, "events"))
+    )
+    return counts.orderBy(F.col("n").desc(), "trigram").limit(
+        PATH_TRIGRAM_TOP_K
+    )
+
+
+def session_trigram_counts(sess: DataFrame) -> DataFrame:
+    """Full (trigram, n) counts over a sessionized frame — factored out
+    of the registered top-k op so the streaming twin's test can pin its
+    summed partial emissions against the COMPLETE count table."""
     paths = sess.groupBy("user_id", "session_id").agg(
         F.expr(
             "transform(array_sort(collect_list("
@@ -411,11 +422,8 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode_outer(zipped).alias("t"))
         .select(F.concat_ws(" ", "t.0", "t.1", "t.2").alias("trigram"))
     )
-    return (
-        tris.groupBy("trigram")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), "trigram")
-        .limit(PATH_TRIGRAM_TOP_K)
+    return tris.groupBy("trigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
 
 

@@ -969,3 +969,113 @@ def streaming_dau_wau(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming session path trigrams: rolling two-event session tail state
+# ---------------------------------------------------------------------------
+
+_PATH_OUT_SCHEMA = StructType(
+    [
+        StructField("trigram", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+# the current session's last (up to) two events; missing slots use the
+# (-1, -1, "") sentinel — state columns must stay non-null fixed-width
+_PATH_STATE_SCHEMA = StructType(
+    [
+        StructField("ts1_us", LongType()),
+        StructField("id1", LongType()),
+        StructField("t1", StringType()),
+        StructField("ts2_us", LongType()),
+        StructField("id2", LongType()),
+        StructField("t2", StringType()),
+    ]
+)
+
+
+def _path_trigram_counts(key: tuple, pdfs, state: GroupState):
+    """Per-user path-trigram counter: state carries the CURRENT
+    session's trailing two events (ts_us, event_id, type); each
+    micro-batch sorts its rows into the user's sequence, slides the
+    session window (a >30-min gap resets the tail — same gap rule as
+    the batch sessionization), and emits one trigram per in-session
+    event that has two predecessors.  That is exactly one emission per
+    batch-op trigram position, so summed partials equal the batch
+    ``session_trigram_counts`` over any in-order replay (the
+    streaming_transition_matrix contract: a late event older than
+    state would fabricate a path the batch op doesn't have)."""
+    import collections
+
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+
+    tail: list[tuple[int, int, str]] = []
+    if state.exists:
+        s = state.get
+        if int(s[0]) >= 0:
+            tail.append((int(s[0]), int(s[1]), str(s[2])))
+        tail.append((int(s[3]), int(s[4]), str(s[5])))
+
+    counts: collections.Counter = collections.Counter()
+    for r in rows.itertuples(index=False):
+        ev = (int(r.ts_us), int(r.event_id), str(r.event_type))
+        if tail and ev[0] - tail[-1][0] > SESSION_GAP_US:
+            tail = []
+        if len(tail) == 2:
+            counts[f"{tail[0][2]} {tail[1][2]} {ev[2]}"] += 1
+        tail = (tail + [ev])[-2:]
+
+    if len(tail) == 1:
+        state.update((-1, -1, "", tail[0][0], tail[0][1], tail[0][2]))
+    else:
+        state.update(tail[0] + tail[1])
+
+    if counts:
+        yield pd.DataFrame(
+            [
+                {"trigram": t, "n": int(n)}
+                for t, n in sorted(counts.items())
+            ]
+        )
+
+
+def streaming_session_path_trigrams(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming within-session path trigrams — the incremental twin of
+    the batch ``session_path_trigrams`` top-k's count core
+    (operators/behavior.py:session_trigram_counts): keyed state is the
+    current session's trailing TWO events per user (fixed width — never
+    the whole path), bridging both micro-batch boundaries and session
+    boundaries; emissions are per-batch partial (trigram, n) counts
+    that sum to the batch counts over any in-order replay, including a
+    time-ordered multi-batch split (test-pinned).
+
+    State is O(|live users|) six-field tuples; each micro-batch
+    shuffles once on user_id.  The batch op needs the whole session
+    collected to zip — the stream never holds more than two events per
+    key, which is the property that matters on an unbounded stream."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _path_trigram_counts,
+            _PATH_OUT_SCHEMA,
+            _PATH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

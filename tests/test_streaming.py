@@ -1044,3 +1044,79 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     newest = after.orderBy(F.col("ts_us").desc()).limit(1).collect()[0]
     assert newest["event_type"] == "advanced"
+
+
+def _batch_trigram_counts(spark):
+    from googlecloudstorage_blueprints_spark.operators.behavior import (
+        _sessionized,
+        session_trigram_counts,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+    return {
+        r["trigram"]: r["n"]
+        for r in session_trigram_counts(
+            _sessionized(load_table(spark, SF, "events"))
+        ).collect()
+    }
+
+
+def test_streaming_session_path_trigrams_matches_batch(spark):
+    """Summed partial emissions over a single availableNow replay must
+    equal the batch session_trigram_counts table exactly (the top-k op's
+    count core)."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_path_trigrams,
+    )
+
+    got_df = run_stream_to_memory(
+        streaming_session_path_trigrams(spark, SF), "path_tri_single"
+    )
+    got = {
+        r["trigram"]: r["total"]
+        for r in got_df.groupBy("trigram")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    batch = _batch_trigram_counts(spark)
+    assert got == batch and len(batch) > 0
+
+
+def test_streaming_session_path_trigrams_across_microbatches(
+    spark, tmp_path
+):
+    """A time-ordered two-batch split must bridge BOTH boundaries
+    through the two-event tail state: trigrams spanning the split (and
+    sessions spanning it) still count, totals equal the batch op."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_path_trigrams,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_split"
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    got_df = run_stream_to_memory(
+        streaming_session_path_trigrams(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "path_tri_batches",
+    )
+    got = {
+        r["trigram"]: r["total"]
+        for r in got_df.groupBy("trigram")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got == _batch_trigram_counts(spark)
