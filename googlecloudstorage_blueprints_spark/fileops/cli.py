@@ -102,6 +102,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write full result as parquet instead of printing")
     q.add_argument("--service-account", dest="service_account", default=None)
 
+    e = sub.add_parser(
+        "explain",
+        help="print a registered operator's physical plan without "
+             "executing it (the plan-audit loop: PushedFilters, "
+             "ReadSchema, exchange count, codegen spans)",
+    )
+    e.add_argument("name", help="operator name (see 'query' to list)")
+    e.add_argument("--sf-dir", dest="sf_dir",
+                   default="/root/testdata/sf0.001")
+    e.add_argument("--mode", dest="mode", default="formatted",
+                   choices={"simple", "extended", "formatted", "cost",
+                            "codegen"})
+    e.add_argument("--service-account", dest="service_account",
+                   default=None)
+
     s = sub.add_parser(
         "sql",
         help="run free-form SQL over the dataset tables "
@@ -155,6 +170,27 @@ def _run_query(args) -> int:
         print(f"written: {args.output}")
     else:
         df.show(args.limit, truncate=False)
+    return 0
+
+
+def _run_explain(args) -> int:
+    """Plan audit for a registered operator: builds the DataFrame and
+    prints the requested explain mode WITHOUT executing it (eager ops
+    that materialize internally still run their build).  This is the
+    CLI form of the workflow CLAUDE.md mandates after every operator —
+    check pushdown/pruning/exchanges before trusting a timing."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(f"error: unknown operator '{args.name}' "
+              f"(run 'query' with no name to list)", file=sys.stderr)
+        return 2
+    spark = get_spark(
+        app_name=f"gcs-blueprints-explain-{args.name}",
+        service_account=args.service_account,
+    )
+    queries[args.name](spark, args.sf_dir).explain(mode=args.mode)
     return 0
 
 
@@ -213,6 +249,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.verb == "query":
         return _run_query(args)
+    if args.verb == "explain":
+        return _run_explain(args)
     if args.verb == "sql":
         return _run_sql(args)
     if args.verb == "curate":

@@ -161,3 +161,29 @@ def test_cli_sql_bad_statement_is_user_error(spark, capsys):
     )
     assert rc == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_explain_unknown_operator(capsys):
+    rc = main(["explain", "nope_not_real"])
+    assert rc == 2
+    assert "unknown operator" in capsys.readouterr().err
+
+
+def test_cli_explain_prints_plan_with_pushdown(spark, capsys):
+    """The explain verb must surface the plan-audit signals (physical
+    plan tree + PushedFilters/ReadSchema in formatted mode) without
+    executing the query."""
+    rc = main(["explain", "scan_project_filter",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out
+    assert "ReadSchema" in out
+
+
+def test_cli_explain_simple_mode(spark, capsys):
+    rc = main(["explain", "pricing_summary",
+               "--sf-dir", "/root/testdata/sf0.001", "--mode", "simple"])
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
