@@ -430,3 +430,149 @@ def session_trigram_counts(sess: DataFrame) -> DataFrame:
 session_path_trigrams.__doc__ = session_path_trigrams.__doc__.format(
     k=PATH_TRIGRAM_TOP_K
 )
+
+
+@register(
+    "user_activity_span",
+    oracle=f"""
+    WITH days AS (
+        SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS d
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MIN(d) AS BIGINT)                   AS first_day,
+           CAST(MAX(d) AS BIGINT)                   AS last_day,
+           CAST(COUNT(*) AS BIGINT)                 AS n_active_days,
+           CAST(MAX(d) - MIN(d) + 1 AS BIGINT)      AS span_days,
+           CAST(COUNT(*) AS DOUBLE)
+               / (MAX(d) - MIN(d) + 1)              AS activity_density
+    FROM days
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle summary: first/last active epoch-day, active
+    day count, calendar span, and density (active/span) — the
+    engagement-tier input to retention models (density near 1 is a
+    daily habit, near 0 a sporadic returner), and the lifetime frame
+    cohort analyses slice.
+
+    Shape: the (user, day) distinct frame (the same first shuffle
+    events_dau_wau rides on), then one per-user min/max/count — output
+    is |users|-sized, the dimension this table exists to describe.
+    Parity: pure integer epoch-day math; density is an exact integer
+    ratio, unrounded; span ≥ 1 so the denominator is never zero."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("d"),
+    ).agg(F.lit(1).alias("one"))
+    span = F.max("d") - F.min("d") + 1
+    return (
+        days.groupBy("user_id")
+        .agg(
+            F.min("d").cast("long").alias("first_day"),
+            F.max("d").cast("long").alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("n_active_days"),
+            span.cast("long").alias("span_days"),
+            (F.count(F.lit(1)).cast("double") / span).alias(
+                "activity_density"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_FROM = "signup"
+FUNNEL_TO = "purchase"
+
+
+@register(
+    "events_funnel_conversion_time",
+    oracle=f"""
+    WITH first_a AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS ta
+        FROM events WHERE event_type = '{FUNNEL_FROM}'
+        GROUP BY user_id
+    ),
+    first_b AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS tb
+        FROM events e JOIN first_a a ON a.user_id = e.user_id
+        WHERE e.event_type = '{FUNNEL_TO}' AND epoch_us(e.ts) >= a.ta
+        GROUP BY e.user_id
+    ),
+    delays AS (
+        SELECT (b.tb - a.ta) // 1000000 AS delay_s
+        FROM first_a a JOIN first_b b ON b.user_id = a.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM first_a)
+               AS n_entered,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM first_a) AS conversion_rate,
+           ROUND(quantile_cont(delay_s, 0.5), 4) AS p50_delay_s,
+           ROUND(quantile_cont(delay_s, 0.9), 4) AS p90_delay_s,
+           CAST(MAX(delay_s) AS BIGINT)          AS max_delay_s
+    FROM delays
+    """,
+)
+def events_funnel_conversion_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion LATENCY for the {a}→{b} funnel: among users whose
+    first {b} follows their first {a}, the p50/p90/max delay — the time
+    dimension events_funnel's pure counts are missing (a funnel can
+    hold its rate while its p90 latency doubles — a different problem).
+
+    Shape: two per-user MIN aggregates (the second pre-filtered by an
+    {a}-users semi-ish join), a user-keyed delay join, then ONE global
+    percentile aggregate row.  Parity: delays are exact integer seconds
+    (µs integer-div); F.percentile ≡ quantile_cont interpolation of
+    exact integers, rounded 4dp; conversion_rate is an exact integer
+    ratio, unrounded."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    first_a = (
+        e.where(F.col("event_type") == FUNNEL_FROM)
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("ta"))
+    )
+    first_b = (
+        e.where(F.col("event_type") == FUNNEL_TO)
+        .select("user_id", ts_us.alias("tb_us"))
+        .join(first_a, "user_id")
+        .where(F.col("tb_us") >= F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("tb_us").alias("tb"))
+    )
+    delays = first_a.join(first_b, "user_id").select(
+        F.expr("(tb - ta) div 1000000").alias("delay_s")
+    )
+    n_entered = first_a.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entered")
+    )
+    return (
+        delays.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(F.percentile("delay_s", 0.5), 4).alias("p50_delay_s"),
+            F.round(F.percentile("delay_s", 0.9), 4).alias("p90_delay_s"),
+            F.max("delay_s").cast("long").alias("max_delay_s"),
+        )
+        .crossJoin(F.broadcast(n_entered))
+        .select(
+            "n_entered",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double") / F.col("n_entered")
+            ).alias("conversion_rate"),
+            "p50_delay_s",
+            "p90_delay_s",
+            "max_delay_s",
+        )
+    )
+
+
+events_funnel_conversion_time.__doc__ = (
+    events_funnel_conversion_time.__doc__.format(a=FUNNEL_FROM, b=FUNNEL_TO)
+)

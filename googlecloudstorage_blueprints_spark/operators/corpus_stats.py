@@ -871,3 +871,94 @@ def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "source",
     )
+
+
+@register(
+    "bigram_entropy_by_source",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS a
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(a)), i -> a[i]))     AS w1,
+               unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+        FROM toks
+    ),
+    cb AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY source, w1, w2
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot_s
+        FROM cb GROUP BY source
+    )
+    SELECT cb.source,
+           tot.tot_s AS n_bigrams,
+           ROUND(-CAST(SUM(cb.cnt * CAST(ROUND(LN(
+                       CAST(cb.cnt AS DOUBLE) / tot.tot_s) * 1000000, 0)
+                   AS BIGINT)) AS BIGINT)
+                 / CAST(tot.tot_s AS DOUBLE) / 1000000.0, 6)
+               AS bigram_entropy
+    FROM cb JOIN tot ON tot.source = cb.source
+    GROUP BY cb.source, tot.tot_s
+    ORDER BY cb.source
+    """,
+)
+def bigram_entropy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy (nats) of each source's bigram distribution —
+    the sequence-level diversity screen word_zipf_slope can't see:
+    templated text reuses the same word PAIRS (low bigram entropy even
+    with a healthy unigram curve), natural prose does not.
+
+    Shape: the r5 in-row arrays_zip bigram build (no token shuffle),
+    one (source, w1, w2) count aggregate, per-source totals joined
+    back, one entropy reduction per source.  Parity: p = cnt/tot is an
+    exact integer ratio; ln(p) is scaled ×1e6 and rounded to BIGINT
+    per TERM (r7 fixed-point rule — a ROUND(SUM(doubles)) here would be
+    order-sensitive in the last ulp), the integer terms sum exactly,
+    and ONE double division closes the sum.  Scale note: |term| ≤
+    cnt·2e7, so the per-source sum stays in BIGINT while source token
+    counts are < ~1e11."""
+    d = load_table(spark, sf_dir, "documents")
+    a = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
+    )
+    bg = (
+        d.where(F.col("text").isNotNull() & (F.size(a) >= 2))
+        .select("source", F.explode_outer(pairs).alias("p"))
+        .select("source", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    cb = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = cb.groupBy("source").agg(F.sum("cnt").alias("tot_s"))
+    term = F.col("cnt") * F.round(
+        F.log(F.col("cnt").cast("double") / F.col("tot_s")) * 1_000_000,
+        0,
+    ).cast("long")
+    return sort_bounded(
+        cb.join(F.broadcast(tot), "source")
+        .groupBy("source", "tot_s")
+        .agg(
+            (
+                F.round(
+                    -F.sum(term).cast("double")
+                    / F.col("tot_s").cast("double")
+                    / 1_000_000.0,
+                    6,
+                )
+            ).alias("bigram_entropy")
+        )
+        .select(
+            "source",
+            F.col("tot_s").alias("n_bigrams"),
+            "bigram_entropy",
+        ),
+        "source",
+    )

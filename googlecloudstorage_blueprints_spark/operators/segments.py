@@ -325,3 +325,193 @@ def part_price_size_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "p_brand",
     )
+
+
+@register(
+    "lineitem_discount_effect",
+    oracle="""
+    SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / 100.0 AS avg_quantity,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / 100.0 AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY discount_pct
+    """,
+)
+def lineitem_discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order quantity and line price per discount level — the
+    price-elasticity table: if quantity doesn't rise with the discount
+    percent, the discount budget buys nothing.
+
+    Shape: one map-side-combined aggregate keyed on the ≤11-value
+    discount domain.  Parity: the discount bucket and both numerators
+    are 2dp values ×100 into BIGINT at birth (r7 fixed-point rule), so
+    each average is exact-integer-sum / count / 100 — deterministic at
+    any summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty100 = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price100 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return sort_bounded(
+        li.groupBy(
+            F.round(F.col("l_discount") * 100, 0)
+            .cast("long")
+            .alias("discount_pct")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (
+                F.sum(qty100).cast("double") / F.count(F.lit(1)) / 100.0
+            ).alias("avg_quantity"),
+            (
+                F.sum(price100).cast("double") / F.count(F.lit(1)) / 100.0
+            ).alias("avg_price"),
+        ),
+        "discount_pct",
+    )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH exp AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(
+                   l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                   AS BIGINT)) AS BIGINT) AS exp4
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    ),
+    imp AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(
+                   l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                   AS BIGINT)) AS BIGINT) AS imp4
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT COALESCE(exp.n_name, imp.n_name) AS nation,
+           COALESCE(exp.exp4, 0) / 10000.0  AS export_revenue,
+           COALESCE(imp.imp4, 0) / 10000.0  AS import_spend,
+           (COALESCE(exp.exp4, 0) - COALESCE(imp.imp4, 0)) / 10000.0
+               AS net_balance
+    FROM exp FULL OUTER JOIN imp ON imp.n_name = exp.n_name
+    ORDER BY nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue its suppliers ship (exports)
+    vs spend its customers place (imports), netted — the TPC-H Q7
+    perspective flattened into one balance sheet per nation.
+
+    Shape: TWO independent fact aggregates — each joins lineitem
+    through its own dimension chain (supplier side; orders→customer
+    side), dims broadcast, fact shuffled once per side on its natural
+    key — then a |nations|-row full outer join.  Never one giant
+    multi-way join: the two chains share no key, so joining them
+    row-level first would force a useless fact×fact exchange.  Parity:
+    4dp revenue terms ×1e4 BIGINT at birth (r7 rule), differenced in
+    integer space, divided once; full-outer COALESCE spelled on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    term4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    exp = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(term4).alias("exp4"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    imp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(term4).alias("imp4"))
+    )
+    exp4 = F.coalesce(F.col("exp.exp4"), F.lit(0))
+    imp4 = F.coalesce(F.col("imp.imp4"), F.lit(0))
+    return sort_bounded(
+        exp.alias("exp")
+        .join(
+            imp.alias("imp"),
+            F.col("exp.n_name") == F.col("imp.n_name"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("exp.n_name"), F.col("imp.n_name")).alias(
+                "nation"
+            ),
+            (exp4 / 10000.0).alias("export_revenue"),
+            (imp4 / 10000.0).alias("import_spend"),
+            ((exp4 - imp4) / 10000.0).alias("net_balance"),
+        ),
+        "nation",
+    )
+
+
+@register(
+    "order_lines_histogram",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM per_order)
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_orders AS DOUBLE)
+               AS share
+    FROM per_order CROSS JOIN tot
+    GROUP BY n_lines, tot.n_orders
+    ORDER BY n_lines
+    """,
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution — the basket-size shape behind
+    fulfillment planning (and the fan-out profile for any
+    order-grain ⋈ line-grain join this engine plans).
+
+    Shape: one orderkey-keyed count (map-side combined), a histogram
+    aggregate over the ≤|max lines| domain, a 1-row total broadcast.
+    Parity: all-integer; share is an exact integer ratio, unrounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    tot = per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_total")
+    )
+    return sort_bounded(
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            (
+                F.col("n_orders").cast("double")
+                / F.col("n_orders_total").cast("double")
+            ).alias("share"),
+        ),
+        "n_lines",
+    )
