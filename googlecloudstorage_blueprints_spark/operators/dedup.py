@@ -634,3 +634,43 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "source")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT copies,
+           CAST(COUNT(*) AS BIGINT)   AS n_clusters,
+           CAST(SUM(copies) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY copies
+    ORDER BY copies
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate cluster-size distribution — the dedup planning
+    view: a heavy tail of large clusters means boilerplate/mirror
+    content dominating the corpus (and predicts the hot LSH buckets
+    AQE will skew-split); copies=1 rows quantify the unique mass.
+
+    Shape: the same digest-keyed hash-aggregate as exact_dedup, then a
+    second reduction over the ≤|max cluster size| domain — the shuffle
+    carries digests, the histogram carries integers.  All-integer
+    output, no rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("copies")
+    )
+    return sort_bounded(
+        g.groupBy("copies").agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("copies").cast("long").alias("n_docs"),
+        ),
+        "copies",
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -353,3 +354,66 @@ def embedding_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_centroid_margin.__doc__ = embedding_centroid_margin.__doc__.format(
     k=CENTROID_MARGIN_TOP_K
 )
+
+
+@register(
+    "embedding_norm_quantiles",
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               CAST(ROUND(sqrt(list_sum(list_transform(
+                   CAST(embedding AS DOUBLE[]), x -> x * x))) * 10000, 0)
+                   AS BIGINT) AS norm4
+        FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(quantile_cont(norm4, 0.1) / 10000.0, 6) AS p10_norm,
+           ROUND(quantile_cont(norm4, 0.5) / 10000.0, 6) AS p50_norm,
+           ROUND(quantile_cont(norm4, 0.9) / 10000.0, 6) AS p90_norm
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm quantiles — the distribution view behind
+    embedding_norms' per-vector hygiene: a label whose norm band shifts
+    was embedded by a different model/config, which cosine comparisons
+    silently absorb until recall craters.
+
+    Shape: per-vector norm (explode + codegen'd v·v sum, same form as
+    embedding_norms), then one |labels|-row percentile aggregate.
+    Parity: norms are fixed-pointed to BIGINT ×1e4 at birth (the 4dp
+    convention embedding_norms established, made integer so the
+    percentile interpolates EXACT integers — interpolating 4dp doubles
+    lands midpoints on 5th-decimal rounding boundaries); the single
+    /1e4 division and 6dp round close it out identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        "vec_id",
+        F.explode_outer(F.col("embedding").cast("array<double>")).alias(
+            "v"
+        ),
+    )
+    norms = ex.groupBy("label", "vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))) * 10000, 0)
+        .cast("long")
+        .alias("norm4")
+    )
+    return sort_bounded(
+        norms.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.percentile("norm4", 0.1) / 10000.0, 6).alias(
+                "p10_norm"
+            ),
+            F.round(F.percentile("norm4", 0.5) / 10000.0, 6).alias(
+                "p50_norm"
+            ),
+            F.round(F.percentile("norm4", 0.9) / 10000.0, 6).alias(
+                "p90_norm"
+            ),
+        ),
+        F.col("label").cast("long"),
+    )

@@ -515,3 +515,145 @@ def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_lines",
     )
+
+
+COPURCHASE_TOP_K = 20
+
+
+@register(
+    "part_copurchase_lift",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM op),
+    pc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+        FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           CAST(p.n_both AS DOUBLE) * n.n_orders
+               / (CAST(ca.n_part AS DOUBLE) * cb.n_part) AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY p.n_both DESC, p.part_a, p.part_b
+    LIMIT {COPURCHASE_TOP_K}
+    """,
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-purchased part pairs with
+    their lift (observed co-occurrence over the independence
+    expectation) — the recommender/bundling primitive, word_pmi's
+    relational twin.
+
+    Shape: the pair space is the within-order self-join of the DISTINCT
+    (order, part) relation — fan-out is bounded by basket size squared
+    (≤ ~7² per order), never |parts|²; part frequencies join back on
+    the part key and the order total is a 1-row broadcast.  Parity:
+    lift = n_both·N / (n_a·n_b) over exact integers with both products
+    formed in double (CAST(x AS DOUBLE) · y — a BIGINT product would
+    overflow at cluster scale where the doubles stay exact to 2⁵³);
+    (n_both DESC, part_a, part_b) is a total order."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = pc.alias("ca")
+    cb = pc.alias("cb")
+    lift = (
+        F.col("n_both").cast("double")
+        * F.col("n_orders")
+        / (F.col("ca.n_part").cast("double") * F.col("cb.n_part"))
+    )
+    return (
+        pairs.join(ca, F.col("part_a") == F.col("ca.l_partkey"))
+        .join(cb, F.col("part_b") == F.col("cb.l_partkey"))
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "n_both", lift.alias("lift"))
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(COPURCHASE_TOP_K)
+    )
+
+
+@register(
+    "supplier_ship_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT l.l_suppkey,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT)          AS n_lines,
+           ROUND(quantile_cont(days, 0.5), 4) AS p50_days,
+           ROUND(quantile_cont(days, 0.9), 4) AS p90_days,
+           CAST(MAX(days) AS BIGINT)          AS max_days
+    FROM lat
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def supplier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per supplier — the
+    supplier-scorecard SLA view (p90 is the number a procurement review
+    reads; sole_late_supplier finds the outliers, this ranks everyone).
+
+    Shape: one fact⋈fact join on the natural orderkey (the exchange
+    every order-grain join reuses), then a |suppliers|-row percentile
+    aggregate — exact percentiles sort each group's full latency set,
+    the verifiable tier; at 100 TB swap in approx_percentile (the
+    customer_order_gap_percentiles scale note applies verbatim).
+    Parity: latencies are exact integer day differences;
+    F.percentile ≡ quantile_cont interpolation of exact integers (the
+    interpolated value carries at most one extra decimal — 4dp round is
+    boundary-free, the customer_order_gap_percentiles precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    return sort_bounded(
+        lat.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.percentile("days", 0.5), 4).alias("p50_days"),
+            F.round(F.percentile("days", 0.9), 4).alias("p90_days"),
+            F.max("days").cast("long").alias("max_days"),
+        ),
+        "l_suppkey",
+    )

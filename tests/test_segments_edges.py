@@ -141,3 +141,32 @@ def test_hour_autocorr_constant_rate_is_null(spark, tmp_path):
     assert len(rows) == 1 and rows[0][1] == 5 and rows[0][2] is None, (
         "zero-variance series must be NULL autocorr on both engines"
     )
+
+
+def test_cluster_size_histogram_planted_duplicates(spark, tmp_path):
+    """The driver fixtures contain ZERO exact duplicates, so the
+    fixture pass only ever sees the copies=1 row — plant 2- and
+    3-copy clusters and pin the histogram across engines."""
+    texts = (
+        ["unique %d" % i for i in range(5)]
+        + ["twice over"] * 2
+        + ["thrice over"] * 3
+    )
+    _write_from_template(
+        "documents",
+        tmp_path,
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = _compare(
+        spark, "dedup_cluster_size_histogram", tmp_path, ["documents"]
+    )
+    assert {r[0]: (r[1], r[2]) for r in rows} == {
+        1: (5, 5),
+        2: (1, 2),
+        3: (1, 3),
+    }
