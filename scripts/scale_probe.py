@@ -270,6 +270,62 @@ def bench_shapes(
             F.count(F.lit(1)), F.sum("n_events"), F.max("dur_s")
         )
 
+    def copurchase():
+        # round-8 claim: the pair space is the within-order self-join of
+        # DISTINCT (order, part) — fan-out bounded by basket size², so
+        # replicated orders (disjoint key spaces) grow the pair count
+        # linearly, never |parts|²
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        n = op.agg(
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+        )
+        pc = op.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_part")
+        )
+        a2, b2 = op.alias("a"), op.alias("b")
+        pairs = (
+            a2.join(
+                b2,
+                (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        )
+        lift = (
+            F.col("n_both").cast("double") * F.col("n_orders")
+            / (F.col("ca.n_part").cast("double") * F.col("cb.n_part"))
+        )
+        return (
+            pairs.join(pc.alias("ca"), F.col("pa") == F.col("ca.l_partkey"))
+            .join(pc.alias("cb"), F.col("pb") == F.col("cb.l_partkey"))
+            .crossJoin(F.broadcast(n))
+            .select("pa", "pb", "n_both", lift.alias("lift"))
+            .orderBy(F.col("n_both").desc(), "pa", "pb")
+            .limit(20)
+        )
+
+    def ship_latency():
+        # round-8 claim: the exact-percentile tier sorts each supplier's
+        # latency set — per-group sets grow linearly under replication
+        # (suppliers fixed), so growth should stay ~n log n, not bend
+        o2 = o.select("o_orderkey", "o_orderdate")
+        lat = li.join(o2, li.l_orderkey == o2.o_orderkey).select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+                "days"
+            ),
+        )
+        return lat.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)),
+            F.percentile("days", 0.5),
+            F.percentile("days", 0.9),
+            F.max("days"),
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -291,6 +347,8 @@ def bench_shapes(
         # sessionize histogram
         "anomaly_seasonal": anomaly_seasonal,
         "session_hist": session_hist,
+        "copurchase": copurchase,
+        "ship_latency": ship_latency,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),

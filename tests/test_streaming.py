@@ -1120,3 +1120,74 @@ def test_streaming_session_path_trigrams_across_microbatches(
         .collect()
     }
     assert got == _batch_trigram_counts(spark)
+
+
+def test_streaming_path_trigrams_checkpoint_restart(spark, tmp_path):
+    """True restart semantics for the two-event tail state: run the
+    first half of the backlog to a FILE sink with a checkpoint, restart
+    on the unchanged source (must emit NOTHING new — the committed file
+    is skipped), then add the second half and restart again.  The tail
+    state recovered from the checkpoint must bridge sessions that span
+    the halves: total summed counts equal the batch table."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_session_path_trigrams,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+
+    def plant(df, name):
+        # write.parquet makes a DIRECTORY; the file stream lists flat
+        # files — move the part file into place (r7 trap)
+        import glob as globmod
+        import shutil
+
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_session_path_trigrams(
+                spark, f"file:{src}", glob="*.parquet"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant(events.where(F.col("ts") < F.lit(split)), "00")
+    run_once()
+    first = spark.read.parquet(sink).count()
+
+    run_once()  # unchanged source: committed file must be skipped
+    assert spark.read.parquet(sink).count() == first, (
+        "restart on an unchanged source must emit nothing"
+    )
+
+    plant(events.where(F.col("ts") >= F.lit(split)), "01")
+    run_once()
+    got = {
+        r["trigram"]: r["total"]
+        for r in spark.read.parquet(sink)
+        .groupBy("trigram")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    assert got == _batch_trigram_counts(spark), (
+        "checkpoint-recovered tail state must bridge the halves"
+    )
