@@ -510,7 +510,8 @@ FUNNEL_TO = "purchase"
                AS n_entered,
            CAST(COUNT(*) AS BIGINT) AS n_converted,
            CAST(COUNT(*) AS DOUBLE)
-               / (SELECT COUNT(*) FROM first_a) AS conversion_rate,
+               / NULLIF((SELECT COUNT(*) FROM first_a), 0)
+               AS conversion_rate,
            ROUND(quantile_cont(delay_s, 0.5), 4) AS p50_delay_s,
            ROUND(quantile_cont(delay_s, 0.9), 4) AS p90_delay_s,
            CAST(MAX(delay_s) AS BIGINT)          AS max_delay_s
@@ -563,8 +564,11 @@ def events_funnel_conversion_time(
         .select(
             "n_entered",
             "n_converted",
+            # NULLIF: an entry-less corpus must read NULL on both
+            # engines, never Spark-NULL vs DuckDB-NaN (r7 rule)
             (
-                F.col("n_converted").cast("double") / F.col("n_entered")
+                F.col("n_converted").cast("double")
+                / F.nullif(F.col("n_entered"), F.lit(0))
             ).alias("conversion_rate"),
             "p50_delay_s",
             "p90_delay_s",

@@ -170,3 +170,28 @@ def test_cluster_size_histogram_planted_duplicates(spark, tmp_path):
         2: (1, 2),
         3: (1, 3),
     }
+
+
+def test_funnel_conversion_time_no_entries_is_null(spark, tmp_path):
+    """A corpus with no funnel-entry events must yield n_entered=0 and
+    a NULL conversion_rate on BOTH engines (Spark NULL vs DuckDB NaN
+    would hash-diverge without the NULLIF guard)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    _write_from_template(
+        "events",
+        tmp_path,
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base + datetime.timedelta(hours=h) for h in range(3)],
+            "user_id": [1, 1, 2],
+            "event_type": ["view", "click", "view"],
+        },
+    )
+    rows = _compare(
+        spark, "events_funnel_conversion_time", tmp_path, ["events"]
+    )
+    assert len(rows) == 1
+    n_entered, n_converted, rate = rows[0][0], rows[0][1], rows[0][2]
+    assert (n_entered, n_converted, rate) == (0, 0, None)
