@@ -255,3 +255,46 @@ def test_no_operator_plans_cartesian_or_python_udf(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"plan lint violations: {offenders}"
+
+
+def test_decile_report_data_window_is_bucket_partitioned(spark):
+    """The decile rank must not serialize orders through one task: the
+    data-sized window partitions on the price bucket; SinglePartition
+    work is confined to the ~|price-domain|/10k ledger cumulative (and
+    the final bounded-result coalesce)."""
+    df = QUERIES["orders_decile_report"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bucket" in plan
+    # two SinglePartition exchanges are ledger/scalar-sized and allowed:
+    # the ~50-row ledger cumsum and the 1-row n_total global aggregate;
+    # anything more would mean the DATA serialized through one task
+    assert plan.count("SinglePartition") <= 2
+
+
+def test_copurchase_joins_on_orderkey_not_cross(spark):
+    """The pair build must be the within-order self-join (orderkey
+    equi-join; basket-size²-bounded fan-out) — never a nested-loop
+    over the part space."""
+    import re
+
+    df = QUERIES["part_copurchase_lift"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pair build must be an EQUI join keyed on l_orderkey
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+        r"\[l_orderkey", plan
+    ), "pair build must equi-join on l_orderkey"
+    # the only nested-loop allowed is the 1-row n_orders scalar cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_class_cumsum_runs_on_supplier_dim_only(spark):
+    """The ABC cumulative window is a ledger pass over the supplier
+    DIMENSION (after the fact reduces to one row per supplier), so the
+    plan's window input must be the aggregated frame, not lineitem."""
+    df = QUERIES["supplier_abc_class"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one data-sized exchange: the supplier-keyed aggregate;
+    # the window's SinglePartition input is the |suppliers|-row frame
+    assert "hashpartitioning(l_suppkey" in plan
