@@ -64,6 +64,7 @@ def _load_all() -> None:
         embedding_stats,
         similarity,
         similarity_ivf,
+        similarity_pq,
         events,
         fileops_query,
         graph,
