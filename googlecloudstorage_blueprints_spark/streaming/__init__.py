@@ -9,6 +9,7 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (
 from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_cooccurrence,
     streaming_dedup,
+    streaming_funnel_delays,
     streaming_gapfill,
     streaming_dau_wau,
     streaming_latest_snapshot,
@@ -27,6 +28,7 @@ __all__ = [
     "streaming_stateful_sessions",
     "streaming_cooccurrence",
     "streaming_dedup",
+    "streaming_funnel_delays",
     "streaming_gapfill",
     "streaming_dau_wau",
     "streaming_latest_snapshot",

@@ -1079,3 +1079,103 @@ def streaming_session_path_trigrams(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel conversion delays: first-entry/converted keyed state
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("delay_s", LongType()),
+    ]
+)
+
+# (first entry-event ts or -1, converted flag as 0/1)
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("ta_us", LongType()),
+        StructField("converted", IntegerType()),
+    ]
+)
+
+
+def _make_funnel_delays(from_type: str, to_type: str):
+    def fn(key: tuple, pdfs, state: GroupState):
+        """Per-user conversion tracker: state is (first {from} ts,
+        converted?).  The first {to} event at-or-after the first {from}
+        emits the user's delay EXACTLY ONCE and latches converted —
+        later {to} events and full-backlog redelivery are absorbed, so
+        the emission set is replay-idempotent (unlike the partial-count
+        twins, which require in-order replay)."""
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("int64") // 1000
+        rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+
+        ta, converted = (-1, 0)
+        if state.exists:
+            ta, converted = int(state.get[0]), int(state.get[1])
+
+        out = []
+        for r in rows.itertuples(index=False):
+            if r.event_type == from_type and ta < 0:
+                ta = int(r.ts_us)
+            elif (
+                r.event_type == to_type
+                and not converted
+                and ta >= 0
+                and int(r.ts_us) >= ta
+            ):
+                out.append((int(r.ts_us) - ta) // 1_000_000)
+                converted = 1
+        state.update((ta, converted))
+        (user_id,) = key
+        if out:
+            yield pd.DataFrame(
+                {"user_id": int(user_id), "delay_s": out}
+            )
+
+    fn.__doc__ = fn.__doc__.format(**{"from": from_type, "to": to_type})
+    return fn
+
+
+def streaming_funnel_delays(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming conversion-delay feed — the incremental twin of the
+    batch ``events_funnel_conversion_time`` core (operators/behavior.py):
+    that op reduces per-user first-entry/first-conversion timestamps to
+    one percentile row; this emits each converted user's delay exactly
+    once, and the batch op's delay SET equals the emission set over any
+    replay — including full-backlog redelivery, which the converted
+    latch absorbs (test-pinned).  Downstream percentiles are a plain
+    stateless aggregation of this append stream.
+
+    Keyed state is two fixed-width fields per user; one user_id shuffle
+    per micro-batch."""
+    from googlecloudstorage_blueprints_spark.operators.behavior import (
+        FUNNEL_FROM,
+        FUNNEL_TO,
+    )
+
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_funnel_delays(FUNNEL_FROM, FUNNEL_TO),
+            _FUNNEL_OUT_SCHEMA,
+            _FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

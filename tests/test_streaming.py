@@ -1191,3 +1191,77 @@ def test_streaming_path_trigrams_checkpoint_restart(spark, tmp_path):
     assert got == _batch_trigram_counts(spark), (
         "checkpoint-recovered tail state must bridge the halves"
     )
+
+
+def _batch_funnel_delays(spark):
+    """The batch op's per-user delay SET, recomputed from its own
+    definition (first FUNNEL_FROM, first FUNNEL_TO at-or-after it)."""
+    from collections import Counter
+
+    from googlecloudstorage_blueprints_spark.operators.behavior import (
+        FUNNEL_FROM,
+        FUNNEL_TO,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    first_a = (
+        e.where(F.col("event_type") == FUNNEL_FROM)
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("ta"))
+    )
+    first_b = (
+        e.where(F.col("event_type") == FUNNEL_TO)
+        .select("user_id", ts_us.alias("tb_us"))
+        .join(first_a, "user_id")
+        .where(F.col("tb_us") >= F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("tb_us").alias("tb"))
+    )
+    rows = first_a.join(first_b, "user_id").selectExpr(
+        "user_id", "(tb - ta) div 1000000 AS delay_s"
+    ).collect()
+    return Counter((r["user_id"], r["delay_s"]) for r in rows)
+
+
+def test_streaming_funnel_delays_matches_batch_and_redelivery(
+    spark, tmp_path
+):
+    """Each converted user's delay must emit exactly once and equal the
+    batch op's per-user delay; redelivering the full backlog as a second
+    micro-batch must add ZERO emissions (the converted latch absorbs
+    it)."""
+    import shutil
+    from collections import Counter
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_funnel_delays,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "00.parquet")
+    got_df = run_stream_to_memory(
+        streaming_funnel_delays(spark, f"file:{src}", glob="*.parquet"),
+        "funnel_single",
+    )
+    got = Counter(
+        (r["user_id"], r["delay_s"]) for r in got_df.collect()
+    )
+    batch = _batch_funnel_delays(spark)
+    assert got == batch and len(batch) > 0
+
+    # full-backlog redelivery: converted latch must absorb every row
+    shutil.copy(f"{SF}/events.parquet", src / "01.parquet")
+    again_df = run_stream_to_memory(
+        streaming_funnel_delays(
+            spark, f"file:{src}", glob="*.parquet", max_files_per_trigger=1
+        ),
+        "funnel_redelivered",
+    )
+    again = Counter(
+        (r["user_id"], r["delay_s"]) for r in again_df.collect()
+    )
+    assert again == batch, "redelivery must add zero emissions"
