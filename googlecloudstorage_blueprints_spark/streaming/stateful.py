@@ -1092,11 +1092,13 @@ _FUNNEL_OUT_SCHEMA = StructType(
     ]
 )
 
-# (first entry-event ts or -1, converted flag as 0/1)
+# (first entry-event ts or -1, converted flag as 0/1, newest {to} ts
+# seen BEFORE any entry or -1 — the tied-timestamp bridge)
 _FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("ta_us", LongType()),
         StructField("converted", IntegerType()),
+        StructField("lastp_us", LongType()),
     ]
 )
 
@@ -1104,34 +1106,46 @@ _FUNNEL_STATE_SCHEMA = StructType(
 def _make_funnel_delays(from_type: str, to_type: str):
     def fn(key: tuple, pdfs, state: GroupState):
         """Per-user conversion tracker: state is (first {from} ts,
-        converted?).  The first {to} event at-or-after the first {from}
-        emits the user's delay EXACTLY ONCE and latches converted —
-        later {to} events and full-backlog redelivery are absorbed, so
-        the emission set is replay-idempotent (unlike the partial-count
-        twins, which require in-order replay)."""
+        converted?, newest pre-entry {to} ts).  The first {to} event
+        with ts AT-OR-AFTER the first {from} ts emits the user's delay
+        EXACTLY ONCE and latches converted — the batch op's rule is a
+        TIMESTAMP comparison, so a {to} TIED with the {from} counts
+        even when its event_id orders it first; the pending field
+        carries that case across the walk (and across batch cuts):
+        under in-order replay every earlier {to} has ts ≤ the eventual
+        first-{from} ts, so only an exact tie can qualify, and the
+        NEWEST pre-entry {to} ts detects it.  Later {to}s and
+        full-backlog redelivery are absorbed, so the emission set is
+        replay-idempotent (unlike the partial-count twins, which
+        require in-order replay)."""
         import pandas as pd
 
         rows = pd.concat(list(pdfs))
         ts_us = rows["ts"].astype("int64") // 1000
         rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
 
-        ta, converted = (-1, 0)
+        ta, converted, lastp = (-1, 0, -1)
         if state.exists:
-            ta, converted = int(state.get[0]), int(state.get[1])
+            ta, converted, lastp = (
+                int(state.get[0]),
+                int(state.get[1]),
+                int(state.get[2]),
+            )
 
         out = []
         for r in rows.itertuples(index=False):
             if r.event_type == from_type and ta < 0:
                 ta = int(r.ts_us)
-            elif (
-                r.event_type == to_type
-                and not converted
-                and ta >= 0
-                and int(r.ts_us) >= ta
-            ):
-                out.append((int(r.ts_us) - ta) // 1_000_000)
-                converted = 1
-        state.update((ta, converted))
+                if not converted and lastp == ta:
+                    out.append(0)  # tied {to} already seen → delay 0
+                    converted = 1
+            elif r.event_type == to_type and not converted:
+                if ta >= 0 and int(r.ts_us) >= ta:
+                    out.append((int(r.ts_us) - ta) // 1_000_000)
+                    converted = 1
+                elif ta < 0:
+                    lastp = int(r.ts_us)
+        state.update((ta, converted, lastp))
         (user_id,) = key
         if out:
             yield pd.DataFrame(

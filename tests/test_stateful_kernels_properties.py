@@ -1,0 +1,177 @@
+"""Property tests for the r8 stateful streaming kernels.
+
+The end-to-end stream tests pin the kernels against their batch ops on
+the fixture; these hammer the BATCH-BOUNDARY logic — the part fixture
+replays barely exercise — with hypothesis-generated event sequences cut
+at arbitrary in-order points, against pure-Python references:
+
+- ``_path_trigram_counts``: summed emissions over any in-order batch
+  split must equal the whole-sequence sessionized trigram counts
+  (two-event tail state must bridge every cut, including cuts inside a
+  session and at exact-gap boundaries).
+- ``_make_funnel_delays``: the emission set must equal the
+  first-entry/first-conversion delays, AND a full re-delivery of every
+  batch must add zero emissions (the converted latch).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (
+    SESSION_GAP_US,
+    _make_funnel_delays,
+    _path_trigram_counts,
+)
+
+TYPES = ["signup", "view", "purchase"]
+
+
+class FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState (exists/get/update)."""
+
+    def __init__(self):
+        self._t = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = tuple(t)
+
+
+def _rows_df(events):
+    """events: list of (ts_us, event_id, event_type) -> kernel input."""
+    return pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": [e[1] for e in events],
+            # kernel reads ts as ns-epoch via .astype("int64") // 1000
+            "ts": pd.to_datetime([e[0] * 1000 for e in events]),
+            "event_type": [e[2] for e in events],
+        }
+    )
+
+
+# gaps chosen to straddle the session boundary: tied timestamps, tiny
+# gaps, exactly-the-gap (same session: rule is STRICTLY greater), and
+# gap+1 (new session)
+_GAPS = [0, 1, 1_000_000, SESSION_GAP_US, SESSION_GAP_US + 1]
+
+
+@st.composite
+def event_sequences(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    gaps = draw(
+        st.lists(st.sampled_from(_GAPS), min_size=n - 1, max_size=n - 1)
+    )
+    types = draw(
+        st.lists(st.sampled_from(TYPES), min_size=n, max_size=n)
+    )
+    ts, out = 10_000_000, []
+    for i in range(n):
+        if i:
+            ts += gaps[i - 1]
+        out.append((ts, i + 1, types[i]))
+    return out
+
+
+@st.composite
+def sequences_with_splits(draw):
+    events = draw(event_sequences())
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(events) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(events)]:
+        if c > prev:
+            batches.append(events[prev:c])
+            prev = c
+    return events, batches
+
+
+def _ref_trigrams(events):
+    """Whole-sequence reference: sessionize by the >gap rule over the
+    (ts, event_id) order, count in-session type triples."""
+    ordered = sorted(events)
+    counts: collections.Counter = collections.Counter()
+    session: list[tuple] = []
+    for ev in ordered:
+        if session and ev[0] - session[-1][0] > SESSION_GAP_US:
+            session = []
+        session.append(ev)
+        if len(session) >= 3:
+            a, b, c = session[-3], session[-2], session[-1]
+            counts[f"{a[2]} {b[2]} {c[2]}"] += 1
+    return dict(counts)
+
+
+def _run_kernel(kernel, batches, state):
+    got: collections.Counter = collections.Counter()
+    emitted = []
+    for batch in batches:
+        for pdf in kernel((1,), iter([_rows_df(batch)]), state):
+            emitted.append(pdf)
+    return emitted
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_path_trigram_kernel_bridges_any_split(case):
+    events, batches = case
+    state = FakeGroupState()
+    got: collections.Counter = collections.Counter()
+    for pdf in _run_kernel(_path_trigram_counts, batches, state):
+        for r in pdf.itertuples(index=False):
+            got[r.trigram] += int(r.n)
+    assert dict(got) == _ref_trigrams(events)
+
+
+def _ref_delays(events):
+    ordered = sorted(events)
+    ta = None
+    for ev in ordered:
+        if ev[2] == "signup":
+            ta = ev[0]
+            break
+    if ta is None:
+        return []
+    for ev in ordered:
+        if ev[2] == "purchase" and ev[0] >= ta:
+            return [(ev[0] - ta) // 1_000_000]
+    return []
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_funnel_delay_kernel_emits_once_and_absorbs_redelivery(case):
+    events, batches = case
+    kernel = _make_funnel_delays("signup", "purchase")
+    state = FakeGroupState()
+    delays = []
+    for pdf in _run_kernel(kernel, batches, state):
+        delays.extend(int(d) for d in pdf["delay_s"])
+    assert delays == _ref_delays(events)
+
+    # full redelivery of every batch: the converted latch (and the
+    # first-entry pin) must absorb everything
+    again = []
+    for pdf in _run_kernel(kernel, batches, state):
+        again.extend(int(d) for d in pdf["delay_s"])
+    assert again == []
