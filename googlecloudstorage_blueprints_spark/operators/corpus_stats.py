@@ -962,3 +962,64 @@ def bigram_entropy_by_source(
         ),
         "source",
     )
+
+
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+        GROUP BY source, w
+    ),
+    sums AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT)       AS t,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS q
+        FROM counts GROUP BY source
+    )
+    SELECT source,
+           t AS n_tokens,
+           1.0 - CAST(q AS DOUBLE) / (CAST(t AS DOUBLE) * t)
+               AS simpson_diversity
+    FROM sums
+    ORDER BY source
+    """,
+)
+def simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson diversity (1 − Σp²) of each source's unigram
+    distribution — the collision-probability twin of
+    bigram_entropy_by_source: 1 − the chance two random tokens match,
+    maximally sensitive to a few dominating tokens (exactly the
+    boilerplate signature entropy smooths over).
+
+    Shape: the standard (source, word) count shuffle, then a
+    |sources|-row moment reduction.  Parity: Σc and Σc² are exact
+    BIGINTs, so the statistic is ONE double expression over exact
+    integers — no rounding needed anywhere (the r7 fixed-point ideal:
+    the integers never leave integer space until the final division).
+    Scale note: Σc² stays in BIGINT while any single word's count in
+    one source is < ~3e9 and the per-source sum of squares < ~9e18."""
+    counts = _words(spark, sf_dir).groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sums = counts.groupBy("source").agg(
+        F.sum("cnt").alias("t"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+    )
+    return sort_bounded(
+        sums.select(
+            "source",
+            F.col("t").alias("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.col("q").cast("double")
+                / (F.col("t").cast("double") * F.col("t"))
+            ).alias("simpson_diversity"),
+        ),
+        "source",
+    )

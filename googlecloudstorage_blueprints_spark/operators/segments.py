@@ -657,3 +657,166 @@ def supplier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_suppkey",
     )
+
+
+@register(
+    "return_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS return_rate
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-line share per brand — the product-quality alarm
+    returned_items_top's customer view doesn't give: a brand whose
+    return rate breaks from the catalog norm has a defect or a listing
+    problem.
+
+    Shape: one fact⋈dim join (part broadcast), one |brands|-row
+    conditional aggregate, map-side combined.  Parity: all-integer
+    counts; return_rate is an exact integer ratio, unrounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    is_r = F.col("l_returnflag") == "R"
+    return sort_bounded(
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(is_r, 1).otherwise(0)).cast("long").alias(
+                "n_returned"
+            ),
+            (
+                F.sum(F.when(is_r, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("return_rate"),
+        ),
+        "p_brand",
+    )
+
+
+@register(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(SUM(CAST(ROUND(
+                   l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                   AS BIGINT)) AS BIGINT) AS rev4
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+        SELECT s_nationkey, CAST(SUM(rev4) AS BIGINT) AS total4
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(
+               (CAST(r.rev4 AS DOUBLE) / t.total4)
+               * (CAST(r.rev4 AS DOUBLE) / t.total4) * 1000000, 0)
+               AS BIGINT)) AS BIGINT) / 1000000.0 AS hhi
+    FROM rev r
+    JOIN tot t ON t.s_nationkey = r.s_nationkey
+    JOIN nation n ON n.n_nationkey = r.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — the supply-risk index (HHI → 1 means one supplier IS
+    the nation's supply; antitrust convention flags > 0.25): the
+    concentration view behind supplier_abc_class's global cut.
+
+    Shape: the supplier-keyed revenue reduction, a |nations|-row total,
+    and a share-square rollup over the supplier DIM — facts shuffle
+    once.  Parity: revenue is ×1e4 BIGINT at birth; each share is ONE
+    exact-integer division, and share² is fixed-pointed ×1e6 to BIGINT
+    per TERM before summing (r7 rule — rev4² itself would overflow
+    BIGINT, which is why the square happens in double on the exact
+    share); one closing division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    term4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(term4).alias("rev4"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("rev4").alias("total4"))
+    share = F.col("rev4").cast("double") / F.col("total4")
+    term = F.round(share * share * 1_000_000, 0).cast("long")
+    return sort_bounded(
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            (F.sum(term) / 1_000_000.0).alias("hhi"),
+        )
+        .select(F.col("n_name").alias("nation"), "n_suppliers", "hhi"),
+        "nation",
+    )
+
+
+@register(
+    "events_value_quantiles_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT),
+                               0.5) / 100.0, 6)  AS p50_value,
+           ROUND(quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT),
+                               0.9) / 100.0, 6)  AS p90_value,
+           ROUND(quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT),
+                               0.99) / 100.0, 6) AS p99_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_quantiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90/p99 of the event value per type — the tail view behind
+    events_value_histogram's fixed bins (the p99 is what an SLO review
+    reads; bins quantize it away).
+
+    Shape: one |types|-row percentile aggregate — the exact tier; at
+    100 TB swap approx_percentile (percentiles_agg's scale note).
+    Parity: 2dp values ×100 into BIGINT at birth so the interpolation
+    runs on EXACT integers (the embedding_norm_quantiles rule), one
+    /100 division, 6dp round."""
+    e = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100, 0).cast("long")
+    ve = e.select("event_type", v100.alias("v100"))
+    return sort_bounded(
+        ve.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.percentile("v100", 0.5) / 100.0, 6).alias(
+                "p50_value"
+            ),
+            F.round(F.percentile("v100", 0.9) / 100.0, 6).alias(
+                "p90_value"
+            ),
+            F.round(F.percentile("v100", 0.99) / 100.0, 6).alias(
+                "p99_value"
+            ),
+        ),
+        "event_type",
+    )
