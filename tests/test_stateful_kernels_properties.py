@@ -175,3 +175,71 @@ def test_funnel_delay_kernel_emits_once_and_absorbs_redelivery(case):
     for pdf in _run_kernel(kernel, batches, state):
         again.extend(int(d) for d in pdf["delay_s"])
     assert again == []
+
+
+# --- harness reuse for the pre-r8 kernels ---------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _US_PER_DAY,
+    _activity_days,
+    _cooccurrence_pairs,
+    _transition_counts,
+)
+
+
+def _ref_transitions(events):
+    ordered = sorted(events)
+    counts: collections.Counter = collections.Counter()
+    for a, b in zip(ordered, ordered[1:]):
+        counts[(a[2], b[2])] += 1
+    return dict(counts)
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_transition_kernel_bridges_any_split(case):
+    events, batches = case
+    state = FakeGroupState()
+    got: collections.Counter = collections.Counter()
+    for pdf in _run_kernel(_transition_counts, batches, state):
+        for r in pdf.itertuples(index=False):
+            got[(r.src, r.dst)] += int(r.n)
+    assert dict(got) == _ref_transitions(events)
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_cooccurrence_kernel_emits_each_pair_once(case):
+    events, batches = case
+    state = FakeGroupState()
+    got: collections.Counter = collections.Counter()
+    for pdf in _run_kernel(_cooccurrence_pairs, batches, state):
+        for r in pdf.itertuples(index=False):
+            got[(r.type_a, r.type_b)] += int(r.n)
+    types = {e[2] for e in events}
+    ref = {
+        (a, b): 1
+        for a in types
+        for b in types
+        if a < b
+    }
+    assert dict(got) == ref
+
+    # full redelivery: the seen-type set must absorb everything
+    again = list(_run_kernel(_cooccurrence_pairs, batches, state))
+    assert again == []
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_activity_days_kernel_emits_each_day_once(case):
+    events, batches = case
+    state = FakeGroupState()
+    got = []
+    for pdf in _run_kernel(_activity_days, batches, state):
+        got.extend(int(d) for d in pdf["epoch_day"])
+    ref = sorted({e[0] // _US_PER_DAY for e in events})
+    assert sorted(got) == ref and len(got) == len(set(got))
+
+    again = list(_run_kernel(_activity_days, batches, state))
+    assert again == []
