@@ -1,6 +1,8 @@
 """Similarity search over the ``embeddings`` vector table.
 
-SURVEY.md §2.B #18 + driver north-star ops.  Three tiers:
+SURVEY.md §2.B #18 + driver north-star ops.  Four tiers (this module
+holds the first three; ``similarity_ivf.py`` and ``similarity_pq.py``
+the learned-index tiers):
 
 - ``similarity_knn_bruteforce`` — exact cosine top-k, JVM higher-order
   functions (zip_with/aggregate), oracle-checkable against DuckDB's
@@ -10,6 +12,10 @@ SURVEY.md §2.B #18 + driver north-star ops.  Three tiers:
   (matrix-matrix per batch instead of per-pair loops).
 - ``similarity_rp_lsh`` — random-hyperplane LSH bucketing: the 100 TB
   candidate-generation path (bucket join, never a cross join).
+- ``similarity_knn_ivf`` / ``similarity_knn_pq`` — learned quantizer
+  tiers: IVF cuts the SCAN (probe NPROBE cells of the corpus), PQ cuts
+  the MEMORY (LUT scan over ~5-byte codes, exact re-rank); IVF-PQ is
+  their production composition.
 
 Determinism: every top-k window orders by (metric DESC, id ASC); the
 hyperplanes are a fixed deterministic pseudo-random matrix (seed 42).
@@ -61,8 +67,8 @@ def _guard_exact_tier(df: DataFrame, op_name: str, what: str) -> int:
             f"{op_name}: {what} has {n:,} rows, above the exact-tier "
             f"ceiling of {EXACT_TIER_MAX_ROWS:,}. The exact all-pairs "
             "tier is the ground-truth/verification path; at this scale "
-            "use similarity_rp_lsh (LSH bucketing) or similarity_knn_ivf "
-            "(IVF ANN) instead."
+            "use similarity_rp_lsh (LSH bucketing), similarity_knn_ivf "
+            "(IVF ANN) or similarity_knn_pq (PQ-ADC) instead."
         )
     return n
 
