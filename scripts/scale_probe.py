@@ -41,12 +41,14 @@ def replicate(spark, src: str, out: str, n: int, key_cols: list[str]) -> None:
 
 
 def bench_shapes(
-    spark, li_path: str, o_path: str, doc_path: str, ev_path: str
+    spark, li_path: str, o_path: str, doc_path: str, ev_path: str,
+    emb_path: str
 ) -> dict[str, float]:
     li = spark.read.parquet(li_path)
     o = spark.read.parquet(o_path)
     docs = spark.read.parquet(doc_path)
     ev = spark.read.parquet(ev_path)
+    emb = spark.read.parquet(emb_path)
     if "ts" in ev.columns:  # fixture stores timestamp_ntz (catalog rule)
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
@@ -326,6 +328,66 @@ def bench_shapes(
             F.max("days"),
         )
 
+    def pq_scan():
+        # round-8 claim: PQ's per-scale cost is the encode pass + the
+        # LUT take-and-sum over ~5-byte codes — both linear in corpus
+        # rows; training stays bounded by TRAIN_SAMPLE at any scale
+        import numpy as np
+
+        from googlecloudstorage_blueprints_spark.operators.similarity_pq import (
+            M_SUBSPACES,
+            _adc_kernel,
+            _encode_kernel,
+            _train_codebooks,
+        )
+
+        train = [
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(5000)
+            .collect()
+        ]
+        books = _train_codebooks(train)
+        encoded = (
+            emb.select("vec_id", "embedding")
+            .repartition(
+                max(8, spark.sparkContext.defaultParallelism // 4),
+                "vec_id",
+            )
+            .mapInPandas(
+                _encode_kernel(books),
+                schema="vec_id long, codes array<int>",
+            )
+        )
+        q = np.asarray(train[:5], dtype=np.float64)
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        dsub = books.shape[2]
+        luts = np.stack(
+            [
+                np.stack(
+                    [
+                        books[m] @ qq[m * dsub : (m + 1) * dsub]
+                        for m in range(M_SUBSPACES)
+                    ]
+                )
+                for qq in q
+            ]
+        )
+        from pyspark.sql.window import Window
+
+        adc = encoded.mapInPandas(
+            _adc_kernel(luts, list(range(5))),
+            schema="query_id long, vec_id long, adc double",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("vec_id")
+        )
+        return (
+            adc.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 50)
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -349,6 +411,7 @@ def bench_shapes(
         "session_hist": session_hist,
         "copurchase": copurchase,
         "ship_latency": ship_latency,
+        "pq_scan": pq_scan,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
@@ -391,7 +454,10 @@ def main() -> None:
                       ["doc_id"])
             replicate(spark, f"{BASE}/events.parquet", ev_p, n,
                       ["user_id", "event_id"])
-            results[n] = bench_shapes(spark, li_p, o_p, doc_p, ev_p)
+            emb_p = f"file:{tmp}/emb_{n}"
+            replicate(spark, f"{BASE}/embeddings.parquet", emb_p, n,
+                      ["vec_id"])
+            results[n] = bench_shapes(spark, li_p, o_p, doc_p, ev_p, emb_p)
             rows = spark.read.parquet(li_p).count()
             print(f"scale {n}x ({rows:,} lineitem rows): {results[n]}")
         for shape in results[SCALES[0]]:
