@@ -243,3 +243,58 @@ def test_activity_days_kernel_emits_each_day_once(case):
 
     again = list(_run_kernel(_activity_days, batches, state))
     assert again == []
+
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _scd2_intervals,
+)
+
+
+def _ref_scd2(events):
+    """Collapse the ordered sequence into SCD2 runs: one interval per
+    consecutive same-type run, valid_to = next run's start (None for
+    the open tail)."""
+    ordered = sorted(events)
+    runs = []
+    for ev in ordered:
+        if not runs or runs[-1][0] != ev[2]:
+            runs.append([ev[2], ev[0]])
+    out = []
+    for i, (t, frm) in enumerate(runs):
+        to = runs[i + 1][1] if i + 1 < len(runs) else None
+        out.append((t, frm, to))
+    return out
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_scd2_kernel_reduced_changelog_matches_reference(case):
+    """The closed-interval MULTISET plus the chronologically last open
+    emission must reproduce the whole-sequence SCD2 intervals (under
+    tied timestamps a type flap yields zero-length intervals whose
+    VALUES can repeat — the batch lag/lead semantics — so closed rows
+    compare as a multiset, and each batch's open re-emit is superseded
+    by the next emitting batch); full redelivery must emit nothing."""
+    events, batches = case
+    state = FakeGroupState()
+    closed: collections.Counter = collections.Counter()
+    last_open = None
+    for pdf in _run_kernel(_scd2_intervals, batches, state):
+        for r in pdf.itertuples(index=False):
+            if pd.isna(r.valid_to_us):
+                last_open = (r.event_type, int(r.valid_from_us), None)
+            else:
+                closed[
+                    (
+                        r.event_type,
+                        int(r.valid_from_us),
+                        int(r.valid_to_us),
+                    )
+                ] += 1
+    got = closed + collections.Counter(
+        [last_open] if last_open else []
+    )
+    assert got == collections.Counter(_ref_scd2(events))
+
+    again = list(_run_kernel(_scd2_intervals, batches, state))
+    assert again == []
