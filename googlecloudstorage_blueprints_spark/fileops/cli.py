@@ -131,6 +131,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write full result as parquet instead of printing")
     s.add_argument("--service-account", dest="service_account", default=None)
 
+    rep = sub.add_parser(
+        "report",
+        help="build the per-source corpus health report "
+             "(Zipf/KL/diversity/dedup/composition screens joined)",
+    )
+    rep.add_argument("--sf-dir", dest="sf_dir",
+                     default="/root/testdata/sf0.001")
+    rep.add_argument("--output", dest="output", default=None,
+                     help="also write the report as parquet")
+    rep.add_argument("--limit", dest="limit", type=int, default=50)
+    rep.add_argument("--service-account", dest="service_account",
+                     default=None)
+
     c = sub.add_parser(
         "curate",
         help="run the corpus curation pipeline "
@@ -221,6 +234,20 @@ def _run_sql(args) -> int:
     return 0
 
 
+def _run_report(args) -> int:
+    from googlecloudstorage_blueprints_spark.pipelines import corpus_report
+
+    spark = get_spark(
+        app_name="gcs-blueprints-report",
+        service_account=args.service_account,
+    )
+    report = corpus_report(spark, args.sf_dir, args.output)
+    report.show(args.limit, truncate=False)
+    if args.output:
+        print(f"written: {args.output}")
+    return 0
+
+
 def _run_curate(args) -> int:
     from googlecloudstorage_blueprints_spark.pipelines import curate_corpus
 
@@ -253,6 +280,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_explain(args)
     if args.verb == "sql":
         return _run_sql(args)
+    if args.verb == "report":
+        return _run_report(args)
     if args.verb == "curate":
         return _run_curate(args)
     # resolve credentials here so the tempfile an inline-JSON key creates

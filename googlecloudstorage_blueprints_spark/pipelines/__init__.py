@@ -3,5 +3,8 @@
 from googlecloudstorage_blueprints_spark.pipelines.curate import (
     curate_corpus,
 )
+from googlecloudstorage_blueprints_spark.pipelines.report import (
+    corpus_report,
+)
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "corpus_report"]

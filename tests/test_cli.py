@@ -187,3 +187,13 @@ def test_cli_explain_simple_mode(spark, capsys):
                "--sf-dir", "/root/testdata/sf0.001", "--mode", "simple"])
     assert rc == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_report_prints_and_writes(spark, tmp_path, capsys):
+    out = f"file:{tmp_path}/report"
+    rc = main(["report", "--sf-dir", "/root/testdata/sf0.001",
+               "--output", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "zipf_slope" in printed and "simpson_diversity" in printed
+    assert spark.read.parquet(out).count() > 0

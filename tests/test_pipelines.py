@@ -98,3 +98,35 @@ def test_curate_corpus_redacts_pii_in_written_text(spark, tmp_path):
         n_markers = r["text"].count("[NUM]") + r["text"].count("[EMAIL]")
         assert n_markers == r["n_redactions"]
     assert report.n_redactions == sum(r["n_redactions"] for r in rows)
+
+
+def test_corpus_report_composes_registered_ops(spark, tmp_path):
+    """The health report must carry one row per source with every
+    column family, each value equal to its source operator's (the
+    report only joins — it must never re-derive)."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.pipelines import corpus_report
+
+    out = f"file:{tmp_path}/report"
+    report = corpus_report(spark, SF, out)
+    rows = {r["source"]: r for r in report.collect()}
+
+    qs = all_queries()
+    sources = {
+        r["source"]
+        for r in qs["source_quality_scorecard"](spark, SF).collect()
+    }
+    assert set(rows) == sources and len(sources) > 0
+
+    for col, op in [
+        ("simpson_diversity", "simpson_diversity_by_source"),
+        ("stopword_ratio", "stopword_ratio_by_source"),
+        ("bigram_entropy", "bigram_entropy_by_source"),
+        ("drop_rate", "dedup_rate_by_source"),
+    ]:
+        expect = {r["source"]: r[col] for r in qs[op](spark, SF).collect()}
+        got = {s: rows[s][col] for s in rows}
+        assert got == expect, f"report column {col} diverges from {op}"
+
+    written = spark.read.parquet(out)
+    assert written.count() == len(sources)
