@@ -250,3 +250,198 @@ def similarity_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF-PQ composition — the production deployment the two learned
+    tiers exist for: IVF's coarse quantizer cuts the SCAN (each query
+    probes ``nprobe`` of N_CELLS cells), PQ's codes cut the MEMORY (the
+    probed cells are scanned as ~5-byte codes through the ADC LUT), and
+    the exact tail re-ranks the survivors.  Library function rather
+    than a registered operator: both constituents carry their own
+    driver-adjudicated keys and recall pins; this proves they compose
+    (tests/test_similarity_pq.py pins the composed recall).
+
+    Scale: cost per query ≈ (nprobe / N_CELLS) × the PQ scan — the two
+    reductions multiply.  The corpus is collected nowhere; training
+    stays bounded by TRAIN_SAMPLE via both constituents' samplers."""
+    import numpy as np
+
+    from googlecloudstorage_blueprints_spark.operators.similarity_ivf import (
+        N_CELLS,
+        NPROBE,
+        _assign_kernel,
+        _train_centroids,
+    )
+
+    nprobe = NPROBE if nprobe is None else nprobe
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    n_corpus = emb.count()
+    sample_src = emb.select("vec_id", "embedding")
+    if n_corpus > TRAIN_SAMPLE:
+        fraction = min(1.0, (TRAIN_SAMPLE * 1.2) / n_corpus)
+        sample_src = sample_src.sample(fraction=fraction, seed=42).limit(
+            TRAIN_SAMPLE
+        )
+    train_rows = sample_src.orderBy("vec_id").collect()
+    train = [r["embedding"] for r in train_rows]
+    centroids = _train_centroids(train)
+    books = _train_codebooks(train)
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    base = emb.select("vec_id", "embedding").repartition(
+        n_parts, "vec_id"
+    )
+    # one pass assigns the cell, a second encodes the codes; both are
+    # map-side Arrow kernels over the same partitioning
+    assigned = base.mapInPandas(
+        _assign_kernel(centroids),
+        schema="vec_id long, embedding array<float>, cell int",
+    )
+    encoded = assigned.mapInPandas(
+        _with_cell_encode_kernel(books),
+        schema="vec_id long, cell int, codes array<int>",
+    )
+
+    q_rows = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_mat = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+    dsub = books.shape[2]
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    books[m] @ q[m * dsub : (m + 1) * dsub]
+                    for m in range(M_SUBSPACES)
+                ]
+            )
+            for q in q_mat
+        ]
+    )
+    query_ids = [int(r["vec_id"]) for r in q_rows]
+    probe_cells = {
+        qid: {int(c) for c in cells}
+        for qid, cells in zip(query_ids, probe_rank)
+    }
+
+    adc = encoded.mapInPandas(
+        _adc_probed_kernel(luts, query_ids, probe_cells),
+        schema="query_id long, vec_id long, adc double",
+    ).where(F.col("vec_id") != F.col("query_id"))
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w_adc))
+        .where(F.col("adc_rk") <= RERANK)
+        .select("query_id", "vec_id")
+    )
+    probes = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in q_rows],
+        schema="query_id long, qv array<float>",
+    )
+    scored = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine("qv", "embedding").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+def _with_cell_encode_kernel(books):
+    """Encode kernel variant that carries the IVF cell id through."""
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        dsub = books.shape[2]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), M_SUBSPACES), dtype=np.int32)
+            for m in range(M_SUBSPACES):
+                xm = mat[:, m * dsub : (m + 1) * dsub]
+                cent = books[m]
+                d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (
+                    xm @ cent.T
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return kernel
+
+
+def _adc_probed_kernel(luts, query_ids, probe_cells):
+    """ADC kernel variant that scores each query ONLY against rows in
+    its probed cells — the IVF scan cut applied to the PQ table."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy())
+            cells = pdf["cell"].to_numpy()
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(query_ids):
+                mask = np.isin(cells, list(probe_cells[qid]))
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                score = np.zeros(len(sub))
+                for m in range(M_SUBSPACES):
+                    score += luts[qi][m][sub[:, m]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "vec_id": vec_ids[mask],
+                            "adc": score,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    return kernel

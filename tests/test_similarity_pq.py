@@ -52,3 +52,24 @@ def test_pq_reranked_cosines_are_exact(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:  # pairs the exact top-k also contains
             assert abs(r["cosine"] - exact[key]) < 1e-9, key
+
+
+def test_ivfpq_composition_recall(spark):
+    """The IVF×PQ composition (probe cells, ADC within them, exact
+    re-rank) must keep useful recall — the multiplied reductions lose
+    only what each tier's own pin already bounds."""
+    from googlecloudstorage_blueprints_spark.operators.similarity_pq import (
+        ivfpq_topk,
+    )
+
+    exact = _neighbor_sets(
+        QUERIES["similarity_knn_bruteforce"](spark, SF).collect()
+    )
+    approx = _neighbor_sets(ivfpq_topk(spark, SF).collect())
+    assert set(approx) == set(exact), "every query must produce neighbors"
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # IVF@6/16 cells alone measures ~0.9; PQ alone 1.0 at this SF — the
+    # composition floors at the scan cut's loss
+    assert recall >= 0.6, f"composed recall@10 {recall:.2f} below floor"
