@@ -298,3 +298,114 @@ def test_scd2_kernel_reduced_changelog_matches_reference(case):
 
     again = list(_run_kernel(_scd2_intervals, batches, state))
     assert again == []
+
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    HOUR_US,
+    _bucket_str,
+    _make_gapfill,
+)
+
+
+class FakeTimerGroupState(FakeGroupState):
+    """FakeGroupState + the timer API the gapfill kernel touches (the
+    non-timeout path only — timeout eviction is pinned end-to-end)."""
+
+    hasTimedOut = False
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+    def remove(self):
+        self._t = None
+
+
+@st.composite
+def hourly_sequences_with_aligned_splits(draw):
+    """Events with hour-scale gaps and values, split ONLY at hour-bucket
+    boundaries: intra-bucket cross-batch partials are documented as
+    downstream-merge territory (append-mode), so the property pins the
+    grid-extension/forward-fill logic the kernel owns outright."""
+    n = draw(st.integers(min_value=1, max_value=10))
+    hour_gaps = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=n - 1,
+            max_size=n - 1,
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    ts, events = 3 * HOUR_US + 137, []
+    for i in range(n):
+        if i:
+            ts += hour_gaps[i - 1] * HOUR_US
+        events.append((ts, i + 1, float(vals[i]) / 4))
+    # cuts only where the bucket changes
+    buckets = [e[0] // HOUR_US for e in events]
+    legal = [
+        i for i in range(1, n) if buckets[i] != buckets[i - 1]
+    ]
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.sampled_from(legal or [n]), max_size=2, unique=True
+            )
+        )
+    ) if legal else []
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            batches.append(events[prev:c])
+            prev = c
+    return events, batches
+
+
+def _gapfill_rows_df(events):
+    return pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": [e[1] for e in events],
+            "ts": pd.to_datetime([e[0] * 1000 for e in events]),
+            "value": [e[2] for e in events],
+        }
+    )
+
+
+def _ref_gapfill(events):
+    """Batch semantics: hourly sums (4dp) over the user's full grid from
+    first to last active bucket, gaps forward-filled."""
+    sums: dict[int, float] = {}
+    for ts, _eid, v in events:
+        b = ts - ts % HOUR_US
+        sums[b] = sums.get(b, 0.0) + v
+    sums = {b: round(v, 4) for b, v in sums.items()}
+    lo, hi = min(sums), max(sums)
+    out, last = {}, None
+    for b in range(lo, hi + HOUR_US, HOUR_US):
+        if b in sums:
+            last = sums[b]
+            out[_bucket_str(b)] = (True, last)
+        else:
+            out[_bucket_str(b)] = (False, last)
+    return out
+
+
+@given(hourly_sequences_with_aligned_splits())
+@settings(max_examples=200, deadline=None)
+def test_gapfill_kernel_grid_matches_batch_on_aligned_splits(case):
+    events, batches = case
+    state = FakeTimerGroupState()
+    got: dict[str, tuple] = {}
+    for batch in batches:
+        for pdf in _make_gapfill(10**15)(
+            (1,), iter([_gapfill_rows_df(batch)]), state
+        ):
+            for r in pdf.itertuples(index=False):
+                assert r.bucket not in got, "bucket re-emitted"
+                got[r.bucket] = (bool(r.observed), r.filled_value)
+    assert got == _ref_gapfill(events)
