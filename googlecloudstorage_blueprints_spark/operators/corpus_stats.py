@@ -152,13 +152,12 @@ def word_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT SUM(cnt_w) AS tot FROM c)
     SELECT sw.source,
            CAST(s_tot.tot_s AS BIGINT) AS n_tokens,
-           ROUND(SUM(
-               (CAST(sw.cnt AS DOUBLE) / CAST(s_tot.tot_s AS DOUBLE))
-               * ROUND(LN(
+           ROUND(CAST(SUM(sw.cnt * CAST(ROUND(LN(
                    (CAST(sw.cnt AS DOUBLE) / CAST(s_tot.tot_s AS DOUBLE))
                    / (CAST(c.cnt_w AS DOUBLE) / CAST(t.tot AS DOUBLE))
-                 ), 6)
-           ), 6) AS kl_vs_corpus
+                 ) * 1000000, 0) AS BIGINT)) AS BIGINT)
+                 / CAST(s_tot.tot_s AS DOUBLE) / 1000000.0, 6)
+               AS kl_vs_corpus
     FROM sw
     JOIN s_tot ON s_tot.source = sw.source
     JOIN c     ON c.w = sw.w
@@ -181,8 +180,13 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpersisted (repo persist-hygiene rule).  The corpus total is a
     1-row broadcast crossJoin; the word-keyed join fans out at most
     |sources| per word.  Parity: p and q are exact integer ratios
-    (identical doubles), ln(p/q) pre-rounds 6dp, the weighted sum
-    rounds 6dp for order drift."""
+    (identical doubles); each ln(p/q) is scaled ×1e6 and rounded to
+    BIGINT per TERM, weighted by the INTEGER count and summed exactly
+    (r7 fixed-point rule — the pre-r8 ROUND(SUM(rounded doubles), 6)
+    form was order-sensitive in the last ulp WITHIN one engine, the
+    events_decay_trend flake class); one closing division.  Scale:
+    Σ cnt·|ln·1e6| ≤ tot_s·2e7 stays in BIGINT below ~4e11 tokens per
+    source."""
     sw = (
         _words(spark, sf_dir)
         .groupBy("source", "w")
@@ -194,15 +198,19 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.agg(F.sum("cnt_w").alias("tot"))
     p = F.col("cnt").cast("double") / F.col("tot_s").cast("double")
     q = F.col("cnt_w").cast("double") / F.col("tot").cast("double")
+    lnint = F.round(F.log(p / q) * 1_000_000, 0).cast("long")
     out = (
         sw.join(F.broadcast(s_tot), "source")
         .join(c, "w")
         .crossJoin(F.broadcast(t))
         .groupBy("source", "tot_s")
         .agg(
-            F.round(F.sum(p * F.round(F.log(p / q), 6)), 6).alias(
-                "kl_vs_corpus"
-            )
+            F.round(
+                F.sum(F.col("cnt") * lnint).cast("double")
+                / F.col("tot_s").cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("kl_vs_corpus")
         )
         .select(
             "source",

@@ -61,13 +61,14 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w)
     SELECT tf.doc_id,
-           ROUND(SUM(
+           ROUND(CAST(SUM(CAST(ROUND(
                ROUND(LN(1 + (corpus.n_docs - df.df + 0.5)
                             / (df.df + 0.5)), 6)
                * (tf.tf * ({BM25_K1} + 1))
                / (tf.tf + {BM25_K1} * (1 - {BM25_B}
                   + {BM25_B} * (CAST(dl.dl AS DOUBLE) / corpus.avgdl)))
-           ), 6) AS score
+               * 1000000, 0) AS BIGINT)) AS BIGINT) / 1000000.0, 6)
+               AS score
     FROM tf
     JOIN df ON df.w = tf.w
     JOIN dl ON dl.doc_id = tf.doc_id
@@ -89,7 +90,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df broadcasts (≤|query| rows); top-k is ordered DESC with the doc_id
     tiebreaker so the cut is deterministic.  Parity: tf/df/dl are exact
     integers, avgdl is an exact-integer ratio, idf's ln pre-rounds 6dp,
-    the per-term sum (≤|query| terms) rounds 6dp."""
+    and each per-(doc, term) score is fixed-pointed ×1e6 to BIGINT
+    before the per-doc sum (r7 rule — even a ≤|query|-term double sum
+    is merge-order-sensitive in the last ulp, and the rounded score
+    feeds the top-k ORDER BY); one closing division."""
     tok = _tokens(spark, sf_dir)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(
@@ -117,12 +121,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1
         * (1 - BM25_B + BM25_B * (F.col("dl").cast("double") / F.col("avgdl")))
     )
+    term6 = F.round(term_score * 1_000_000, 0).cast("long")
     return (
         tf.join(F.broadcast(df), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .agg(
+            F.round(F.sum(term6).cast("double") / 1_000_000.0, 6).alias(
+                "score"
+            )
+        )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )

@@ -49,6 +49,9 @@ CHANGED_THIS_ROUND: list[str] = [
     "session_duration_histogram",  # r8: event_id tiebreaker on cumsum windows
     "events_anomaly_seasonal",  # r8: BIGINT fixed-point moment sums
     "embedding_centroid_margin",  # r8: NULL-margin rows filtered both engines
+    "source_unigram_kl",  # r8: per-term ×1e6 BIGINT fixed-point KL sum
+    "source_quality_scorecard",  # r8: inherits the KL fixed-point change
+    "bm25_topk",  # r8: per-term ×1e6 BIGINT fixed-point score sum
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
