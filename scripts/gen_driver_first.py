@@ -44,14 +44,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r8 changes land here as they happen; r7 entries cleared after
-    # CORRECTNESS_r07.json adjudicated them (both passed).
-    "session_duration_histogram",  # r8: event_id tiebreaker on cumsum windows
-    "events_anomaly_seasonal",  # r8: BIGINT fixed-point moment sums
-    "embedding_centroid_margin",  # r8: NULL-margin rows filtered both engines
-    "source_unigram_kl",  # r8: per-term ×1e6 BIGINT fixed-point KL sum
-    "source_quality_scorecard",  # r8: inherits the KL fixed-point change
-    "bm25_topk",  # r8: per-term ×1e6 BIGINT fixed-point score sum
+    # r9 changes land here as they happen; r8 entries cleared after
+    # CORRECTNESS_r08.json adjudicated them (all six passed).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
