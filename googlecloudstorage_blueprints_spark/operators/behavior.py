@@ -480,7 +480,9 @@ def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "activity_density"
             ),
         )
-        .orderBy("user_id")
+        # no orderBy: the frame is |users|-sized and the driver hash is
+        # order-insensitive — a global sort here plans a range exchange
+        # plus a sampling job for nothing (oracle ORDER BY is cosmetic)
     )
 
 

@@ -397,6 +397,9 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v"
         ),
     )
+    # label rides the fixture's int32; cast to long per the repo's
+    # bigint-cast convention (oracle CASTs it, siblings all emit long)
+    ex = ex.withColumn("label", F.col("label").cast("long"))
     norms = ex.groupBy("label", "vec_id").agg(
         F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))) * 10000, 0)
         .cast("long")
@@ -415,5 +418,5 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p90_norm"
             ),
         ),
-        F.col("label").cast("long"),
+        "label",
     )

@@ -83,9 +83,10 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity)                       AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)        AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                 AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0                       AS sum_charge,
            SUM(l_quantity) / COUNT(*)            AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)        AS avg_price,
            ROUND(AVG(l_discount), 6)             AS avg_disc,
@@ -103,6 +104,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups| × |partitions| rows (6 groups here); the plan is one shuffle.
     avg_qty is expressed as exact integer-sum / count (bit-identical across
     engines); price aggregates are rounded (summation-order drift).
+
+    Parity (r9): sum_disc_price rounds 4dp — the products carry exactly
+    4 decimals so the true total sits on a rounding TARGET, never a
+    boundary (r6 rule; the old 2dp could hit half-cent ties).  sum_charge
+    is a 6-decimal product whose sum magnitude (~1e9 at sf0.1) exceeds
+    double's 1e-6 granularity, so it uses the r7 fixed-point rule: each
+    term is scaled ×1e6 and rounded to BIGINT at birth (per-term float
+    error ~1e-5 ≪ 0.5, so the integer is exact), the order-independent
+    integer sum is divided once at the end — bit-identical across engines
+    and across runs.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -113,8 +124,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            (
+                F.sum(F.round(charge * 1_000_000).cast("long")) / 1_000_000.0
+            ).alias("sum_charge"),
             (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -619,7 +632,7 @@ def conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiway_join_agg",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_str
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -635,7 +648,12 @@ def conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multiway_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dimension filter (broadcast) → fact join →
     aggregate → global top-10.  Catalyst pushes all three filters to the
-    scans; the filtered customer side is broadcast."""
+    scans; the filtered customer side is broadcast.
+
+    Parity (r9): revenue rounds 4dp — the discount products carry exactly
+    4 decimals, so the true sum sits on a rounding target, never a
+    half-cent boundary (r6 rule); 4dp also makes the revenue-DESC top-10
+    cut identical across engines."""
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -651,7 +669,7 @@ def multiway_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .select(

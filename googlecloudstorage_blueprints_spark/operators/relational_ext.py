@@ -342,7 +342,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5 = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -739,7 +739,7 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -789,7 +789,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
@@ -803,7 +803,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items_top",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -832,7 +832,7 @@ def returned_items_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -930,7 +930,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ELSE 0 END)
                    / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
                AS promo_pct,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
                AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -957,7 +957,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(rev),
                 6,
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
         )
     )
 
@@ -970,7 +970,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_filter_join",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 1 AND l.l_quantity <= 20)
@@ -1013,7 +1013,7 @@ def disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(rev), 4).alias("revenue"),
         )
     )
 
@@ -1034,10 +1034,10 @@ def disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND(r.total_rev, 2) AS total_revenue
+           ROUND(r.total_rev, 4) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE ROUND(r.total_rev, 2) =
-          (SELECT ROUND(MAX(total_rev), 2) FROM revenue)
+    WHERE ROUND(r.total_rev, 4) =
+          (SELECT ROUND(MAX(total_rev), 4) FROM revenue)
     """,
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,7 +1050,9 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the same aggregation output), but ACROSS engines two
     suppliers whose revenues differ only in last-ulp summation noise can
     produce different winner sets — the Q15 known hazard.  Both engines
-    compare at 2dp (the reported precision)."""
+    compare at 4dp (r6 rule: the discount products carry exactly 4
+    decimals, so 4dp values never sit on a rounding boundary — unlike the
+    old 2dp compare, which could hit half-cent ties)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1062,16 +1064,16 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     max_rev = revenue.agg(
-        F.round(F.max("total_rev"), 2).alias("max_rev")
+        F.round(F.max("total_rev"), 4).alias("max_rev")
     )
     return (
         revenue.crossJoin(F.broadcast(max_rev))
-        .where(F.round("total_rev", 2) == F.col("max_rev"))
+        .where(F.round("total_rev", 4) == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_rev", 2).alias("total_revenue"),
+            F.round("total_rev", 4).alias("total_revenue"),
         )
     )
 

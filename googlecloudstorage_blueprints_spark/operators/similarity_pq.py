@@ -152,8 +152,9 @@ def _adc_kernel(luts, query_ids):
 
 @register("similarity_knn_pq")  # rows-only: ANN recall is approximate by design
 def similarity_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC ANN: per-subspace codebooks → 4-byte codes → LUT scan of
-    the compressed corpus → exact re-rank of the ADC top-RERANK.
+    """PQ-ADC ANN: per-subspace codebooks → ~5-byte codes (8 subspaces
+    × 5-bit centroids) → LUT scan of the compressed corpus → exact
+    re-rank of the ADC top-RERANK.
 
     Scale: the scan stage touches only (vec_id, codes) — the compressed
     table is ~64× smaller than the embeddings, so the full-corpus pass

@@ -65,7 +65,7 @@ def test_salted_join_equals_plain_join(spark):
                     F.sum(
                         F.col("l_extendedprice") * (1 - F.col("l_discount"))
                     ),
-                    2,
+                    4,
                 ).alias("revenue"),
             )
             .collect()
