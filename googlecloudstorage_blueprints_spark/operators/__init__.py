@@ -74,6 +74,7 @@ def _load_all() -> None:
         relational_tpch2,
         scale_patterns,
         segments,
+        semdedup,
         training,
         warehouse,
     )
