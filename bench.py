@@ -112,6 +112,15 @@ HEADLINE = [
     "dedup_embedding_cosine",
     # round-2: training-data pipeline family (explode + window + topk)
     "ngram_topk",
+    # round-9: the heaviest r6-r8 shapes, so the ≤2× gate finally sees
+    # the ops most likely to be expensive (r8 verdict item 5) — ledger
+    # decomposition, pair-explosion lift, bigram LM, distinct-day
+    # windows, per-term BM25
+    "orders_decile_report",
+    "part_copurchase_lift",
+    "doc_logprob_bigram",
+    "events_dau_wau",
+    "bm25_topk",
 ]
 
 

@@ -820,13 +820,19 @@ def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled or template-stitched text that fools unigram stats scores
     high here because its word ORDER is unnatural.
 
-    Shape: in-row adjacent bigrams via arrays_zip of shifted slices
-    (codegen — never a lead() window that would shuffle every token,
-    per the round-5 n-gram rule), three keyed count joins (AQE decides
-    broadcasts; the bigram table is huge on a web corpus, same
-    reasoning as tfidf_topk), one scalar broadcast.  Every bigram in a
-    doc exists in the corpus model by construction, so no smoothing
-    floor is needed.
+    Shape (r9): in-row adjacent bigrams via arrays_zip of shifted
+    slices (codegen — never a lead() window that would shuffle every
+    token, per the round-5 n-gram rule), then the model is scored on
+    the DISTINCT-bigram table: c1/c2/total derive from cb by summing
+    its counts (|distinct bigrams| rows, not |tokens|), and the full
+    bigram frame is joined back ONCE on (w1, w2).  The r8 form joined
+    the token-sized frame three times on three different keys — three
+    full shuffles of the heaviest frame; this shape shuffles it twice
+    (cb groupBy + the score join, same key, ReusedExchange territory)
+    and measured 2× faster at sf0.1.  AQE decides broadcasts; the
+    bigram table is huge on a web corpus, same reasoning as tfidf_topk.
+    Every bigram in a doc exists in the corpus model by construction,
+    so no smoothing floor is needed.
 
     Parity: p components are exact integer ratios; the mixed
     probability is one chain of identical IEEE ops; −ln() is scaled 1e6
@@ -853,26 +859,27 @@ def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.0").alias("w1"),
             F.col("p.1").alias("w2"),
         )
-        .persist()
     )
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
-    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cnt2"))
-    t = bg.agg(F.count(F.lit(1)).alias("n"))
+    # marginals from the distinct-bigram table, not the token frame:
+    # same exact integers (SUM of group counts == COUNT over tokens)
+    c1 = cb.groupBy("w1").agg(F.sum("cnt").alias("cnt1"))
+    c2 = cb.groupBy("w2").agg(F.sum("cnt").alias("cnt2"))
+    t = cb.agg(F.sum("cnt").alias("n"))
     mix = F.lit(BIGRAM_LAMBDA) * (
         F.col("cnt").cast("double") / F.col("cnt1").cast("double")
     ) + F.lit(1 - BIGRAM_LAMBDA) * (
         F.col("cnt2").cast("double") / F.col("n").cast("double")
     )
     nll6 = F.round(-F.log(mix) * 1000000, 0).cast("long")
-    scored = (
-        bg.join(cb, ["w1", "w2"])
-        .join(c1, "w1")
+    score_tbl = (
+        cb.join(c1, "w1")
         .join(c2, "w2")
         .crossJoin(F.broadcast(t))
-        .select("doc_id", nll6.alias("nll6"))
+        .select("w1", "w2", nll6.alias("nll6"))
     )
-    out = scored.groupBy("doc_id").agg(
+    scored = bg.join(score_tbl, ["w1", "w2"]).select("doc_id", "nll6")
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
             F.sum("nll6").cast("double")
@@ -882,7 +889,4 @@ def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nll6").cast("double") / 1000000.0, 6).alias(
             "max_neg_logprob"
         ),
-    ).persist()
-    out.count()  # materialize through the cached bigram frame
-    bg.unpersist()
-    return out
+    )

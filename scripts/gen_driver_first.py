@@ -61,6 +61,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "embedding_norm_quantiles",
     # -- r8 ADVICE: dropped the data-sized global orderBy (plan change)
     "user_activity_span",
+    # -- bench item 5: distinct-bigram scoring shape (plan change, 2×)
+    "doc_logprob_bigram",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
