@@ -117,6 +117,75 @@ def test_join_anti_planted_orderless_customer(spark, planted_dir):
     assert len(rows) == 1 and rows[0][0] == _GHOST_CUSTKEY
 
 
+@pytest.fixture(scope="module")
+def trade_dir(tmp_path_factory):
+    """sf0.001 plus one NATION_1-supplier → NATION_2-customer trade.
+
+    ``volume_shipping`` is EMPTY at sf0.001 (no supplier sits in
+    NATION_1 there), so the local parity replica's pass is a vacuous
+    0 == 0 — plant the full chain (supplier in nation 1, order by the
+    nation-2 customer, one lineitem wiring them) and pin the revenue."""
+    import datetime
+
+    out = tmp_path_factory.mktemp("trade_sf")
+
+    supp = pq.read_table(f"{SF_SRC}/supplier.parquet")
+    ghost_s = pa.Table.from_pydict(
+        {
+            "s_suppkey": [90_000_001],
+            "s_name": ["Supplier#ghost-n1"],
+            "s_nationkey": [1],
+            "s_acctbal": [0.0],
+        },
+        schema=supp.schema,
+    )
+    pq.write_table(pa.concat_tables([supp, ghost_s]), out / "supplier.parquet")
+
+    orders = pq.read_table(f"{SF_SRC}/orders.parquet")
+    ghost_o = pa.Table.from_pydict(
+        {
+            "o_orderkey": [_GHOST_ORDERKEY],
+            "o_custkey": [0],  # customer 0 sits in NATION_2 at sf0.001
+            "o_orderstatus": ["F"],
+            "o_totalprice": [100.0],
+            "o_orderdate": [datetime.datetime(1997, 5, 1)],
+            "o_orderpriority": ["3-MEDIUM"],
+        },
+        schema=orders.schema,
+    )
+    pq.write_table(pa.concat_tables([orders, ghost_o]), out / "orders.parquet")
+
+    li = pq.read_table(f"{SF_SRC}/lineitem.parquet")
+    ghost_l = li.slice(0, 1).to_pydict()
+    ghost_l.update(
+        l_orderkey=[_GHOST_ORDERKEY],
+        l_suppkey=[90_000_001],
+        l_extendedprice=[100.0],
+        l_discount=[0.10],
+        l_shipdate=[datetime.datetime(1997, 6, 1)],
+    )
+    pq.write_table(
+        pa.concat_tables(
+            [li, pa.Table.from_pydict(ghost_l, schema=li.schema)]
+        ),
+        out / "lineitem.parquet",
+    )
+
+    for t in TABLES:
+        if t in ("supplier", "orders", "lineitem"):
+            continue
+        os.symlink(f"{SF_SRC}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+def test_volume_shipping_planted_nation_pair_trade(spark, trade_dir):
+    """Empty at sf0.001 on the clean fixture — prove the symmetric
+    nation-pair filter and the year rollup actually emit, identically
+    on both engines, when a qualifying trade exists."""
+    rows = _compare(spark, "volume_shipping", trade_dir)
+    assert ("NATION_1", "NATION_2", 1997, 90.0) in {tuple(r) for r in rows}
+
+
 def test_fk_orphan_check_planted_orphan_lineitem(spark, planted_dir):
     """Every fixture n_orphan is 0 — prove a dangling l_orderkey is
     counted on the lineitem.order edge on BOTH engines, and that the
