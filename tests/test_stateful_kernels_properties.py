@@ -409,3 +409,103 @@ def test_gapfill_kernel_grid_matches_batch_on_aligned_splits(case):
                 assert r.bucket not in got, "bucket re-emitted"
                 got[r.bucket] = (bool(r.observed), r.filled_value)
     assert got == _ref_gapfill(events)
+
+
+# --- r9 additions: _latest_per_key and _sessionize --------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _latest_per_key,
+    _sessionize,
+)
+
+
+def _val(eid: int) -> float:
+    # multiples of 0.5 sum exactly in binary — totals compare bit-equal
+    return eid * 0.5
+
+
+def _rows_df_valued(events):
+    df = _rows_df(events)
+    return df.assign(value=[_val(e[1]) for e in events])
+
+
+@st.composite
+def sequences_with_shuffled_splits(draw):
+    """In-order cuts, then a batch-order permutation — the CDC kernel
+    must converge to the same snapshot under any delivery order."""
+    events, batches = draw(sequences_with_splits())
+    order = draw(st.permutations(range(len(batches))))
+    return events, [batches[i] for i in order]
+
+
+@given(sequences_with_shuffled_splits())
+@settings(max_examples=200, deadline=None)
+def test_latest_snapshot_kernel_converges_under_any_delivery_order(case):
+    events, batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        for pdf in _latest_per_key(
+            (1,), iter([_rows_df_valued(batch)]), state
+        ):
+            emitted.append(
+                (int(pdf["ts_us"].iloc[0]), int(pdf["event_id"].iloc[0]))
+            )
+    # every emission strictly advances the (ts, event_id) race ...
+    assert emitted == sorted(set(emitted))
+    # ... and the newest emission IS the global snapshot
+    best = max((e[0], e[1]) for e in events)
+    assert emitted[-1] == best
+    assert (int(state.get[0]), int(state.get[1])) == best
+
+    # full redelivery (any order already): zero extra emissions
+    again = []
+    for batch in batches:
+        again.extend(
+            _latest_per_key((1,), iter([_rows_df_valued(batch)]), state)
+        )
+    assert again == []
+
+
+def _ref_sessions(events):
+    """Whole-sequence sessionization by the strictly-greater gap rule:
+    (start, end, n, total) runs; the final one is still open."""
+    ordered = sorted(events)
+    sessions, cur = [], None
+    for ts, eid, _t in ordered:
+        if cur and ts - cur[1] > SESSION_GAP_US:
+            sessions.append(cur)
+            cur = None
+        if cur is None:
+            cur = [ts, ts, 0, 0.0]
+        cur[0] = min(cur[0], ts)
+        cur[1] = max(cur[1], ts)
+        cur[2] += 1
+        cur[3] += _val(eid)
+    return sessions, cur
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_sessionize_kernel_closes_same_sessions_across_any_split(case):
+    events, batches = case
+    state = FakeTimerGroupState()  # _sessionize arms a session timeout
+    closed = []
+    for batch in batches:
+        for pdf in _sessionize((1,), iter([_rows_df_valued(batch)]), state):
+            for r in pdf.itertuples(index=False):
+                closed.append(
+                    (
+                        int(r.start_us),
+                        int(r.end_us),
+                        int(r.n_events),
+                        float(r.total_value),
+                    )
+                )
+    ref_closed, ref_open = _ref_sessions(events)
+    assert closed == [
+        (s[0], s[1], s[2], round(s[3], 4)) for s in ref_closed
+    ]
+    # the open tail waits in state for the timeout path (pinned e2e)
+    start, last, n, total = state.get
+    assert [int(start), int(last), int(n), float(total)] == ref_open
