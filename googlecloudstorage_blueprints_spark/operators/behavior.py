@@ -582,3 +582,103 @@ def events_funnel_conversion_time(
 events_funnel_conversion_time.__doc__ = (
     events_funnel_conversion_time.__doc__.format(a=FUNNEL_FROM, b=FUNNEL_TO)
 )
+
+
+# --------------------------------------------------------------------------
+# Markov next-step entropy per event type (route predictability)
+# --------------------------------------------------------------------------
+
+@register(
+    "event_type_markov_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS dst
+        FROM events
+    ),
+    tr AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (
+        SELECT src, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_dst,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        FROM tr GROUP BY src
+    ),
+    terms AS (
+        SELECT tr.src,
+               CAST(SUM(tr.cnt * CAST(ROUND(
+                   LN(CAST(tr.cnt AS DOUBLE) / tot.n) * 1000000, 0)
+                   AS BIGINT)) AS BIGINT) AS wsum6
+        FROM tr JOIN tot ON tr.src = tot.src
+        GROUP BY tr.src
+    )
+    SELECT tot.src AS event_type,
+           tot.n              AS n_transitions,
+           tot.n_dst          AS n_next_types,
+           ROUND(-CAST(terms.wsum6 AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * 1000000.0), 6) AS next_entropy,
+           CAST(tot.top_cnt AS DOUBLE) / tot.n AS top_next_share
+    FROM tot JOIN terms ON terms.src = tot.src
+    ORDER BY event_type
+    """,
+)
+def event_type_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-step (first-order Markov) entropy per event type: how
+    predictable is the step AFTER each event — near-zero entropy means
+    a forced path (or a tracking bug firing pairs), high entropy a true
+    branching point; top_next_share is the argmax twin UIs read as "N%
+    go on to X".  Complements ``events_transition_matrix`` (the counts)
+    with the summary a funnel designer actually ranks by.
+
+    Shape: one user-keyed lead window (the transition convention), a
+    (src, dst) count aggregate, then two |event_types|-row reductions.
+    Parity (r7 fixed-point rule): each ln(p) is scaled ×1e6 and rounded
+    to BIGINT per (src, dst) TERM, weighted by the exact transition
+    count, and summed in integer space — the closing division of two
+    exact integers is one IEEE op on both engines; top_next_share is an
+    exact integer ratio (unrounded by the r2 rule)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    tr = (
+        seq.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = tr.groupBy("src").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_dst"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+    )
+    lnp6 = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000, 0
+    ).cast("long")
+    terms = (
+        tr.join(tot.select("src", "n"), "src")
+        .groupBy("src")
+        .agg(F.sum(F.col("cnt") * lnp6).cast("long").alias("wsum6"))
+    )
+    return sort_bounded(
+        tot.join(terms, "src").select(
+            F.col("src").alias("event_type"),
+            F.col("n").alias("n_transitions"),
+            F.col("n_dst").alias("n_next_types"),
+            F.round(
+                -F.col("wsum6").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                6,
+            ).alias("next_entropy"),
+            (F.col("top_cnt").cast("double") / F.col("n")).alias(
+                "top_next_share"
+            ),
+        ),
+        "event_type",
+    )

@@ -1031,3 +1031,191 @@ def simpson_diversity_by_source(
         ),
         "source",
     )
+
+
+# --------------------------------------------------------------------------
+# per-source perplexity quantiles (threshold screen for LM filtering)
+# --------------------------------------------------------------------------
+
+@register(
+    "logprob_quantiles_by_source",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, w
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM words GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq),
+    scored AS (
+        SELECT words.doc_id, words.source,
+               CAST(ROUND(-LN(CAST(freq.cnt AS DOUBLE) / tot.n)
+                          * 1000000, 0) AS BIGINT) AS nll6
+        FROM words JOIN freq ON words.w = freq.w CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT source, doc_id,
+               CAST(SUM(nll6) AS BIGINT) * 1000
+                   // COUNT(*)                     AS avg9
+        FROM scored GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(avg9, 0.1) / 1e9, 6) AS p10_nll,
+           ROUND(quantile_cont(avg9, 0.5) / 1e9, 6) AS p50_nll,
+           ROUND(quantile_cont(avg9, 0.9) / 1e9, 6) AS p90_nll
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def logprob_quantiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source quantiles of per-document unigram NLL — the screen
+    that sets perplexity-filter thresholds: ``doc_logprob_unigram``
+    scores documents, this summarizes each source's score distribution
+    so the cutoff (keep below p90 of a trusted source, say) is chosen
+    from data instead of folklore.
+
+    Shape: the corpus unigram model (one word-count aggregate + scalar
+    total), per-doc integer NLL sums, then a |sources|-row percentile
+    aggregate.  Parity: every −ln() term is fixed-pointed ×1e6 to
+    BIGINT at birth (r7 rule), the per-doc average is scaled to an
+    EXACT ×1e9 integer via integer division (identical div on both
+    engines), so the percentile interpolates exact integers (the
+    norm_quantiles rule: interpolating rounded doubles lands midpoints
+    on rounding boundaries); one closing /1e9 + 6dp round."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    words = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode_outer(F.split("text", " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    nll6 = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000, 0
+    ).cast("long")
+    scored = (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", nll6.alias("nll6"))
+    )
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        F.expr("sum(nll6) * 1000 div count(*)").alias("avg9")
+    )
+    return sort_bounded(
+        per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.percentile("avg9", 0.1) / 1e9, 6).alias("p10_nll"),
+            F.round(F.percentile("avg9", 0.5) / 1e9, 6).alias("p50_nll"),
+            F.round(F.percentile("avg9", 0.9) / 1e9, 6).alias("p90_nll"),
+        ),
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
+# vocabulary growth curve (Heaps' law) at doc-id checkpoints
+# --------------------------------------------------------------------------
+
+VOCAB_CHECKPOINTS = 10
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    doc_toks AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM words GROUP BY doc_id
+    ),
+    first_seen AS (
+        SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w
+    ),
+    ks AS (SELECT unnest(range(1, {VOCAB_CHECKPOINTS} + 1)) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS checkpoint,
+           CAST((SELECT COUNT(*) FROM doc_toks, mx
+                 WHERE doc_id * {VOCAB_CHECKPOINTS} < m * ks.k)
+               AS BIGINT) AS n_docs,
+           CAST((SELECT COALESCE(SUM(n_toks), 0) FROM doc_toks, mx
+                 WHERE doc_id * {VOCAB_CHECKPOINTS} < m * ks.k)
+               AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM first_seen, mx
+                 WHERE first_doc * {VOCAB_CHECKPOINTS} < m * ks.k)
+               AS BIGINT) AS vocab
+    FROM ks
+    ORDER BY checkpoint
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative token count vs distinct
+    vocabulary at ten doc-id checkpoints — sub-linear growth is natural
+    language, a flat curve is boilerplate duplication, and a straight
+    line is id-like noise; the curve also predicts tokenizer OOV rates
+    as the corpus grows.
+
+    Shape: NO running-distinct window (distinct doesn't merge across
+    frames) — each word contributes via its FIRST doc (min(doc_id)
+    aggregate), so "vocab at checkpoint k" is a plain count of
+    first-occurrences below the cutoff: one (word) aggregate, one
+    (doc) aggregate, then a 10-row conditional rollup on each.
+    Checkpoint cutoffs use pure integer arithmetic
+    (doc_id·K < max_id·k — no double division anywhere), identical on
+    both engines at any id distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode_outer(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    doc_toks = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    ks = spark.range(1, VOCAB_CHECKPOINTS + 1).select(
+        F.col("id").alias("k")
+    )
+    K = VOCAB_CHECKPOINTS
+    docs_roll = (
+        doc_toks.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ks))
+        .where(F.col("doc_id") * K < F.col("m") * F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab_roll = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ks))
+        .where(F.col("first_doc") * K < F.col("m") * F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    return sort_bounded(
+        docs_roll.join(vocab_roll, "k").select(
+            F.col("k").cast("long").alias("checkpoint"),
+            "n_docs",
+            "n_tokens",
+            "vocab",
+        ),
+        "checkpoint",
+    )

@@ -15,6 +15,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from googlecloudstorage_blueprints_spark.functions.columns import (
+    cosine_similarity,
+)
 from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
@@ -419,4 +422,79 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         "label",
+    )
+
+
+# --------------------------------------------------------------------------
+# pairwise-cosine histogram over a deterministic sample (collapse probe)
+# --------------------------------------------------------------------------
+
+PAIR_SAMPLE = 100  # first PAIR_SAMPLE vec_ids → 4 950 pairs, bounded
+
+
+@register(
+    "embedding_pairwise_cosine_histogram",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {PAIR_SAMPLE}
+    ),
+    pc AS (
+        SELECT LEAST((CAST(ROUND(list_cosine_similarity(a.v, b.v)
+                                 * 1000000, 0) AS BIGINT)
+                      + 1000000) // 100000, 19) AS bucket
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(bucket AS BIGINT)                 AS bucket,
+           ROUND(bucket / 10.0 - 1.0, 1)          AS cos_lo,
+           CAST(COUNT(*) AS BIGINT)               AS n_pairs
+    FROM pc
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def embedding_pairwise_cosine_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram of pairwise cosines over a deterministic corpus sample
+    — the geometry-health probe read before any similarity work: a
+    healthy corpus masses near 0 (high-dim near-orthogonality), a hump
+    near 1 means embedding collapse / duplicated inputs, and a shifted
+    mode means an un-centered model.  Complements
+    ``embedding_centroid_margin`` (label view) with the global view.
+
+    Shape: the sample is bounded (first {PAIR_SAMPLE} vec_ids — the
+    query-block convention of the similarity tiers), so the pair space
+    is a broadcast self-join of {PAIR_SAMPLE} rows — never the corpus
+    pair space; the histogram is a 20-row aggregate.  Parity: the
+    cosine is fixed-pointed ×1e6 to BIGINT and bucketed with INTEGER
+    division (double-division bucketing jitters at exact boundaries —
+    the round-1 bucket rule); edges re-derived from the integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.where(F.col("vec_id") < PAIR_SAMPLE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    bucket = F.least(
+        F.expr(
+            "(CAST(ROUND(cos * 1000000, 0) AS BIGINT) + 1000000)"
+            " div 100000"
+        ),
+        F.lit(19),
+    )
+    pc = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(cosine_similarity("va", "vb").alias("cos"))
+        .select(bucket.alias("bucket"))
+    )
+    return sort_bounded(
+        pc.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        ).select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(F.col("bucket") / 10.0 - 1.0, 1).alias("cos_lo"),
+            "n_pairs",
+        ),
+        "bucket",
     )

@@ -820,3 +820,90 @@ def events_value_quantiles_by_type(
         ),
         "event_type",
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer value per nation (revenue inequality)
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_value_gini",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey,
+               c.c_custkey,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0)
+                                      AS BIGINT)), 0) AS BIGINT) AS cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY cents, c_custkey) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT)
+                   AS n
+        FROM cust
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT)    AS n_customers,
+           CAST(SUM(cents) AS BIGINT)  AS total_cents,
+           CAST(SUM((2 * r - n - 1) * cents) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * NULLIF(SUM(cents), 0)) AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime value per nation — the
+    inequality lens on the revenue base: Gini → 0 is evenly spread
+    spend, → 1 is whale-dominated (churn of a handful of accounts takes
+    the nation's revenue with it).  Order-less customers count at zero
+    value — excluding them would understate concentration.
+
+    Shape: one customer-grain aggregate, then a rank window PARTITIONED
+    BY NATION (≈ n/25 rows per partition — a partitioned sort, never the
+    global Window.orderBy the decile ledger exists to avoid), then one
+    per-nation reduction of the classic formula
+    G = Σ(2r − n − 1)·x / (n·Σx).
+
+    Parity: money ×100 to BIGINT at birth (r7 rule), ranks total-ordered
+    by (cents, c_custkey), the weighted sum is exact integer arithmetic
+    and the closing division casts the two factors separately (r8
+    overflow rule); NULLIF guards the all-zero nation.  Scale note: the
+    weighted term peaks at 2n·cents ≈ 1e5 · 1e9 = 1e14 per row at
+    sf100 — BIGINT-safe well past fixture scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("cents"))
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return sort_bounded(
+        ranked.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            (
+                F.sum(
+                    (2 * F.col("r") - F.col("n") - 1) * F.col("cents")
+                ).cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.nullif(F.sum("cents"), F.lit(0))
+                )
+            ).alias("gini"),
+        ),
+        "c_nationkey",
+    )
