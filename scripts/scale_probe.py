@@ -42,13 +42,14 @@ def replicate(spark, src: str, out: str, n: int, key_cols: list[str]) -> None:
 
 def bench_shapes(
     spark, li_path: str, o_path: str, doc_path: str, ev_path: str,
-    emb_path: str
+    emb_path: str, cust_path: str
 ) -> dict[str, float]:
     li = spark.read.parquet(li_path)
     o = spark.read.parquet(o_path)
     docs = spark.read.parquet(doc_path)
     ev = spark.read.parquet(ev_path)
     emb = spark.read.parquet(emb_path)
+    cust = spark.read.parquet(cust_path)
     if "ts" in ev.columns:  # fixture stores timestamp_ntz (catalog rule)
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
@@ -187,9 +188,11 @@ def bench_shapes(
         return dau.join(wau, "d")
 
     def bigram_lm():
-        # round-7 LM claim: in-row arrays_zip bigrams (no token shuffle
-        # to build pairs), three keyed count joins AQE-decided; the
-        # bigram table grows with the corpus but every join is keyed
+        # round-9 LM shape: the model is scored on the DISTINCT-bigram
+        # table (marginals summed from its counts) and the token-sized
+        # frame is joined back ONCE on (w1, w2) — replaces the r7 form's
+        # three full-frame joins; only the map side and the single score
+        # join grow with the corpus
         a = F.split("text", " ")
         pairs = F.arrays_zip(
             F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
@@ -204,13 +207,15 @@ def bench_shapes(
             )
         )
         cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+        c1 = cb.groupBy("w1").agg(F.sum("cnt").alias("cnt1"))
         mix = F.col("cnt").cast("double") / F.col("cnt1").cast("double")
+        score = cb.join(c1, "w1").select(
+            "w1", "w2", (-F.log(mix)).alias("nll1")
+        )
         return (
-            bg.join(cb, ["w1", "w2"])
-            .join(c1, "w1")
+            bg.join(score, ["w1", "w2"])
             .groupBy("doc_id")
-            .agg(F.sum(-F.log(mix)).alias("nll"))
+            .agg(F.sum("nll1").alias("nll"))
         )
 
     def anomaly_seasonal():
@@ -388,6 +393,80 @@ def bench_shapes(
             .where(F.col("rk") <= 50)
         )
 
+    def markov_entropy():
+        # round-9 claim: one user-keyed lead window (partitions multiply
+        # under user replication, depth does not), then |types|-bounded
+        # reductions — must track the window exponents, not data size
+        from pyspark.sql.window import Window
+
+        ts_us = F.unix_micros(F.col("ts"))
+        w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+        seq = ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        tr = (
+            seq.where(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        tot = tr.groupBy("src").agg(F.sum("cnt").alias("n"))
+        lnp6 = F.round(
+            F.log(F.col("cnt").cast("double") / F.col("n")) * 1e6, 0
+        ).cast("long")
+        return (
+            tr.join(tot, "src")
+            .groupBy("src")
+            .agg(F.sum(F.col("cnt") * lnp6).alias("wsum6"))
+        )
+
+    def gini():
+        # round-9 claim: the rank window is PARTITIONED by nation — per-
+        # partition rows grow linearly under customer replication, so
+        # wall time must track the partitioned-window exponents (a global
+        # Window.orderBy here would serialize on one task)
+        from pyspark.sql.window import Window
+
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        cu = cust.join(o, o.o_custkey == cust.c_custkey, "left").groupBy(
+            "c_nationkey", "c_custkey"
+        ).agg(F.coalesce(F.sum(cents), F.lit(0)).alias("cents"))
+        wr = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+        wn = Window.partitionBy("c_nationkey")
+        ranked = cu.select(
+            "c_nationkey", "cents",
+            F.row_number().over(wr).cast("long").alias("r"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+        return ranked.groupBy("c_nationkey").agg(
+            F.sum((2 * F.col("r") - F.col("n") - 1) * F.col("cents"))
+        )
+
+    def vocab_growth():
+        # round-9 claim: vocab-at-checkpoint needs NO running-distinct —
+        # min(first_doc) per word + a 10× conditional rollup of the two
+        # SMALL aggregates (doc counts, first-seen words), so the 10×
+        # checkpoint cross-join multiplies aggregates, never the corpus
+        words = (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                "doc_id", F.explode_outer(F.split("text", " ")).alias("w")
+            )
+            .where(F.col("w") != "")
+        )
+        mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+        first_seen = words.groupBy("w").agg(
+            F.min("doc_id").alias("first_doc")
+        )
+        ks = spark.range(1, 11).select(F.col("id").alias("k"))
+        return (
+            first_seen.crossJoin(F.broadcast(mx))
+            .crossJoin(F.broadcast(ks))
+            .where(F.col("first_doc") * 10 < F.col("m") * F.col("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("vocab"))
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -412,6 +491,11 @@ def bench_shapes(
         "copurchase": copurchase,
         "ship_latency": ship_latency,
         "pq_scan": pq_scan,
+        # round-9 additions: user-keyed lead window + bounded reductions,
+        # nation-partitioned rank window, min-first-doc checkpoint rollup
+        "markov_entropy": markov_entropy,
+        "gini": gini,
+        "vocab_growth": vocab_growth,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
@@ -457,7 +541,14 @@ def main() -> None:
             emb_p = f"file:{tmp}/emb_{n}"
             replicate(spark, f"{BASE}/embeddings.parquet", emb_p, n,
                       ["vec_id"])
-            results[n] = bench_shapes(spark, li_p, o_p, doc_p, ev_p, emb_p)
+            cust_p = f"file:{tmp}/cust_{n}"
+            # nation keys intentionally NOT re-keyed: per-nation window
+            # partitions must grow with the data for the gini probe
+            replicate(spark, f"{BASE}/customer.parquet", cust_p, n,
+                      ["c_custkey"])
+            results[n] = bench_shapes(
+                spark, li_p, o_p, doc_p, ev_p, emb_p, cust_p
+            )
             rows = spark.read.parquet(li_p).count()
             print(f"scale {n}x ({rows:,} lineitem rows): {results[n]}")
         for shape in results[SCALES[0]]:
