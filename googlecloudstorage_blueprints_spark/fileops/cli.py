@@ -266,6 +266,8 @@ def _run_curate(args) -> int:
     print(f"{report.n_input} documents read")
     print(f"{report.n_quality} passed quality gates")
     print(f"{report.n_deduped} after exact dedup")
+    print(f"{report.n_near_deduped} after near-dup removal")
+    print(f"{report.n_sem_deduped} after semantic dedup")
     for split in sorted(report.split_counts):
         print(f"  {split}: {report.split_counts[split]} rows")
     print(f"written: {args.output} (partitioned by split)")

@@ -17,21 +17,30 @@ Stage order is deliberate and matters at 100 TB:
    (``operators.graph.min_label_components``) → keep the min-doc_id per
    cluster.  After exact dedup because byte-identical copies are gone by
    then — the banding kernel runs once per unique content.
-4. **Decontamination fourth**: drop corpus docs sharing 3-gram spans with
+4. **Semantic near-dedup fourth** (SemDeDup; r9): drop documents whose
+   EMBEDDING is dominated by a lower-doc_id surviving document at
+   cosine ≥ ``sem_tau`` — catches paraphrases and template rewrites
+   that lexical MinHash misses.  After lexical dedup so the pair stage
+   runs on the smallest lexical-survivor set; pair generation is the
+   exact GEMM tier at fixture scale (``dedup_embedding_cosine``,
+   EXACT_TIER_MAX_ROWS-guarded) and swaps to the LSH candidate tier
+   (``dedup_semantic_ann``'s pair stage) beyond it.  ``sem_tau=None``
+   disables the stage (corpora without an embedding column).
+5. **Decontamination fifth**: drop corpus docs sharing 3-gram spans with
    the held-out eval slice (inverted-index anti-join; the eval index is
    ~1% of the corpus and broadcastable) — last of the filters so the
    shingle join runs on the smallest surviving set.
-5. **PII redaction** (map-only regex transform, the ``pii_redact``
+6. **PII redaction** (map-only regex transform, the ``pii_redact``
    operator's scrub applied to the text itself): runs on final
    survivors only — redacting dropped rows is wasted work — and BEFORE
    split assignment so no un-scrubbed byte reaches any output split.
    After dedup deliberately: redaction collapses distinct originals
    ("call 555-0100" / "call 555-0199" both become "call [NUM]"), and
    dedup must key on what was actually crawled.
-6. **Split assignment** (map-only projection) after all filters so
+7. **Split assignment** (map-only projection) after all filters so
    neither replicate, near-replicate, nor eval-overlapping documents can
    straddle train/test (leakage).
-7. **Partitioned write** via the layout-aware writer (repartition-first,
+8. **Partitioned write** via the layout-aware writer (repartition-first,
    bounded file counts per split).
 """
 
@@ -42,6 +51,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from googlecloudstorage_blueprints_spark.operators.semdedup import SEM_TAU
 from googlecloudstorage_blueprints_spark.sinks import write_partitioned
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -56,6 +66,7 @@ class CurationReport:
     n_quality: int      # after quality gates
     n_deduped: int      # after exact dedup
     n_near_deduped: int  # after near-dup cluster keeper selection
+    n_sem_deduped: int  # after embedding-space (SemDeDup) keeper
     n_clean: int        # after eval-set decontamination
     n_redactions: int   # PII placeholders substituted across the corpus
     split_counts: dict  # split -> rows written
@@ -89,13 +100,17 @@ def curate_corpus(
     min_chars: int = MIN_CHARS,
     min_tokens: int = MIN_TOKENS,
     max_top_share: float = MAX_TOP_SHARE,
+    sem_tau: float | None = SEM_TAU,
 ) -> CurationReport:
     """Run the full curation pipeline over ``documents`` and write the
     result partitioned by split; returns per-stage survivor counts.
 
     Dedup keeps the smallest doc_id per exact content hash (deterministic
-    keeper, same convention as the ``exact_dedup`` operator).  Split is
-    the ``stratified_split`` operator's multiplicative-hash 80/10/10."""
+    keeper, same convention as the ``exact_dedup`` operator); the
+    semantic stage keeps the smallest doc_id per embedding neighborhood
+    (the ``dedup_semantic`` greedy-dominance keeper, restricted to
+    lexical survivors; ``sem_tau=None`` disables it).  Split is the
+    ``stratified_split`` operator's multiplicative-hash 80/10/10."""
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
 
@@ -140,6 +155,33 @@ def curate_corpus(
     labels.unpersist()
     pairs.unpersist()
 
+    # semantic near-dedup (SemDeDup): a doc is dropped iff a LOWER-id
+    # doc that SURVIVED the lexical stages dominates it at cosine ≥
+    # sem_tau — pairs from the exact GEMM tier (guarded; the LSH tier
+    # substitutes beyond 500k rows), keeper identical to dedup_semantic
+    # restricted to survivors.  doc_id ↔ vec_id (FIXTURES.md: the
+    # embeddings table is per-document).
+    if sem_tau is not None:
+        from googlecloudstorage_blueprints_spark.operators.similarity import (
+            dedup_embedding_cosine,
+        )
+
+        epairs = dedup_embedding_cosine(spark, sf_dir).where(
+            F.col("cosine") >= sem_tau
+        )
+        surv_a = near_deduped.select(F.col("doc_id").alias("vec_a"))
+        sem_dropped = (
+            epairs.join(surv_a, "vec_a", "left_semi")
+            .select(F.col("vec_b").alias("doc_id"))
+            .distinct()
+        )
+        sem_deduped = near_deduped.join(
+            sem_dropped, "doc_id", "left_anti"
+        ).persist()
+        sem_deduped.count()
+    else:
+        sem_deduped = near_deduped
+
     # decontamination: anti-join deduped survivors against the held-out
     # eval slice's distinct 3-gram index (same shingles and eval rule as
     # the benchmark_contamination operator); a doc sharing ANY eval
@@ -169,12 +211,12 @@ def curate_corpus(
         .distinct()
     )
     contaminated = (
-        shingles_of(near_deduped.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0))
+        shingles_of(sem_deduped.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0))
         .join(eval_index, "s", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    clean = near_deduped.where(
+    clean = sem_deduped.where(
         F.col("doc_id") % CONTAM_EVAL_MOD != 0
     ).join(contaminated, "doc_id", "left_anti")
 
@@ -236,10 +278,13 @@ def curate_corpus(
         n_quality=quality.count(),
         n_deduped=deduped.count(),
         n_near_deduped=near_deduped.count(),
+        n_sem_deduped=sem_deduped.count(),
         n_clean=n_clean,
         n_redactions=int(sum(r["red"] or 0 for r in stats)),
         split_counts=split_counts,
     )
+    if sem_deduped is not near_deduped:
+        sem_deduped.unpersist()
     near_deduped.unpersist()
     deduped.unpersist()
     quality.unpersist()

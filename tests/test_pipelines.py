@@ -25,6 +25,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         >= report.n_quality
         >= report.n_deduped
         >= report.n_near_deduped
+        >= report.n_sem_deduped
         >= report.n_clean
         > 0
     )
@@ -50,6 +51,17 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert not (written_ids & contaminated_ids)
     assert not any(
         a in written_ids and b in written_ids for a, b in nd_pairs
+    )
+
+    # semantic stage: no written pair sits at cosine >= SEM_TAU — the
+    # lower-id side surviving implies the higher-id side was dropped
+    sem_pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in all_queries()["dedup_embedding_cosine"](spark, SF).collect()
+    ]
+    assert sem_pairs, "fixture lost its embedding near-pairs"
+    assert not any(
+        a in written_ids and b in written_ids for a, b in sem_pairs
     )
 
     # quality stage must equal the funnel operator's final survivor count
