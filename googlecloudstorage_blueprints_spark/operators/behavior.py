@@ -682,3 +682,121 @@ def event_type_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+# --------------------------------------------------------------------------
+# event-volume concentration: share of events from the top-k% of users
+# --------------------------------------------------------------------------
+
+PARETO_PCTS = [1, 5, 10, 25]
+
+
+@register(
+    "user_event_pareto",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    ledger AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS nu
+        FROM per_user GROUP BY c
+    ),
+    cum AS (
+        SELECT c, nu,
+               CAST(COALESCE(SUM(nu) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cu_prev,
+               CAST(COALESCE(SUM(nu * c) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS ce_prev
+        FROM ledger
+    ),
+    tot AS (
+        SELECT CAST(SUM(nu) AS BIGINT) AS n_users,
+               CAST(SUM(nu * c) AS BIGINT) AS n_events
+        FROM ledger
+    ),
+    cuts AS (SELECT unnest(ARRAY{PARETO_PCTS}) AS pct)
+    SELECT CAST(cuts.pct AS BIGINT) AS pct,
+           (tot.n_users * cuts.pct + 99) // 100 AS n_top_users,
+           cum.ce_prev + ((tot.n_users * cuts.pct + 99) // 100
+                          - cum.cu_prev) * cum.c AS n_top_events,
+           CAST(cum.ce_prev + ((tot.n_users * cuts.pct + 99) // 100
+                               - cum.cu_prev) * cum.c AS DOUBLE)
+               / tot.n_events AS event_share
+    FROM cuts CROSS JOIN tot JOIN cum
+      ON cum.cu_prev < (tot.n_users * cuts.pct + 99) // 100
+     AND (tot.n_users * cuts.pct + 99) // 100 <= cum.cu_prev + cum.nu
+    ORDER BY pct
+    """,
+)
+def user_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume concentration: what share of ALL events comes from
+    the top 1/5/10/25% heaviest users — the whale curve behind abuse
+    budgets and sampling designs (if 1% of users emit half the events,
+    uniform row sampling over-weights them).
+
+    Shape: the per-user count collapses events to |users| rows; the
+    concentration curve then runs on the COUNT-VALUE LEDGER (one row
+    per distinct per-user count — bounded by max events/user, not by
+    |users|), so the cumulative window is a ledger pass, the same
+    decomposition as supplier_abc_class.  Users tied on a count are
+    interchangeable, so every cut is deterministic without ranking
+    individual users.  Parity: the cut index is ceil(N·p/100) in exact
+    integer math ((N·p + 99) div 100 on both engines); the partial-row
+    interpolation (m − cum_prev)·c is exact integers; event_share is
+    an exact integer ratio (unrounded, r2 rule)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ledger = per_user.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    )
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # single-partition cumulative over the bounded count-value ledger
+    cum = ledger.select(
+        "c",
+        "nu",
+        F.coalesce(F.sum("nu").over(w), F.lit(0))
+        .cast("long")
+        .alias("cu_prev"),
+        F.coalesce(F.sum(F.col("nu") * F.col("c")).over(w), F.lit(0))
+        .cast("long")
+        .alias("ce_prev"),
+    )
+    tot = ledger.agg(
+        F.sum("nu").cast("long").alias("n_users"),
+        F.sum(F.col("nu") * F.col("c")).cast("long").alias("n_events"),
+    )
+    cuts = spark.createDataFrame(
+        [(p,) for p in PARETO_PCTS], "pct long"
+    )
+    m = F.expr("(n_users * pct + 99) div 100")
+    joined = (
+        cuts.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            (F.col("cu_prev") < m)
+            & (m <= F.col("cu_prev") + F.col("nu")),
+        )
+        .select(
+            "pct",
+            m.alias("n_top_users"),
+            (
+                F.col("ce_prev")
+                + (m - F.col("cu_prev")) * F.col("c")
+            ).alias("n_top_events"),
+            (
+                (
+                    F.col("ce_prev")
+                    + (m - F.col("cu_prev")) * F.col("c")
+                ).cast("double")
+                / F.col("n_events")
+            ).alias("event_share"),
+        )
+    )
+    return sort_bounded(joined, "pct")

@@ -498,3 +498,116 @@ def embedding_pairwise_cosine_histogram(
         ),
         "bucket",
     )
+
+
+# --------------------------------------------------------------------------
+# label purity of the cosine neighborhood (embedding quality metric)
+# --------------------------------------------------------------------------
+
+PURITY_QUERIES = 50
+PURITY_K = 10
+
+
+@register(
+    "embedding_knn_label_purity",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {PURITY_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.label AS nlabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(
+                       q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS rk
+        FROM q, embeddings e
+        WHERE e.vec_id != q.query_id
+    ),
+    per_query AS (
+        SELECT query_id, qlabel,
+               CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_match
+        FROM scored WHERE rk <= {PURITY_K}
+        GROUP BY query_id, qlabel
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_match) AS BIGINT) AS n_label_matches,
+           CAST(SUM(n_match) AS DOUBLE) / (COUNT(*) * {PURITY_K})
+               AS knn_purity
+    FROM per_query
+    GROUP BY qlabel
+    ORDER BY label
+    """,
+)
+def embedding_knn_label_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-NN label purity per label: for each query vector, the fraction
+    of its top-{PURITY_K} cosine neighbors sharing its label, averaged
+    per label — THE scalar embedding-quality metric (purity near the
+    label's base rate means the embedding carries no label signal;
+    near 1 means tight label clusters) and the ground truth that
+    validates ANN-tier recall claims against labels rather than
+    distances.
+
+    Shape: the bruteforce-KNN scoring pattern (broadcast the bounded
+    query block with labels attached, cosine against the corpus, partial
+    top-k window per query), then a |labels|-row rollup.  Parity: both
+    engines compute float64 cosines over identical inputs (bit-identical
+    ranks, the r2 finding); purity is an exact integer ratio
+    SUM(matches)/(n_q·k), unrounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < PURITY_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    corpus = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("label").alias("nlabel"),
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_similarity("qv", "embedding").alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    per_query = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PURITY_K)
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match")
+        )
+    )
+    return sort_bounded(
+        per_query.groupBy(F.col("qlabel").cast("long").alias("label")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("n_match").cast("long").alias("n_label_matches"),
+            (
+                F.sum("n_match").cast("double")
+                / (F.count(F.lit(1)) * F.lit(PURITY_K))
+            ).alias("knn_purity"),
+        ),
+        "label",
+    )
+
+
+embedding_knn_label_purity.__doc__ = (
+    embedding_knn_label_purity.__doc__.format(PURITY_K=PURITY_K)
+)

@@ -907,3 +907,193 @@ def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "c_nationkey",
     )
+
+
+# --------------------------------------------------------------------------
+# weekday order mix (integer epoch-day math, r8 dayofweek convention)
+# --------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "orders_weekday_mix",
+    oracle=f"""
+    WITH d AS (
+        SELECT (epoch_us(o_orderdate) // {_US_PER_DAY}) % 7 AS wd,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d)
+    SELECT CAST(wd AS BIGINT)                 AS weekday,
+           CAST(COUNT(*) AS BIGINT)          AS n_orders,
+           CAST(SUM(cents) AS BIGINT)        AS total_cents,
+           CAST(COUNT(*) AS DOUBLE) / tot.n_all AS order_share
+    FROM d CROSS JOIN tot
+    GROUP BY wd, tot.n_all
+    ORDER BY weekday
+    """,
+)
+def orders_weekday_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume and value by day-of-week — the staffing/settlement
+    calendar view of the order book (a weekday skew also sanity-checks
+    date synthesis in generated fixtures).
+
+    Parity: day-of-week is pure integer epoch-day arithmetic
+    (day % 7, day 0 = Thursday — the r8 rule; engine dayofweek()
+    conventions differ), money ×100 BIGINT at birth, share an exact
+    integer ratio.  One 7-group aggregate + a scalar broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(f"(unix_micros(o_orderdate) div {_US_PER_DAY}) % 7").alias(
+            "wd"
+        ),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return sort_bounded(
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("wd", "n_all")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.col("wd").cast("long").alias("weekday"),
+            "n_orders",
+            "total_cents",
+            (F.col("n_orders").cast("double") / F.col("n_all")).alias(
+                "order_share"
+            ),
+        ),
+        "weekday",
+    )
+
+
+# --------------------------------------------------------------------------
+# shipping SLA attainment per order priority
+# --------------------------------------------------------------------------
+
+SLA_DAYS = 30
+
+
+@register(
+    "order_priority_sla",
+    oracle=f"""
+    WITH first_ship AS (
+        SELECT l_orderkey,
+               MIN(epoch_us(l_shipdate)) AS first_ship_us
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN f.first_ship_us - epoch_us(o.o_orderdate)
+                              <= {SLA_DAYS}::BIGINT * {_US_PER_DAY}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+           CAST(SUM(CASE WHEN f.first_ship_us - epoch_us(o.o_orderdate)
+                              <= {SLA_DAYS}::BIGINT * {_US_PER_DAY}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS sla_rate
+    FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment per order priority: the share of orders whose
+    FIRST line shipped within {SLA_DAYS} days of order placement — the
+    ops-dashboard number behind "does priority actually buy speed",
+    and the complement of supplier_ship_latency's supplier view.
+
+    Shape: one per-order MIN aggregate on lineitem (map-side partial),
+    an orderkey equi-join (co-partitioned shuffle; bucketed layout
+    makes it zero-shuffle), a |priorities|-group rollup.  Parity: the
+    SLA cut compares exact integer µs; the rate is an exact integer
+    ratio (unrounded, r2 rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.unix_micros(F.col("l_shipdate"))).alias("first_ship_us")
+    )
+    within = F.when(
+        F.col("first_ship_us") - F.unix_micros(F.col("o_orderdate"))
+        <= F.lit(SLA_DAYS).cast("long") * F.lit(_US_PER_DAY),
+        1,
+    ).otherwise(0)
+    return sort_bounded(
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(within).cast("long").alias("n_within_sla"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_within_sla",
+            (
+                F.col("n_within_sla").cast("double") / F.col("n_orders")
+            ).alias("sla_rate"),
+        ),
+        "o_orderpriority",
+    )
+
+
+order_priority_sla.__doc__ = order_priority_sla.__doc__.format(
+    SLA_DAYS=SLA_DAYS
+)
+
+
+# --------------------------------------------------------------------------
+# (tax, discount) pricing grid
+# --------------------------------------------------------------------------
+
+@register(
+    "lineitem_tax_discount_grid",
+    oracle="""
+    SELECT CAST(ROUND(l_tax * 100, 0) AS BIGINT)      AS tax_pct,
+           CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+           CAST(COUNT(*) AS BIGINT)                   AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000,
+                               0) AS BIGINT)) AS BIGINT) / 10000.0
+                                                      AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY tax_pct, disc_pct
+    """,
+)
+def lineitem_tax_discount_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The (tax %, discount %) pricing grid: line counts, quantity, and
+    revenue per cell — the margin-structure heatmap a pricing analyst
+    reads, and the input to any discount-effectiveness model
+    (``lineitem_discount_effect`` fits the trend; this is the raw
+    surface).
+
+    Parity: grid keys are ROUND(×100) BIGINTs (2dp rates → exact
+    integers, no double grouping keys anywhere); revenue uses the r7
+    fixed-point rule (4dp product ×1e4 to BIGINT per term, one closing
+    division).  One ~9×11-group hash aggregate, map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return sort_bounded(
+        li.groupBy(
+            F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_pct"),
+            F.round(F.col("l_discount") * 100, 0)
+            .cast("long")
+            .alias("disc_pct"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias(
+                "sum_qty"
+            ),
+            (F.sum(rev4).cast("long") / 10000.0).alias("revenue"),
+        ),
+        "tax_pct",
+        "disc_pct",
+    )
