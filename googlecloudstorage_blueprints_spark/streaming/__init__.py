@@ -9,6 +9,7 @@ from googlecloudstorage_blueprints_spark.streaming.events_stream import (
 from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_cooccurrence,
     streaming_dedup,
+    streaming_first_ship_sla,
     streaming_funnel_delays,
     streaming_gapfill,
     streaming_dau_wau,
@@ -28,6 +29,7 @@ __all__ = [
     "streaming_stateful_sessions",
     "streaming_cooccurrence",
     "streaming_dedup",
+    "streaming_first_ship_sla",
     "streaming_funnel_delays",
     "streaming_gapfill",
     "streaming_dau_wau",

@@ -326,3 +326,33 @@ def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def read_lineitem_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "lineitem.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Lineitem as a file-source stream (the shipments feed) with the
+    same timestamp_ntz → TIMESTAMP normalization the batch catalog
+    applies to ``l_shipdate`` (fixtures regenerate between rounds and
+    have switched physical timestamp types before — round-5 rule)."""
+    apply_runtime_conf(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    ship_type = dict(stream.dtypes).get("l_shipdate")
+    if ship_type == "bigint":
+        stream = stream.withColumn(
+            "l_shipdate", F.timestamp_micros(F.expr("l_shipdate div 1000"))
+        )
+    elif ship_type == "timestamp_ntz":
+        stream = stream.withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp")
+        )
+    return stream

@@ -1193,3 +1193,122 @@ def streaming_funnel_delays(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming first-ship SLA: running-min changelog per order (r9)
+# ---------------------------------------------------------------------------
+
+_FIRSTSHIP_OUT_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("first_ship_us", LongType()),
+        StructField("ship_line", LongType()),
+    ]
+)
+
+_FIRSTSHIP_STATE_SCHEMA = StructType(
+    [
+        StructField("best_ship_us", LongType()),
+        StructField("best_line", LongType()),
+    ]
+)
+
+
+def _first_ship_per_order(key: tuple, pdfs, state: GroupState):
+    """Per-order running-MIN ship compaction — the mirror image of
+    ``_latest_per_key``: state holds the earliest (ship_us, linenumber)
+    seen; a micro-batch emits one row per order IFF it improves the
+    minimum.  Late/out-of-order/redelivered lines that LOSE the min
+    race are absorbed silently, so the changelog is replay-idempotent
+    under ANY delivery order and its newest (= smallest) emission per
+    key is the true first-ship timestamp once the backlog drains."""
+    import pandas as pd
+
+    (orderkey,) = key
+    rows = pd.concat(list(pdfs))
+    ship_us = rows["l_shipdate"].astype("int64") // 1000
+    rows = rows.assign(ship_us=ship_us)
+    best = rows.sort_values(["ship_us", "l_linenumber"]).iloc[0]
+    cand = (int(best["ship_us"]), int(best["l_linenumber"]))
+    if state.exists:
+        cur = (int(state.get[0]), int(state.get[1]))
+        if cand >= cur:
+            return
+    state.update(cand)
+    yield pd.DataFrame(
+        [
+            {
+                "l_orderkey": int(orderkey),
+                "first_ship_us": cand[0],
+                "ship_line": cand[1],
+            }
+        ]
+    )
+
+
+def streaming_first_ship_sla(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "lineitem.parquet",
+    max_files_per_trigger: int | None = None,
+    orders_dir: str | None = None,
+) -> DataFrame:
+    """Streaming SLA tracker — the incremental twin of the batch
+    ``order_priority_sla`` core (operators/segments.py): the shipments
+    feed compacts to a running-min first-ship changelog per order
+    (``_first_ship_per_order``), which a stream-static broadcast join
+    decorates with the order's priority and an integer-µs within-SLA
+    flag.  The newest emission per order matches the batch MIN exactly
+    (test-pinned), so per-priority SLA rates downstream are a plain
+    stateless aggregate of this append stream.
+
+    Scale: state is one fixed-width pair per LIVE order; no timeout for
+    the same reason as the snapshot twin (dropping an idle order would
+    forget its first shipment — memory is O(|open orders|), the bound
+    the downstream table has anyway).  The orders side rides the
+    broadcast stream-static join (no state store)."""
+    from googlecloudstorage_blueprints_spark.operators.segments import (
+        SLA_DAYS,
+        _US_PER_DAY,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import (
+        load_table,
+    )
+    from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+        read_lineitem_stream,
+    )
+
+    li = read_lineitem_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    changelog = (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .withWatermark("l_shipdate", WATERMARK)
+        .groupBy("l_orderkey")
+        .applyInPandasWithState(
+            _first_ship_per_order,
+            _FIRSTSHIP_OUT_SCHEMA,
+            _FIRSTSHIP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    orders = load_table(spark, orders_dir or sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.unix_micros(F.col("o_orderdate")).alias("order_us"),
+    )
+    within = (
+        F.col("first_ship_us") - F.col("order_us")
+        <= F.lit(SLA_DAYS).cast("long") * F.lit(_US_PER_DAY)
+    )
+    return changelog.join(
+        F.broadcast(orders),
+        changelog.l_orderkey == orders.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "o_orderpriority",
+        "first_ship_us",
+        within.alias("within_sla"),
+    )

@@ -509,3 +509,79 @@ def test_sessionize_kernel_closes_same_sessions_across_any_split(case):
     # the open tail waits in state for the timeout path (pinned e2e)
     start, last, n, total = state.get
     assert [int(start), int(last), int(n), float(total)] == ref_open
+
+
+# --- r9: running-min first-ship changelog ----------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _first_ship_per_order,
+)
+
+
+def _ship_rows_df(rows):
+    """rows: list of (ship_us, linenumber)."""
+    return pd.DataFrame(
+        {
+            "l_orderkey": 1,
+            "l_linenumber": [r[1] for r in rows],
+            "l_shipdate": pd.to_datetime([r[0] * 1000 for r in rows]),
+        }
+    )
+
+
+@st.composite
+def ship_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = [
+        (
+            draw(st.integers(min_value=0, max_value=5)) * 1_000_000,
+            i + 1,
+        )
+        for i in range(n)
+    ]
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(n - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            batches.append(rows[prev:c])
+            prev = c
+    order = draw(st.permutations(range(len(batches))))
+    return rows, [batches[i] for i in order]
+
+
+@given(ship_batches())
+@settings(max_examples=200, deadline=None)
+def test_first_ship_kernel_min_race_under_any_delivery_order(case):
+    rows, batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        for pdf in _first_ship_per_order(
+            (1,), iter([_ship_rows_df(batch)]), state
+        ):
+            emitted.append(
+                (
+                    int(pdf["first_ship_us"].iloc[0]),
+                    int(pdf["ship_line"].iloc[0]),
+                )
+            )
+    # emissions strictly improve the minimum; the last one IS the min
+    assert emitted == sorted(set(emitted), reverse=True)
+    assert emitted[-1] == min(rows)
+    assert (int(state.get[0]), int(state.get[1])) == min(rows)
+
+    again = []
+    for batch in batches:
+        again.extend(
+            _first_ship_per_order((1,), iter([_ship_rows_df(batch)]), state)
+        )
+    assert again == []

@@ -1265,3 +1265,67 @@ def test_streaming_funnel_delays_matches_batch_and_redelivery(
         (r["user_id"], r["delay_s"]) for r in again_df.collect()
     )
     assert again == batch, "redelivery must add zero emissions"
+
+
+def test_streaming_first_ship_sla_matches_batch(spark):
+    """The smallest emission per order of the running-min changelog,
+    decorated with priority + SLA flag, must reproduce the batch
+    order_priority_sla aggregate exactly."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_first_ship_sla,
+    )
+
+    got = run_stream_to_memory(
+        streaming_first_ship_sla(spark, SF), "firstship_single"
+    )
+    best = {}
+    for r in got.collect():
+        k = r["l_orderkey"]
+        if k not in best or r["first_ship_us"] < best[k]["first_ship_us"]:
+            best[k] = r
+    agg = {}
+    for r in best.values():
+        n, w = agg.get(r["o_orderpriority"], (0, 0))
+        agg[r["o_orderpriority"]] = (
+            n + 1,
+            w + (1 if r["within_sla"] else 0),
+        )
+    batch = {
+        r["o_orderpriority"]: (r["n_orders"], r["n_within_sla"])
+        for r in all_queries()["order_priority_sla"](spark, SF).collect()
+    }
+    assert agg == batch and len(batch) > 0
+
+
+def test_streaming_first_ship_sla_idempotent_on_redelivery(
+    spark, tmp_path
+):
+    """Re-delivering the whole shipments backlog must emit ZERO new
+    rows — every line loses the (ship_us, linenumber) min race."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_first_ship_sla,
+    )
+
+    src = f"{SF}/lineitem.parquet"
+    (tmp_path / "replay").mkdir()
+    shutil.copy(src, tmp_path / "replay" / "00_lineitem.parquet")
+    shutil.copy(src, tmp_path / "replay" / "01_lineitem.parquet")
+    got = run_stream_to_memory(
+        streaming_first_ship_sla(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+            orders_dir=SF,
+        ),
+        "firstship_redelivery",
+    )
+    rows = got.collect()
+    # one emission per order total: batch 2 adds nothing
+    keys = [r["l_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys)) and len(keys) > 0
