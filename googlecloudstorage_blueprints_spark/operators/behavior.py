@@ -800,3 +800,90 @@ def user_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sort_bounded(joined, "pct")
+
+
+# --------------------------------------------------------------------------
+# user lifecycle stages by activity recency
+# --------------------------------------------------------------------------
+
+LIFECYCLE_ACTIVE_DAYS = 7
+LIFECYCLE_COOLING_DAYS = 30
+
+
+@register(
+    "user_lifecycle_stages",
+    oracle=f"""
+    WITH ref AS (
+        SELECT MAX(epoch_us(ts)) // {_US_PER_DAY} AS ref_day FROM events
+    ),
+    per_user AS (
+        SELECT user_id, MAX(epoch_us(ts)) // {_US_PER_DAY} AS last_day
+        FROM events GROUP BY user_id
+    ),
+    staged AS (
+        SELECT CASE
+                 WHEN ref.ref_day - last_day <= {LIFECYCLE_ACTIVE_DAYS}
+                   THEN 'active'
+                 WHEN ref.ref_day - last_day <= {LIFECYCLE_COOLING_DAYS}
+                   THEN 'cooling'
+                 ELSE 'churned'
+               END AS stage
+        FROM per_user CROSS JOIN ref
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM staged)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / tot.n_all AS user_share
+    FROM staged CROSS JOIN tot
+    GROUP BY stage, tot.n_all
+    ORDER BY stage
+    """,
+)
+def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle census: users bucketed active / cooling / churned by
+    epoch-days since their LAST event, measured against the corpus's
+    newest event (a fixed "now" would rot with regenerated fixtures) —
+    the top-of-dashboard health split every retention review starts
+    from, and ``user_activity_span``'s categorical rollup.
+
+    Shape: one per-user MAX aggregate, a broadcast scalar reference
+    day, a 3-group rollup.  Parity: pure integer epoch-day arithmetic
+    end to end (the recency cuts compare exact BIGINTs — no date
+    function, no double anywhere except the final exact-integer
+    share ratio)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    ref = e.agg(F.max(day).cast("long").alias("ref_day"))
+    per_user = e.groupBy("user_id").agg(
+        F.max(day).cast("long").alias("last_day")
+    )
+    stage = (
+        F.when(
+            F.col("ref_day") - F.col("last_day")
+            <= LIFECYCLE_ACTIVE_DAYS,
+            "active",
+        )
+        .when(
+            F.col("ref_day") - F.col("last_day")
+            <= LIFECYCLE_COOLING_DAYS,
+            "cooling",
+        )
+        .otherwise("churned")
+    )
+    staged = per_user.crossJoin(F.broadcast(ref)).select(
+        stage.alias("stage")
+    )
+    tot = staged.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    return sort_bounded(
+        staged.crossJoin(F.broadcast(tot))
+        .groupBy("stage", "n_all")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_all")).alias(
+                "user_share"
+            ),
+        ),
+        "stage",
+    )

@@ -1219,3 +1219,88 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "checkpoint",
     )
+
+
+# --------------------------------------------------------------------------
+# temporal bigram novelty per document
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(a)), i -> a[i]))     AS w1,
+               unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+        FROM toks
+    ),
+    first_seen AS (
+        SELECT w1, w2, MIN(doc_id) AS first_doc FROM bg GROUP BY w1, w2
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS novelty_rate
+    FROM bg JOIN first_seen f ON f.w1 = bg.w1 AND f.w2 = bg.w2
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal bigram novelty per document: the share of a doc's
+    DISTINCT bigrams appearing for the FIRST time (in doc_id order) —
+    the freshness screen for incremental crawls: a batch whose novelty
+    collapses toward 0 is re-crawling what the corpus already holds,
+    and a pure-novelty doc is either genuinely new or line noise.
+
+    Shape: the Heaps-curve trick applied per bigram (min(doc_id) per
+    distinct bigram — no running-distinct window), joined back to the
+    per-doc distinct-bigram frame on (w1, w2); bigrams build in-row
+    via arrays_zip (r5 rule).  Parity: counts are exact integers,
+    novelty_rate an exact integer ratio (unrounded); |docs|-sized
+    output left unsorted (driver hash is order-insensitive)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    a = F.split("text", " ")
+    pairs_arr = F.arrays_zip(
+        F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
+    )
+    bg = (
+        d.where(F.size(a) >= 2)
+        .select("doc_id", F.explode_outer(pairs_arr).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+        )
+        .distinct()
+    )
+    first_seen = bg.groupBy("w1", "w2").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        bg.join(first_seen, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_bigrams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_distinct_bigrams")
+            ).alias("novelty_rate"),
+        )
+    )

@@ -1097,3 +1097,99 @@ def lineitem_tax_discount_grid(
         "tax_pct",
         "disc_pct",
     )
+
+
+# --------------------------------------------------------------------------
+# price-dispersion decomposition across brands (ANOVA terms per brand)
+# --------------------------------------------------------------------------
+
+@register(
+    "part_brand_price_dispersion",
+    oracle="""
+    WITH c AS (
+        SELECT p_brand,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
+        FROM part
+    ),
+    per_brand AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT)             AS n_b,
+               CAST(SUM(cents) AS BIGINT)           AS s_b,
+               CAST(SUM(cents * cents) AS BIGINT)   AS q_b
+        FROM c GROUP BY p_brand
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+               CAST(SUM(s_b) AS BIGINT) AS s
+        FROM per_brand
+    )
+    SELECT pb.p_brand,
+           pb.n_b AS n_parts,
+           ROUND(CAST(pb.s_b AS DOUBLE) / pb.n_b / 100, 6) AS mean_price,
+           ROUND((CAST(pb.q_b AS DOUBLE)
+                  - CAST(pb.s_b AS DOUBLE) * pb.s_b / pb.n_b)
+                 / NULLIF(pb.n_b - 1, 0) / 10000, 6) AS within_var,
+           ROUND(pb.n_b * (CAST(pb.s_b AS DOUBLE) / pb.n_b
+                           - CAST(tot.s AS DOUBLE) / tot.n)
+                        * (CAST(pb.s_b AS DOUBLE) / pb.n_b
+                           - CAST(tot.s AS DOUBLE) / tot.n)
+                 / 10000, 6) AS between_term
+    FROM per_brand pb CROSS JOIN tot
+    ORDER BY pb.p_brand
+    """,
+)
+def part_brand_price_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price-dispersion decomposition across brands — the ANOVA view of
+    the catalog: within_var says how noisy a brand's own pricing is,
+    between_term how far its mean sits from the grand mean (weighted);
+    Σbetween/Σwithin is the F-statistic's core, left to the reader
+    PER BRAND so no cross-brand double summation exists anywhere (a
+    25-term double fold would be summation-order territory).
+
+    Parity: 2dp prices ×100 to BIGINT at birth; every emitted value is
+    ONE deterministic double expression over exact per-brand integers
+    (the explicit-sum-formula rule), 6dp-rounded; NULLIF guards the
+    single-part brand.  Scale note: q_b stays in BIGINT while a brand's
+    Σcents² < 9e18 (~1e5 parts at $10k each per brand ×1e12 — far past
+    fixture scale; pre-scale to dollars beyond)."""
+    p = load_table(spark, sf_dir, "part")
+    c = p.select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+    )
+    per_brand = c.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("cents").cast("long").alias("s_b"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q_b"),
+    )
+    tot = per_brand.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("s_b").cast("long").alias("s"),
+    )
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    grand = F.col("s").cast("double") / F.col("n")
+    return sort_bounded(
+        per_brand.crossJoin(F.broadcast(tot)).select(
+            "p_brand",
+            F.col("n_b").alias("n_parts"),
+            F.round(mean_b / 100, 6).alias("mean_price"),
+            F.round(
+                (
+                    F.col("q_b").cast("double")
+                    - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+                )
+                / F.nullif(F.col("n_b") - 1, F.lit(0))
+                / 10000,
+                6,
+            ).alias("within_var"),
+            F.round(
+                F.col("n_b") * (mean_b - grand) * (mean_b - grand) / 10000,
+                6,
+            ).alias("between_term"),
+        ),
+        "p_brand",
+    )
