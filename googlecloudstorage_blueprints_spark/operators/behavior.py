@@ -653,33 +653,36 @@ def event_type_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    tot = tr.groupBy("src").agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_dst"),
-        F.max("cnt").cast("long").alias("top_cnt"),
-    )
+    # everything after tr runs on the |types|²-row transition frame:
+    # attach the per-src marginals via ONE src-partitioned window (the
+    # separate tot/terms aggregates each re-ran the events-side window —
+    # 9 static shuffles; this shape plans 3)
+    wsrc = Window.partitionBy("src")
+    n = F.sum("cnt").over(wsrc).cast("long")
     lnp6 = F.round(
-        F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000, 0
+        F.log(F.col("cnt").cast("double") / n) * 1000000, 0
     ).cast("long")
-    terms = (
-        tr.join(tot.select("src", "n"), "src")
-        .groupBy("src")
-        .agg(F.sum(F.col("cnt") * lnp6).cast("long").alias("wsum6"))
+    enriched = tr.select(
+        "src",
+        "cnt",
+        n.alias("n"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias("n_dst"),
+        F.max("cnt").over(wsrc).cast("long").alias("top_cnt"),
+        (F.col("cnt") * lnp6).alias("term6"),
     )
     return sort_bounded(
-        tot.join(terms, "src").select(
-            F.col("src").alias("event_type"),
-            F.col("n").alias("n_transitions"),
-            F.col("n_dst").alias("n_next_types"),
+        enriched.groupBy("src").agg(
+            F.max("n").alias("n_transitions"),
+            F.max("n_dst").alias("n_next_types"),
             F.round(
-                -F.col("wsum6").cast("double")
-                / (F.col("n").cast("double") * F.lit(1000000.0)),
+                -F.sum("term6").cast("double")
+                / (F.max("n").cast("double") * F.lit(1000000.0)),
                 6,
             ).alias("next_entropy"),
-            (F.col("top_cnt").cast("double") / F.col("n")).alias(
+            (F.max("top_cnt").cast("double") / F.max("n")).alias(
                 "top_next_share"
             ),
-        ),
+        ).withColumnRenamed("src", "event_type"),
         "event_type",
     )
 
