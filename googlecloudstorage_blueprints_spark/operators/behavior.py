@@ -760,7 +760,10 @@ def user_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("c").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    # single-partition cumulative over the bounded count-value ledger
+    w_all = Window.partitionBy()
+    # single-partition cumulative + totals over the bounded count-value
+    # ledger in ONE window pass (a separate .agg() for the totals would
+    # re-run the per-user count chain)
     cum = ledger.select(
         "c",
         "nu",
@@ -770,18 +773,18 @@ def user_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("nu") * F.col("c")).over(w), F.lit(0))
         .cast("long")
         .alias("ce_prev"),
-    )
-    tot = ledger.agg(
-        F.sum("nu").cast("long").alias("n_users"),
-        F.sum(F.col("nu") * F.col("c")).cast("long").alias("n_events"),
+        F.sum("nu").over(w_all).cast("long").alias("n_users"),
+        F.sum(F.col("nu") * F.col("c"))
+        .over(w_all)
+        .cast("long")
+        .alias("n_events"),
     )
     cuts = spark.createDataFrame(
         [(p,) for p in PARETO_PCTS], "pct long"
     )
     m = F.expr("(n_users * pct + 99) div 100")
     joined = (
-        cuts.crossJoin(F.broadcast(tot))
-        .join(
+        cuts.join(
             F.broadcast(cum),
             (F.col("cu_prev") < m)
             & (m <= F.col("cu_prev") + F.col("nu")),
@@ -876,17 +879,20 @@ def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = per_user.crossJoin(F.broadcast(ref)).select(
         stage.alias("stage")
     )
-    tot = staged.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    # total via an unpartitioned window over the ≤3-row stage counts —
+    # a separate .agg() would re-run the whole per-user chain
+    counts = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w_all = Window.partitionBy()
     return sort_bounded(
-        staged.crossJoin(F.broadcast(tot))
-        .groupBy("stage", "n_all")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .select(
+        counts.select(
             "stage",
             "n_users",
-            (F.col("n_users").cast("double") / F.col("n_all")).alias(
-                "user_share"
-            ),
+            (
+                F.col("n_users").cast("double")
+                / F.sum("n_users").over(w_all)
+            ).alias("user_share"),
         ),
         "stage",
     )
