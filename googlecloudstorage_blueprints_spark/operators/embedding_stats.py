@@ -611,3 +611,125 @@ def embedding_knn_label_purity(
 embedding_knn_label_purity.__doc__ = (
     embedding_knn_label_purity.__doc__.format(PURITY_K=PURITY_K)
 )
+
+
+# --------------------------------------------------------------------------
+# most-correlated dimension pairs (redundancy / rotation QA)
+# --------------------------------------------------------------------------
+
+DIMCORR_TOP_K = 15
+
+
+@register(
+    "embedding_dim_correlation_topk",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                   AS BIGINT) AS v6
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.dim AS dim_a, b.dim AS dim_b,
+               CAST(COUNT(*) AS BIGINT)         AS n,
+               CAST(SUM(a.v6) AS BIGINT)        AS sx,
+               CAST(SUM(b.v6) AS BIGINT)        AS sy,
+               CAST(SUM(a.v6 * b.v6) AS BIGINT) AS sxy,
+               CAST(SUM(a.v6 * a.v6) AS BIGINT) AS sxx,
+               CAST(SUM(b.v6 * b.v6) AS BIGINT) AS syy
+        FROM vals a JOIN vals b
+          ON b.vec_id = a.vec_id AND a.dim < b.dim
+        GROUP BY a.dim, b.dim
+    ),
+    corr AS (
+        SELECT dim_a, dim_b, n,
+               ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / NULLIF(SQRT((CAST(n AS DOUBLE) * sxx
+                                    - CAST(sx AS DOUBLE) * sx)
+                                   * (CAST(n AS DOUBLE) * syy
+                                      - CAST(sy AS DOUBLE) * sy)), 0),
+                     6) AS pearson
+        FROM pairs
+    )
+    SELECT dim_a, dim_b, pearson
+    FROM corr
+    WHERE pearson IS NOT NULL
+    ORDER BY ABS(pearson) DESC, dim_a, dim_b
+    LIMIT {DIMCORR_TOP_K}
+    """,
+)
+def embedding_dim_correlation_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The top-{DIMCORR_TOP_K} most-correlated embedding dimension
+    pairs — the redundancy probe behind PQ subspace design and
+    dimensionality debates: |corr| near 1 means the model wastes
+    capacity (or a projection bug duplicated an axis), and the PQ
+    tier's independence assumption weakens exactly where this list is
+    hot.
+
+    Shape: values fix-point to ×1e6 BIGINTs at birth, the pair space is
+    a per-vector self-join on dim (fan-out d²/2 per vector — bounded by
+    the EMBEDDING WIDTH, never by the corpus), and the moment aggregate
+    shuffles only |dim-pair| partials (2 016 for d=64) regardless of
+    corpus size.  Parity: all five sums are exact BIGINTs; Pearson
+    factors cast to double SEPARATELY before multiplying (r8 overflow
+    rule); NULLIF guards constant dimensions; 6dp round BEFORE the
+    |corr| ordering, (dim_a, dim_b) tiebreak.  Scale note: Σ(v6)² per
+    pair stays in BIGINT while |corpus| · (1e6·|v|)² < 9e18 — ~9e4
+    vectors at |v| ≤ 10; beyond that drop the fixed-point scale to 1e4
+    (values are float32, so 1e6 over-resolves anyway)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("fval").cast("double") * 1000000, 0)
+        .cast("long")
+        .alias("v6"),
+    )
+    a = vals.alias("a")
+    b = vals.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.vec_id") == F.col("a.vec_id"))
+            & (F.col("a.dim") < F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").alias("dim_a"), F.col("b.dim").alias("dim_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("a.v6").cast("long").alias("sx"),
+            F.sum("b.v6").cast("long").alias("sy"),
+            F.sum(F.col("a.v6") * F.col("b.v6")).cast("long").alias("sxy"),
+            F.sum(F.col("a.v6") * F.col("a.v6")).cast("long").alias("sxx"),
+            F.sum(F.col("b.v6") * F.col("b.v6")).cast("long").alias("syy"),
+        )
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    fx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    fy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    pearson = F.round(num / F.nullif(F.sqrt(fx * fy), F.lit(0.0)), 6)
+    return (
+        pairs.select("dim_a", "dim_b", pearson.alias("pearson"))
+        .where(F.col("pearson").isNotNull())
+        .orderBy(F.abs(F.col("pearson")).desc(), "dim_a", "dim_b")
+        .limit(DIMCORR_TOP_K)
+    )
+
+
+embedding_dim_correlation_topk.__doc__ = (
+    embedding_dim_correlation_topk.__doc__.format(
+        DIMCORR_TOP_K=DIMCORR_TOP_K
+    )
+)

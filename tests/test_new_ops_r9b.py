@@ -237,3 +237,33 @@ def test_knn_label_purity_two_tight_clusters(spark, tmp_path):
     assert got[0]["knn_purity"] == 1.0
     assert got[1]["knn_purity"] == 1.0
     assert got[0]["n_queries"] == 20
+
+
+def test_dim_correlation_duplicated_axis_reads_one(spark, tmp_path):
+    """Vectors whose dim 2 duplicates dim 1 (and dim 4 negates dim 3)
+    put (1,2) at pearson 1.0 and (3,4) at −1.0, leading the top-k."""
+    rng = np.random.default_rng(5)
+    vecs = []
+    for _ in range(50):
+        v = rng.normal(size=8)
+        v[1] = v[0]       # dims 1,2 identical
+        v[3] = -v[2]      # dims 3,4 anti-correlated
+        vecs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * 50, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    rows = _q()["embedding_dim_correlation_topk"](
+        spark, str(tmp_path)
+    ).collect()
+    top2 = {(r["dim_a"], r["dim_b"]): r["pearson"] for r in rows[:2]}
+    assert top2 == {(1, 2): 1.0, (3, 4): -1.0}
