@@ -585,3 +585,77 @@ def test_first_ship_kernel_min_race_under_any_delivery_order(case):
             _first_ship_per_order((1,), iter([_ship_rows_df(batch)]), state)
         )
     assert again == []
+
+
+# --- r9: sequence-pack running-offset kernel -------------------------------
+
+from googlecloudstorage_blueprints_spark.operators.training import (  # noqa: E402
+    PACK_CONTEXT_TOKENS,
+)
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _pack_bins,
+)
+
+
+def _pack_rows_df(docs):
+    """docs: list of (doc_id, n_tokens)."""
+    return pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": [d[0] for d in docs],
+            "n_tokens": [d[1] for d in docs],
+        }
+    )
+
+
+@st.composite
+def pack_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    # token counts straddling the context boundary: tiny docs, an
+    # exactly-C doc, and an over-C doc
+    sizes = draw(
+        st.lists(
+            st.sampled_from(
+                [1, 7, PACK_CONTEXT_TOKENS // 2, PACK_CONTEXT_TOKENS,
+                 PACK_CONTEXT_TOKENS + 3]
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    docs = [(i, sizes[i]) for i in range(n)]
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(n - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            batches.append(docs[prev:c])
+            prev = c
+    return docs, batches
+
+
+@given(pack_batches())
+@settings(max_examples=200, deadline=None)
+def test_pack_bins_kernel_offsets_bridge_any_split(case):
+    docs, batches = case
+    state = FakeGroupState()
+    got = {}
+    for batch in batches:
+        for pdf in _pack_bins(("s",), iter([_pack_rows_df(batch)]), state):
+            for r in pdf.itertuples(index=False):
+                got[int(r.doc_id)] = int(r.bin_id)
+    before = 0
+    ref = {}
+    for doc_id, toks in docs:
+        ref[doc_id] = before // PACK_CONTEXT_TOKENS
+        before += toks
+    assert got == ref
+    assert int(state.get[0]) == before
