@@ -659,3 +659,48 @@ def test_pack_bins_kernel_offsets_bridge_any_split(case):
         before += toks
     assert got == ref
     assert int(state.get[0]) == before
+
+
+# --- r9: LSH bucket pair emission ------------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _band_bucket_pairs,
+)
+
+
+@st.composite
+def bucket_batches(draw):
+    """Doc-id batches for one bucket, WITH redeliveries (ids repeat
+    across and within batches)."""
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    batches = [
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=9),
+                min_size=1,
+                max_size=5,
+            )
+        )
+        for _ in range(n_batches)
+    ]
+    return batches
+
+
+@given(bucket_batches())
+@settings(max_examples=200, deadline=None)
+def test_band_bucket_kernel_emits_each_pair_exactly_once(case):
+    batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        pdf_in = pd.DataFrame({"doc_id": batch})
+        for pdf in _band_bucket_pairs((3, 77), iter([pdf_in]), state):
+            emitted.extend(
+                (int(r.doc_a), int(r.doc_b)) for r in pdf.itertuples(index=False)
+            )
+    ids = {i for b in batches for i in b}
+    ref = {(a, b) for a in ids for b in ids if a < b}
+    # every unordered pair exactly once, despite arbitrary redelivery
+    assert sorted(emitted) == sorted(ref)
+    assert len(emitted) == len(set(emitted))
+    assert set(state.get[0]) == ids
