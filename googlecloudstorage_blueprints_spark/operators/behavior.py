@@ -896,3 +896,174 @@ def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "stage",
     )
+
+
+# --------------------------------------------------------------------------
+# bounce rate by session entry type
+# --------------------------------------------------------------------------
+
+@register(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ),
+    marked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts_us, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id, session_id) AS sess_n
+        FROM sess
+    )
+    SELECT event_type AS entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN sess_n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN sess_n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS bounce_rate
+    FROM marked WHERE rk = 1
+    GROUP BY event_type
+    ORDER BY entry_type
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY type: of the sessions that opened
+    with each event type, how many ended after that single event — the
+    landing-quality metric behind every funnel redesign, and the
+    categorical rollup of ``events_session_entry_exit``'s rankings.
+
+    Shape: the standard gap sessionization (lag + cumsum over ONE
+    user-keyed exchange), then a per-session rank/count window on the
+    (user, session) partitioning, then a |types|-row rollup.  Parity:
+    the entry pick and the bounce test are integer window results over
+    the (ts_us, event_id) total order; bounce_rate is an exact integer
+    ratio."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > SESSION_GAP_S * 1_000_000, 1).otherwise(0)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        is_new.alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = seq.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.sum("is_new").over(w2).alias("session_id"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    w_cnt = Window.partitionBy("user_id", "session_id")
+    marked = sess.select(
+        "event_type",
+        F.row_number().over(w_sess).alias("rk"),
+        F.count(F.lit(1)).over(w_cnt).alias("sess_n"),
+    )
+    bounce = F.when(F.col("sess_n") == 1, 1).otherwise(0)
+    return sort_bounded(
+        marked.where(F.col("rk") == 1)
+        .groupBy(F.col("event_type").alias("entry_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.col("n_bounces").cast("double") / F.col("n_sessions")
+            ).alias("bounce_rate"),
+        ),
+        "entry_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# weekday × hour load heat grid
+# --------------------------------------------------------------------------
+
+@register(
+    "events_weekday_hour_heatmap",
+    oracle=f"""
+    WITH g AS (
+        SELECT (epoch_us(ts) // {_US_PER_DAY}) % 7      AS weekday,
+               (epoch_us(ts) // {_US_PER_HOUR}) % 24    AS hour_of_day,
+               CAST(ROUND(value * 100, 0) AS BIGINT)    AS v_cents
+        FROM events
+    )
+    SELECT CAST(weekday AS BIGINT)      AS weekday,
+           CAST(hour_of_day AS BIGINT)  AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           CAST(SUM(v_cents) AS BIGINT) AS value_cents,
+           CAST(SUM(v_cents) AS DOUBLE) / COUNT(*) / 100 AS mean_value
+    FROM g
+    GROUP BY weekday, hour_of_day
+    ORDER BY weekday, hour_of_day
+    """,
+)
+def events_weekday_hour_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weekday × hour-of-day load grid (≤168 cells) — the capacity
+    heatmap every on-call rota and autoscaling policy is drawn from;
+    joins ``events_weekday_profile`` (weekday axis) and
+    ``events_seasonality`` (hour axis) into the full matrix.
+
+    Parity: grid keys are pure integer epoch arithmetic (day %7 — day 0
+    Thursday — and hour %24); values fix-point to ×100 BIGINT cents at
+    birth so the cell sums are exact at any order; mean is one division
+    of exact integers.  One 168-group hash aggregate, map-side
+    partials."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        F.expr(f"(unix_micros(ts) div {_US_PER_DAY}) % 7").alias("weekday"),
+        F.expr(f"(unix_micros(ts) div {_US_PER_HOUR}) % 24").alias(
+            "hour_of_day"
+        ),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+    )
+    return sort_bounded(
+        g.groupBy("weekday", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v_cents").cast("long").alias("value_cents"),
+        )
+        .select(
+            F.col("weekday").cast("long").alias("weekday"),
+            F.col("hour_of_day").cast("long").alias("hour_of_day"),
+            "n_events",
+            "value_cents",
+            (
+                F.col("value_cents").cast("double")
+                / F.col("n_events")
+                / 100
+            ).alias("mean_value"),
+        ),
+        "weekday",
+        "hour_of_day",
+    )

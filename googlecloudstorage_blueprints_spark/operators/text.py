@@ -567,3 +567,97 @@ def doc_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("ttr"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality metrics rolled up by length bucket
+# --------------------------------------------------------------------------
+
+QUALITY_LEN_BUCKET = 500
+
+
+@register(
+    "quality_by_length_bucket",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(length(text) AS BIGINT) // {QUALITY_LEN_BUCKET}
+                   AS len_bucket,
+               CAST(ROUND((length(text) - len(string_split(text, ' ')) + 1)
+                          * 1000000.0 / len(string_split(text, ' ')), 0)
+                   AS BIGINT) AS atl6,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                     AND (length(text) - len(string_split(text, ' ')) + 1)
+                         * 1.0 / len(string_split(text, ' '))
+                         BETWEEN 2 AND 12
+                    THEN 1 ELSE 0 END AS passes
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(passes) AS BIGINT) AS n_pass,
+           CAST(SUM(passes) AS DOUBLE) / COUNT(*) AS pass_rate,
+           ROUND(CAST(SUM(atl6) AS BIGINT)
+                 / (COUNT(*) * 1000000.0), 6) AS mean_avg_token_len
+    FROM scored
+    GROUP BY len_bucket
+    ORDER BY len_bucket
+    """,
+)
+def quality_by_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate's pass rate and mean token length per
+    {QUALITY_LEN_BUCKET}-char length bucket — the calibration view for
+    the gate itself: a pass rate cratering in one length band means the
+    thresholds encode a length bias, not a quality judgment.
+
+    Shape: one map-side projection (the ``quality_score`` features) and
+    a length-bounded rollup.  Parity: the bucket key is integer
+    division of the exact char count; per-doc mean token length is
+    fixed-pointed ×1e6 to BIGINT at birth (averaging raw division
+    doubles would be summation-order territory), summed in integer
+    space, divided once; pass_rate is an exact integer ratio."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    n_tokens = F.size(F.split("text", " "))
+    n_chars = F.length("text")
+    avg_tok = (n_chars - n_tokens + 1) * F.lit(1.0) / n_tokens
+    scored = d.select(
+        F.expr(
+            f"CAST(length(text) AS BIGINT) div {QUALITY_LEN_BUCKET}"
+        ).alias("len_bucket"),
+        F.round(avg_tok * 1000000, 0).cast("long").alias("atl6"),
+        F.when((n_tokens >= 20) & avg_tok.between(2, 12), 1)
+        .otherwise(0)
+        .alias("passes"),
+    )
+    from googlecloudstorage_blueprints_spark.functions.frames import (
+        sort_bounded,
+    )
+
+    return sort_bounded(
+        scored.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("passes").cast("long").alias("n_pass"),
+            F.round(
+                F.sum("atl6").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("mean_avg_token_len"),
+        )
+        .select(
+            "len_bucket",
+            "n_docs",
+            "n_pass",
+            (F.col("n_pass").cast("double") / F.col("n_docs")).alias(
+                "pass_rate"
+            ),
+            "mean_avg_token_len",
+        ),
+        "len_bucket",
+    )
+
+
+quality_by_length_bucket.__doc__ = quality_by_length_bucket.__doc__.format(
+    QUALITY_LEN_BUCKET=QUALITY_LEN_BUCKET
+)
