@@ -29,6 +29,7 @@ REPORT_SOURCES = (
     "hapax_ratio_by_source",      # vocabulary productivity
     "simpson_diversity_by_source",  # collision-probability diversity
     "bigram_entropy_by_source",   # sequence diversity
+    "logprob_quantiles_by_source",  # perplexity band (r9: p50 unigram NLL)
 )
 
 
@@ -59,6 +60,11 @@ def corpus_report(
     entropy = qs["bigram_entropy_by_source"](spark, sf_dir).select(
         "source", "bigram_entropy"
     )
+    nll = qs["logprob_quantiles_by_source"](spark, sf_dir).select(
+        "source",
+        F.col("p50_nll").alias("median_unigram_nll"),
+        F.col("p90_nll").alias("p90_unigram_nll"),
+    )
 
     report = (
         scorecard.join(F.broadcast(dedup), "source")
@@ -66,6 +72,7 @@ def corpus_report(
         .join(F.broadcast(hapax), "source")
         .join(F.broadcast(simpson), "source")
         .join(F.broadcast(entropy), "source")
+        .join(F.broadcast(nll), "source")
         .orderBy("source")
     )
     if out_path is not None:

@@ -140,5 +140,11 @@ def test_corpus_report_composes_registered_ops(spark, tmp_path):
         got = {s: rows[s][col] for s in rows}
         assert got == expect, f"report column {col} diverges from {op}"
 
+    nll = {
+        r["source"]: r["p50_nll"]
+        for r in qs["logprob_quantiles_by_source"](spark, SF).collect()
+    }
+    assert {s: rows[s]["median_unigram_nll"] for s in rows} == nll
+
     written = spark.read.parquet(out)
     assert written.count() == len(sources)
