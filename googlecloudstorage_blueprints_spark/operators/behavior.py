@@ -1067,3 +1067,77 @@ def events_weekday_hour_heatmap(
         "weekday",
         "hour_of_day",
     )
+
+
+# --------------------------------------------------------------------------
+# daily new-vs-returning user split
+# --------------------------------------------------------------------------
+
+@register(
+    "events_new_vs_returning",
+    oracle=f"""
+    WITH first_day AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) // {_US_PER_DAY} AS d0
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT e.user_id,
+               epoch_us(e.ts) // {_US_PER_DAY} AS d,
+               f.d0
+        FROM events e JOIN first_day f ON f.user_id = e.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(d AS BIGINT) AS epoch_day,
+           CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_users,
+           CAST(SUM(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning_users,
+           CAST(SUM(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS returning_share
+    FROM daily
+    GROUP BY d
+    ORDER BY epoch_day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition-vs-retention split: per active day, how many
+    users were active for the FIRST time vs returning — the growth
+    chart's two lines, and the denominator sanity check for
+    ``events_dau_wau`` (new + returning = DAU by construction).
+
+    Shape: one per-user MIN aggregate (first active day), an equi-join
+    back on user_id, the (user, day) distinct frame, then a
+    |days|-bounded rollup.  Parity: pure integer epoch-day math; the
+    new/returning test compares exact BIGINTs; returning_share is an
+    exact integer ratio."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    first_day = e.groupBy("user_id").agg(
+        F.min(day).cast("long").alias("d0")
+    )
+    daily = (
+        e.select("user_id", day.alias("d"))
+        .join(first_day, "user_id")
+        .groupBy("user_id", "d", "d0")
+        .agg(F.lit(1).alias("one"))
+    )
+    is_new = F.when(F.col("d") == F.col("d0"), 1).otherwise(0)
+    is_ret = F.when(F.col("d") > F.col("d0"), 1).otherwise(0)
+    return sort_bounded(
+        daily.groupBy(F.col("d").cast("long").alias("epoch_day"))
+        .agg(
+            F.sum(is_new).cast("long").alias("n_new_users"),
+            F.sum(is_ret).cast("long").alias("n_returning_users"),
+        )
+        .select(
+            "epoch_day",
+            "n_new_users",
+            "n_returning_users",
+            (
+                F.col("n_returning_users").cast("double")
+                / (F.col("n_new_users") + F.col("n_returning_users"))
+            ).alias("returning_share"),
+        ),
+        "epoch_day",
+    )
