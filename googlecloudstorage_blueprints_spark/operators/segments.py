@@ -564,16 +564,17 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     formed in double (CAST(x AS DOUBLE) · y — a BIGINT product would
     overflow at cluster scale where the doubles stay exact to 2⁵³);
     (n_both DESC, part_a, part_b) is a total order."""
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    n = op.agg(
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # marginals straight off the scan (r9): COUNT DISTINCT per key gives
+    # the same integers as counting the distinct (order, part) relation,
+    # without re-running op's distinct shuffle for each consumer — the
+    # self-join remains op's only consumer pair (ReusedExchange)
+    n = li.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )
-    pc = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_part")
+    pc = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_part")
     )
     a = op.alias("a")
     b = op.alias("b")

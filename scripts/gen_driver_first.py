@@ -65,6 +65,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "doc_logprob_bigram",
     # -- integer epoch-day keys in the dau/wau chain (plan change)
     "events_dau_wau",
+    # -- marginals straight off the lineitem scan (plan change)
+    "part_copurchase_lift",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
