@@ -1210,12 +1210,21 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     )
+    # LEFT joins from the checkpoint spine: a checkpoint whose cutoff
+    # precedes every doc_id (offset/sparse id domains in regenerated
+    # fixtures) must still emit a zero row, as the oracle's scalar
+    # subqueries do — an inner join here would drop it (row-count
+    # mismatch; the join_anti lesson applied to spines)
     return sort_bounded(
-        docs_roll.join(vocab_roll, "k").select(
+        ks.join(docs_roll, "k", "left")
+        .join(vocab_roll, "k", "left")
+        .select(
             F.col("k").cast("long").alias("checkpoint"),
-            "n_docs",
-            "n_tokens",
-            "vocab",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
         ),
         "checkpoint",
     )

@@ -267,3 +267,34 @@ def test_dim_correlation_duplicated_axis_reads_one(spark, tmp_path):
     ).collect()
     top2 = {(r["dim_a"], r["dim_b"]): r["pearson"] for r in rows[:2]}
     assert top2 == {(1, 2): 1.0, (3, 4): -1.0}
+
+
+def test_vocab_growth_offset_ids_keep_zero_checkpoints(spark, tmp_path):
+    """doc_ids 900-909 under max+1 = 910: every cutoff below k = 10
+    precedes all docs, so checkpoints 1-9 must emit ZERO rows (not
+    vanish) — identically on both engines (the spine-join fix)."""
+    import duckdb
+
+    from googlecloudstorage_blueprints_spark.operators import all_oracles
+
+    _write_docs(
+        tmp_path, [(900 + i, f"w{i} w{i}", "s") for i in range(10)]
+    )
+    sdf = _q()["vocab_growth_curve"](spark, str(tmp_path))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(all_oracles()["vocab_growth_curve"]).fetchall()
+    )
+    con.close()
+    assert len(srows) == 10, "zero checkpoints dropped"
+    assert srows == drows
+    # k=1..9 all zero; k=10 covers everything (10 docs, 20 tokens,
+    # 10 distinct words)
+    assert srows[0] == (1, 0, 0, 0)
+    assert srows[-1] == (10, 10, 20, 10)
