@@ -168,18 +168,16 @@ def bench_shapes(
         # (user, day) frame instead of a rolling-distinct window — the
         # fan-out scales with activity rows, the day-keyed shuffle with
         # |days| (fixed under user replication)
+        # r9 form: integer epoch-day keys end to end
         ud = ev.select(
-            "user_id", F.date_trunc("day", "ts").alias("d")
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
         ).distinct()
         dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
         cover = ud.select(
             "user_id",
             F.explode_outer(
-                F.sequence(
-                    "d",
-                    F.col("d") + F.expr("INTERVAL 6 DAY"),
-                    F.expr("INTERVAL 1 DAY"),
-                )
+                F.sequence(F.col("d"), F.col("d") + 6)
             ).alias("b"),
         )
         wau = cover.groupBy(F.col("b").alias("d")).agg(
@@ -283,11 +281,12 @@ def bench_shapes(
         # replicated orders (disjoint key spaces) grow the pair count
         # linearly, never |parts|²
         op = li.select("l_orderkey", "l_partkey").distinct()
-        n = op.agg(
+        # r9 form: marginals straight off the scan (no distinct recompute)
+        n = li.agg(
             F.countDistinct("l_orderkey").cast("long").alias("n_orders")
         )
-        pc = op.groupBy("l_partkey").agg(
-            F.count(F.lit(1)).cast("long").alias("n_part")
+        pc = li.groupBy("l_partkey").agg(
+            F.countDistinct("l_orderkey").cast("long").alias("n_part")
         )
         a2, b2 = op.alias("a"), op.alias("b")
         pairs = (
