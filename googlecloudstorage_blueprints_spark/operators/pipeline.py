@@ -890,3 +890,80 @@ def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_neg_logprob"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic weighted sample (Efraimidis–Spirakis A-ES, no RNG state)
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 20
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(n_chars AS BIGINT) AS w,
+               -- u in (0,1] from the first 8 md5 hex chars (exact in
+               -- double: 32-bit integer over 2^32)
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 1) / 4294967296.0 AS u
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    scored AS (
+        SELECT doc_id, source, w,
+               CAST(ROUND(-LN(u) * 1000000, 0) AS BIGINT) AS negln6
+        FROM keyed
+    )
+    SELECT doc_id, source, w AS weight,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(negln6 AS DOUBLE) / w, doc_id
+           ) AS BIGINT) AS sample_rank
+    FROM scored
+    ORDER BY sample_rank
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis A-ES): keep
+    the k docs minimizing −ln(u)/w with u a uniform hash of the doc id
+    — inclusion probability proportional to weight (n_chars here:
+    char-weighted sampling approximates token-budget sampling), with
+    NO RNG state, so the sample is identical on every run, retry, and
+    engine — ``uniform_sample_hash``'s weighted sibling and the
+    distributed replacement for weighted reservoir sampling.
+
+    Parity: u is built from the first 8 md5 hex chars — a 32-bit
+    integer, exact in double, identical text both engines; −ln(u) is
+    fixed-pointed ×1e6 to BIGINT per doc (r7 rule), and the ranking key
+    is ONE division of that exact integer by the exact weight — a
+    deterministic double both engines order identically, doc_id
+    tiebreak.  Shape: map-side key computation + a global top-k
+    (TakeOrderedAndProject — no full sort)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    negln6 = F.round(-F.log(u) * 1000000, 0).cast("long")
+    key = (F.col("negln6").cast("double") / F.col("w")).alias("aes_key")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("w"),
+        negln6.alias("negln6"),
+    ).select("doc_id", "source", "w", key)
+    # global top-k via orderBy+limit (TakeOrderedAndProject — per-
+    # partition partial top-k, never a SinglePartition sort); the rank
+    # window then runs over the K-ROW survivor frame only
+    topk = keyed.orderBy("aes_key", "doc_id").limit(WEIGHTED_SAMPLE_K)
+    wnd = Window.orderBy("aes_key", "doc_id")
+    return topk.select(
+        "doc_id",
+        "source",
+        F.col("w").alias("weight"),
+        F.row_number().over(wnd).cast("long").alias("sample_rank"),
+    ).orderBy("sample_rank")

@@ -198,3 +198,53 @@ def test_fk_orphan_check_planted_orphan_lineitem(spark, planted_dir):
     assert all(
         v[1] == 0 for k, v in by_edge.items() if k != "lineitem.order"
     )
+
+
+def test_linenumber_audit_planted_violations(spark, tmp_path):
+    """The fixture's counters fire naturally (its linenumbers are not
+    contiguous — the known (l_orderkey, l_linenumber) non-uniqueness
+    trap), so pin DELTAS instead: planting one duplicate line into a
+    known-contiguous ghost order and one offset-start order must move
+    each counter by exactly the planted amount, identically on both
+    engines."""
+    cols = ["n_orders", "n_dup_linenumbers", "n_bad_start", "n_noncontiguous"]
+    base = dict(
+        zip(
+            cols,
+            _compare(spark, "lineitem_linenumber_audit", SF_SRC)[0],
+        )
+    )
+
+    li = pq.read_table(f"{SF_SRC}/lineitem.parquet")
+    # ghost order A: lines 1,1 → duplicate (and thereby non-contiguous)
+    dup_a = li.slice(0, 2).to_pydict()
+    dup_a["l_orderkey"] = [_GHOST_ORDERKEY] * 2
+    dup_a["l_linenumber"] = [1, 1]
+    # ghost order B: single line starting at 5 → bad start
+    off_b = li.slice(0, 1).to_pydict()
+    off_b["l_orderkey"] = [_GHOST_ORDERKEY + 1]
+    off_b["l_linenumber"] = [5]
+    pq.write_table(
+        pa.concat_tables(
+            [
+                li,
+                pa.Table.from_pydict(dup_a, schema=li.schema),
+                pa.Table.from_pydict(off_b, schema=li.schema),
+            ]
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    for t in TABLES:
+        if t != "lineitem":
+            os.symlink(f"{SF_SRC}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    got = dict(
+        zip(
+            cols,
+            _compare(spark, "lineitem_linenumber_audit", str(tmp_path))[0],
+        )
+    )
+    assert got["n_orders"] == base["n_orders"] + 2
+    assert got["n_dup_linenumbers"] == base["n_dup_linenumbers"] + 1
+    assert got["n_bad_start"] == base["n_bad_start"] + 1
+    assert got["n_noncontiguous"] == base["n_noncontiguous"] + 2
