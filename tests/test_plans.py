@@ -298,3 +298,35 @@ def test_abc_class_cumsum_runs_on_supplier_dim_only(spark):
     # exactly one data-sized exchange: the supplier-keyed aggregate;
     # the window's SinglePartition input is the |suppliers|-row frame
     assert "hashpartitioning(l_suppkey" in plan
+
+
+def test_weighted_sample_cuts_before_ranking(spark):
+    """The A-ES sample must reach its global order via TakeOrdered
+    (per-partition partial top-k), with the rank window running only on
+    the K-row survivor frame — never a SinglePartition sort of the
+    corpus (the r9 audit caught exactly that in the op's first draft)."""
+    df = QUERIES["weighted_sample_topk"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # the one SinglePartition exchange feeds the K-row rank, nothing else
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_user_event_pareto_windows_ride_the_ledger(spark):
+    """The concentration cuts must run on the count-VALUE ledger (one
+    row per distinct per-user count), not rank users: no row_number over
+    a user-sized frame, and the single-partition cumulative is the
+    bounded ledger pass."""
+    df = QUERIES["user_event_pareto"](spark, SF)
+    plan = explain_str(df)
+    assert "row_number" not in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_gini_rank_window_is_nation_partitioned(spark):
+    """The Gini rank must be a PARTITIONED window (per-nation sort),
+    never a global order over all customers."""
+    df = QUERIES["customer_value_gini"](spark, SF)
+    plan = explain_str(df)
+    assert "hashpartitioning(c_nationkey" in plan
+    assert "SinglePartition" not in plan
