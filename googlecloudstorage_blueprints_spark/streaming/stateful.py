@@ -1312,3 +1312,129 @@ def streaming_first_ship_sla(
         "first_ship_us",
         within.alias("within_sla"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming session entries: gap sessionizer that carries the entry type
+# ---------------------------------------------------------------------------
+
+_ENTRY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("entry_type", StringType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_ENTRY_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("entry_type", StringType()),
+        StructField("entry_event_id", LongType()),
+    ]
+)
+
+
+def _sessionize_entries(key: tuple, pdfs, state: GroupState):
+    """``_sessionize`` with the session's ENTRY EVENT tracked in state:
+    the entry is the (ts_us, event_id)-minimal event of the session, so
+    a late-but-within-watermark straggler that precedes the current
+    entry TAKES OVER the entry slot (same min-race rule the batch
+    window uses); closed sessions emit (entry_type, bounds, n_events) —
+    the feed ``session_bounce_rate`` aggregates statelessly."""
+    import pandas as pd
+
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start, last, n, etype, eid = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "entry_type": str(etype),
+                    "start_us": int(start),
+                    "end_us": int(last),
+                    "n_events": int(n),
+                }
+            ]
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+    order = ts_us.argsort(kind="stable")
+    ts_us = ts_us[order]
+    eids = rows["event_id"].to_numpy()[order]
+    types = rows["event_type"].to_numpy()[order]
+
+    if state.exists:
+        start, last, n, etype, eeid = state.get
+        start, last, n, eeid = int(start), int(last), int(n), int(eeid)
+        etype = str(etype)
+    else:
+        start, last, n, etype, eeid = (
+            int(ts_us[0]), int(ts_us[0]) - 1, 0, "", -1,
+        )
+
+    closed = []
+    for t, eid, ty in zip(ts_us, eids, types):
+        t, eid, ty = int(t), int(eid), str(ty)
+        if n > 0 and t - last > SESSION_GAP_US:
+            closed.append(
+                {
+                    "user_id": int(user_id),
+                    "entry_type": etype,
+                    "start_us": start,
+                    "end_us": last,
+                    "n_events": n,
+                }
+            )
+            start, n, etype, eeid = t, 0, "", -1
+        # the (ts, event_id)-minimal event owns the entry slot — a late
+        # straggler preceding the current entry takes it over, matching
+        # the batch rank window's total order
+        if n == 0 or (t, eid) < (start, eeid):
+            etype, eeid = ty, eid
+        start = t if n == 0 else min(start, t)
+        last, n = max(last, t), n + 1
+
+    state.update((start, last, n, etype, eeid))
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def streaming_session_entries(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming session-entry feed — the incremental twin of the
+    ``session_bounce_rate`` core: closed sessions arrive as
+    (entry_type, bounds, n_events) rows, so per-entry-type bounce
+    rates downstream are one stateless aggregate of this append stream
+    (bounce = n_events == 1).  Same gap rule, timeout closure, and
+    (ts, event_id) entry race as the batch windows — pinned batch-equal
+    over replay in tests."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_entries,
+            _ENTRY_OUT_SCHEMA,
+            _ENTRY_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -704,3 +704,55 @@ def test_band_bucket_kernel_emits_each_pair_exactly_once(case):
     assert sorted(emitted) == sorted(ref)
     assert len(emitted) == len(set(emitted))
     assert set(state.get[0]) == ids
+
+
+# --- r9: entry-carrying sessionizer ----------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _sessionize_entries,
+)
+
+
+def _ref_entry_sessions(events):
+    """Whole-sequence reference: gap-rule sessions, each tagged with the
+    type of its (ts, event_id)-minimal event."""
+    ordered = sorted(events)
+    sessions, cur = [], None
+    for ts, eid, ty in ordered:
+        if cur and ts - cur[2] > SESSION_GAP_US:
+            sessions.append(cur)
+            cur = None
+        if cur is None:
+            cur = [ty, ts, ts, 0, (ts, eid)]
+        if (ts, eid) < cur[4]:
+            cur[0], cur[4] = ty, (ts, eid)
+        cur[1] = min(cur[1], ts)
+        cur[2] = max(cur[2], ts)
+        cur[3] += 1
+    return sessions, cur
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_sessionize_entries_kernel_tags_the_minimal_event(case):
+    events, batches = case
+    state = FakeTimerGroupState()
+    closed = []
+    for batch in batches:
+        for pdf in _sessionize_entries(
+            (1,), iter([_rows_df(batch)]), state
+        ):
+            for r in pdf.itertuples(index=False):
+                closed.append(
+                    (
+                        str(r.entry_type),
+                        int(r.start_us),
+                        int(r.end_us),
+                        int(r.n_events),
+                    )
+                )
+    ref_closed, ref_open = _ref_entry_sessions(events)
+    assert closed == [tuple(s[:4]) for s in ref_closed]
+    start, last, n, etype, eeid = state.get
+    assert [str(etype), int(start), int(last), int(n)] == ref_open[:4]
+    assert (int(state.get[0]), int(eeid)) == ref_open[4]

@@ -1329,3 +1329,70 @@ def test_streaming_first_ship_sla_idempotent_on_redelivery(
     # one emission per order total: batch 2 adds nothing
     keys = [r["l_orderkey"] for r in rows]
     assert len(keys) == len(set(keys)) and len(keys) > 0
+
+
+def test_streaming_session_entries_matches_batch_bounce_core(
+    spark, tmp_path
+):
+    """Aggregating the closed-session entry feed per entry type must
+    reproduce the batch session_bounce_rate table exactly.  Event-time
+    timeouts fire only while batches still arrive, so two far-future
+    sentinel batches push the watermark past every open tail (the
+    gapfill-eviction replay technique) — after which EVERY original
+    session must have emitted."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_entries,
+    )
+
+    (tmp_path / "replay").mkdir()
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay" / "00_events.parquet"
+    )
+    base = pq.read_table(f"{SF}/events.parquet")
+    far = pa.compute.max(base.column("ts")).as_py()
+    import datetime
+
+    for i, delta_h in enumerate([24 * 400, 24 * 400 + 1]):
+        sent = pa.Table.from_pydict(
+            {
+                "event_id": [10_000_000 + i],
+                "ts": [far + datetime.timedelta(hours=delta_h)],
+                "user_id": [-1],
+                "event_type": ["sentinel"],
+                "value": [0.0],
+                "props": ["{}"],
+            },
+            schema=base.schema,
+        )
+        pq.write_table(
+            sent, tmp_path / "replay" / f"0{i + 1}_sentinel.parquet"
+        )
+
+    got = run_stream_to_memory(
+        streaming_session_entries(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "session_entries",
+    ).where("user_id >= 0")
+    agg = {}
+    for r in got.collect():
+        n, b = agg.get(r["entry_type"], (0, 0))
+        agg[r["entry_type"]] = (
+            n + 1,
+            b + (1 if r["n_events"] == 1 else 0),
+        )
+    batch = {
+        r["entry_type"]: (r["n_sessions"], r["n_bounces"])
+        for r in all_queries()["session_bounce_rate"](spark, SF).collect()
+    }
+    assert agg == batch and len(batch) > 0
