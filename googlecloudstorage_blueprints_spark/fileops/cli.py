@@ -158,7 +158,66 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-top-share", dest="max_top_share", type=float,
                    default=0.15)
     c.add_argument("--service-account", dest="service_account", default=None)
+
+    st = sub.add_parser(
+        "stream",
+        help="drain a streaming twin over the fixture backlog into "
+             "parquet (availableNow; checkpointed exactly-once sink)",
+    )
+    st.add_argument("name", nargs="?", default=None,
+                    help="twin name (omit to list); e.g. latest_snapshot")
+    st.add_argument("--sf-dir", dest="sf_dir",
+                    default="/root/testdata/sf0.001")
+    st.add_argument("--output", dest="output", default=None,
+                    help="destination parquet dir (required with a name)")
+    st.add_argument("--service-account", dest="service_account",
+                    default=None)
     return parser
+
+
+def _stream_twins() -> dict:
+    """Twin name → constructor, derived from the streaming package's
+    export list (every ``streaming_*`` callable takes (spark, sf_dir)
+    with optional extras)."""
+    import googlecloudstorage_blueprints_spark.streaming as streaming
+
+    return {
+        name[len("streaming_"):]: getattr(streaming, name)
+        for name in streaming.__all__
+        if name.startswith("streaming_")
+    }
+
+
+def _run_stream(args) -> int:
+    twins = _stream_twins()
+    if args.name is None:
+        for name in sorted(twins):
+            print(name)
+        return 0
+    if args.name not in twins:
+        print(f"error: unknown twin '{args.name}' "
+              f"(run 'stream' with no name to list)", file=sys.stderr)
+        return 2
+    if not args.output:
+        print("error: --output is required to drain a twin",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(
+        app_name=f"gcs-blueprints-stream-{args.name}",
+        service_account=args.service_account,
+    )
+    df = twins[args.name](spark, args.sf_dir)
+    query = (
+        df.writeStream.format("parquet")
+        .option("path", args.output)
+        .option("checkpointLocation", f"{args.output}_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n = spark.read.parquet(args.output).count()
+    print(f"{n} rows written: {args.output}")
+    return 0
 
 
 def _run_query(args) -> int:
@@ -284,6 +343,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_sql(args)
     if args.verb == "report":
         return _run_report(args)
+    if args.verb == "stream":
+        return _run_stream(args)
     if args.verb == "curate":
         return _run_curate(args)
     # resolve credentials here so the tempfile an inline-JSON key creates

@@ -197,3 +197,33 @@ def test_cli_report_prints_and_writes(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "zipf_slope" in printed and "simpson_diversity" in printed
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_stream_lists_and_drains_a_twin(tmp_path, capsys):
+    """The stream verb must list every streaming_* export, and draining
+    latest_snapshot must write one row per user to parquet through the
+    checkpointed sink."""
+    from googlecloudstorage_blueprints_spark.fileops.cli import main
+
+    assert main(["stream"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert "latest_snapshot" in listed and "session_entries" in listed
+
+    out = f"{tmp_path}/snap"
+    assert main([
+        "stream", "latest_snapshot",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out,
+    ]) == 0
+    import duckdb
+
+    n_users = duckdb.sql(
+        "SELECT count(DISTINCT user_id) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    got = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert got == n_users
+
+    assert main(["stream", "nope", "--output", f"{tmp_path}/x"]) == 2
