@@ -172,6 +172,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="destination parquet dir (required with a name)")
     st.add_argument("--service-account", dest="service_account",
                     default=None)
+
+    m = sub.add_parser(
+        "sessions",
+        help="build the behavioral session mart "
+             "(sessionize -> per-session features -> day-partitioned "
+             "write)",
+    )
+    m.add_argument("--sf-dir", dest="sf_dir",
+                   default="/root/testdata/sf0.001")
+    m.add_argument("--output", dest="output", required=True,
+                   help="destination directory (partitioned by epoch_day)")
+    m.add_argument("--service-account", dest="service_account",
+                   default=None)
     return parser
 
 
@@ -217,6 +230,23 @@ def _run_stream(args) -> int:
     query.awaitTermination()
     n = spark.read.parquet(args.output).count()
     print(f"{n} rows written: {args.output}")
+    return 0
+
+
+def _run_sessions(args) -> int:
+    from googlecloudstorage_blueprints_spark.pipelines import (
+        build_session_mart,
+    )
+
+    spark = get_spark(
+        app_name="gcs-blueprints-sessions",
+        service_account=args.service_account,
+    )
+    report = build_session_mart(spark, args.sf_dir, args.output)
+    print(f"{report.n_events} events read")
+    print(f"{report.n_sessions} sessions ({report.n_users} users, "
+          f"{report.n_bounces} bounces, {report.n_days} days)")
+    print(f"written: {args.output} (partitioned by epoch_day)")
     return 0
 
 
@@ -345,6 +375,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_report(args)
     if args.verb == "stream":
         return _run_stream(args)
+    if args.verb == "sessions":
+        return _run_sessions(args)
     if args.verb == "curate":
         return _run_curate(args)
     # resolve credentials here so the tempfile an inline-JSON key creates

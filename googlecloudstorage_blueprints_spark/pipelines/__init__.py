@@ -6,5 +6,8 @@ from googlecloudstorage_blueprints_spark.pipelines.curate import (
 from googlecloudstorage_blueprints_spark.pipelines.report import (
     corpus_report,
 )
+from googlecloudstorage_blueprints_spark.pipelines.sessions import (
+    build_session_mart,
+)
 
-__all__ = ["curate_corpus", "corpus_report"]
+__all__ = ["curate_corpus", "corpus_report", "build_session_mart"]

@@ -227,3 +227,21 @@ def test_cli_stream_lists_and_drains_a_twin(tmp_path, capsys):
     assert got == n_users
 
     assert main(["stream", "nope", "--output", f"{tmp_path}/x"]) == 2
+
+
+def test_cli_sessions_builds_the_mart(tmp_path, capsys):
+    from googlecloudstorage_blueprints_spark.fileops.cli import main
+
+    out = f"{tmp_path}/mart"
+    assert main([
+        "sessions", "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out,
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "sessions" in text and "written:" in text
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet')"
+    ).fetchone()[0]
+    assert n > 0

@@ -148,3 +148,51 @@ def test_corpus_report_composes_registered_ops(spark, tmp_path):
 
     written = spark.read.parquet(out)
     assert written.count() == len(sources)
+
+
+def test_session_mart_composes_registered_ops(spark, tmp_path):
+    """Every mart number must equal its source operator's: per-session
+    (n_events, duration, total_value) from events_session_stats, entry
+    counts + bounces from session_bounce_rate, and the day partitioning
+    must be hive-layout on the start epoch-day."""
+    import glob as globmod
+
+    from googlecloudstorage_blueprints_spark.pipelines import (
+        build_session_mart,
+    )
+
+    out = f"file:{tmp_path}/mart"
+    report = build_session_mart(spark, SF, out)
+    written = spark.read.parquet(out)
+
+    stats = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["duration_sec"], r["total_value"],
+        )
+        for r in all_queries()["events_session_stats"](spark, SF).collect()
+    }
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["duration_sec"], r["total_value"],
+        )
+        for r in written.collect()
+    }
+    assert got == stats and len(stats) > 0
+    assert report.n_sessions == len(stats)
+
+    bounce = {
+        r["entry_type"]: (r["n_sessions"], r["n_bounces"])
+        for r in all_queries()["session_bounce_rate"](spark, SF).collect()
+    }
+    mart_bounce = {
+        r["entry_type"]: (r["n"], r["b"])
+        for r in written.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_bounce").cast("int")).alias("b"),
+        )
+        .collect()
+    }
+    assert mart_bounce == bounce
+    assert report.n_bounces == sum(b for _, b in bounce.values())
+    assert globmod.glob(f"{tmp_path}/mart/epoch_day=*")
