@@ -107,3 +107,42 @@ def test_rows_only_ops_run(spark, name):
     rows = sdf.collect()
     assert sdf.columns, f"{name}: empty schema"
     assert rows is not None
+
+
+def test_oracle_schema_types_align_cross_engine(spark):
+    """Column TYPES must align between each Spark plan and its DuckDB
+    oracle (r8 ADVICE class: an int32 label vs a BIGINT-cast oracle
+    passes the value hash — values stringify — but a type-aware driver
+    schema check could flag it).  Cheap: Spark dtypes come from
+    analysis and DuckDB types from relation binding — nothing
+    executes."""
+    import duckdb
+
+    con = _duck(SF_DIR)
+    canon = {
+        "BIGINT": {"bigint"},
+        "INTEGER": {"int"},
+        "SMALLINT": {"smallint"},
+        "DOUBLE": {"double"},
+        "FLOAT": {"float"},
+        "VARCHAR": {"string"},
+        "BOOLEAN": {"boolean"},
+        "TIMESTAMP": {"timestamp"},
+        "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+        "DATE": {"date"},
+        "HUGEINT": {"decimal(38,0)"},
+    }
+    bad = []
+    for name, sql in ORACLES.items():
+        sdt = dict(QUERIES[name](spark, SF_DIR).dtypes)
+        rel = con.sql(sql)
+        ddt = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        if set(sdt) != set(ddt):
+            bad.append((name, f"columns {sorted(set(sdt) ^ set(ddt))}"))
+            continue
+        for c in sdt:
+            allowed = canon.get(ddt[c].upper())
+            if allowed is None or sdt[c] not in allowed:
+                bad.append((name, f"{c}: duck {ddt[c]} vs spark {sdt[c]}"))
+    con.close()
+    assert not bad, f"cross-engine type drift: {bad}"
