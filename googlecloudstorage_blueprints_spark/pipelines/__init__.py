@@ -6,8 +6,18 @@ from googlecloudstorage_blueprints_spark.pipelines.curate import (
 from googlecloudstorage_blueprints_spark.pipelines.report import (
     corpus_report,
 )
+from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
+    build_ivf_index,
+    search_ivf_index,
+)
 from googlecloudstorage_blueprints_spark.pipelines.sessions import (
     build_session_mart,
 )
 
-__all__ = ["curate_corpus", "corpus_report", "build_session_mart"]
+__all__ = [
+    "curate_corpus",
+    "corpus_report",
+    "build_session_mart",
+    "build_ivf_index",
+    "search_ivf_index",
+]

@@ -1,0 +1,149 @@
+"""Persisted IVF index: train → write cell-partitioned corpus → search
+with partition pruning.
+
+``similarity_knn_ivf`` (operators/similarity_ivf.py) proves the IVF
+query plan on an in-session assignment; its docstring claims that "at
+scale the corpus is written bucketed-by-cell once and every query after
+that touches NPROBE/N_CELLS of the data".  This module makes that claim
+runnable code:
+
+- :func:`build_ivf_index` — k-means on a bounded sample (the operator's
+  own trainer), one assignment GEMM pass, then the corpus written
+  partitioned by ``cell`` next to a ``centroids.parquet`` sidecar.  At
+  100 TB this is the one full pass the index costs.
+- :func:`search_ivf_index` — loads the sidecar (|cells|×dim — driver
+  trivial), picks each query's NPROBE nearest cells, and reads ONLY
+  those partitions: the ``cell IN (...)`` filter prunes at the file
+  listing, so the scan touches nprobe/n_cells of the files — verified
+  by plan assertion in tests (PartitionFilters, not a post-scan
+  filter).  Survivors get exact cosine + the deterministic top-k
+  window.
+
+The search results are pinned identical to the in-session
+``similarity_knn_ivf`` operator (same trainer, same probe rule, same
+tie order), so the persisted path inherits its pinned recall.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from googlecloudstorage_blueprints_spark.functions.columns import (
+    cosine_similarity as _cosine,
+)
+from googlecloudstorage_blueprints_spark.operators.similarity_ivf import (
+    N_CELLS,
+    NPROBE,
+    TOP_K,
+    TRAIN_SAMPLE,
+    _assign_kernel,
+    _train_centroids,
+)
+from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> int:
+    """Train the coarse quantizer and write the cell-partitioned corpus
+    plus the centroid sidecar; returns the number of indexed vectors."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    sample_src = emb.select("vec_id", "embedding")
+    if n_corpus > TRAIN_SAMPLE:
+        fraction = min(1.0, (TRAIN_SAMPLE * 1.2) / n_corpus)
+        sample_src = sample_src.sample(fraction=fraction, seed=42).limit(
+            TRAIN_SAMPLE
+        )
+    train_rows = sample_src.orderBy("vec_id").collect()
+    centroids = _train_centroids([r["embedding"] for r in train_rows])
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts, "vec_id")
+        .mapInPandas(
+            _assign_kernel(centroids),
+            schema="vec_id long, embedding array<float>, cell int",
+        )
+    )
+    # one file set per cell: the partition column IS the probe key
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, schema="cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids"
+    )
+    return n_corpus
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """ANN top-k against a persisted index.  ``queries`` carries
+    (query_id long, qv array<float>); only the probed cells' partitions
+    are read (filter pushed to the file listing)."""
+    import numpy as np
+
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = np.asarray(
+        [r["centroid"] for r in cent_rows], dtype=np.float64
+    )
+
+    q_rows = queries.orderBy("query_id").collect()
+    q_mat = np.asarray(
+        [r["qv"] for r in q_rows], dtype=np.float64
+    )
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (int(r["query_id"]), r["qv"], int(cell))
+            for r, cells in zip(q_rows, probe_rank)
+            for cell in cells
+        ],
+        schema="query_id long, qv array<float>, cell int",
+    )
+    probed_cells = sorted({int(c) for row in probe_rank for c in row})
+
+    corpus = spark.read.parquet(f"{index_path}/corpus").where(
+        F.col("cell").isin(probed_cells)  # partition-pruned read
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine("qv", "embedding").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )
