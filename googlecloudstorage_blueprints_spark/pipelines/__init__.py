@@ -8,7 +8,9 @@ from googlecloudstorage_blueprints_spark.pipelines.report import (
 )
 from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
     build_ivf_index,
+    build_ivfpq_index,
     search_ivf_index,
+    search_ivfpq_index,
 )
 from googlecloudstorage_blueprints_spark.pipelines.sessions import (
     build_session_mart,
@@ -20,4 +22,6 @@ __all__ = [
     "build_session_mart",
     "build_ivf_index",
     "search_ivf_index",
+    "build_ivfpq_index",
+    "search_ivfpq_index",
 ]

@@ -147,3 +147,219 @@ def search_ivf_index(
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: codes stored beside the vectors, ADC scan over probed cells
+# ---------------------------------------------------------------------------
+
+def _full_row_encode_kernel(books):
+    """(vec_id, embedding, cell) → + PQ codes, vectors kept (the
+    persisted corpus serves both the ADC scan — codes only, column-
+    pruned — and the exact re-rank — embeddings by vec_id)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from googlecloudstorage_blueprints_spark.operators.similarity_pq import (
+            M_SUBSPACES,
+        )
+
+        dsub = books.shape[2]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), M_SUBSPACES), dtype=np.int32)
+            for m in range(M_SUBSPACES):
+                xm = mat[:, m * dsub : (m + 1) * dsub]
+                cent = books[m]
+                d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (
+                    xm @ cent.T
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "codes": list(codes),
+                    "cell": pdf["cell"].to_numpy(),
+                }
+            )
+
+    return kernel
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> int:
+    """Train coarse quantizer + PQ codebooks on the same bounded sample,
+    write the corpus (vectors AND ~5-byte codes) partitioned by cell,
+    plus centroid and codebook sidecars; returns the vector count."""
+    import numpy as np
+
+    from googlecloudstorage_blueprints_spark.operators.similarity_pq import (
+        _train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    sample_src = emb.select("vec_id", "embedding")
+    if n_corpus > TRAIN_SAMPLE:
+        fraction = min(1.0, (TRAIN_SAMPLE * 1.2) / n_corpus)
+        sample_src = sample_src.sample(fraction=fraction, seed=42).limit(
+            TRAIN_SAMPLE
+        )
+    train_rows = sample_src.orderBy("vec_id").collect()
+    train = [r["embedding"] for r in train_rows]
+    centroids = _train_centroids(train)
+    books = _train_codebooks(train)
+
+    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts, "vec_id")
+        .mapInPandas(
+            _assign_kernel(centroids),
+            schema="vec_id long, embedding array<float>, cell int",
+        )
+    )
+    encoded = assigned.mapInPandas(
+        _full_row_encode_kernel(books),
+        schema=(
+            "vec_id long, embedding array<float>, codes array<int>, "
+            "cell int"
+        ),
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in c])
+            for i, c in enumerate(centroids)
+        ],
+        schema="cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids"
+    )
+    m_dim, k_dim, dsub = books.shape
+    spark.createDataFrame(
+        [
+            (int(m), int(k), [float(x) for x in books[m, k]])
+            for m in range(m_dim)
+            for k in range(k_dim)
+        ],
+        schema="m int, k int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/codebooks"
+    )
+    return n_corpus
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF-PQ search against the persisted index: probe cells
+    (partition-pruned read), ADC-scan their CODES (column pruning drops
+    the vectors from the scan), exact-re-rank the top-RERANK survivors
+    from the stored embeddings — the full production query path with
+    nothing held in session state between queries."""
+    import numpy as np
+
+    from googlecloudstorage_blueprints_spark.operators.similarity_pq import (
+        M_SUBSPACES,
+        RERANK,
+        _adc_probed_kernel,
+    )
+
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = np.asarray(
+        [r["centroid"] for r in cent_rows], dtype=np.float64
+    )
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks")
+        .orderBy("m", "k")
+        .collect()
+    )
+    m_dim = max(r["m"] for r in book_rows) + 1
+    k_dim = max(r["k"] for r in book_rows) + 1
+    dsub = len(book_rows[0]["codeword"])
+    books = np.empty((m_dim, k_dim, dsub))
+    for r in book_rows:
+        books[r["m"], r["k"]] = r["codeword"]
+
+    q_rows = queries.orderBy("query_id").collect()
+    q_mat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    books[m] @ q[m * dsub : (m + 1) * dsub]
+                    for m in range(M_SUBSPACES)
+                ]
+            )
+            for q in q_mat
+        ]
+    )
+    query_ids = [int(r["query_id"]) for r in q_rows]
+    probe_cells = {
+        qid: {int(c) for c in cells}
+        for qid, cells in zip(query_ids, probe_rank)
+    }
+    all_cells = sorted({c for s in probe_cells.values() for c in s})
+
+    corpus = spark.read.parquet(f"{index_path}/corpus").where(
+        F.col("cell").isin(all_cells)  # partition-pruned
+    )
+    adc = corpus.select("vec_id", "cell", "codes").mapInPandas(
+        _adc_probed_kernel(luts, query_ids, probe_cells),
+        schema="query_id long, vec_id long, adc double",
+    ).where(F.col("vec_id") != F.col("query_id"))
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("adc_rk", F.row_number().over(w_adc))
+        .where(F.col("adc_rk") <= RERANK)
+        .select("query_id", "vec_id")
+    )
+    probes = spark.createDataFrame(
+        [(int(r["query_id"]), r["qv"]) for r in q_rows],
+        schema="query_id long, qv array<float>",
+    )
+    scored = (
+        shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine("qv", "embedding").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )

@@ -67,3 +67,34 @@ def test_ivf_index_search_prunes_partitions(spark, tmp_path):
     rows = df.collect()
     assert 0 < len(rows) <= 10
     assert all(r["query_id"] == 0 for r in rows)
+
+
+def test_ivfpq_index_roundtrip_matches_in_session_composition(
+    spark, tmp_path
+):
+    """The persisted IVF-PQ search must reproduce the in-session
+    ivfpq_topk composition exactly (same deterministic trainers, probe
+    rule, ADC shortlist, and tie order), inheriting its pinned
+    recall."""
+    from googlecloudstorage_blueprints_spark.operators.similarity_pq import (
+        ivfpq_topk,
+    )
+    from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    idx = f"file:{tmp_path}/ivfpq"
+    n = build_ivfpq_index(spark, SF, idx)
+    assert n == 500
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(spark, idx, queries).collect()
+    )
+    ref = sorted(tuple(r) for r in ivfpq_topk(spark, SF).collect())
+    assert got == ref and len(got) > 0
