@@ -185,6 +185,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="destination directory (partitioned by epoch_day)")
     m.add_argument("--service-account", dest="service_account",
                    default=None)
+
+    ix = sub.add_parser(
+        "index",
+        help="build or query a persisted ANN index "
+             "(cell-partitioned corpus; IVF or IVF-PQ)",
+    )
+    ix.add_argument("action", choices=["build", "search"])
+    ix.add_argument("--index", dest="index", required=True,
+                    help="index directory")
+    ix.add_argument("--sf-dir", dest="sf_dir",
+                    default="/root/testdata/sf0.001",
+                    help="fixture dir (build: corpus; search: queries)")
+    ix.add_argument("--pq", dest="pq", action="store_true",
+                    help="IVF-PQ (codes stored beside vectors)")
+    ix.add_argument("--k", dest="k", type=int, default=10)
+    ix.add_argument("--n-queries", dest="n_queries", type=int, default=5,
+                    help="search: use the first N vec_ids as queries")
+    ix.add_argument("--service-account", dest="service_account",
+                    default=None)
     return parser
 
 
@@ -247,6 +266,38 @@ def _run_sessions(args) -> int:
     print(f"{report.n_sessions} sessions ({report.n_users} users, "
           f"{report.n_bounces} bounces, {report.n_days} days)")
     print(f"written: {args.output} (partitioned by epoch_day)")
+    return 0
+
+
+def _run_index(args) -> int:
+    import pyspark.sql.functions as F
+
+    from googlecloudstorage_blueprints_spark.pipelines import (
+        build_ivf_index,
+        build_ivfpq_index,
+        search_ivf_index,
+        search_ivfpq_index,
+    )
+
+    spark = get_spark(
+        app_name=f"gcs-blueprints-index-{args.action}",
+        service_account=args.service_account,
+    )
+    if args.action == "build":
+        build = build_ivfpq_index if args.pq else build_ivf_index
+        n = build(spark, args.sf_dir, args.index)
+        kind = "IVF-PQ" if args.pq else "IVF"
+        print(f"{n} vectors indexed ({kind}): {args.index}")
+        return 0
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < args.n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    search = search_ivfpq_index if args.pq else search_ivf_index
+    search(spark, args.index, queries, k=args.k).show(
+        args.k * args.n_queries, truncate=False
+    )
     return 0
 
 
@@ -377,6 +428,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_stream(args)
     if args.verb == "sessions":
         return _run_sessions(args)
+    if args.verb == "index":
+        return _run_index(args)
     if args.verb == "curate":
         return _run_curate(args)
     # resolve credentials here so the tempfile an inline-JSON key creates

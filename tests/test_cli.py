@@ -245,3 +245,20 @@ def test_cli_sessions_builds_the_mart(tmp_path, capsys):
         f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet')"
     ).fetchone()[0]
     assert n > 0
+
+
+def test_cli_index_build_and_search(tmp_path, capsys):
+    from googlecloudstorage_blueprints_spark.fileops.cli import main
+
+    idx = f"{tmp_path}/idx"
+    assert main([
+        "index", "build", "--index", idx,
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    assert "500 vectors indexed (IVF)" in capsys.readouterr().out
+    assert main([
+        "index", "search", "--index", idx,
+        "--sf-dir", "/root/testdata/sf0.001", "--n-queries", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "neighbor_id" in out and "cosine" in out
