@@ -44,29 +44,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r9 changes land here as they happen; r8 entries cleared after
-    # CORRECTNESS_r08.json adjudicated them (all six passed).
-    # -- half-cent-tie retirement: 2dp→4dp revenue rounds (r6 rule), plus
-    #    fixed-point BIGINT charge sum in pricing_summary (r7 rule)
-    "pricing_summary",
-    "multiway_join_agg",
-    "sql_tpch_q5",
-    "volume_shipping",
-    "returned_items_top",
-    "promo_revenue",
-    "disjunctive_filter_join",
-    "top_supplier",
-    "join_skew_salted",
-    # -- r8 ADVICE: label emitted as BIGINT (schema change)
-    "embedding_norm_quantiles",
-    # -- r8 ADVICE: dropped the data-sized global orderBy (plan change)
-    "user_activity_span",
-    # -- bench item 5: distinct-bigram scoring shape (plan change, 2×)
-    "doc_logprob_bigram",
-    # -- integer epoch-day keys in the dau/wau chain (plan change)
-    "events_dau_wau",
-    # -- marginals straight off the lineitem scan (plan change)
-    "part_copurchase_lift",
+    # r10 changes land here as they happen; r9 entries cleared after
+    # CORRECTNESS_r09.json adjudicated them (all passed).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
