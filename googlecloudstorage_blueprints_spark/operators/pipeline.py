@@ -820,17 +820,23 @@ def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled or template-stitched text that fools unigram stats scores
     high here because its word ORDER is unnatural.
 
-    Shape (r9): in-row adjacent bigrams via arrays_zip of shifted
+    Shape (r10): in-row adjacent bigrams via arrays_zip of shifted
     slices (codegen — never a lead() window that would shuffle every
     token, per the round-5 n-gram rule), then the model is scored on
-    the DISTINCT-bigram table: c1/c2/total derive from cb by summing
-    its counts (|distinct bigrams| rows, not |tokens|), and the full
-    bigram frame is joined back ONCE on (w1, w2).  The r8 form joined
-    the token-sized frame three times on three different keys — three
-    full shuffles of the heaviest frame; this shape shuffles it twice
-    (cb groupBy + the score join, same key, ReusedExchange territory)
-    and measured 2× faster at sf0.1.  AQE decides broadcasts; the
-    bigram table is huge on a web corpus, same reasoning as tfidf_topk.
+    the DISTINCT-bigram table with NO joins inside the score frame:
+    cnt1/cnt2 are keyed windows over cb (SUM OVER PARTITION BY w1/w2 —
+    distributed, |cb|-sized shuffles) and the corpus total is a SCALAR
+    SUBQUERY (a separate distributed aggregate whose result is injected
+    as a literal).  Why it matters: the r9 shape assembled the score
+    table as cb⋈c1⋈c2⋈t, and a JOIN subtree's static size estimate is
+    the PRODUCT of its children — Catalyst planned SMJ for the bg⋈score
+    join and paid the full bigram frame's map shuffle before AQE's
+    runtime broadcast conversion could fire (the r9 AQE trap, SCALE.md
+    "Bigram-LM probe caveat").  Window-over-Aggregate keeps the honest
+    aggregate-sized estimate, so locally the 931-row score table gets a
+    static BroadcastHashJoin (bg never shuffles for the join — measured
+    1.10s → ~0.6s at sf0.1) while at web scale, where vocab² is huge,
+    the same plan degrades to the CORRECT SMJ with no hint to un-pick.
     Every bigram in a doc exists in the corpus model by construction,
     so no smoothing floor is needed.
 
@@ -860,35 +866,37 @@ def doc_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.1").alias("w2"),
         )
     )
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    # marginals from the distinct-bigram table, not the token frame:
-    # same exact integers (SUM of group counts == COUNT over tokens)
-    c1 = cb.groupBy("w1").agg(F.sum("cnt").alias("cnt1"))
-    c2 = cb.groupBy("w2").agg(F.sum("cnt").alias("cnt2"))
-    t = cb.agg(F.sum("cnt").alias("n"))
-    mix = F.lit(BIGRAM_LAMBDA) * (
-        F.col("cnt").cast("double") / F.col("cnt1").cast("double")
-    ) + F.lit(1 - BIGRAM_LAMBDA) * (
-        F.col("cnt2").cast("double") / F.col("n").cast("double")
-    )
-    nll6 = F.round(-F.log(mix) * 1000000, 0).cast("long")
-    score_tbl = (
-        cb.join(c1, "w1")
-        .join(c2, "w2")
-        .crossJoin(F.broadcast(t))
-        .select("w1", "w2", nll6.alias("nll6"))
-    )
-    scored = bg.join(score_tbl, ["w1", "w2"]).select("doc_id", "nll6")
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.sum("nll6").cast("double")
-            / (F.count(F.lit(1)) * F.lit(1000000.0)),
-            6,
-        ).alias("avg_neg_logprob"),
-        F.round(F.max("nll6").cast("double") / 1000000.0, 6).alias(
-            "max_neg_logprob"
-        ),
+    bg.createOrReplaceTempView("bg_doc_logprob_bigram")
+    # marginals as keyed windows over the distinct-bigram table (same
+    # exact integers as the c1/c2 groupBys: SUM of group counts), total
+    # as a scalar subquery — no join node inside the score subtree
+    return spark.sql(
+        f"""
+        WITH cb AS (SELECT w1, w2, COUNT(*) AS cnt
+                    FROM bg_doc_logprob_bigram GROUP BY w1, w2),
+        sc AS (
+            SELECT w1, w2,
+                   CAST(ROUND(-LN(
+                       {BIGRAM_LAMBDA} * (CAST(cnt AS DOUBLE)
+                           / CAST(SUM(cnt) OVER (PARTITION BY w1)
+                                  AS DOUBLE))
+                     + {1 - BIGRAM_LAMBDA}
+                         * (CAST(SUM(cnt) OVER (PARTITION BY w2)
+                                 AS DOUBLE)
+                            / CAST((SELECT SUM(cnt) FROM cb)
+                                   AS DOUBLE))
+                   ) * 1000000, 0) AS BIGINT) AS nll6
+            FROM cb
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(nll6) AS DOUBLE)
+                     / (COUNT(*) * 1000000.0), 6) AS avg_neg_logprob,
+               ROUND(CAST(MAX(nll6) AS DOUBLE) / 1000000.0, 6)
+                   AS max_neg_logprob
+        FROM bg_doc_logprob_bigram JOIN sc USING (w1, w2)
+        GROUP BY doc_id
+        """
     )
 
 

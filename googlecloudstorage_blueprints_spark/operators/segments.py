@@ -556,38 +556,41 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation) — the recommender/bundling primitive, word_pmi's
     relational twin.
 
-    Shape: the pair space is the within-order self-join of the DISTINCT
-    (order, part) relation — fan-out is bounded by basket size squared
-    (≤ ~7² per order), never |parts|²; part frequencies join back on
-    the part key and the order total is a 1-row broadcast.  Parity:
+    Shape (r10): ONE basket pass — lineitem groups once by l_orderkey
+    into a sorted distinct-part basket array (map-side partial
+    collect_set dedups before the shuffle), and every downstream frame
+    derives from that single exchange (ReusedExchange ×3): pairs expand
+    IN-ROW from each basket (two codegen Generates + a<b filter —
+    fan-out bounded by basket size squared, ≤ ~7² per order, never
+    |parts|²), part frequencies are the exploded-basket count (same
+    integer as COUNT(DISTINCT l_orderkey) per part), and the order
+    total is the basket count.  The r9 self-join form paid a distinct
+    shuffle + a by-orderkey join exchange + two countDistinct
+    double-shuffles over three lineitem scans; this shape is one scan
+    and three keyed shuffles (baskets, pair counts, part counts).
+    collect_set is safe because baskets are bounded by order width —
+    the same bound the pair fan-out already relies on.  Parity:
     lift = n_both·N / (n_a·n_b) over exact integers with both products
     formed in double (CAST(x AS DOUBLE) · y — a BIGINT product would
     overflow at cluster scale where the doubles stay exact to 2⁵³);
     (n_both DESC, part_a, part_b) is a total order."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    # marginals straight off the scan (r9): COUNT DISTINCT per key gives
-    # the same integers as counting the distinct (order, part) relation,
-    # without re-running op's distinct shuffle for each consumer — the
-    # self-join remains op's only consumer pair (ReusedExchange)
-    n = li.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pc = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_part")
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode_outer("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
     )
-    a = op.alias("a")
-    b = op.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            "parts", F.explode_outer("parts").alias("part_a")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select("part_a", F.explode_outer("parts").alias("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
     ca = pc.alias("ca")

@@ -46,6 +46,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHANGED_THIS_ROUND: list[str] = [
     # r10 changes land here as they happen; r9 entries cleared after
     # CORRECTNESS_r09.json adjudicated them (all passed).
+    # -- basket-pass rewrite: one scan, three keyed shuffles (plan change)
+    "part_copurchase_lift",
+    # -- windowed score table + scalar-subquery total (plan change)
+    "doc_logprob_bigram",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

@@ -271,19 +271,25 @@ def test_decile_report_data_window_is_bucket_partitioned(spark):
     assert plan.count("SinglePartition") <= 2
 
 
-def test_copurchase_joins_on_orderkey_not_cross(spark):
-    """The pair build must be the within-order self-join (orderkey
-    equi-join; basket-size²-bounded fan-out) — never a nested-loop
-    over the part space."""
-    import re
-
+def test_copurchase_pairs_build_in_row_from_baskets(spark):
+    """The pair build must expand IN-ROW from per-order baskets (r10
+    shape: one collect_set aggregate keyed on l_orderkey feeds codegen
+    Generates; basket-size²-bounded fan-out) — never a nested-loop over
+    the part space, and never a second lineitem shuffle for the pair
+    space.  The basket exchange must be shared with the part-marginal
+    branch (ReusedExchange)."""
     df = QUERIES["part_copurchase_lift"](spark, SF)
+    df.collect()  # AQE finalizes reuse decisions post-execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the pair build must be an EQUI join keyed on l_orderkey
-    assert re.search(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
-        r"\[l_orderkey", plan
-    ), "pair build must equi-join on l_orderkey"
+    # post-execution AQE plans carry Final + Initial sections; count
+    # operators in the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    # baskets: the only l_orderkey-keyed exchange, reused downstream
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "collect_set" in plan
+    assert "ReusedExchange" in plan, "basket exchange must be shared"
+    # pair expansion is in-row Generate, not a join
+    assert "Generate explode" in plan
     # the only nested-loop allowed is the 1-row n_orders scalar cross
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
