@@ -1064,9 +1064,12 @@ def simpson_diversity_by_source(
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(quantile_cont(avg9, 0.1) / 1e9, 6) AS p10_nll,
-           ROUND(quantile_cont(avg9, 0.5) / 1e9, 6) AS p50_nll,
-           ROUND(quantile_cont(avg9, 0.9) / 1e9, 6) AS p90_nll
+           CAST((CAST(FLOOR(quantile_cont(avg9, 0.1)) AS BIGINT) + 500)
+                // 1000 AS DOUBLE) / 1e6 AS p10_nll,
+           CAST((CAST(FLOOR(quantile_cont(avg9, 0.5)) AS BIGINT) + 500)
+                // 1000 AS DOUBLE) / 1e6 AS p50_nll,
+           CAST((CAST(FLOOR(quantile_cont(avg9, 0.9)) AS BIGINT) + 500)
+                // 1000 AS DOUBLE) / 1e6 AS p90_nll
     FROM per_doc
     GROUP BY source
     ORDER BY source
@@ -1088,7 +1091,13 @@ def logprob_quantiles_by_source(
     EXACT ×1e9 integer via integer division (identical div on both
     engines), so the percentile interpolates exact integers (the
     norm_quantiles rule: interpolating rounded doubles lands midpoints
-    on rounding boundaries); one closing /1e9 + 6dp round."""
+    on rounding boundaries).  The closing 6dp step is INTEGER-SPACE
+    half-up rounding — (FLOOR(qc)+500) div 1000 — never ROUND(qc/1e9,
+    6): interpolated nano-integers can land EXACTLY on …500 (e.g. the
+    midpoint of two 1000-separated values), where Spark's
+    shortest-decimal-repr HALF_UP rounds up but DuckDB's binary
+    multiply rounds down (r10 audit; pinned by
+    tests/test_quantile_interp_parity.py)."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
@@ -1113,12 +1122,22 @@ def logprob_quantiles_by_source(
     per_doc = scored.groupBy("source", "doc_id").agg(
         F.expr("sum(nll6) * 1000 div count(*)").alias("avg9")
     )
+    def p6(q: float) -> F.Column:
+        # integer-space 6dp half-up: cross-engine-safe on exact …500
+        # midpoints where ROUND(double, 6) diverges (see oracle note)
+        return (
+            F.expr(
+                f"CAST((CAST(FLOOR(percentile(avg9, {q})) AS BIGINT)"
+                " + 500) div 1000 AS DOUBLE) / 1e6"
+            )
+        )
+
     return sort_bounded(
         per_doc.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.percentile("avg9", 0.1) / 1e9, 6).alias("p10_nll"),
-            F.round(F.percentile("avg9", 0.5) / 1e9, 6).alias("p50_nll"),
-            F.round(F.percentile("avg9", 0.9) / 1e9, 6).alias("p90_nll"),
+            p6(0.1).alias("p10_nll"),
+            p6(0.5).alias("p50_nll"),
+            p6(0.9).alias("p90_nll"),
         ),
         "source",
     )

@@ -50,6 +50,9 @@ CHANGED_THIS_ROUND: list[str] = [
     "part_copurchase_lift",
     # -- windowed score table + scalar-subquery total (plan change)
     "doc_logprob_bigram",
+    # -- 6dp step moved to integer-space half-up (value-semantics change
+    #    on exact …500 quantile midpoints; r10 ROUND-divergence audit)
+    "logprob_quantiles_by_source",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

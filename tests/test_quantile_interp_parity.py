@@ -1,0 +1,126 @@
+"""Cross-engine probe of interpolated-percentile parity (r10 audit).
+
+Percentile ops rely on Spark ``percentile()`` and DuckDB
+``quantile_cont()`` producing BIT-IDENTICAL doubles when fed the same
+exact BIGINT inputs.  Both implementations interpolate
+``lo + (hi - lo) * frac`` with ``pos = q * (n - 1)`` — an
+implementation detail neither engine documents, so
+``test_raw_interpolation_is_bit_identical`` pins it on adversarial and
+random inputs.
+
+The audit's REAL finding is one step later: ``ROUND(qc / 1e9, 6)`` of
+an interpolated nano-integer DIVERGES cross-engine when the quantile
+lands exactly on a …500 half-boundary (midpoint of two 1000-separated
+integers).  Spark ROUND converts the double to its SHORTEST DECIMAL
+representation ("1.0000025" — an exact tie, HALF_UP → up) while DuckDB
+multiplies the BINARY value by 1e6 (lands a hair below the boundary →
+down).  ``test_round_path_diverges_on_exact_midpoint`` preserves the
+repro; the safe pattern — integer-space half-up, ``(FLOOR(qc)+500) div
+1000`` — is pinned identical by ``test_integer_div_rounding_matches``
+and used by ``logprob_quantiles_by_source``.
+
+Every other percentile site in the registry rounds at a grid COARSER
+than its input granularity (integer days/cents at 4–6dp), where exact
+ties are unreachable — audited r10, note in CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _duck(values: list[int], select: str) -> list:
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    return list(con.sql(f"SELECT {select} FROM t").fetchall()[0])
+
+
+def _spark_df(spark, values: list[int]):
+    return spark.createDataFrame([(v,) for v in values], "v long")
+
+
+def _cases() -> list[list[int]]:
+    rng = random.Random(20260814)
+    cases = [
+        # midpoints landing exactly on …500 (the ROUND-divergence bait)
+        [1_000_000_250, 1_000_000_750, 2_000_000_500],
+        [i * 500 + 1_000_000_000 for i in range(11)],
+        # adjacent integers: frac products 0.5 and 1.5
+        [4_999_999_999, 5_000_000_000, 5_000_000_002,
+         5_000_000_005, 7_500_000_001, 7_500_000_004],
+    ]
+    for n in (2, 3, 7, 10, 41, 100):
+        cases.append([rng.randrange(10**9, 10**10) for _ in range(n)])
+    # consecutive 500-spaced sets with random offsets
+    rng2 = random.Random(7)
+    for _ in range(5):
+        base = rng2.randrange(10**9, 10**10) // 1000 * 1000
+        cases.append(
+            [base + i * 500 for i in range(rng2.randrange(3, 9))]
+        )
+    return cases
+
+
+def test_raw_interpolation_is_bit_identical(spark):
+    for values in _cases():
+        df = _spark_df(spark, values)
+        srow = df.agg(
+            *[F.percentile("v", q).alias(f"q{i}") for i, q in enumerate(QS)]
+        ).collect()[0]
+        drow = _duck(
+            values, ", ".join(f"quantile_cont(v, {q})" for q in QS)
+        )
+        for i in range(len(QS)):
+            assert srow[f"q{i}"] == drow[i], (
+                f"raw interpolation diverged at q={QS[i]} on {values}"
+            )
+
+
+def test_integer_div_rounding_matches(spark):
+    sexpr = (
+        "CAST((CAST(FLOOR(percentile(v, {q})) AS BIGINT) + 500)"
+        " div 1000 AS DOUBLE) / 1e6"
+    )
+    dexpr = (
+        "CAST((CAST(FLOOR(quantile_cont(v, {q})) AS BIGINT) + 500)"
+        " // 1000 AS DOUBLE) / 1e6"
+    )
+    for values in _cases():
+        df = _spark_df(spark, values)
+        srow = df.agg(
+            *[
+                F.expr(sexpr.format(q=q)).alias(f"q{i}")
+                for i, q in enumerate(QS)
+            ]
+        ).collect()[0]
+        drow = _duck(
+            values, ", ".join(dexpr.format(q=q) for q in QS)
+        )
+        for i in range(len(QS)):
+            assert srow[f"q{i}"] == drow[i], (
+                f"integer-div rounding diverged at q={QS[i]} on {values}"
+            )
+
+
+def test_round_path_diverges_on_exact_midpoint(spark):
+    """The repro that motivates the rule: keep it red-on-ROUND so the
+    divergence stays demonstrable (if an engine upgrade ever makes this
+    pass, the integer-div rule can be revisited)."""
+    values = [i * 500 + 1_000_000_000 for i in range(11)]
+    df = _spark_df(spark, values)
+    s = df.agg(
+        F.round(F.percentile("v", 0.5) / 1e9, 6).alias("q")
+    ).collect()[0]["q"]
+    d = _duck(values, "ROUND(quantile_cont(v, 0.5) / 1e9, 6)")[0]
+    # qc = 1000002500.0 exactly (both engines, raw): Spark HALF_UP on
+    # the shortest repr rounds up, DuckDB's binary multiply rounds down
+    assert s == pytest.approx(1.000003)
+    assert d == pytest.approx(1.000002)
+    assert s != d
