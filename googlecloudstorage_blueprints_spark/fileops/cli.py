@@ -191,7 +191,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="build or query a persisted ANN index "
              "(cell-partitioned corpus; IVF or IVF-PQ)",
     )
-    ix.add_argument("action", choices=["build", "search"])
+    ix.add_argument("action", choices=["build", "search", "append"])
     ix.add_argument("--index", dest="index", required=True,
                     help="index directory")
     ix.add_argument("--sf-dir", dest="sf_dir",
@@ -202,6 +202,11 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--k", dest="k", type=int, default=10)
     ix.add_argument("--n-queries", dest="n_queries", type=int, default=5,
                     help="search: use the first N vec_ids as queries")
+    ix.add_argument("--min-vec-id", dest="min_vec_id", type=int,
+                    default=None,
+                    help="append: shard = fixture vectors with "
+                         "vec_id >= N (assigned to the existing "
+                         "centroids, no retrain)")
     ix.add_argument("--service-account", dest="service_account",
                     default=None)
     return parser
@@ -273,6 +278,8 @@ def _run_index(args) -> int:
     import pyspark.sql.functions as F
 
     from googlecloudstorage_blueprints_spark.pipelines import (
+        append_ivf_index,
+        append_ivfpq_index,
         build_ivf_index,
         build_ivfpq_index,
         search_ivf_index,
@@ -288,6 +295,20 @@ def _run_index(args) -> int:
         n = build(spark, args.sf_dir, args.index)
         kind = "IVF-PQ" if args.pq else "IVF"
         print(f"{n} vectors indexed ({kind}): {args.index}")
+        return 0
+    if args.action == "append":
+        if args.min_vec_id is None:
+            print("index append requires --min-vec-id")
+            return 1
+        shard = (
+            spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+            .where(F.col("vec_id") >= args.min_vec_id)
+            .select("vec_id", "embedding")
+        )
+        append = append_ivfpq_index if args.pq else append_ivf_index
+        n = append(spark, args.index, shard)
+        kind = "IVF-PQ" if args.pq else "IVF"
+        print(f"{n} vectors appended ({kind}): {args.index}")
         return 0
     emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < args.n_queries).select(

@@ -7,6 +7,8 @@ from googlecloudstorage_blueprints_spark.pipelines.report import (
     corpus_report,
 )
 from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
+    append_ivf_index,
+    append_ivfpq_index,
     build_ivf_index,
     build_ivfpq_index,
     search_ivf_index,
@@ -24,4 +26,6 @@ __all__ = [
     "search_ivf_index",
     "build_ivfpq_index",
     "search_ivfpq_index",
+    "append_ivf_index",
+    "append_ivfpq_index",
 ]

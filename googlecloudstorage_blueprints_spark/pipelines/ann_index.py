@@ -18,6 +18,14 @@ runnable code:
   by plan assertion in tests (PartitionFilters, not a post-scan
   filter).  Survivors get exact cosine + the deterministic top-k
   window.
+- :func:`append_ivf_index` / :func:`append_ivfpq_index` — incremental
+  shards (r10): new vectors are assigned to the EXISTING centroids (no
+  retrain — the production norm; retraining would silently invalidate
+  every stored assignment), and the writer runs in append mode, so
+  only NEW part-files land inside the touched ``cell=`` directories —
+  existing files are never rewritten.  Pinned equal to a one-shot
+  assignment of the full corpus under the same quantizer
+  (tests/test_ann_index.py).
 
 The search results are pinned identical to the in-session
 ``similarity_knn_ivf`` operator (same trainer, same probe rule, same
@@ -43,26 +51,23 @@ from googlecloudstorage_blueprints_spark.operators.similarity_ivf import (
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
 
-def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_path: str
-) -> int:
-    """Train the coarse quantizer and write the cell-partitioned corpus
-    plus the centroid sidecar; returns the number of indexed vectors."""
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_corpus = emb.count()
+def _sample_training_rows(emb: DataFrame, n_corpus: int) -> list:
+    """Bounded, deterministic trainer sample (the operator's rule)."""
     sample_src = emb.select("vec_id", "embedding")
     if n_corpus > TRAIN_SAMPLE:
         fraction = min(1.0, (TRAIN_SAMPLE * 1.2) / n_corpus)
         sample_src = sample_src.sample(fraction=fraction, seed=42).limit(
             TRAIN_SAMPLE
         )
-    train_rows = sample_src.orderBy("vec_id").collect()
-    centroids = _train_centroids([r["embedding"] for r in train_rows])
+    return sample_src.orderBy("vec_id").collect()
 
+
+def _assign_cells(spark: SparkSession, emb: DataFrame, centroids):
+    """(vec_id, embedding) → + cell, Arrow-batched against the given
+    quantizer — the one code path shared by build and append so an
+    appended shard is assigned EXACTLY like the original corpus."""
     n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
-    assigned = (
+    return (
         emb.select("vec_id", "embedding")
         .repartition(n_parts, "vec_id")
         .mapInPandas(
@@ -70,6 +75,32 @@ def build_ivf_index(
             schema="vec_id long, embedding array<float>, cell int",
         )
     )
+
+
+def _load_centroids(spark: SparkSession, index_path: str):
+    import numpy as np
+
+    cent_rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("cell")
+        .collect()
+    )
+    return np.asarray(
+        [r["centroid"] for r in cent_rows], dtype=np.float64
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> int:
+    """Train the coarse quantizer and write the cell-partitioned corpus
+    plus the centroid sidecar; returns the number of indexed vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    train_rows = _sample_training_rows(emb, n_corpus)
+    centroids = _train_centroids([r["embedding"] for r in train_rows])
+
+    assigned = _assign_cells(spark, emb, centroids)
     # one file set per cell: the partition column IS the probe key
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/corpus"
@@ -85,6 +116,23 @@ def build_ivf_index(
     return n_corpus
 
 
+def append_ivf_index(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> int:
+    """Append a shard to an existing IVF index: assign ``new_vectors``
+    (vec_id long, embedding array<float>) to the EXISTING centroids —
+    no retrain, so every prior assignment stays valid — and write in
+    append mode: only new part-files are created inside the touched
+    ``cell=`` directories; nothing already in the index is rewritten.
+    Returns the number of vectors appended."""
+    centroids = _load_centroids(spark, index_path)
+    assigned = _assign_cells(spark, new_vectors, centroids)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    return new_vectors.count()
+
+
 def search_ivf_index(
     spark: SparkSession,
     index_path: str,
@@ -97,14 +145,7 @@ def search_ivf_index(
     are read (filter pushed to the file listing)."""
     import numpy as np
 
-    cent_rows = (
-        spark.read.parquet(f"{index_path}/centroids")
-        .orderBy("cell")
-        .collect()
-    )
-    centroids = np.asarray(
-        [r["centroid"] for r in cent_rows], dtype=np.float64
-    )
+    centroids = _load_centroids(spark, index_path)
 
     q_rows = queries.orderBy("query_id").collect()
     q_mat = np.asarray(
@@ -206,27 +247,12 @@ def build_ivfpq_index(
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
-    sample_src = emb.select("vec_id", "embedding")
-    if n_corpus > TRAIN_SAMPLE:
-        fraction = min(1.0, (TRAIN_SAMPLE * 1.2) / n_corpus)
-        sample_src = sample_src.sample(fraction=fraction, seed=42).limit(
-            TRAIN_SAMPLE
-        )
-    train_rows = sample_src.orderBy("vec_id").collect()
+    train_rows = _sample_training_rows(emb, n_corpus)
     train = [r["embedding"] for r in train_rows]
     centroids = _train_centroids(train)
     books = _train_codebooks(train)
 
-    n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
-    assigned = (
-        emb.select("vec_id", "embedding")
-        .repartition(n_parts, "vec_id")
-        .mapInPandas(
-            _assign_kernel(centroids),
-            schema="vec_id long, embedding array<float>, cell int",
-        )
-    )
-    encoded = assigned.mapInPandas(
+    encoded = _assign_cells(spark, emb, centroids).mapInPandas(
         _full_row_encode_kernel(books),
         schema=(
             "vec_id long, embedding array<float>, codes array<int>, "
@@ -259,6 +285,45 @@ def build_ivfpq_index(
     return n_corpus
 
 
+def _load_codebooks(spark: SparkSession, index_path: str):
+    import numpy as np
+
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks")
+        .orderBy("m", "k")
+        .collect()
+    )
+    m_dim = max(r["m"] for r in book_rows) + 1
+    k_dim = max(r["k"] for r in book_rows) + 1
+    dsub = len(book_rows[0]["codeword"])
+    books = np.empty((m_dim, k_dim, dsub))
+    for r in book_rows:
+        books[r["m"], r["k"]] = r["codeword"]
+    return books
+
+
+def append_ivfpq_index(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> int:
+    """Append a shard to an existing IVF-PQ index: assign + PQ-encode
+    ``new_vectors`` against the EXISTING centroid and codebook sidecars
+    (no retrain) and append-write — only new part-files land in the
+    touched ``cell=`` directories.  Returns the appended count."""
+    centroids = _load_centroids(spark, index_path)
+    books = _load_codebooks(spark, index_path)
+    encoded = _assign_cells(spark, new_vectors, centroids).mapInPandas(
+        _full_row_encode_kernel(books),
+        schema=(
+            "vec_id long, embedding array<float>, codes array<int>, "
+            "cell int"
+        ),
+    )
+    encoded.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    return new_vectors.count()
+
+
 def search_ivfpq_index(
     spark: SparkSession,
     index_path: str,
@@ -279,25 +344,9 @@ def search_ivfpq_index(
         _adc_probed_kernel,
     )
 
-    cent_rows = (
-        spark.read.parquet(f"{index_path}/centroids")
-        .orderBy("cell")
-        .collect()
-    )
-    centroids = np.asarray(
-        [r["centroid"] for r in cent_rows], dtype=np.float64
-    )
-    book_rows = (
-        spark.read.parquet(f"{index_path}/codebooks")
-        .orderBy("m", "k")
-        .collect()
-    )
-    m_dim = max(r["m"] for r in book_rows) + 1
-    k_dim = max(r["k"] for r in book_rows) + 1
-    dsub = len(book_rows[0]["codeword"])
-    books = np.empty((m_dim, k_dim, dsub))
-    for r in book_rows:
-        books[r["m"], r["k"]] = r["codeword"]
+    centroids = _load_centroids(spark, index_path)
+    books = _load_codebooks(spark, index_path)
+    dsub = books.shape[2]
 
     q_rows = queries.orderBy("query_id").collect()
     q_mat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)

@@ -98,3 +98,131 @@ def test_ivfpq_index_roundtrip_matches_in_session_composition(
     )
     ref = sorted(tuple(r) for r in ivfpq_topk(spark, SF).collect())
     assert got == ref and len(got) > 0
+
+
+def test_ivf_index_append_matches_oneshot_same_quantizer(
+    spark, tmp_path
+):
+    """Incremental append (r10): build on the first 300 vectors, append
+    the remaining 200 against the SAME centroids, and the search must
+    equal a one-shot assignment of the full corpus under that quantizer
+    (the meaningful equivalence — append never retrains, so the fresh
+    reference must share the quantizer).  Existing part-files must not
+    be rewritten."""
+    import os
+
+    from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
+        _assign_cells,
+        _load_centroids,
+        append_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 300)
+    shard = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding"
+    )
+
+    # build the base index from a temp fixture dir holding only base
+    base_dir = tmp_path / "base_sf"
+    base.coalesce(1).write.parquet(f"file:{base_dir}/tmp")
+    part = next((base_dir / "tmp").glob("part-*.parquet"))
+    os.rename(part, base_dir / "embeddings.parquet")
+    idx = f"file:{tmp_path}/ivf_app"
+    assert build_ivf_index(spark, str(base_dir), idx) == 300
+
+    files_before = {
+        p: p.stat().st_mtime
+        for p in (tmp_path / "ivf_app" / "corpus").rglob("*.parquet")
+    }
+    assert append_ivf_index(spark, idx, shard) == 200
+    # append preserved every pre-existing file untouched
+    for p, mtime in files_before.items():
+        assert p.exists() and p.stat().st_mtime == mtime
+
+    # reference: one-shot assignment of the FULL corpus with the SAME
+    # centroids, written to a second index beside the same sidecar
+    centroids = _load_centroids(spark, idx)
+    ref_idx = f"file:{tmp_path}/ivf_ref"
+    _assign_cells(spark, emb, centroids).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{ref_idx}/corpus")
+    spark.read.parquet(f"{idx}/centroids").write.mode(
+        "overwrite"
+    ).parquet(f"{ref_idx}/centroids")
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    got = sorted(
+        tuple(r) for r in search_ivf_index(spark, idx, queries).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in search_ivf_index(spark, ref_idx, queries).collect()
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_ivfpq_index_append_matches_oneshot_same_quantizer(
+    spark, tmp_path
+):
+    """The PQ twin: appended vectors are encoded with the EXISTING
+    codebooks; search equals a one-shot encode of the full corpus under
+    the same centroids + codebooks."""
+    import os
+
+    from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
+        _assign_cells,
+        _full_row_encode_kernel,
+        _load_centroids,
+        _load_codebooks,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 300)
+    shard = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id", "embedding"
+    )
+    base_dir = tmp_path / "base_sf_pq"
+    base.coalesce(1).write.parquet(f"file:{base_dir}/tmp")
+    part = next((base_dir / "tmp").glob("part-*.parquet"))
+    os.rename(part, base_dir / "embeddings.parquet")
+    idx = f"file:{tmp_path}/ivfpq_app"
+    assert build_ivfpq_index(spark, str(base_dir), idx) == 300
+    assert append_ivfpq_index(spark, idx, shard) == 200
+
+    centroids = _load_centroids(spark, idx)
+    books = _load_codebooks(spark, idx)
+    ref_idx = f"file:{tmp_path}/ivfpq_ref"
+    _assign_cells(spark, emb, centroids).mapInPandas(
+        _full_row_encode_kernel(books),
+        schema=(
+            "vec_id long, embedding array<float>, codes array<int>, "
+            "cell int"
+        ),
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{ref_idx}/corpus"
+    )
+    for sidecar in ("centroids", "codebooks"):
+        spark.read.parquet(f"{idx}/{sidecar}").write.mode(
+            "overwrite"
+        ).parquet(f"{ref_idx}/{sidecar}")
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(spark, idx, queries).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in search_ivfpq_index(spark, ref_idx, queries).collect()
+    )
+    assert got == ref and len(got) > 0

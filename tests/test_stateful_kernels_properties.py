@@ -756,3 +756,35 @@ def test_sessionize_entries_kernel_tags_the_minimal_event(case):
     start, last, n, etype, eeid = state.get
     assert [str(etype), int(start), int(last), int(n)] == ref_open[:4]
     assert (int(state.get[0]), int(eeid)) == ref_open[4]
+
+
+# --- r10: coverage invariant -------------------------------------------------
+
+
+def test_every_stateful_kernel_is_property_tested():
+    """Meta-test: every applyInPandasWithState kernel defined in
+    streaming/stateful.py (top-level ``_name(key, pdfs, state)``
+    functions plus ``_make_*`` factories) must be exercised somewhere
+    in THIS file.  Adding a kernel without extending the harness fails
+    here, keeping the r8 invariant (the harness caught a real
+    tied-timestamp bug) as the registry grows."""
+    import inspect
+    import re
+
+    from googlecloudstorage_blueprints_spark.streaming import stateful
+
+    src = inspect.getsource(stateful)
+    kernels = re.findall(
+        r"^def (_[a-z0-9_]+)\(key: tuple, pdfs", src, re.M
+    )
+    factories = re.findall(r"^def (_make_[a-z0-9_]+)\(", src, re.M)
+    assert kernels and factories  # the module keeps its shape
+    harness_src = open(__file__).read()
+    missing = [
+        name
+        for name in kernels + factories
+        if name not in harness_src.replace(
+            "test_every_stateful_kernel_is_property_tested", ""
+        )
+    ]
+    assert not missing, f"kernels without property tests: {missing}"
