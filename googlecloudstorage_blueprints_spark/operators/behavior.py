@@ -1141,3 +1141,191 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "epoch_day",
     )
+
+
+# --------------------------------------------------------------------------
+# conversion rate by session depth (gap sessions → depth buckets)
+# --------------------------------------------------------------------------
+
+@register(
+    "session_depth_conversion",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ),
+    per_sess AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS sess_n,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CASE WHEN sess_n = 1 THEN '1'
+                WHEN sess_n <= 3 THEN '2-3'
+                WHEN sess_n <= 7 THEN '4-7'
+                ELSE '8+' END AS depth_bucket,
+           CAST(COUNT(*) AS BIGINT)       AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM per_sess
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def session_depth_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion rate by session DEPTH: sessions bucketed by event
+    count (1 / 2-3 / 4-7 / 8+), each bucket's share containing a
+    purchase — the engagement-depth counterpart of
+    ``session_bounce_rate`` (does a longer session actually convert
+    more?).
+
+    Shape: the standard gap sessionization (lag + cumsum over ONE
+    user-keyed exchange), a per-session aggregate, then a 4-row bucket
+    rollup.  Parity: depth boundaries are exact integer compares; the
+    bucket labels sort lexically in bucket order by construction;
+    conversion_rate is an exact-integer ratio, unrounded
+    (bit-identical, r2 rule)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > SESSION_GAP_S * 1_000_000, 1).otherwise(0)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        is_new.alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_sess = (
+        seq.select(
+            "user_id",
+            "event_type",
+            F.sum("is_new").over(w2).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sess_n"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("converted"),
+        )
+    )
+    bucket = (
+        F.when(F.col("sess_n") == 1, "1")
+        .when(F.col("sess_n") <= 3, "2-3")
+        .when(F.col("sess_n") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return sort_bounded(
+        per_sess.groupBy(bucket.alias("depth_bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            (
+                F.sum("converted").cast("double") / F.count(F.lit(1))
+            ).alias("conversion_rate"),
+        ),
+        "depth_bucket",
+    )
+
+
+# --------------------------------------------------------------------------
+# first-touch attribution (acquisition channel → downstream purchases)
+# --------------------------------------------------------------------------
+
+@register(
+    "user_first_touch_attribution",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rk
+        FROM events
+    ),
+    ft AS (SELECT user_id, event_type AS first_type
+           FROM firsts WHERE rk = 1)
+    SELECT ft.first_type,
+           CAST(COUNT(DISTINCT ft.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN p.event_id IS NOT NULL
+                                    THEN ft.user_id END) AS BIGINT)
+               AS n_buyers,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(SUM(p.value), 0), 4) AS attributed_value
+    FROM ft LEFT JOIN events p
+        ON p.user_id = ft.user_id AND p.event_type = 'purchase'
+    GROUP BY ft.first_type
+    ORDER BY ft.first_type
+    """,
+)
+def user_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: every user's FIRST event type claims
+    all of that user's downstream purchases — users, buyers, purchase
+    count and value per acquisition type (the marketing-mix view that
+    ``events_new_vs_returning`` lacks a channel axis for).
+
+    Shape: the first-touch pick is a user-keyed rank window (one
+    exchange, WindowGroupLimit-pruned), purchases join back on the user
+    key, and the rollup is |types|-bounded.  Parity: the first pick is
+    total-ordered by (ts_us, event_id); counts are exact; the value sum
+    is a SINGLE-level ROUND(SUM(raw value), 4) — the events.value
+    convention (never a sum of pre-rounded sums, the r7 trap)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    ft = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        "value",
+    )
+    joined = ft.join(
+        p, F.col("user_id") == F.col("p_user"), "left"
+    )
+    return sort_bounded(
+        joined.groupBy("first_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct(
+                F.when(
+                    F.col("p_event").isNotNull(), F.col("user_id")
+                )
+            )
+            .cast("long")
+            .alias("n_buyers"),
+            F.count("p_event").cast("long").alias("n_purchases"),
+            F.round(
+                F.coalesce(F.sum("value"), F.lit(0.0)), 4
+            ).alias("attributed_value"),
+        ),
+        "first_type",
+    )

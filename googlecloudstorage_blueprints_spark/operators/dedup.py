@@ -674,3 +674,79 @@ def dedup_cluster_size_histogram(
         ),
         "copies",
     )
+
+
+# --------------------------------------------------------------------------
+# boilerplate-prefix share (leading-k-token exact clusters, by source)
+# --------------------------------------------------------------------------
+
+PREFIX_TOKENS = 5
+
+
+@register(
+    "doc_prefix_dup_share",
+    oracle=f"""
+    WITH pfx AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_slice(string_split(text, ' '), 1,
+                              {PREFIX_TOKENS}), ' ') AS prefix
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grp AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pfx GROUP BY prefix)
+    SELECT p.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_prefix_dup,
+           CAST(SUM(CASE WHEN g.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_share
+    FROM pfx p JOIN grp g USING (prefix)
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def doc_prefix_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of documents per source whose leading {PREFIX_TOKENS}-token
+    prefix is shared with at least one other document — the
+    boilerplate/template detector that catches header-stamped crawls
+    EXACT dedup misses (bodies differ) and n-gram dedup over-pays for
+    (the signal is entirely in the prefix).
+
+    Shape: the prefix is an in-row slice+join (codegen), one
+    prefix-keyed count aggregate, a prefix-keyed join back (AQE
+    broadcasts the group table when small), and a |sources|-row rollup
+    — no pairwise stage, same bucket-then-verify scaling as the rest of
+    the dedup family.  Parity: both engines' token-slice clamps short
+    documents; counts exact; dup_share an unrounded integer ratio."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    pfx = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, PREFIX_TOKENS)
+        ).alias("prefix"),
+    )
+    grp = pfx.groupBy("prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dup = F.when(F.col("n") >= 2, 1).otherwise(0)
+    return sort_bounded(
+        pfx.join(grp, "prefix")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_prefix_dup"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_share"
+            ),
+        ),
+        "source",
+    )
+
+
+doc_prefix_dup_share.__doc__ = doc_prefix_dup_share.__doc__.replace(
+    "{PREFIX_TOKENS}", str(PREFIX_TOKENS)
+)

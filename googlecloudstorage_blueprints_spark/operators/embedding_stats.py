@@ -733,3 +733,139 @@ embedding_dim_correlation_topk.__doc__ = (
         DIMCORR_TOP_K=DIMCORR_TOP_K
     )
 )
+
+
+# --------------------------------------------------------------------------
+# label separation from centroid algebra (no pairwise stage)
+# --------------------------------------------------------------------------
+
+SEP_SCALE = 10_000  # ×1e4 fixed point for normalized coordinates
+
+
+@register(
+    "embedding_label_separation",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                 AS val
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+        FROM vals GROUP BY vec_id
+    ),
+    qv AS (
+        SELECT v.vec_id, v.label, v.dim,
+               CAST(ROUND(v.val / n.nrm * {SEP_SCALE}, 0) AS BIGINT) AS q
+        FROM vals v JOIN norms n USING (vec_id)
+    ),
+    sld AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+            FROM qv GROUP BY label, dim),
+    lab AS (SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+                   CAST(SUM(q * q) AS BIGINT) AS qq
+            FROM qv GROUP BY label),
+    gd AS (SELECT dim, CAST(SUM(s) AS BIGINT) AS g FROM sld GROUP BY dim),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM lab),
+    dots AS (
+        SELECT sld.label,
+               CAST(SUM(sld.s * sld.s) AS BIGINT)  AS ss,
+               CAST(SUM(sld.s * gd.g) AS BIGINT)   AS sg
+        FROM sld JOIN gd USING (dim) GROUP BY sld.label
+    )
+    SELECT CAST(l.label AS BIGINT) AS label,
+           l.n                     AS n_vectors,
+           CAST(d.ss - l.qq AS DOUBLE)
+               / (l.n * (l.n - 1)) / {SEP_SCALE * SEP_SCALE} AS intra_cos,
+           CAST(d.sg - d.ss AS DOUBLE)
+               / (l.n * (t.big_n - l.n)) / {SEP_SCALE * SEP_SCALE}
+               AS inter_cos
+    FROM lab l JOIN dots d USING (label) CROSS JOIN tot t
+    ORDER BY label
+    """,
+)
+def embedding_label_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean intra-label vs inter-label cosine per label WITHOUT any
+    pairwise stage: on (quantized) unit vectors the mean pairwise dot
+    within a label is (‖Σv‖² − Σ‖v‖²)/(n(n−1)) and against the rest of
+    the corpus it is (Σv·(S−Σv))/(n(N−n)) — centroid algebra turns the
+    O(N²) separation statistic into per-(label, dim) SUMS.  A label
+    whose intra/inter gap collapses is the first place kNN label purity
+    dies; this is the screen that says WHERE.
+
+    Shape: explode to (label, dim) sums — the only data-sized pass —
+    then everything downstream is |labels|×|dims| bounded.  At 100 TB
+    the corpus contributes one map-side-combined aggregate; no pair
+    space ever exists (contrast: ``embedding_knn_label_purity`` samples
+    because its neighbor graph is quadratic).  Parity: normalized
+    coordinates are fixed-pointed ×1e4 to BIGINT at birth (r7 rule), so
+    every Σ, ‖·‖², and dot product is EXACT integer arithmetic at any
+    summation order; the two output ratios divide exact integers once,
+    emitted UNROUNDED (bit-identical, r2 rule — rounding would
+    re-introduce the r10 shortest-repr tie class).  Scale note: the
+    integer dot products stay in BIGINT while n·1e4 < 3e9 per (label,
+    dim) — ~300k vectors per label at this scale; beyond that raise the
+    descale or pre-divide by n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "val",
+    )
+    norms = vals.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    qv = vals.join(norms, "vec_id").select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("val") / F.col("nrm") * SEP_SCALE, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    sld = qv.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s")
+    )
+    lab = qv.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("long").alias("n"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"),
+    )
+    gd = sld.groupBy("dim").agg(F.sum("s").cast("long").alias("g"))
+    tot = lab.agg(F.sum("n").cast("long").alias("big_n"))
+    dots = (
+        sld.join(gd, "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("ss"),
+            F.sum(F.col("s") * F.col("g")).cast("long").alias("sg"),
+        )
+    )
+    scale2 = SEP_SCALE * SEP_SCALE
+    return sort_bounded(
+        lab.join(dots, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n").alias("n_vectors"),
+            (
+                (F.col("ss") - F.col("qq")).cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+                / F.lit(scale2)
+            ).alias("intra_cos"),
+            (
+                (F.col("sg") - F.col("ss")).cast("double")
+                / (F.col("n") * (F.col("big_n") - F.col("n")))
+                / F.lit(scale2)
+            ).alias("inter_cos"),
+        ),
+        "label",
+    )

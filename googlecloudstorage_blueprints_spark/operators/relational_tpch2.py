@@ -851,3 +851,89 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supplier_cnt").desc(), "p_brand", "size_class"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: wealthy dormant prospects per nation
+# --------------------------------------------------------------------------
+
+@register(
+    "global_sales_opportunity",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    posavg AS (
+        SELECT CAST(SUM(bal_c) AS BIGINT)  AS s,
+               CAST(COUNT(*) AS BIGINT)    AS n
+        FROM cust WHERE bal_c > 0
+    ),
+    eligible AS (
+        SELECT c.c_custkey, c.c_nationkey, c.bal_c
+        FROM cust c CROSS JOIN posavg p
+        WHERE c.bal_c * p.n > p.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT)              AS n_custs,
+           CAST(SUM(e.bal_c) AS DOUBLE) / 100.0  AS total_acctbal
+    FROM eligible e JOIN nation n ON n.n_nationkey = e.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape on the fixture schema (no phone country codes —
+    the nation dimension stands in): count and total balance of
+    customers holding an above-average positive balance who have NEVER
+    ordered — the outbound-sales prospect list.
+
+    Shape: one scalar aggregate (positive-balance sum/count) broadcast
+    back over the customer scan, the above-average cut, then a keyed
+    LEFT ANTI join against orders (the decorrelated NOT EXISTS — never
+    a per-row subquery) and a |nations|-row rollup.  Parity: balances
+    in ×100 BIGINT cents at birth; "above average" compares
+    ``bal_c · n > s`` by INTEGER cross-multiplication — no division, so
+    no customer can sit on a floating average boundary (the r2
+    aggregate-feeding-a-filter rule, solved exactly); the total is an
+    exact-integer/100 division.
+
+    Reference: no query surface in the reference CLI (SURVEY §2.A.4);
+    shape follows TPC-H Q22 (dbgen spec)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias(
+            "bal_c"
+        ),
+    )
+    posavg = c.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    eligible = (
+        c.crossJoin(F.broadcast(posavg))
+        .where(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return sort_bounded(
+        eligible.join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            (F.sum("bal_c").cast("double") / 100.0).alias(
+                "total_acctbal"
+            ),
+        ),
+        "n_name",
+    )

@@ -1197,3 +1197,231 @@ def part_brand_price_dispersion(
         ),
         "p_brand",
     )
+
+
+# --------------------------------------------------------------------------
+# revenue-important parts (TPC-H Q11 shape without partsupp)
+# --------------------------------------------------------------------------
+
+# keep parts whose fixed-point revenue exceeds floor(total/1000) — the
+# 0.1%-of-total cut expressed in overflow-safe integer space
+CONCENTRATION_DENOM = 1000
+
+
+@register(
+    "part_revenue_concentration",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 10000, 0) AS BIGINT)) AS BIGINT)
+                   AS rev4
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev4) AS BIGINT) AS t FROM pr)
+    SELECT p.l_partkey AS partkey,
+           CAST(p.rev4 AS DOUBLE) / 10000.0 AS revenue,
+           CAST(p.rev4 AS DOUBLE) / t.t    AS revenue_share
+    FROM pr p CROSS JOIN tot t
+    WHERE p.rev4 > t.t // {CONCENTRATION_DENOM}
+    ORDER BY p.rev4 DESC, partkey
+    """,
+)
+def part_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11's "important stock" question re-grounded on the fixture
+    schema (no partsupp — observed lineitem revenue stands in for stock
+    value, the supplier_part_coverage convention): parts carrying more
+    than 0.1% of total revenue, with their share.
+
+    Shape: one part-keyed revenue aggregate + a scalar total — and the
+    output is SELF-BOUNDED: at most {CONCENTRATION_DENOM} parts can
+    each exceed 1/{CONCENTRATION_DENOM} of the total (pigeonhole), so
+    the sort is over ≤{CONCENTRATION_DENOM} rows regardless of corpus
+    size.  Parity: revenue in ×1e4 BIGINT fixed point (r7 rule); the
+    threshold compares ``rev4 > total div {CONCENTRATION_DENOM}`` in
+    exact integers (both engines' integer division floors for
+    positives) — never a double share cut; revenue and share emitted as
+    exact-integer-derived doubles, UNROUNDED (bit-identical by the r2
+    integer-ratio rule; rounding would re-introduce shortest-repr tie
+    risk, the r10 ROUND-divergence class).
+
+    Reference: no query surface in the reference CLI (SURVEY §2.A.4);
+    shape follows TPC-H Q11 (dbgen spec)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev4 = F.sum(
+        F.expr(
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)"
+            " AS BIGINT)"
+        )
+    ).cast("long")
+    pr = li.groupBy("l_partkey").agg(rev4.alias("rev4"))
+    tot = pr.agg(F.sum("rev4").cast("long").alias("t"))
+    return sort_bounded(
+        pr.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("rev4") > F.expr(f"t div {CONCENTRATION_DENOM}")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("rev4").cast("double") / 10000.0).alias("revenue"),
+            (F.col("rev4").cast("double") / F.col("t")).alias(
+                "revenue_share"
+            ),
+        ),
+        F.col("revenue").desc(), "partkey",
+    )
+
+
+# --------------------------------------------------------------------------
+# per-nation supplier balance extremes (argmax/argmin discipline)
+# --------------------------------------------------------------------------
+
+@register(
+    "supplier_acctbal_extremes",
+    oracle="""
+    WITH ranked AS (
+        SELECT s_nationkey, s_name, s_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey)
+                   AS rk_top,
+               ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal ASC, s_suppkey)
+                   AS rk_bot
+        FROM supplier
+    )
+    SELECT n.n_name,
+           MAX(CASE WHEN rk_top = 1 THEN s_name END)    AS top_supplier,
+           MAX(CASE WHEN rk_top = 1 THEN s_acctbal END) AS top_acctbal,
+           MAX(CASE WHEN rk_bot = 1 THEN s_name END)    AS bottom_supplier,
+           MAX(CASE WHEN rk_bot = 1 THEN s_acctbal END) AS bottom_acctbal
+    FROM ranked JOIN nation n ON n.n_nationkey = ranked.s_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def supplier_acctbal_extremes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Richest and poorest supplier per nation — the arg-extreme
+    discipline (arg_min_max) applied per group and pivoted into one row
+    per nation for the treasury screen.
+
+    Shape: two ranking windows over the SAME nation-keyed exchange
+    (WindowGroupLimit prunes to per-partition candidates before the
+    shuffle), then a |nations|-row pivot; the nation name join is a
+    broadcast.  Parity: (s_acctbal, s_suppkey) is a total order both
+    ways; balances are emitted RAW (no arithmetic → no rounding
+    needed)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w_top = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    w_bot = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), "s_suppkey"
+    )
+    ranked = s.select(
+        "s_nationkey",
+        "s_name",
+        "s_acctbal",
+        F.row_number().over(w_top).alias("rk_top"),
+        F.row_number().over(w_bot).alias("rk_bot"),
+    ).where((F.col("rk_top") == 1) | (F.col("rk_bot") == 1))
+    top1 = F.when(F.col("rk_top") == 1, F.col("s_name"))
+    bot1 = F.when(F.col("rk_bot") == 1, F.col("s_name"))
+    return sort_bounded(
+        ranked.join(
+            F.broadcast(n),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max(top1).alias("top_supplier"),
+            F.max(
+                F.when(F.col("rk_top") == 1, F.col("s_acctbal"))
+            ).alias("top_acctbal"),
+            F.max(bot1).alias("bottom_supplier"),
+            F.max(
+                F.when(F.col("rk_bot") == 1, F.col("s_acctbal"))
+            ).alias("bottom_acctbal"),
+        ),
+        "n_name",
+    )
+
+
+# --------------------------------------------------------------------------
+# market-segment revenue share by quarter
+# --------------------------------------------------------------------------
+
+@register(
+    "mktsegment_quarterly_share",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(year(o.o_orderdate) AS BIGINT)    AS yr,
+               CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS price_c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    agg AS (
+        SELECT segment, yr, qtr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price_c) AS BIGINT) AS seg_c
+        FROM rev GROUP BY segment, yr, qtr
+    )
+    SELECT segment, yr, qtr, n_orders,
+           CAST(seg_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(seg_c AS DOUBLE)
+               / CAST(SUM(seg_c) OVER (PARTITION BY yr, qtr)
+                      AS BIGINT) AS revenue_share
+    FROM agg
+    ORDER BY yr, qtr, segment
+    """,
+)
+def mktsegment_quarterly_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quarterly revenue mix across market segments — the demand-shift
+    dashboard (orders_priority_share_trend's customer-dimension
+    sibling): which segment is gaining share, quarter over quarter.
+
+    Shape: fact⋈broadcast-dim join, one (segment, quarter) aggregate,
+    then the share window runs over the |segments×quarters|-BOUNDED
+    aggregate (never the fact table).  Parity: order totals in ×100
+    BIGINT cents at birth; share is an exact-integer ratio emitted
+    unrounded (bit-identical, r2 rule); the window SUM is cast back to
+    BIGINT against DuckDB's HUGEINT widening."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        ).alias("price_c"),
+    )
+    agg = rev.groupBy("segment", "yr", "qtr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price_c").cast("long").alias("seg_c"),
+    )
+    w = Window.partitionBy("yr", "qtr")
+    return sort_bounded(
+        agg.select(
+            "segment",
+            "yr",
+            "qtr",
+            "n_orders",
+            (F.col("seg_c").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("seg_c").cast("double")
+                / F.sum("seg_c").over(w).cast("long")
+            ).alias("revenue_share"),
+        ),
+        "yr", "qtr", "segment",
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -603,3 +604,113 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize before the packer's cached frames free
     bins.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# token-budget allocation across sources (largest-remainder method)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 100_000
+
+
+@register(
+    "source_token_budget_split",
+    oracle=f"""
+    WITH words AS (
+        SELECT source
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    tok AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM words GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM tok),
+    base AS (
+        SELECT source, n_tokens,
+               CAST(n_tokens * {TOKEN_BUDGET} // t AS BIGINT) AS floor_alloc,
+               CAST(n_tokens * {TOKEN_BUDGET} % t AS BIGINT)  AS rem
+        FROM tok CROSS JOIN tot
+    ),
+    need AS (SELECT CAST({TOKEN_BUDGET} - SUM(floor_alloc) AS BIGINT)
+                 AS extra FROM base),
+    ranked AS (
+        SELECT source, n_tokens, floor_alloc,
+               CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                    AS BIGINT) AS rk
+        FROM base
+    )
+    SELECT r.source, r.n_tokens,
+           CAST(r.floor_alloc
+                + CASE WHEN r.rk <= n.extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked r CROSS JOIN need n
+    ORDER BY r.source
+    """,
+)
+def source_token_budget_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer allocation of a {TOKEN_BUDGET}-token training budget
+    across sources, proportional to each source's token count, by the
+    LARGEST-REMAINDER method — allocations sum to the budget EXACTLY
+    (floor quotas + one extra token to the largest remainders), the
+    property every mixture sampler downstream assumes
+    (``mixture_resample`` consumes exactly this kind of table).
+
+    Shape: one token-count aggregate, a scalar total, then pure integer
+    arithmetic over the |sources|-row frame (the remainder-rank window
+    is dimension-bounded).  Parity: quotas and remainders are exact
+    integer div/mod (both engines floor for positives); the remainder
+    tie breaks on source.  Scale note: ``n_tokens × budget`` stays in
+    BIGINT while corpus tokens < 2⁶³/budget ≈ 9e13 — ~90T tokens at
+    this budget; beyond that, pre-divide the counts."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    words = d.select(
+        "source", F.explode_outer(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    tok = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("long").alias("t"))
+    base = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"CAST(n_tokens * {TOKEN_BUDGET} div t AS BIGINT)").alias(
+            "floor_alloc"
+        ),
+        F.expr(f"CAST(n_tokens * {TOKEN_BUDGET} % t AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    need = base.agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("floor_alloc"))
+        .cast("long")
+        .alias("extra")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = base.select(
+        "source",
+        "n_tokens",
+        "floor_alloc",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    return sort_bounded(
+        ranked.crossJoin(F.broadcast(need)).select(
+            "source",
+            "n_tokens",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        ),
+        "source",
+    )
+
+
+source_token_budget_split.__doc__ = source_token_budget_split.__doc__.replace(
+    "{TOKEN_BUDGET}", str(TOKEN_BUDGET)
+)
