@@ -356,3 +356,79 @@ def lineitem_linenumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bad_start).cast("long").alias("n_bad_start"),
         F.sum(noncontig).cast("long").alias("n_noncontiguous"),
     )
+
+
+# --------------------------------------------------------------------------
+# table freshness report (per-source watermark + cardinality screen)
+# --------------------------------------------------------------------------
+
+@register(
+    "table_freshness_report",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS VARCHAR) AS min_ts, CAST(NULL AS VARCHAR) AS max_ts
+    FROM customer
+    UNION ALL
+    SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    ORDER BY table_name
+    """,
+)
+def table_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table freshness + cardinality screen: row count and the
+    min/max event-time watermark of every time-bearing table (NULL for
+    dimension tables) — the first page of any ingestion dashboard and
+    the input to retention/partition-expiry policy
+    (``partition_stats_daily`` drills into one table; this is the
+    fleet view).
+
+    Shape: five scalar aggregates (min/max/count reduce map-side to one
+    row per table) unioned into a 5-row report — at 100 TB each leg is
+    a column-pruned scan of exactly one timestamp column.  Parity:
+    timestamps emitted as formatted strings (the tumbling-agg
+    convention); dimension tables carry typed NULL strings."""
+    def leg(table: str, ts_col: str | None) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        if ts_col is None:
+            return t.agg(
+                F.lit(table).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.lit(None).cast("string").alias("min_ts"),
+                F.lit(None).cast("string").alias("max_ts"),
+            )
+        fmt = "yyyy-MM-dd HH:mm:ss"
+        return t.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.date_format(F.min(ts_col), fmt).alias("min_ts"),
+            F.date_format(F.max(ts_col), fmt).alias("max_ts"),
+        )
+
+    legs = [
+        leg("customer", None),
+        leg("documents", None),
+        leg("events", "ts"),
+        leg("lineitem", "l_shipdate"),
+        leg("orders", "o_orderdate"),
+    ]
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionByName(df)
+    return sort_bounded(out, "table_name")

@@ -1329,3 +1329,172 @@ def user_first_touch_attribution(
         ),
         "first_type",
     )
+
+
+# --------------------------------------------------------------------------
+# seasonality strength (ANOVA R² of hour-of-week means on hourly counts)
+# --------------------------------------------------------------------------
+
+HOURS_PER_WEEK = 168
+
+
+@register(
+    "events_seasonality_strength",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, h % {HOURS_PER_WEEK} AS how,
+               CAST(SUM(y) AS BIGINT)   AS sg,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM hourly GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(SUM((sg * sg * 1000000) // ng) AS BIGINT) AS tt
+        FROM g GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(y) AS BIGINT)     AS s,
+               CAST(SUM(y * y) AS BIGINT) AS q
+        FROM hourly GROUP BY 1
+    )
+    SELECT m.event_type,
+           m.n AS n_hours,
+           CAST(t.tt - (m.s * m.s * 1000000) // m.n AS DOUBLE)
+               / NULLIF(m.q * 1000000
+                        - (m.s * m.s * 1000000) // m.n, 0)
+               AS seasonality_r2
+    FROM m JOIN t USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def events_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of the hourly-load variance the weekly clock explains:
+    one-way ANOVA R² (SS_between/SS_total) of hour-of-week means over
+    the hourly count series, per event type — near 1 the load is pure
+    schedule (capacity plans work), near 0 it's demand-driven (they
+    won't).  The variance-decomposition summary that
+    ``events_seasonality``'s 24-row profile and ``events_hour_autocorr``
+    eyeball.
+
+    Shape: an hourly count aggregate, a {HOURS_PER_WEEK}-group moment
+    pass, and a |types|-row join.  Parity (r7 fixed point): the
+    non-integer terms S_g²/n_g and S²/n are scaled ×1e6 and INTEGER-
+    DIVIDED (both engines floor positives), so every sum is exact
+    BIGINT at any order; R² is one exact-integer ratio, unrounded (r2
+    rule); NULLIF guards the constant-series denominator identically.
+    Scale note: S_g²·1e6 stays in BIGINT while any single (type,
+    hour-of-week) count < ~3e6 per observed hour-grid cell — comfortable
+    until per-type hourly load passes millions; beyond that drop the
+    scale factor."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    g = hourly.groupBy(
+        "event_type", F.expr(f"h % {HOURS_PER_WEEK}").alias("how")
+    ).agg(
+        F.sum("y").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum(F.expr("(sg * sg * 1000000) div ng"))
+        .cast("long")
+        .alias("tt")
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    ssb = F.expr("tt - (s * s * 1000000) div n")
+    sst = F.expr("q * 1000000 - (s * s * 1000000) div n")
+    return sort_bounded(
+        m.join(t, "event_type").select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            (
+                ssb.cast("double") / F.nullif(sst, F.lit(0))
+            ).alias("seasonality_r2"),
+        ),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# cumulative user adoption curve
+# --------------------------------------------------------------------------
+
+@register(
+    "events_cum_users_curve",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id,
+               CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT)
+                   AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS epoch_day, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM fd GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM fd)
+    SELECT d.epoch_day, d.n_new,
+           CAST(SUM(d.n_new) OVER (ORDER BY d.epoch_day
+                                   ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users,
+           CAST(CAST(SUM(d.n_new) OVER (ORDER BY d.epoch_day
+                                        ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS DOUBLE) / t.n_users
+               AS adoption_share
+    FROM daily d CROSS JOIN tot t
+    ORDER BY d.epoch_day
+    """,
+)
+def events_cum_users_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative user-adoption curve: new users per day and the
+    running total/share of everyone ever seen — the growth S-curve
+    whose DAILY increments ``events_new_vs_returning`` reports without
+    cumulating.
+
+    Shape: per-user first-day (one user-keyed aggregate), a day rollup,
+    then the cumulative window runs over the |days| LEDGER only (the
+    bounded-ledger SinglePartition class from SCALE.md's audit — never
+    the event stream).  Parity: integer epoch-day keys (the dau_wau
+    rule), exact counts, adoption_share an unrounded exact-integer
+    ratio."""
+    e = load_table(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(
+        F.expr("CAST(MIN(unix_micros(ts) div 86400000000) AS BIGINT)")
+        .alias("first_day")
+    )
+    daily = fd.groupBy(
+        F.col("first_day").alias("epoch_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    tot = fd.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.orderBy("epoch_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sort_bounded(
+        daily.crossJoin(F.broadcast(tot)).select(
+            "epoch_day",
+            "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+            (
+                F.sum("n_new").over(w).cast("long").cast("double")
+                / F.col("n_users")
+            ).alias("adoption_share"),
+        ),
+        "epoch_day",
+    )

@@ -750,3 +750,94 @@ def doc_prefix_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_prefix_dup_share.__doc__ = doc_prefix_dup_share.__doc__.replace(
     "{PREFIX_TOKENS}", str(PREFIX_TOKENS)
 )
+
+
+# --------------------------------------------------------------------------
+# prefix-dedup sensitivity curve (how aggressive is k-token keying?)
+# --------------------------------------------------------------------------
+
+SENSITIVITY_KS = (1, 2, 3, 5, 8)
+
+
+@register(
+    "prefix_dedup_sensitivity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS a
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pfx AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(k) for k in SENSITIVITY_KS)}]) AS k,
+               unnest([{", ".join(
+                   f"array_to_string(list_slice(a, 1, {k}), ' ')"
+                   for k in SENSITIVITY_KS)}]) AS prefix
+        FROM toks
+    ),
+    grp AS (
+        SELECT k, prefix, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pfx GROUP BY k, prefix
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT)   AS n_prefixes,
+           CAST(SUM(n) AS BIGINT)     AS n_docs,
+           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
+               / SUM(n) AS dup_share
+    FROM grp
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def prefix_dedup_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-aggressiveness curve: for each prefix length k ∈
+    {SENSITIVITY_KS}, how many documents would a leading-k-token
+    exact-dedup key collide — the calibration table read BEFORE picking
+    the ``doc_prefix_dup_share`` key length (k too small merges
+    unrelated docs, too large misses templates; the knee of this curve
+    is the right k).
+
+    Shape: the k-level prefixes expand IN-ROW (one positional
+    struct-array explode per doc — {n_ks} rows each, codegen), one
+    (k, prefix) count aggregate, and a {n_ks}-row rollup.  The DuckDB
+    twin zips two positional unnests (the r7 n-gram-pair rule).
+    Parity: counts exact, shares unrounded integer ratios."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    a = F.split("text", " ")
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.concat_ws(" ", F.slice(a, 1, k)).alias("prefix"),
+            )
+            for k in SENSITIVITY_KS
+        ]
+    )
+    pfx = d.select(
+        "doc_id", F.explode_outer(levels).alias("p")
+    ).select("doc_id", F.col("p.k").alias("k"), F.col("p.prefix").alias("prefix"))
+    grp = pfx.groupBy("k", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dup_n = F.when(F.col("n") >= 2, F.col("n")).otherwise(0)
+    return sort_bounded(
+        grp.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(dup_n).cast("long").alias("n_dup_docs"),
+            (F.sum(dup_n).cast("double") / F.sum("n")).alias(
+                "dup_share"
+            ),
+        ),
+        "k",
+    )
+
+
+prefix_dedup_sensitivity.__doc__ = prefix_dedup_sensitivity.__doc__.replace(
+    "{SENSITIVITY_KS}", str(SENSITIVITY_KS)
+).replace("{n_ks}", str(len(SENSITIVITY_KS)))

@@ -1425,3 +1425,64 @@ def mktsegment_quarterly_share(
         ),
         "yr", "qtr", "segment",
     )
+
+
+# --------------------------------------------------------------------------
+# repeat-purchase rate by market segment
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_repeat_rate",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN oc.n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           CAST(SUM(CASE WHEN oc.n_orders >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS repeat_rate,
+           CAST(CAST(SUM(oc.n_orders) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS avg_orders
+    FROM oc JOIN customer c ON c.c_custkey = oc.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by market segment: of the customers who
+    ordered at all, how many came back (≥2 orders), and the mean order
+    count — the loyalty KPI pair behind every retention budget
+    (``rfm_segments`` scores individuals; this is the segment rollup).
+
+    Shape: one custkey-keyed order count, a broadcast customer-dim
+    join, and a |segments|-row rollup.  Parity: the repeat cut is an
+    exact integer compare; both rates are exact-integer ratios,
+    unrounded (r2 rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    oc = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    repeat = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return sort_bounded(
+        oc.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(repeat).cast("long").alias("n_repeat"),
+            (F.sum(repeat).cast("double") / F.count(F.lit(1))).alias(
+                "repeat_rate"
+            ),
+            (
+                F.sum("n_orders").cast("long").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_orders"),
+        ),
+        "segment",
+    )

@@ -17,6 +17,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_lsh_candidates,
     streaming_scd2_intervals,
     streaming_sequence_pack,
+    streaming_session_depth,
     streaming_session_entries,
     streaming_session_path_trigrams,
     streaming_stateful_sessions,
@@ -38,6 +39,7 @@ __all__ = [
     "streaming_lsh_candidates",
     "streaming_scd2_intervals",
     "streaming_sequence_pack",
+    "streaming_session_depth",
     "streaming_session_entries",
     "streaming_session_path_trigrams",
     "streaming_transition_matrix",

@@ -1438,3 +1438,121 @@ def streaming_session_entries(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming session depth + conversion (feed for session_depth_conversion)
+# ---------------------------------------------------------------------------
+
+_DEPTH_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("converted", LongType()),
+    ]
+)
+
+_DEPTH_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("converted", LongType()),
+    ]
+)
+
+
+def _sessionize_depth(key: tuple, pdfs, state: GroupState):
+    """``_sessionize`` with a CONVERSION LATCH in state: any purchase
+    inside the session sets ``converted`` and nothing un-sets it until
+    the gap closes the session — closed sessions emit (bounds,
+    n_events, converted), the feed ``session_depth_conversion``
+    aggregates statelessly.  Late-but-within-watermark stragglers fold
+    in exactly like ``_sessionize`` (start may move back, ``last``
+    never regresses); a late purchase still flips the latch because
+    OR is order-insensitive."""
+    import pandas as pd
+
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start, last, n, conv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "start_us": int(start),
+                    "end_us": int(last),
+                    "n_events": int(n),
+                    "converted": int(conv),
+                }
+            ]
+        )
+        return
+
+    rows = pd.concat(list(pdfs))
+    ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+    order = ts_us.argsort(kind="stable")
+    ts_us = ts_us[order]
+    types = rows["event_type"].to_numpy()[order]
+
+    if state.exists:
+        start, last, n, conv = (int(x) for x in state.get)
+    else:
+        start, last, n, conv = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0
+
+    closed = []
+    for t, ty in zip(ts_us, types):
+        t = int(t)
+        if n > 0 and t - last > SESSION_GAP_US:
+            closed.append(
+                {
+                    "user_id": int(user_id),
+                    "start_us": start,
+                    "end_us": last,
+                    "n_events": n,
+                    "converted": conv,
+                }
+            )
+            start, n, conv = t, 0, 0
+        start = t if n == 0 else min(start, t)
+        last, n = max(last, t), n + 1
+        if str(ty) == "purchase":
+            conv = 1
+
+    state.update((start, last, n, conv))
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def streaming_session_depth(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming session-depth feed — the incremental twin of the
+    ``session_depth_conversion`` core: closed sessions arrive as
+    (bounds, n_events, converted) rows, so depth-bucket conversion
+    rates downstream are one stateless aggregate of this append
+    stream.  Same gap rule and timeout closure as the batch windows —
+    pinned batch-equal over replay in tests."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_depth,
+            _DEPTH_OUT_SCHEMA,
+            _DEPTH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

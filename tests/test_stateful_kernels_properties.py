@@ -788,3 +788,64 @@ def test_every_stateful_kernel_is_property_tested():
         )
     ]
     assert not missing, f"kernels without property tests: {missing}"
+
+
+# --- r10: depth+conversion sessionizer --------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _sessionize_depth,
+)
+
+
+def _ref_depth_sessions(events):
+    """Whole-sequence reference: gap-rule sessions with a purchase
+    latch.  ``events`` are (ts, event_id, type) triples; purchases are
+    type == 'purchase'."""
+    ordered = sorted(events)
+    sessions, cur = [], None
+    for ts, _eid, ty in ordered:
+        if cur and ts - cur[1] > SESSION_GAP_US:
+            sessions.append(cur)
+            cur = None
+        if cur is None:
+            cur = [ts, ts, 0, 0]
+        cur[0] = min(cur[0], ts)
+        cur[1] = max(cur[1], ts)
+        cur[2] += 1
+        if ty == "purchase":
+            cur[3] = 1
+    return sessions, cur
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_sessionize_depth_kernel_latches_conversion(case):
+    events, batches = case
+    # recast the third element as a type alternating purchase/view by
+    # event-id parity so both outcomes occur under random splits
+    def retype(batch):
+        return [
+            (ts, eid, "purchase" if eid % 3 == 0 else ty)
+            for ts, eid, ty in batch
+        ]
+
+    events = retype(events)
+    state = FakeTimerGroupState()
+    closed = []
+    for batch in batches:
+        for pdf in _sessionize_depth(
+            (1,), iter([_rows_df(retype(batch))]), state
+        ):
+            for r in pdf.itertuples(index=False):
+                closed.append(
+                    (
+                        int(r.start_us),
+                        int(r.end_us),
+                        int(r.n_events),
+                        int(r.converted),
+                    )
+                )
+    ref_closed, ref_open = _ref_depth_sessions(events)
+    assert closed == [tuple(s) for s in ref_closed]
+    start, last, n, conv = state.get
+    assert [int(start), int(last), int(n), int(conv)] == ref_open

@@ -1396,3 +1396,71 @@ def test_streaming_session_entries_matches_batch_bounce_core(
         for r in all_queries()["session_bounce_rate"](spark, SF).collect()
     }
     assert agg == batch and len(batch) > 0
+
+
+def test_streaming_session_depth_matches_batch_conversion_core(
+    spark, tmp_path
+):
+    """Aggregating the closed-session depth feed into depth buckets
+    must reproduce the batch session_depth_conversion table exactly —
+    same sentinel-drain technique as the entries twin (two far-future
+    batches push the watermark past every open tail)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_depth,
+    )
+
+    (tmp_path / "replay").mkdir()
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay" / "00_events.parquet"
+    )
+    base = pq.read_table(f"{SF}/events.parquet")
+    far = pa.compute.max(base.column("ts")).as_py()
+    import datetime
+
+    for i, delta_h in enumerate([24 * 400, 24 * 400 + 1]):
+        sent = pa.Table.from_pydict(
+            {
+                "event_id": [10_000_000 + i],
+                "ts": [far + datetime.timedelta(hours=delta_h)],
+                "user_id": [-1],
+                "event_type": ["sentinel"],
+                "value": [0.0],
+                "props": ["{}"],
+            },
+            schema=base.schema,
+        )
+        pq.write_table(
+            sent, tmp_path / "replay" / f"0{i + 1}_sentinel.parquet"
+        )
+
+    got = run_stream_to_memory(
+        streaming_session_depth(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "session_depth",
+    ).where("user_id >= 0")
+
+    def bucket(n):
+        return "1" if n == 1 else "2-3" if n <= 3 else "4-7" if n <= 7 else "8+"
+
+    agg = {}
+    for r in got.collect():
+        n, c = agg.get(bucket(r["n_events"]), (0, 0))
+        agg[bucket(r["n_events"])] = (n + 1, c + int(r["converted"]))
+    batch = {
+        r["depth_bucket"]: (r["n_sessions"], r["n_converted"])
+        for r in all_queries()["session_depth_conversion"](
+            spark, SF
+        ).collect()
+    }
+    assert agg == batch and len(batch) > 0
