@@ -1498,3 +1498,186 @@ def events_cum_users_curve(
         ),
         "epoch_day",
     )
+
+
+# --------------------------------------------------------------------------
+# daily type-share OLS trend (is the error rate drifting up?)
+# --------------------------------------------------------------------------
+
+@register(
+    "event_type_share_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS e
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT d, CAST(SUM(e) AS BIGINT) AS t FROM daily GROUP BY d
+    ),
+    shares AS (
+        SELECT daily.event_type,
+               CAST(daily.d AS BIGINT) AS x,
+               CAST((daily.e * 1000000) // tot.t AS BIGINT) AS y6
+        FROM daily JOIN tot USING (d)
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)     AS n,
+               CAST(SUM(x) AS BIGINT)       AS sx,
+               CAST(SUM(y6) AS BIGINT)      AS sy,
+               CAST(SUM(x * y6) AS BIGINT)  AS sxy,
+               CAST(SUM(x * x) AS BIGINT)   AS sxx
+        FROM shares GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           CAST(CAST(sy AS DOUBLE) / n AS DOUBLE) / 1000000.0
+               AS mean_share,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+               / 1000000.0 AS share_slope_per_day
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def event_type_share_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type OLS trend of the DAILY TRAFFIC SHARE — "is the error
+    rate drifting up?" asked properly: shares (not raw counts, which
+    confound with overall growth) regressed on the epoch day, one slope
+    per type.  The ops-health line ``events_anomaly`` (spikes) and
+    ``events_decay_trend`` (level) don't draw.
+
+    Shape: a (day, type) count aggregate, a |days| total join, then the
+    regression is ONE moment aggregate to |types| rows.  Parity: each
+    day's share is fixed-pointed to an EXACT ×1e6 integer via integer
+    division (the r7 rule — summing double shares is order-sensitive),
+    so all five OLS moments are exact BIGINTs and both outputs are
+    deterministic double expressions over them, emitted unrounded (r2
+    rule); NULLIF guards the single-day degenerate.  Scale note:
+    x·y6 ≤ epoch_day(~2e4)·1e6 = 2e10 per row — Σ stays in BIGINT to
+    ~4e8 observed days-of-type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("e"))
+    tot = daily.groupBy("d").agg(F.sum("e").cast("long").alias("t"))
+    shares = daily.join(tot, "d").select(
+        "event_type",
+        F.col("d").cast("long").alias("x"),
+        F.expr("CAST((e * 1000000) div t AS BIGINT)").alias("y6"),
+    )
+    sums = shares.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y6").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y6")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return sort_bounded(
+        sums.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            (
+                (F.col("sy").cast("double") / F.col("n")).cast("double")
+                / 1000000.0
+            ).alias("mean_share"),
+            (
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / F.nullif(
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx"),
+                    F.lit(0),
+                ).cast("double")
+                / 1000000.0
+            ).alias("share_slope_per_day"),
+        ),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-type audience overlap (user-set Jaccard per type pair)
+# --------------------------------------------------------------------------
+
+@register(
+    "event_type_user_jaccard",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           CAST(p.n_both AS DOUBLE) / (ca.n + cb.n - p.n_both)
+               AS user_jaccard
+    FROM pairs p
+    JOIN tc ca ON ca.event_type = p.type_a
+    JOIN tc cb ON cb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def event_type_user_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap between event types: Jaccard of the USER SETS
+    for every type pair — near 1 the features share an audience, near 0
+    they serve different users (the segmentation fact behind bundling
+    and nav decisions).  ``part_copurchase_lift``'s behavioral twin,
+    with users playing the basket role.
+
+    Shape: the distinct (user, type) relation self-joins on the user
+    key — fan-out bounded by |types|² per user, never |users|²; set
+    sizes join back per type and the output is the |types choose 2|
+    table.  Parity: exact counts; Jaccard an unrounded exact-integer
+    ratio (r2 rule)."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = tc.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    cb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return sort_bounded(
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both"))
+            ).alias("user_jaccard"),
+        ),
+        "type_a", "type_b",
+    )

@@ -1486,3 +1486,56 @@ def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "segment",
     )
+
+
+# --------------------------------------------------------------------------
+# supply-chain redundancy: distinct-supplier histogram per part
+# --------------------------------------------------------------------------
+
+@register(
+    "supplier_dual_sourcing",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_total FROM ps)
+    SELECT ps.n_supp AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS DOUBLE) / t.n_parts_total AS part_share
+    FROM ps CROSS JOIN tot t
+    GROUP BY ps.n_supp, t.n_parts_total
+    ORDER BY n_suppliers
+    """,
+)
+def supplier_dual_sourcing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain redundancy histogram: how many parts are observed
+    from exactly 1, 2, 3… suppliers — single-sourced parts are the
+    procurement risk register (``sole_late_supplier`` finds the failing
+    ones; this sizes the exposure).
+
+    Shape: one part-keyed distinct-supplier count, then a histogram
+    bounded by the max supplier fan-out per part; the total is a 1-row
+    broadcast.  Parity: exact counts; part_share an unrounded
+    exact-integer ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp")
+    )
+    tot = ps.agg(F.count(F.lit(1)).cast("long").alias("n_parts_total"))
+    return sort_bounded(
+        ps.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n_supp").alias("n_suppliers"), "n_parts_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .select(
+            "n_suppliers",
+            "n_parts",
+            (
+                F.col("n_parts").cast("double") / F.col("n_parts_total")
+            ).alias("part_share"),
+        ),
+        "n_suppliers",
+    )

@@ -714,3 +714,100 @@ def source_token_budget_split(
 source_token_budget_split.__doc__ = source_token_budget_split.__doc__.replace(
     "{TOKEN_BUDGET}", str(TOKEN_BUDGET)
 )
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled source mixture weights (τ-sampling)
+# --------------------------------------------------------------------------
+
+MIX_TEMPERATURE = 0.7
+
+
+@register(
+    "source_temperature_weights",
+    oracle=f"""
+    WITH words AS (
+        SELECT source
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    tok AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM words GROUP BY source),
+    powed AS (
+        SELECT source, n_tokens,
+               CAST(ROUND(pow(CAST(n_tokens AS DOUBLE),
+                              {MIX_TEMPERATURE}) * 1000000, 0)
+                    AS BIGINT) AS p6
+        FROM tok
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(SUM(p6) AS BIGINT)       AS tp
+            FROM powed)
+    SELECT p.source, p.n_tokens,
+           CAST(p.n_tokens AS DOUBLE) / t.t AS weight_prop,
+           CAST(p.p6 AS DOUBLE) / t.tp      AS weight_temp
+    FROM powed p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def source_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture weights: w_s ∝ tokens_s^τ with
+    τ = {MIX_TEMPERATURE} — the standard LM-pretraining rebalance that
+    up-samples small high-quality sources relative to raw proportional
+    sampling (τ = 1).  Emitted beside the proportional weight so the
+    rebalancing effect is visible per source;
+    ``source_token_budget_split`` turns either column into exact token
+    quotas.
+
+    Shape: one token-count aggregate and a broadcast scalar pair.
+    Parity: pow() doubles may differ cross-engine in the last ulp →
+    fixed-pointed ×1e6 to BIGINT immediately (the r5 pow/ln rule, made
+    integer per r7); both weights are then unrounded exact-integer
+    ratios (r2 rule)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    words = d.select(
+        "source", F.explode_outer(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    tok = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    powed = tok.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), MIX_TEMPERATURE)
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("p6"),
+    )
+    tot = powed.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.sum("p6").cast("long").alias("tp"),
+    )
+    return sort_bounded(
+        powed.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("t")).alias(
+                "weight_prop"
+            ),
+            (F.col("p6").cast("double") / F.col("tp")).alias(
+                "weight_temp"
+            ),
+        ),
+        "source",
+    )
+
+
+source_temperature_weights.__doc__ = (
+    source_temperature_weights.__doc__.replace(
+        "{MIX_TEMPERATURE}", str(MIX_TEMPERATURE)
+    )
+)
