@@ -186,17 +186,17 @@ def bench_shapes(
         return dau.join(wau, "d")
 
     def bigram_lm():
-        # round-9 LM shape: the model is scored on the DISTINCT-bigram
-        # table (marginals summed from its counts) and the token-sized
-        # frame is joined back ONCE on (w1, w2) — replaces the r7 form's
-        # three full-frame joins; only the map side and the single score
-        # join grow with the corpus
+        # round-10 form: score table = keyed windows over cb + scalar
+        # subquery total (no join inside the score subtree; SMJ is the
+        # CORRECT plan when the probe grows the aggregate estimate).
+        # See SCALE.md "Bigram-LM probe caveat": fixed vocab under
+        # replication makes the score side degenerate-small.
         a = F.split("text", " ")
         pairs = F.arrays_zip(
             F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
         )
         bg = (
-            docs.where(F.col("text").isNotNull() & (F.size(a) >= 2))
+            docs.where(F.size(a) >= 2)
             .select("doc_id", F.explode_outer(pairs).alias("p"))
             .select(
                 "doc_id",
@@ -204,16 +204,28 @@ def bench_shapes(
                 F.col("p.1").alias("w2"),
             )
         )
-        cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-        c1 = cb.groupBy("w1").agg(F.sum("cnt").alias("cnt1"))
-        mix = F.col("cnt").cast("double") / F.col("cnt1").cast("double")
-        score = cb.join(c1, "w1").select(
-            "w1", "w2", (-F.log(mix)).alias("nll1")
-        )
-        return (
-            bg.join(score, ["w1", "w2"])
-            .groupBy("doc_id")
-            .agg(F.sum("nll1").alias("nll"))
+        bg.createOrReplaceTempView("bg_probe_bigram")
+        return spark.sql(
+            """
+            WITH cb AS (SELECT w1, w2, COUNT(*) AS cnt
+                        FROM bg_probe_bigram GROUP BY w1, w2),
+            sc AS (
+                SELECT w1, w2,
+                       CAST(ROUND(-LN(
+                           0.8 * (CAST(cnt AS DOUBLE)
+                               / CAST(SUM(cnt) OVER (PARTITION BY w1)
+                                      AS DOUBLE))
+                         + 0.2 * (CAST(SUM(cnt) OVER (PARTITION BY w2)
+                                       AS DOUBLE)
+                                  / CAST((SELECT SUM(cnt) FROM cb)
+                                         AS DOUBLE))
+                       ) * 1000000, 0) AS BIGINT) AS nll6
+                FROM cb
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll6) AS nll
+            FROM bg_probe_bigram JOIN sc USING (w1, w2)
+            GROUP BY doc_id
+            """
         )
 
     def anomaly_seasonal():
@@ -276,29 +288,23 @@ def bench_shapes(
         )
 
     def copurchase():
-        # round-8 claim: the pair space is the within-order self-join of
-        # DISTINCT (order, part) — fan-out bounded by basket size², so
-        # replicated orders (disjoint key spaces) grow the pair count
-        # linearly, never |parts|²
-        op = li.select("l_orderkey", "l_partkey").distinct()
-        # r9 form: marginals straight off the scan (no distinct recompute)
-        n = li.agg(
-            F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+        # round-10 form: ONE basket pass — collect_set per order (map-side
+        # partial dedup), in-row pair Generates, marginals + total derived
+        # from the same exchange; pair count still linear in baskets
+        baskets = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
         )
-        pc = li.groupBy("l_partkey").agg(
-            F.countDistinct("l_orderkey").cast("long").alias("n_part")
+        n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        pc = (
+            baskets.select(F.explode_outer("parts").alias("l_partkey"))
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
         )
-        a2, b2 = op.alias("a"), op.alias("b")
         pairs = (
-            a2.join(
-                b2,
-                (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"),
-                F.col("b.l_partkey").alias("pb"),
-            )
+            baskets.select("parts", F.explode_outer("parts").alias("pa"))
+            .select("pa", F.explode_outer("parts").alias("pb"))
+            .where(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
         )
         lift = (
@@ -466,6 +472,88 @@ def bench_shapes(
             .agg(F.count(F.lit(1)).alias("vocab"))
         )
 
+    def label_separation():
+        # round-10 claim: intra/inter label cosine needs ONLY per-(label,
+        # dim) integer sums — the data-sized pass is one explode+agg;
+        # everything after is |labels|x|dims| bounded
+        vals = emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        ).select(
+            "vec_id", "label",
+            (F.col("pos") + 1).cast("long").alias("dim"), "val",
+        )
+        norms = vals.groupBy("vec_id").agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+        )
+        qv = vals.join(norms, "vec_id").select(
+            "vec_id", "label", "dim",
+            F.round(F.col("val") / F.col("nrm") * 10000, 0)
+            .cast("long").alias("q"),
+        )
+        sld = qv.groupBy("label", "dim").agg(
+            F.sum("q").cast("long").alias("s")
+        )
+        lab = qv.groupBy("label").agg(
+            F.countDistinct("vec_id").cast("long").alias("n"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("qq"),
+        )
+        gd = sld.groupBy("dim").agg(F.sum("s").cast("long").alias("g"))
+        dots = (
+            sld.join(gd, "dim")
+            .groupBy("label")
+            .agg(
+                F.sum(F.col("s") * F.col("s")).cast("long").alias("ss"),
+                F.sum(F.col("s") * F.col("g")).cast("long").alias("sg"),
+            )
+        )
+        return lab.join(dots, "label")
+
+    def seasonality_strength():
+        # round-10 claim: the hourly ledger is time-bounded, the moment
+        # pass 168-group bounded — replication grows only the first agg
+        hourly = ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+        g = hourly.groupBy(
+            "event_type", F.expr("h % 168").alias("how")
+        ).agg(
+            F.sum("y").cast("long").alias("sg"),
+            F.count(F.lit(1)).cast("long").alias("ng"),
+        )
+        t2 = g.groupBy("event_type").agg(
+            F.sum(F.expr("(sg * sg * 1000000) div ng"))
+            .cast("long").alias("tt")
+        )
+        m = hourly.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+        )
+        return m.join(t2, "event_type")
+
+    def user_jaccard():
+        # round-10 claim: distinct (user, type) self-join fans out
+        # |types|^2 per user — linear in users under replication
+        ut = ev.select("user_id", "event_type").distinct()
+        a3, b3 = ut.alias("a"), ut.alias("b")
+        return (
+            a3.join(
+                b3,
+                (F.col("b.user_id") == F.col("a.user_id"))
+                & (F.col("a.event_type") < F.col("b.event_type")),
+            )
+            .groupBy(
+                F.col("a.event_type").alias("ta"),
+                F.col("b.event_type").alias("tb"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -493,6 +581,11 @@ def bench_shapes(
         # round-9 additions: user-keyed lead window + bounded reductions,
         # nation-partitioned rank window, min-first-doc checkpoint rollup
         "markov_entropy": markov_entropy,
+        # round-10 additions: centroid-algebra separation, ANOVA ledger,
+        # audience-overlap self-join
+        "label_separation": label_separation,
+        "seasonality_strength": seasonality_strength,
+        "user_jaccard": user_jaccard,
         "gini": gini,
         "vocab_growth": vocab_growth,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
