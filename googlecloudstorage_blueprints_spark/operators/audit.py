@@ -432,3 +432,85 @@ def table_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in legs[1:]:
         out = out.unionByName(df)
     return sort_bounded(out, "table_name")
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit of event values
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, inlined as identical literals on both
+# engines (never engine log10 — the r5 ln/pow rule, solved by constants)
+_BENFORD = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+    4: 0.096910013, 5: 0.079181246, 6: 0.0669467896,
+    7: 0.057991947, 8: 0.0511525224, 9: 0.0457574906,
+}
+
+
+@register(
+    "events_value_benford",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events WHERE value > 0
+    ),
+    digit AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM cents WHERE c > 0
+    ),
+    obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n
+            FROM digit GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT o.d AS first_digit,
+           o.n AS n_values,
+           CAST(o.n AS DOUBLE) / t.t AS observed_share,
+           CAST(CASE o.d {" ".join(
+               f"WHEN {d} THEN {v}" for d, v in _BENFORD.items())}
+           END AS DOUBLE) AS benford_share,
+           CAST(o.n AS DOUBLE) / t.t
+               - CAST(CASE o.d {" ".join(
+                   f"WHEN {d} THEN {v}" for d, v in _BENFORD.items())}
+                 END AS DOUBLE) AS deviation
+    FROM obs o CROSS JOIN tot t
+    ORDER BY first_digit
+    """,
+)
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of transaction values: observed vs
+    expected leading-digit shares — the classic synthetic-data /
+    fabricated-amounts tripwire (organic multi-scale amounts follow
+    log10(1+1/d); generated or capped ones don't).
+
+    Shape: digit extraction is one string op on the ×100 BIGINT cents
+    (never engine log10 on data — the expected shares are INLINED
+    LITERALS identical in both SQL texts), then a 9-row rollup.
+    Parity: digit-of-integer-string is deterministic; observed_share is
+    an exact-integer ratio; deviation subtracts a shared literal from
+    it — one identical IEEE op, emitted unrounded."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.where(F.col("value") > 0).select(
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    digit = cents.where(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    obs = digit.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("t"))
+    bshare = F.when(F.col("d") == 1, F.lit(_BENFORD[1]))
+    for dd in range(2, 10):
+        bshare = bshare.when(F.col("d") == dd, F.lit(_BENFORD[dd]))
+    oshare = F.col("n").cast("double") / F.col("t")
+    return sort_bounded(
+        obs.crossJoin(F.broadcast(tot)).select(
+            F.col("d").alias("first_digit"),
+            F.col("n").alias("n_values"),
+            oshare.alias("observed_share"),
+            bshare.alias("benford_share"),
+            (oshare - bshare).alias("deviation"),
+        ),
+        "first_digit",
+    )

@@ -1681,3 +1681,89 @@ def event_type_user_jaccard(
         ),
         "type_a", "type_b",
     )
+
+
+# --------------------------------------------------------------------------
+# weekly activity streaks (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+@register(
+    "user_active_streaks",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        FROM events
+    ),
+    num AS (
+        SELECT user_id, wk,
+               wk - ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY wk) AS isl
+        FROM uw
+    ),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM num GROUP BY user_id, isl
+    ),
+    best AS (
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM streaks GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_total FROM best)
+    SELECT b.max_streak AS streak_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / t.n_users_total AS user_share
+    FROM best b CROSS JOIN tot t
+    GROUP BY b.max_streak, t.n_users_total
+    ORDER BY streak_weeks
+    """,
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-week activity streak per user, rolled into a
+    histogram — the habit-formation metric behind every retention
+    target ("how many users have a 4-week streak?"), and the
+    gaps-and-islands pattern (week − row_number = island id) the
+    engine's window family otherwise lacks.
+
+    Shape: distinct (user, week) → ONE user-keyed rank window (islands
+    number per partition, no global sort) → two bounded reductions.
+    Parity: integer epoch-week keys; the island id is exact integer
+    arithmetic on both engines; user_share an unrounded exact ratio."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(ts) div 604800000000 AS BIGINT)"
+        ).alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    num = uw.select(
+        "user_id",
+        "wk",
+        (F.col("wk") - F.row_number().over(w)).alias("isl"),
+    )
+    streaks = num.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("max_streak")
+    )
+    tot = best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_total")
+    )
+    return sort_bounded(
+        best.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("max_streak").alias("streak_weeks"), "n_users_total"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "streak_weeks",
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.col("n_users_total")
+            ).alias("user_share"),
+        ),
+        "streak_weeks",
+    )

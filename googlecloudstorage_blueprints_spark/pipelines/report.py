@@ -30,6 +30,9 @@ REPORT_SOURCES = (
     "simpson_diversity_by_source",  # collision-probability diversity
     "bigram_entropy_by_source",   # sequence diversity
     "logprob_quantiles_by_source",  # perplexity band (r9: p50 unigram NLL)
+    "source_temperature_weights",   # r10: sampling weights (prop vs τ)
+    "doc_prefix_dup_share",         # r10: boilerplate-prefix pressure
+    "source_token_budget_split",    # r10: exact token quota
 )
 
 
@@ -65,6 +68,15 @@ def corpus_report(
         F.col("p50_nll").alias("median_unigram_nll"),
         F.col("p90_nll").alias("p90_unigram_nll"),
     )
+    temp = qs["source_temperature_weights"](spark, sf_dir).select(
+        "source", "weight_prop", "weight_temp"
+    )
+    prefix = qs["doc_prefix_dup_share"](spark, sf_dir).select(
+        "source", F.col("dup_share").alias("prefix_dup_share")
+    )
+    budget = qs["source_token_budget_split"](spark, sf_dir).select(
+        "source", "alloc_tokens"
+    )
 
     report = (
         scorecard.join(F.broadcast(dedup), "source")
@@ -73,6 +85,9 @@ def corpus_report(
         .join(F.broadcast(simpson), "source")
         .join(F.broadcast(entropy), "source")
         .join(F.broadcast(nll), "source")
+        .join(F.broadcast(temp), "source")
+        .join(F.broadcast(prefix), "source")
+        .join(F.broadcast(budget), "source")
         .orderBy("source")
     )
     if out_path is not None:

@@ -203,3 +203,83 @@ def test_temperature_weights_sum_to_one_and_compress(spark):
     small = min(rows, key=lambda r: r["n_tokens"])
     assert big["weight_temp"] < big["weight_prop"]
     assert small["weight_temp"] > small["weight_prop"]
+
+
+def _events_table(rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def _sf_with_events(tmp_path, tbl):
+    import shutil
+
+    out = tmp_path / "sf_ev"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    pq.write_table(tbl, out / "events.parquet")
+    return str(out)
+
+
+def test_active_streaks_planted_islands(spark, tmp_path):
+    """User 1: weeks 0-3 contiguous (streak 4).  User 2: weeks 0,2,4
+    (streak 1).  User 3: weeks 0,1,5,6,7 (streak 3)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 4)  # mid-epoch-week anchor
+    rows, eid = [], 0
+    for uid, weeks in ((1, [0, 1, 2, 3]), (2, [0, 2, 4]),
+                      (3, [0, 1, 5, 6, 7])):
+        for wk in weeks:
+            rows.append(
+                (eid, base + datetime.timedelta(weeks=wk), uid,
+                 "view", 1.0)
+            )
+            eid += 1
+    sf_dir = _sf_with_events(tmp_path, _events_table(rows))
+    got = {
+        r["streak_weeks"]: r["n_users"]
+        for r in _q()["user_active_streaks"](spark, sf_dir).collect()
+    }
+    assert got == {1: 1, 3: 1, 4: 1}
+
+
+def test_benford_planted_single_digit_mass(spark, tmp_path):
+    """All values lead with digit 1 → observed_share 1.0 for digit 1,
+    deviation = 1 − log10(2); shares across digits always sum to 1 on
+    the real fixture."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "purchase",
+         float(v))
+        for i, v in enumerate([1.00, 10.50, 123.45, 1999.99, 0.01])
+    ]
+    sf_dir = _sf_with_events(tmp_path, _events_table(rows))
+    got = {
+        r["first_digit"]: r
+        for r in _q()["events_value_benford"](spark, sf_dir).collect()
+    }
+    assert set(got) == {1}
+    assert got[1]["observed_share"] == pytest.approx(1.0)
+    assert got[1]["deviation"] == pytest.approx(1.0 - 0.3010299957)
+
+    real = _q()["events_value_benford"](spark, SF).collect()
+    assert sum(r["observed_share"] for r in real) == pytest.approx(1.0)
+    for r in real:
+        assert r["deviation"] == pytest.approx(
+            r["observed_share"] - r["benford_share"]
+        )
