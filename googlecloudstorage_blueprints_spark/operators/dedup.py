@@ -841,3 +841,130 @@ def prefix_dedup_sensitivity(
 prefix_dedup_sensitivity.__doc__ = prefix_dedup_sensitivity.__doc__.replace(
     "{SENSITIVITY_KS}", str(SENSITIVITY_KS)
 ).replace("{n_ks}", str(len(SENSITIVITY_KS)))
+
+
+# --------------------------------------------------------------------------
+# dedup quality bias + train/test leakage (curation-composition audits)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_quality_bias",
+    oracle="""
+    WITH grp AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)
+    ),
+    marked AS (
+        SELECT d.n_chars,
+               CASE WHEN d.doc_id = g.keeper THEN 'kept'
+                    ELSE 'dropped' END AS status
+        FROM documents d JOIN grp g ON md5(d.text) = g.h
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)       AS total_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*)
+               AS mean_chars
+    FROM marked
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def dedup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is exact dedup biased? Length profile of KEPT vs DROPPED
+    documents under the min-doc_id survivorship rule — if dropped docs
+    are systematically longer/shorter than survivors, the dedup stage
+    is shifting the corpus distribution, not just shrinking it (the
+    check every curation pipeline should print next to its drop rate).
+
+    Shape: the digest aggregate (the exact_dedup shuffle, digests not
+    bodies) joined back on the digest, then a 2-row rollup.  Parity:
+    status from an exact integer/key compare; mean_chars an
+    exact-integer ratio, unrounded."""
+    d = load_table(spark, sf_dir, "documents")
+    grp = d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    marked = (
+        d.select("doc_id", "n_chars", F.md5("text").alias("h"))
+        .join(grp, "h")
+        .select(
+            "n_chars",
+            F.when(F.col("doc_id") == F.col("keeper"), "kept")
+            .otherwise("dropped")
+            .alias("status"),
+        )
+    )
+    return sort_bounded(
+        marked.groupBy("status").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("long").cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_chars"),
+        ),
+        "status",
+    )
+
+
+_LEAK_SPLIT = (
+    "CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 80 "
+    "THEN 'train' WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS h, {_LEAK_SPLIT} AS split
+        FROM documents
+    ),
+    grp AS (
+        SELECT h,
+               CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+               CAST(COUNT(*) AS BIGINT)              AS n_docs
+        FROM tagged GROUP BY h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_content_groups,
+           CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaking_groups,
+           CAST(SUM(CASE WHEN n_splits >= 2 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_leaking_docs
+    FROM grp
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: content groups (exact-duplicate sets)
+    whose members land in MORE THAN ONE split under the deterministic
+    stratified_split hash — the failure mode dedup-then-split exists to
+    prevent, measured directly (a leaking group puts the same text in
+    train AND test, inflating eval).  The fixture corpus has exact
+    duplicates, so the counters fire naturally; the planted test pins a
+    constructed leak.
+
+    Shape: the digest aggregate again (split cardinality per content
+    group — a 16-byte-key shuffle), then a scalar rollup.  Parity: the
+    split expression is the SAME pure-BIGINT multiplicative hash
+    stratified_split uses (no engine hash function), counts exact."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.expr(_LEAK_SPLIT).alias("split"),
+    )
+    grp = tagged.groupBy("h").agg(
+        F.countDistinct("split").cast("long").alias("n_splits"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    leak = F.when(F.col("n_splits") >= 2, 1).otherwise(0)
+    leak_docs = F.when(
+        F.col("n_splits") >= 2, F.col("n_docs")
+    ).otherwise(0)
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_content_groups"),
+        F.sum(leak).cast("long").alias("n_leaking_groups"),
+        F.sum(leak_docs).cast("long").alias("n_leaking_docs"),
+    )

@@ -283,3 +283,91 @@ def test_benford_planted_single_digit_mass(spark, tmp_path):
         assert r["deviation"] == pytest.approx(
             r["observed_share"] - r["benford_share"]
         )
+
+
+def _docs_with_extra(tmp_path, extra_rows):
+    """sf0.001 documents + planted (doc_id, text, source) rows."""
+    import shutil
+
+    base = pq.read_table(f"{SF}/documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in extra_rows], pa.int64()),
+            "text": pa.array([r[1] for r in extra_rows], pa.string()),
+            "lang": pa.array(["en"] * len(extra_rows), pa.string()),
+            "source": pa.array(
+                [r[2] for r in extra_rows], pa.string()
+            ),
+            "n_chars": pa.array(
+                [len(r[1]) for r in extra_rows], pa.int64()
+            ),
+        }
+    )
+    planted = pa.concat_tables([base.select(extra.column_names), extra])
+    out = tmp_path / "sf_docs"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    pq.write_table(planted, out / "documents.parquet")
+    return str(out)
+
+
+def test_split_leakage_planted_cross_split_duplicate(spark, tmp_path):
+    """The fixture has no exact duplicates, so the fixture pass is
+    vacuous (r7 rule) — plant one content in a TRAIN bucket (40000000,
+    bucket 63) and a TEST bucket (40000007, bucket 90), plus a same-
+    split dup pair (40000001/40000003, both train) that must NOT count
+    as leaking."""
+    leak_text = "leak me across the split boundary now"
+    safe_text = "duplicated but both copies stay in train"
+    sf_dir = _docs_with_extra(
+        tmp_path,
+        [
+            (40_000_000, leak_text, "srcL"),
+            (40_000_007, leak_text, "srcL"),
+            (40_000_001, safe_text, "srcL"),
+            (40_000_003, safe_text, "srcL"),
+        ],
+    )
+    row = _q()["split_leakage_check"](spark, sf_dir).collect()[0]
+    assert row["n_leaking_groups"] == 1
+    assert row["n_leaking_docs"] == 2
+    # and the planted table still hash-matches its oracle
+    import duckdb as _dd
+
+    con = _dd.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    from googlecloudstorage_blueprints_spark.operators import all_oracles
+
+    orows = con.sql(all_oracles()["split_leakage_check"]).fetchall()
+    assert orows[0] == (
+        row["n_content_groups"],
+        row["n_leaking_groups"],
+        row["n_leaking_docs"],
+    )
+
+
+def test_dedup_quality_bias_planted_dropped_docs(spark, tmp_path):
+    """Plant a duplicate pair so the 'dropped' row exists: the keeper is
+    min(doc_id), the dropped doc carries the same n_chars."""
+    text = "the same document body twice over here"
+    sf_dir = _docs_with_extra(
+        tmp_path,
+        [(41_000_000, text, "srcD"), (41_000_001, text, "srcD")],
+    )
+    rows = {r["status"]: r for r in
+            _q()["dedup_quality_bias"](spark, sf_dir).collect()}
+    assert rows["dropped"]["n_docs"] == 1
+    assert rows["dropped"]["total_chars"] == len(text)
+    assert rows["dropped"]["mean_chars"] == pytest.approx(len(text))
+    assert rows["kept"]["n_docs"] == 501
