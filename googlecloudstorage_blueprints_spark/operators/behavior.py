@@ -1767,3 +1767,138 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "streak_weeks",
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain credit assignment)
+# --------------------------------------------------------------------------
+
+@register("events_attribution_markov", oracle=None)
+def events_attribution_markov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain attribution with REMOVAL EFFECTS: model each user's
+    pre-conversion journey as a first-order chain (START → event types →
+    purchase | DROP), then credit each touchpoint by how much total
+    conversion probability disappears when that state is removed — the
+    principled alternative to first/last-touch
+    (``user_first_touch_attribution`` is the naive baseline this
+    corrects).
+
+    Shape: ALL data-sized work is one user-keyed lag window + a
+    (src, dst) count aggregate bounded by (|types|+2)²; the
+    absorbing-chain solves run DRIVER-SIDE on that bounded matrix (the
+    graph.py/IVF-trainer convention for documented bounded collects) —
+    one (I−Q)⁻¹ solve per state, |types|+1 solves of a ≤|types|+1
+    system.  Journeys truncate at the FIRST purchase (the standard
+    formulation); users who never convert transition to DROP.
+
+    Rows-only by contract (the linear solve is not ANSI-SQL);
+    correctness is pinned by a planted two-path chain with hand-derived
+    removal effects (tests/test_new_ops_r10b.py)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    first_pur = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    j = seq.join(first_pur, "user_id", "left").where(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    trans = j.select(
+        "user_id",
+        F.coalesce(F.lag("event_type").over(w2), F.lit("START")).alias(
+            "src"
+        ),
+        F.col("event_type").alias("dst"),
+        "rn",
+        "conv_rn",
+    )
+    # terminal DROP for users who never purchased
+    last_rn = j.groupBy("user_id").agg(
+        F.max("rn").alias("last_rn"), F.max("conv_rn").alias("c")
+    )
+    drops = (
+        j.join(last_rn, "user_id")
+        .where(F.col("c").isNull() & (F.col("rn") == F.col("last_rn")))
+        .select(
+            F.col("event_type").alias("src"),
+            F.lit("DROP").alias("dst"),
+        )
+    )
+    counts = (
+        trans.select("src", "dst")
+        .unionByName(drops)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()  # bounded: ≤ (|event types| + 2)² rows
+    )
+
+    states = sorted(
+        {r["src"] for r in counts} | {r["dst"] for r in counts}
+    )
+    absorbing = {"purchase", "DROP"}
+    transient = [s for s in states if s not in absorbing]
+    idx = {s: i for i, s in enumerate(transient)}
+    nt = len(transient)
+    Q = np.zeros((nt, nt))
+    R = np.zeros(nt)  # prob into 'purchase'
+    outs = {}
+    for r in counts:
+        outs[r["src"]] = outs.get(r["src"], 0) + r["n"]
+    for r in counts:
+        if r["src"] in absorbing:
+            continue
+        p = r["n"] / outs[r["src"]]
+        if r["dst"] == "purchase":
+            R[idx[r["src"]]] += p
+        elif r["dst"] in idx:
+            Q[idx[r["src"]], idx[r["dst"]]] += p
+
+    def conv_prob(skip: str | None) -> float:
+        """Absorption probability into 'purchase' from START, with
+        ``skip``'s row/column redirected to DROP (state removed)."""
+        Qm, Rm = Q.copy(), R.copy()
+        if skip is not None:
+            i = idx[skip]
+            Qm[i, :] = 0.0
+            Rm[i] = 0.0          # removed state converts nothing
+            Qm[:, i] = 0.0       # nothing routes through it
+        x = np.linalg.solve(np.eye(nt) - Qm, Rm)
+        return float(x[idx["START"]])
+
+    base = conv_prob(None)
+    rows = []
+    for s in transient:
+        if s == "START":
+            continue
+        removed = conv_prob(s)
+        effect = 0.0 if base == 0 else (base - removed) / base
+        rows.append((s, effect))
+    total = sum(max(e2, 0.0) for _, e2 in rows)
+    out = [
+        (
+            s,
+            round(eff, 6),
+            round(0.0 if total == 0 else max(eff, 0.0) / total, 6),
+            round(base, 6),
+        )
+        for s, eff in rows
+    ]
+    return spark.createDataFrame(
+        sorted(out),
+        schema="state string, removal_effect double, "
+        "attribution_share double, base_conversion double",
+    )

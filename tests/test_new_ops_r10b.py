@@ -371,3 +371,47 @@ def test_dedup_quality_bias_planted_dropped_docs(spark, tmp_path):
     assert rows["dropped"]["total_chars"] == len(text)
     assert rows["dropped"]["mean_chars"] == pytest.approx(len(text))
     assert rows["kept"]["n_docs"] == 501
+
+
+def test_markov_attribution_planted_two_path_chain(spark, tmp_path):
+    """Hand-derived chain: journeys A→purchase, B→purchase, A→(drop).
+    P(START→A)=2/3, P(START→B)=1/3, P(A→purchase)=1/2, P(B→purchase)=1;
+    base conversion 2/3; removing A or B each leaves 1/3 → removal
+    effects 1/2 and 1/2, attribution 50/50."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    journeys = [
+        (1, ["A", "purchase"]),
+        (2, ["B", "purchase"]),
+        (3, ["A"]),
+    ]
+    for uid, types in journeys:
+        for i, ty in enumerate(types):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=i), uid, ty, 1.0)
+            )
+            eid += 1
+    sf_dir = _sf_with_events(tmp_path, _events_table(rows))
+    got = {
+        r["state"]: r
+        for r in _q()["events_attribution_markov"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {"A", "B"}
+    assert got["A"]["base_conversion"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["A"]["removal_effect"] == pytest.approx(0.5, abs=1e-6)
+    assert got["B"]["removal_effect"] == pytest.approx(0.5, abs=1e-6)
+    assert got["A"]["attribution_share"] == pytest.approx(0.5, abs=1e-6)
+    assert got["B"]["attribution_share"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_markov_attribution_fixture_sanity(spark):
+    rows = _q()["events_attribution_markov"](spark, SF).collect()
+    assert len(rows) > 0
+    shares = [r["attribution_share"] for r in rows]
+    assert sum(shares) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert 0 <= r["base_conversion"] <= 1
