@@ -514,3 +514,85 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "first_digit",
     )
+
+
+# --------------------------------------------------------------------------
+# order-date continuity audit (gaps in the business calendar)
+# --------------------------------------------------------------------------
+
+@register(
+    "orders_date_gaps",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+        FROM orders
+    ),
+    isl AS (
+        SELECT d, d - ROW_NUMBER() OVER (ORDER BY d) AS grp
+        FROM days
+    ),
+    runs AS (
+        SELECT CAST(MIN(d) AS BIGINT) AS run_start,
+               CAST(MAX(d) AS BIGINT) AS run_end
+        FROM isl GROUP BY grp
+    ),
+    gaps AS (
+        SELECT run_start
+               - LAG(run_end) OVER (ORDER BY run_start) - 1 AS gap_days
+        FROM runs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS n_days_present,
+           CAST((SELECT MAX(d) - MIN(d) + 1 - COUNT(*) FROM days)
+                AS BIGINT) AS n_days_missing,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(MAX(gap_days), 0) AS BIGINT)
+               AS longest_gap_days
+    FROM gaps
+    """,
+)
+def orders_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-calendar continuity audit: missing order days between
+    the first and last order, how many distinct gaps, and the longest
+    one — the upstream-feed-outage detector (a 3-day hole in
+    o_orderdate is an ingestion incident, not a demand signal).
+
+    Shape: distinct days reduce the fact table to a |days| LEDGER; the
+    island numbering (day − row_number, the gaps-and-islands pattern)
+    and the gap lag both run over that bounded ledger — the
+    SinglePartition windows are calendar-bounded, never data-sized.
+    Parity: pure integer epoch-day math throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        F.expr(
+            "CAST(unix_micros(o_orderdate) div 86400000000 AS BIGINT)"
+        ).alias("d")
+    ).distinct()
+    w = Window.orderBy("d")
+    isl = days.select(
+        "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("grp").agg(
+        F.min("d").cast("long").alias("run_start"),
+        F.max("d").cast("long").alias("run_end"),
+    )
+    w_runs = Window.orderBy("run_start")
+    gaps = runs.select(
+        (
+            F.col("run_start") - F.lag("run_end").over(w_runs) - 1
+        ).alias("gap_days")
+    )
+    stats = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_present"),
+        (F.max("d") - F.min("d") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_days_missing"),
+    )
+    return gaps.agg(
+        F.count("gap_days").cast("long").alias("n_gaps"),
+        F.coalesce(F.max("gap_days"), F.lit(0))
+        .cast("long")
+        .alias("longest_gap_days"),
+    ).crossJoin(F.broadcast(stats)).select(
+        "n_days_present", "n_days_missing", "n_gaps", "longest_gap_days"
+    )

@@ -1902,3 +1902,138 @@ def events_attribution_markov(
         schema="state string, removal_effect double, "
         "attribution_share double, base_conversion double",
     )
+
+
+# --------------------------------------------------------------------------
+# peak concurrent sessions (bucketed sweep-line, no data-sized sort)
+# --------------------------------------------------------------------------
+
+@register(
+    "sessions_peak_concurrency",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts_us
+        FROM seq
+    ),
+    spans AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts_us) AS BIGINT) AS s,
+               CAST(MAX(ts_us) AS BIGINT) AS e
+        FROM sess GROUP BY user_id, session_id
+    ),
+    bounds AS (
+        SELECT user_id, s AS ts_us, CAST(1 AS BIGINT) AS delta FROM spans
+        UNION ALL
+        SELECT user_id, e, CAST(-1 AS BIGINT) FROM spans
+    ),
+    run AS (
+        SELECT ts_us,
+               CAST(SUM(delta) OVER (ORDER BY ts_us, delta DESC, user_id
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c
+        FROM bounds
+    ),
+    mx AS (SELECT CAST(MAX(c) AS BIGINT) AS peak FROM run)
+    SELECT m.peak AS peak_concurrency,
+           CAST(MIN(r.ts_us) AS BIGINT) AS at_us
+    FROM run r CROSS JOIN mx m
+    WHERE r.c = m.peak
+    GROUP BY m.peak
+    """,
+)
+def sessions_peak_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY open sessions (and the first
+    instant it is reached) — the capacity number a connection-pool /
+    state-store sizing exercise actually needs; gap sessions from the
+    standard rule, a session counts as open start≤t≤end, and touching
+    sessions count as concurrent (+1 sorts before −1 at equal time).
+
+    Shape: the sweep-line cumsum is the classic global-sort trap,
+    decomposed the ledger way (the orders_decile_report technique):
+    boundary deltas bucket by DAY, a per-bucket window cumsums locally
+    in parallel, bucket offsets come from one cumulative pass over the
+    bounded |days| ledger, and the global peak is offset + local max —
+    no data-sized single partition anywhere (the DuckDB twin uses the
+    naive global window: same numbers, embedded engine).  Parity: all
+    integer math; ties at equal ts are order-insensitive for the peak
+    VALUE (all +1s at a ts are interchangeable) and at_us is the
+    MIN ts achieving it."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap > SESSION_GAP_S * 1_000_000, 1).otherwise(0)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        e.select(
+            "user_id",
+            "event_id",
+            ts_us.alias("ts_us"),
+            is_new.alias("is_new"),
+        )
+        .select(
+            "user_id",
+            "ts_us",
+            F.sum("is_new").over(w2).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").cast("long").alias("s"),
+            F.max("ts_us").cast("long").alias("e"),
+        )
+    )
+    bounds = spans.select(
+        "user_id", F.col("s").alias("ts_us"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        spans.select(
+            "user_id", F.col("e").alias("ts_us"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    day = F.expr("ts_us div 86400000000")
+    b = bounds.withColumn("day", day)
+    w_local = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts_us"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("local_c", F.sum("delta").over(w_local))
+    ledger = b.groupBy("day").agg(F.sum("delta").alias("net"))
+    w_led = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bounded |days| ledger cumulative — never the boundary stream
+    offsets = ledger.withColumn(
+        "off", F.coalesce(F.sum("net").over(w_led), F.lit(0))
+    )
+    run = local.join(offsets.select("day", "off"), "day").select(
+        "ts_us", (F.col("off") + F.col("local_c")).cast("long").alias("c")
+    )
+    mx = run.agg(F.max("c").cast("long").alias("peak"))
+    return (
+        run.crossJoin(F.broadcast(mx))
+        .where(F.col("c") == F.col("peak"))
+        .groupBy("peak")
+        .agg(F.min("ts_us").cast("long").alias("at_us"))
+        .select(
+            F.col("peak").alias("peak_concurrency"), F.col("at_us")
+        )
+    )

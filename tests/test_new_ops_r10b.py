@@ -415,3 +415,68 @@ def test_markov_attribution_fixture_sanity(spark):
     assert sum(shares) == pytest.approx(1.0, abs=1e-4)
     for r in rows:
         assert 0 <= r["base_conversion"] <= 1
+
+
+def test_peak_concurrency_planted_triple_overlap(spark, tmp_path):
+    """u1 [0,10], u2 [5,15], u3 [8,20] (minutes): all three overlap in
+    [8,10] → peak 3, first reached at minute 8."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def mins(m):
+        return base + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, mins(0), 1, "view", 1.0), (2, mins(10), 1, "view", 1.0),
+        (3, mins(5), 2, "view", 1.0), (4, mins(15), 2, "view", 1.0),
+        (5, mins(8), 3, "view", 1.0), (6, mins(20), 3, "view", 1.0),
+    ]
+    sf_dir = _sf_with_events(tmp_path, _events_table(rows))
+    row = _q()["sessions_peak_concurrency"](spark, sf_dir).collect()[0]
+    assert row["peak_concurrency"] == 3
+    import calendar
+
+    expect_us = int(
+        calendar.timegm(mins(8).timetuple())
+    ) * 1_000_000
+    assert row["at_us"] == expect_us
+
+
+def test_orders_date_gaps_planted_calendar_holes(spark, tmp_path):
+    """Order days {0,1,2,5,9,10} relative to an anchor → 6 present,
+    5 missing, 2 gaps, longest 3 (days 6-8)."""
+    import datetime
+    import shutil
+
+    base = pq.read_table(f"{SF}/orders.parquet")
+    anchor = datetime.datetime(2030, 1, 1)
+    days = [0, 1, 2, 5, 9, 10]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(1, len(days) + 1), pa.int64()),
+            "o_custkey": pa.array([1] * len(days), pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(days), pa.string()),
+            "o_totalprice": pa.array([100.0] * len(days), pa.float64()),
+            "o_orderdate": pa.array(
+                [anchor + datetime.timedelta(days=d) for d in days],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(days), pa.string()
+            ),
+        }
+    )
+    out = tmp_path / "sf_gap"
+    out.mkdir()
+    for t in (
+        "region nation customer supplier part lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    pq.write_table(tbl.select(base.column_names), out / "orders.parquet")
+    row = _q()["orders_date_gaps"](spark, str(out)).collect()[0]
+    assert row["n_days_present"] == 6
+    assert row["n_days_missing"] == 5
+    assert row["n_gaps"] == 2
+    assert row["longest_gap_days"] == 3
