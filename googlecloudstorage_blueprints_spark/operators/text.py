@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -661,3 +662,83 @@ def quality_by_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_by_length_bucket.__doc__ = quality_by_length_bucket.__doc__.format(
     QUALITY_LEN_BUCKET=QUALITY_LEN_BUCKET
 )
+
+
+# --------------------------------------------------------------------------
+# zlib compression-ratio screen (repetitiveness beyond n-gram stats)
+# --------------------------------------------------------------------------
+
+COMPRESS_LEVEL = 6          # zlib default — fixed so ratios are stable
+HIGH_COMPRESS_RATIO = 0.30  # below this a doc is template/repetitive
+
+
+@register("doc_compression_ratio", oracle=None)
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source zlib compression-ratio profile — the classic
+    repetitiveness filter (Gopher-family pipelines gate on it):
+    compressed/raw byte ratio is a MODEL-FREE redundancy score that
+    catches templating and near-loops that token-level stats
+    (``repetition_score``, ``dup_ngram_fraction``) can miss because the
+    repeating unit is long or misaligned with token boundaries.
+
+    Shape: one Arrow-batched mapInPandas kernel (zlib is stdlib —
+    vectorized per batch, never row-at-a-time Python UDF) over a
+    repartitioned scan (the one-row-group fixture trap: Python kernels
+    must not serialize on a single task), then a |sources|-row rollup
+    with the mean ratio as an exact-integer fixed-point division.
+    Rows-only by contract (no SQL zlib); planted pins: a pathological
+    repeated string compresses below the gate, unique-ish text doesn't
+    (tests/test_new_ops_r10c.py)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = pdf["text"].str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(
+                lambda b: len(zlib.compress(b, COMPRESS_LEVEL))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                }
+            )
+
+    scored = (
+        d.select("source", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "source")
+        .mapInPandas(
+            kernel, schema="source string, n_bytes long, n_compressed long"
+        )
+    )
+    # ratio6 per doc as an exact ×1e6 integer (order-independent sums)
+    ratio6 = F.expr("(n_compressed * 1000000) div n_bytes")
+    high = F.when(
+        ratio6 < int(HIGH_COMPRESS_RATIO * 1_000_000), 1
+    ).otherwise(0)
+    return sort_bounded(
+        scored.where(F.col("n_bytes") > 0)
+        .select("source", ratio6.alias("r6"), high.alias("hc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.expr("sum(r6) div count(*)").cast("double") / 1e6
+            ).alias("mean_compress_ratio"),
+            F.sum("hc").cast("long").alias("n_high_compress"),
+            (F.sum("hc").cast("double") / F.count(F.lit(1))).alias(
+                "high_compress_share"
+            ),
+        ),
+        "source",
+    )
