@@ -869,3 +869,105 @@ def embedding_label_separation(
         ),
         "label",
     )
+
+
+# --------------------------------------------------------------------------
+# does the norm distribution differ by label? (integer ANOVA)
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_norm_label_anova",
+    oracle="""
+    WITH vals AS (
+        SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, CAST(ANY_VALUE(label) AS BIGINT) AS label,
+               CAST(ROUND(sqrt(SUM(val * val)) * 10000, 0) AS BIGINT)
+                   AS norm4
+        FROM vals GROUP BY vec_id
+    ),
+    g AS (
+        SELECT label, CAST(SUM(norm4) AS BIGINT) AS sg,
+               CAST(COUNT(*) AS BIGINT) AS ng
+        FROM norms GROUP BY label
+    ),
+    t AS (SELECT CAST(SUM(((sg * sg) // ng) * 1000000) AS BIGINT)
+                     AS tt,
+                 CAST(COUNT(*) AS BIGINT) AS n_labels
+          FROM g),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(norm4) AS BIGINT) AS s,
+                 CAST(SUM(norm4 * norm4) AS BIGINT) AS q
+          FROM norms)
+    SELECT m.n AS n_vectors,
+           t.n_labels,
+           CAST(t.tt - ((m.s * m.s) // m.n) * 1000000 AS DOUBLE)
+               / NULLIF(m.q * 1000000
+                        - ((m.s * m.s) // m.n) * 1000000, 0)
+               AS norm_anova_r2
+    FROM m CROSS JOIN t
+    """,
+)
+def embedding_norm_label_anova(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-number answer to "was every label embedded by the same
+    model/config?": ANOVA R² of label means over the per-vector norm
+    distribution — near 0 the labels share a norm band (healthy), a
+    jump means some label came from a different encoder or scaling
+    (the drift ``embedding_norm_quantiles`` shows per label, reduced to
+    a single monitorable scalar).
+
+    Shape: per-vector norms (the established explode + codegen v·v
+    sum), then |labels|-bounded integer moments.  Parity: norms
+    fixed-pointed ×1e4 to BIGINT (the norm_quantiles convention); the
+    non-integer ANOVA terms are INTEGER-DIVIDED then ×1e6 — note the
+    ORDER: ``(s² div n)·1e6``, not ``(s²·1e6) div n`` (the latter
+    overflows at s ≈ 5e6 already; the reordering loses ≤1e6 units,
+    negligible vs the 1e14-scale SST and IDENTICAL on both engines) —
+    so R² is one exact-integer ratio, unrounded; NULLIF guards the
+    constant-norm degenerate.  Scale note: s² stays in BIGINT while
+    Σnorm4 < 3e9 (~300k unit-norm vectors globally); beyond that
+    pre-divide per label first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.explode_outer(F.col("embedding").cast("array<double>")).alias(
+            "v"
+        ),
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))) * 10000, 0)
+        .cast("long")
+        .alias("norm4"),
+    )
+    g = norms.groupBy("label").agg(
+        F.sum("norm4").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    t = g.agg(
+        F.sum(F.expr("((sg * sg) div ng) * 1000000"))
+        .cast("long")
+        .alias("tt"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    m = norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("norm4").cast("long").alias("s"),
+        F.sum(F.col("norm4") * F.col("norm4")).cast("long").alias("q"),
+    )
+    ssb = F.expr("tt - ((s * s) div n) * 1000000")
+    sst = F.expr("q * 1000000 - ((s * s) div n) * 1000000")
+    return (
+        m.crossJoin(F.broadcast(t)).select(
+            F.col("n").alias("n_vectors"),
+            "n_labels",
+            (ssb.cast("double") / F.nullif(sst, F.lit(0))).alias(
+                "norm_anova_r2"
+            ),
+        )
+    )

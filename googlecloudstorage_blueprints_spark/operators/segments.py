@@ -1539,3 +1539,103 @@ def supplier_dual_sourcing(
         ),
         "n_suppliers",
     )
+
+
+# --------------------------------------------------------------------------
+# balance × spend median quadrants
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_balance_spend_quadrants",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS spend_c
+        FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+        SELECT CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c,
+               s.spend_c
+        FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    med AS (
+        SELECT quantile_cont(bal_c, 0.5)  AS mb,
+               quantile_cont(spend_c, 0.5) AS ms
+        FROM cust
+    )
+    SELECT CASE WHEN bal_c > mb THEN 'hi_bal' ELSE 'lo_bal' END
+               || '/' ||
+           CASE WHEN spend_c > ms THEN 'hi_spend' ELSE 'lo_spend' END
+               AS quadrant,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM cust) AS customer_share
+    FROM cust CROSS JOIN med
+    GROUP BY 1
+    ORDER BY quadrant
+    """,
+)
+def customer_balance_spend_quadrants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median-split segmentation: customers quadranted by account
+    balance vs total spend (both against the corpus median) — the 2×2
+    every CRM review starts from (hi-balance/lo-spend is the
+    upsell list; lo-balance/hi-spend the credit-risk list).
+
+    Shape: one custkey spend aggregate ⋈ the customer dim, a 1-row
+    median pair broadcast back, a 4-row rollup.  Parity: inputs are
+    exact ×100 BIGINT cents; the medians are interpolated quantiles of
+    exact integers — raw Spark percentile() ≡ DuckDB quantile_cont()
+    bit-identically (pinned in tests/test_quantile_interp_parity.py),
+    so the STRICT > cut is the same double compare on both engines
+    (values equal to the median go low, deterministically); shares are
+    unrounded exact ratios."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("spend_c")
+    )
+    cust = spend.join(
+        F.broadcast(
+            c.select(
+                "c_custkey",
+                F.expr(
+                    "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)"
+                ).alias("bal_c"),
+            )
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select("bal_c", "spend_c")
+    med = cust.agg(
+        F.percentile("bal_c", 0.5).alias("mb"),
+        F.percentile("spend_c", 0.5).alias("ms"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    quadrant = F.concat(
+        F.when(F.col("bal_c") > F.col("mb"), "hi_bal").otherwise(
+            "lo_bal"
+        ),
+        F.lit("/"),
+        F.when(F.col("spend_c") > F.col("ms"), "hi_spend").otherwise(
+            "lo_spend"
+        ),
+    )
+    return sort_bounded(
+        cust.crossJoin(F.broadcast(med))
+        .groupBy(quadrant.alias("quadrant"), "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            "quadrant",
+            "n_customers",
+            (
+                F.col("n_customers").cast("double") / F.col("n_total")
+            ).alias("customer_share"),
+        ),
+        "quadrant",
+    )
