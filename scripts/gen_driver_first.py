@@ -44,15 +44,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r10 changes land here as they happen; r9 entries cleared after
-    # CORRECTNESS_r09.json adjudicated them (all passed).
-    # -- basket-pass rewrite: one scan, three keyed shuffles (plan change)
-    "part_copurchase_lift",
-    # -- windowed score table + scalar-subquery total (plan change)
-    "doc_logprob_bigram",
-    # -- 6dp step moved to integer-space half-up (value-semantics change
-    #    on exact …500 quantile midpoints; r10 ROUND-divergence audit)
-    "logprob_quantiles_by_source",
+    # r11 changes land here as they happen; r10 entries cleared after
+    # CORRECTNESS_r10.json adjudicated them (all passed).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
