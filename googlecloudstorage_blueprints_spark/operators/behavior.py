@@ -1391,10 +1391,14 @@ def events_seasonality_strength(
     DIVIDED (both engines floor positives), so every sum is exact
     BIGINT at any order; R² is one exact-integer ratio, unrounded (r2
     rule); NULLIF guards the constant-series denominator identically.
-    Scale note: S_g²·1e6 stays in BIGINT while any single (type,
-    hour-of-week) count < ~3e6 per observed hour-grid cell — comfortable
-    until per-type hourly load passes millions; beyond that drop the
-    scale factor."""
+    Scale note (r10 ADVICE audit): TWO ×1e6 terms bind — S_g²·1e6
+    stays in BIGINT while any (type, hour-of-week) cell total S_g <
+    ~3e6 events, and the SST's q·1e6 (q = Σy² over hourly counts)
+    while q < ~9.2e12, i.e. RMS hourly count < √(9.2e12 / n_hours)
+    (~3e4/hour over a 10k-hour window).  Both are comfortable until
+    per-type hourly load passes tens of thousands; beyond that drop
+    the scale factor on BOTH engines (costs ≤1e-6 relative truncation
+    in the div terms, identically cross-engine)."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",

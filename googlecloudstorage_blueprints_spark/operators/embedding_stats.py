@@ -893,7 +893,7 @@ def embedding_label_separation(
                CAST(COUNT(*) AS BIGINT) AS ng
         FROM norms GROUP BY label
     ),
-    t AS (SELECT CAST(SUM(((sg * sg) // ng) * 1000000) AS BIGINT)
+    t AS (SELECT CAST(SUM((sg * sg) // ng) AS BIGINT)
                      AS tt,
                  CAST(COUNT(*) AS BIGINT) AS n_labels
           FROM g),
@@ -903,9 +903,8 @@ def embedding_label_separation(
           FROM norms)
     SELECT m.n AS n_vectors,
            t.n_labels,
-           CAST(t.tt - ((m.s * m.s) // m.n) * 1000000 AS DOUBLE)
-               / NULLIF(m.q * 1000000
-                        - ((m.s * m.s) // m.n) * 1000000, 0)
+           CAST(t.tt - (m.s * m.s) // m.n AS DOUBLE)
+               / NULLIF(m.q - (m.s * m.s) // m.n, 0)
                AS norm_anova_r2
     FROM m CROSS JOIN t
     """,
@@ -923,14 +922,18 @@ def embedding_norm_label_anova(
     Shape: per-vector norms (the established explode + codegen v·v
     sum), then |labels|-bounded integer moments.  Parity: norms
     fixed-pointed ×1e4 to BIGINT (the norm_quantiles convention); the
-    non-integer ANOVA terms are INTEGER-DIVIDED then ×1e6 — note the
-    ORDER: ``(s² div n)·1e6``, not ``(s²·1e6) div n`` (the latter
-    overflows at s ≈ 5e6 already; the reordering loses ≤1e6 units,
-    negligible vs the 1e14-scale SST and IDENTICAL on both engines) —
-    so R² is one exact-integer ratio, unrounded; NULLIF guards the
-    constant-norm degenerate.  Scale note: s² stays in BIGINT while
-    Σnorm4 < 3e9 (~300k unit-norm vectors globally); beyond that
-    pre-divide per label first."""
+    non-integer ANOVA terms ``sg² div ng`` / ``s² div n`` are
+    INTEGER-DIVIDED (both engines floor positives; the ≤1-unit
+    truncation loss is identical cross-engine and negligible vs the
+    1e8-scale SST), so R² is one exact-integer ratio of BIGINTs,
+    unrounded; NULLIF guards the constant-norm degenerate.  No scale
+    factor multiplies the SS terms (an earlier ×1e6 cancelled between
+    numerator and denominator but made ``q·1e6`` the binding overflow
+    at ~9e4 vectors — r10 ADVICE).  Scale note: the binding term is
+    now ``s*s`` (s = Σnorm4 ≈ n·1e4 for unit vectors), exact in
+    BIGINT while s < 3.03e9, i.e. ~300k unit-norm vectors globally;
+    beyond that pre-divide per label first (q = Σnorm4² alone holds
+    to ~9e10 vectors)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id",
@@ -950,7 +953,7 @@ def embedding_norm_label_anova(
         F.count(F.lit(1)).cast("long").alias("ng"),
     )
     t = g.agg(
-        F.sum(F.expr("((sg * sg) div ng) * 1000000"))
+        F.sum(F.expr("(sg * sg) div ng"))
         .cast("long")
         .alias("tt"),
         F.count(F.lit(1)).cast("long").alias("n_labels"),
@@ -960,8 +963,8 @@ def embedding_norm_label_anova(
         F.sum("norm4").cast("long").alias("s"),
         F.sum(F.col("norm4") * F.col("norm4")).cast("long").alias("q"),
     )
-    ssb = F.expr("tt - ((s * s) div n) * 1000000")
-    sst = F.expr("q * 1000000 - ((s * s) div n) * 1000000")
+    ssb = F.expr("tt - (s * s) div n")
+    sst = F.expr("q - (s * s) div n")
     return (
         m.crossJoin(F.broadcast(t)).select(
             F.col("n").alias("n_vectors"),

@@ -714,9 +714,13 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Round-robin repartition, NOT by "source": keying here would cap
+    # the zlib kernel's parallelism at |distinct sources| (a handful),
+    # and the downstream groupBy("source") reshuffles anyway (r10
+    # ADVICE).  The kernel is per-row, so any partitioning is correct.
     scored = (
         d.select("source", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "source")
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             kernel, schema="source string, n_bytes long, n_compressed long"
         )

@@ -116,15 +116,52 @@ def build_ivf_index(
     return n_corpus
 
 
-def append_ivf_index(
+def _guard_append_overlap(
     spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> None:
+    """Refuse an append whose ids collide with the indexed corpus.
+
+    Contract: vec_ids are append-monotone (the CLI's ``--min-vec-id``
+    convention), so disjointness reduces to ``min(new) > max(existing)``
+    — two column-pruned MIN/MAX scans, no join against the corpus.  A
+    duplicated vec_id would silently occupy multiple top-k slots at
+    search time."""
+    lo = new_vectors.agg(F.min("vec_id")).first()[0]
+    hi = (
+        spark.read.parquet(f"{index_path}/corpus")
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+    if lo is not None and hi is not None and lo <= hi:
+        raise ValueError(
+            f"append overlap: new min vec_id {lo} <= indexed max {hi}; "
+            "ids must be append-monotone (or pass guard_overlap=False "
+            "and own disjointness)"
+        )
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    guard_overlap: bool = True,
 ) -> int:
     """Append a shard to an existing IVF index: assign ``new_vectors``
     (vec_id long, embedding array<float>) to the EXISTING centroids —
     no retrain, so every prior assignment stays valid — and write in
     append mode: only new part-files are created inside the touched
     ``cell=`` directories; nothing already in the index is rewritten.
-    Returns the number of vectors appended."""
+    Returns the number of vectors appended.
+
+    Id contract: vec_ids already in the index must NOT reappear in
+    ``new_vectors`` — a duplicate would be indexed twice and can occupy
+    multiple top-k slots at search time.  With ``guard_overlap`` (the
+    default) the append refuses ids at-or-below the indexed maximum
+    (the CLI's ``--min-vec-id`` monotone convention); callers with a
+    non-monotone id space may pass ``guard_overlap=False`` and own
+    disjointness themselves."""
+    if guard_overlap:
+        _guard_append_overlap(spark, index_path, new_vectors)
     centroids = _load_centroids(spark, index_path)
     assigned = _assign_cells(spark, new_vectors, centroids)
     assigned.write.mode("append").partitionBy("cell").parquet(
@@ -303,12 +340,22 @@ def _load_codebooks(spark: SparkSession, index_path: str):
 
 
 def append_ivfpq_index(
-    spark: SparkSession, index_path: str, new_vectors: DataFrame
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    guard_overlap: bool = True,
 ) -> int:
     """Append a shard to an existing IVF-PQ index: assign + PQ-encode
     ``new_vectors`` against the EXISTING centroid and codebook sidecars
     (no retrain) and append-write — only new part-files land in the
-    touched ``cell=`` directories.  Returns the appended count."""
+    touched ``cell=`` directories.  Returns the appended count.
+
+    Same id contract as :func:`append_ivf_index`: duplicates of already
+    indexed vec_ids are refused under ``guard_overlap`` (min(new) must
+    exceed the indexed max); pass ``guard_overlap=False`` only if the
+    caller guarantees disjointness."""
+    if guard_overlap:
+        _guard_append_overlap(spark, index_path, new_vectors)
     centroids = _load_centroids(spark, index_path)
     books = _load_codebooks(spark, index_path)
     encoded = _assign_cells(spark, new_vectors, centroids).mapInPandas(

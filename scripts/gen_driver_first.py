@@ -46,6 +46,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHANGED_THIS_ROUND: list[str] = [
     # r11 changes land here as they happen; r10 entries cleared after
     # CORRECTNESS_r10.json adjudicated them (all passed).
+    # -- dropped the cancelling ×1e6 SS scale factor (r10 ADVICE
+    #    overflow audit): double-division operands changed, so the
+    #    unrounded R² can differ in the last ulp vs the r10 hash
+    "embedding_norm_label_anova",
+    # -- zlib kernel now round-robin repartitions (plan change only,
+    #    rows-only key; re-adjudication is cheap)
+    "doc_compression_ratio",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

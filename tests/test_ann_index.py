@@ -226,3 +226,43 @@ def test_ivfpq_index_append_matches_oneshot_same_quantizer(
         for r in search_ivfpq_index(spark, ref_idx, queries).collect()
     )
     assert got == ref and len(got) > 0
+
+
+def test_ivf_index_append_refuses_overlapping_vec_ids(spark, tmp_path):
+    """The r10-ADVICE overlap guard: appending a shard whose vec_ids
+    collide with the indexed corpus raises instead of silently
+    duplicating rows (duplicates can occupy multiple top-k slots at
+    search time).  guard_overlap=False restores the caller-owns-it
+    escape hatch."""
+    import os
+
+    import pytest
+
+    from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
+        append_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 300)
+    base_dir = tmp_path / "base_sf"
+    base.coalesce(1).write.parquet(f"file:{base_dir}/tmp")
+    part = next((base_dir / "tmp").glob("part-*.parquet"))
+    os.rename(part, base_dir / "embeddings.parquet")
+    idx = f"file:{tmp_path}/ivf_guard"
+    assert build_ivf_index(spark, str(base_dir), idx) == 300
+
+    overlapping = emb.where(F.col("vec_id") >= 299).select(
+        "vec_id", "embedding"
+    )
+    with pytest.raises(ValueError, match="append overlap"):
+        append_ivf_index(spark, idx, overlapping)
+    # nothing was written by the refused append
+    n_after = spark.read.parquet(f"{idx}/corpus").count()
+    assert n_after == 300
+    # escape hatch still appends (caller owns disjointness)
+    assert (
+        append_ivf_index(
+            spark, idx, overlapping, guard_overlap=False
+        )
+        > 0
+    )
