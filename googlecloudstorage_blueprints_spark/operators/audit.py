@@ -596,3 +596,116 @@ def orders_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(stats)).select(
         "n_days_present", "n_days_missing", "n_gaps", "longest_gap_days"
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-event detection (idempotency audit on the event stream)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_duplicate_check",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, user_id, ts, CAST(COUNT(*) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                    AS n_groups,
+           CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)                             AS n_dup_groups,
+           CAST(SUM(m - 1) AS BIGINT)                  AS n_extra_rows,
+           CAST(MAX(m) AS BIGINT)                      AS max_multiplicity
+    FROM g
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency audit on the event stream: how many (user, ts, type)
+    identity groups carry more than one event_id — the double-fire /
+    at-least-once-redelivery detector every ingestion pipeline runs
+    before trusting event counts (``lineitem_linenumber_audit`` is the
+    same shape on the fact table).  Emits EVERY type (zeros included),
+    so the fixture output is non-empty even when clean; the counters
+    themselves are pinned by a planted-duplicate delta test
+    (tests/test_new_ops_r11.py — the r7 zero-row-vacuity rule).
+
+    Shape: one identity-keyed count aggregate (map-side partial) and a
+    |types|-bounded rollup; nothing but group counts shuffles.
+    Parity: all-BIGINT counters; µs timestamps group exactly on both
+    engines (the catalog normalizes physical types)."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type", "user_id", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return sort_bounded(
+        g.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("m") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.col("m") - 1).cast("long").alias("n_extra_rows"),
+            F.max("m").cast("long").alias("max_multiplicity"),
+        ),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# order/line status consistency matrix
+# --------------------------------------------------------------------------
+
+@register(
+    "order_line_status_matrix",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderstatus, l.l_linestatus
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j)
+    SELECT j.o_orderstatus,
+           j.l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS DOUBLE) / t.n AS line_share
+    FROM j CROSS JOIN tot t
+    GROUP BY j.o_orderstatus, j.l_linestatus, t.n
+    ORDER BY o_orderstatus, l_linestatus
+    """,
+)
+def order_line_status_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Header-vs-line status contingency matrix: line counts and shares
+    by (order status, line status) — the state-machine consistency
+    screen (an F order whose lines are still O is a stuck workflow;
+    TPC-H's rule is F ⇢ all-F).  ``order_reconciliation`` audits the
+    MONEY rollup; this audits the STATUS rollup.
+
+    Shape: one orderkey equi-join (no row reduction needed before it —
+    only the two status columns survive the scan), a |statuses|²-bounded
+    rollup, and a 1-row broadcast total.  Parity: exact counts, the
+    share an unrounded exact-integer ratio (denominator ≥ 1 whenever a
+    row exists)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linestatus"
+    )
+    j = li.join(o, "o_orderkey").select("o_orderstatus", "l_linestatus")
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sort_bounded(
+        j.groupBy("o_orderstatus", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderstatus",
+            "l_linestatus",
+            "n_lines",
+            (F.col("n_lines").cast("double") / F.col("n")).alias(
+                "line_share"
+            ),
+        ),
+        "o_orderstatus",
+        "l_linestatus",
+    )

@@ -2041,3 +2041,337 @@ def sessions_peak_concurrency(
             F.col("peak").alias("peak_concurrency"), F.col("at_us")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# hourly load percentiles (capacity-planning tails on COUNTS, not values)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_hourly_load_percentiles",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(y) AS BIGINT)   AS max_load,
+           quantile_cont(y, 0.5)    AS p50_load,
+           quantile_cont(y, 0.9)    AS p90_load,
+           quantile_cont(y, 0.99)   AS p99_load
+    FROM hourly
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_hourly_load_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tail percentiles of the HOURLY LOAD per event type — the
+    capacity number a provisioning review actually reads (p99
+    events/hour), where ``events_value_quantiles_by_type`` profiles
+    the value distribution and ``events_interarrival`` the micro gaps.
+    Observed hours only: an hour with zero events of a type is absent,
+    so the percentiles describe load-when-active (the spine-densified
+    zero view is ``events_gapfill``'s job).
+
+    Shape: one (type, hour) count aggregate, then a |types|-row exact
+    percentile pass (swap approx_percentile at 100 TB — the
+    percentiles_agg scale note).  Parity: inputs are EXACT BIGINT
+    counts, so interpolation is bit-identical cross-engine (the r10
+    quantile probe); outputs stay UNROUNDED per the r10 new-op
+    discipline (rounding would re-introduce the shortest-repr tie
+    class)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return sort_bounded(
+        hourly.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("y").cast("long").alias("max_load"),
+            F.percentile("y", 0.5).alias("p50_load"),
+            F.percentile("y", 0.9).alias("p90_load"),
+            F.percentile("y", 0.99).alias("p99_load"),
+        ),
+        "event_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# inactivity-gap survival curve (churn-risk thresholds)
+# --------------------------------------------------------------------------
+
+GAP_SURVIVAL_DAYS = (1, 3, 7)
+
+
+@register(
+    "user_gap_survival",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT (epoch_us(ts)
+                - LAG(epoch_us(ts)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id))
+                   // {_US_PER_DAY} AS gap_days
+        FROM events
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    thresholds AS (
+        SELECT unnest([{", ".join(str(t) for t in GAP_SURVIVAL_DAYS)}])
+                   AS threshold_days
+    )
+    SELECT CAST(t.threshold_days AS BIGINT) AS threshold_days,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN g.gap_days >= t.threshold_days
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+           CAST(SUM(CASE WHEN g.gap_days >= t.threshold_days
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS survival_share
+    FROM g CROSS JOIN thresholds t
+    GROUP BY t.threshold_days
+    ORDER BY threshold_days
+    """,
+)
+def user_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of user inactivity gaps: for each churn-risk
+    threshold (1/3/7 whole days), the share of consecutive-event gaps
+    that reached it — the re-engagement-window calibration
+    ``events_interarrival``'s per-type stats and
+    ``user_activity_span``'s lifetime view both skip (a 7-day survival
+    share of 0.2 says one gap in five would have been flagged by a
+    7-day winback trigger).
+
+    Shape: one user-keyed lag window over the event stream (single
+    exchange), then each gap meets the |thresholds|-row literal — the
+    crossJoin is a 3-row broadcast, and the rollup is
+    |thresholds|-bounded.  Parity: gaps are integer-µs subtraction
+    floored to whole days (integer div, both engines), counts exact,
+    the share an unrounded exact-integer ratio (never-zero denominator:
+    a gap row exists only for users with ≥2 events)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gaps = (
+        e.select(
+            (ts_us - F.lag(ts_us).over(w)).cast("long").alias("gap_us")
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select(F.expr(f"gap_us div {_US_PER_DAY}").alias("gap_days"))
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in GAP_SURVIVAL_DAYS])
+    ).alias("threshold_days")
+    exceed = F.when(
+        F.col("gap_days") >= F.col("threshold_days"), 1
+    ).otherwise(0)
+    return sort_bounded(
+        gaps.select("gap_days", thresholds)
+        .groupBy("threshold_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(exceed).cast("long").alias("n_exceed"),
+            (
+                F.sum(exceed).cast("double") / F.count(F.lit(1))
+            ).alias("survival_share"),
+        )
+        .select(
+            F.col("threshold_days").cast("long").alias("threshold_days"),
+            "n_gaps",
+            "n_exceed",
+            "survival_share",
+        ),
+        "threshold_days",
+    )
+
+
+# --------------------------------------------------------------------------
+# week-over-week growth per event type (densified week spine)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_wow_growth",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT event_type,
+               epoch_us(ts) // {_US_PER_DAY * 7} AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(wk) AS lo, MAX(wk) AS hi FROM weekly),
+    spine AS (
+        SELECT t.event_type, s.wk
+        FROM (SELECT DISTINCT event_type FROM weekly) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS wk
+                    FROM bounds) s
+    ),
+    dense AS (
+        SELECT spine.event_type, spine.wk,
+               COALESCE(weekly.n_events, 0) AS n_events,
+               COALESCE(weekly.n_users, 0)  AS n_users
+        FROM spine LEFT JOIN weekly
+          ON weekly.event_type = spine.event_type
+         AND weekly.wk = spine.wk
+    )
+    SELECT event_type,
+           CAST(wk AS BIGINT)       AS epoch_week,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_users AS BIGINT)  AS n_users,
+           CAST(n_events AS DOUBLE)
+               / NULLIF(LAG(n_events) OVER (
+                     PARTITION BY event_type ORDER BY wk), 0)
+               AS wow_ratio
+    FROM dense
+    ORDER BY event_type, epoch_week
+    """,
+)
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event volume per type on a DENSIFIED week spine —
+    the growth trend ``revenue_mom_growth`` draws for revenue, here for
+    product usage: silent weeks appear as explicit zeros (the crash is
+    visible, and the following week's ratio is NULL via NULLIF, never
+    an infinity).  Weeks are integer epoch-weeks (epoch_day div 7,
+    Thursday-anchored like the r8 day%7 convention) — no calendar/TZ
+    dependence.
+
+    Shape: one (type, week) aggregate; the spine is |types|×|weeks|
+    (bounded) built from a broadcast distinct-types × generate_series
+    cross, and the lag window runs over that bounded ledger only.
+    Parity: integer week keys, exact counts, the ratio an unrounded
+    exact-integer division guarded by NULLIF on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wk_expr = F.expr(f"unix_micros(ts) div {_US_PER_DAY * 7}")
+    weekly = e.groupBy(
+        "event_type", wk_expr.alias("wk")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    bounds = weekly.agg(
+        F.min("wk").alias("lo"), F.max("wk").alias("hi")
+    )
+    wk_spine = bounds.select(
+        F.explode_outer(F.sequence("lo", "hi")).alias("wk")
+    )
+    types = weekly.select("event_type").distinct()
+    spine = F.broadcast(types).crossJoin(F.broadcast(wk_spine))
+    dense = spine.join(weekly, ["event_type", "wk"], "left").select(
+        "event_type",
+        "wk",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n_events").over(w)
+    return sort_bounded(
+        dense.select(
+            "event_type",
+            F.col("wk").cast("long").alias("epoch_week"),
+            "n_events",
+            "n_users",
+            (
+                F.col("n_events").cast("double")
+                / F.nullif(prev, F.lit(0))
+            ).alias("wow_ratio"),
+        ),
+        "event_type",
+        "epoch_week",
+    )
+
+
+# --------------------------------------------------------------------------
+# user event-type diversity (entropy) histogram
+# --------------------------------------------------------------------------
+
+ENTROPY_BUCKET_E6 = 200_000  # 0.2-nat buckets; max entropy ln|types|
+
+
+@register(
+    "user_entropy_buckets",
+    oracle=f"""
+    WITH per AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * CAST(ROUND(
+                   ln(CAST(n2.n0 AS DOUBLE) / c) * 1000000, 0)
+                   AS BIGINT)) AS BIGINT) AS tsum
+        FROM per
+        JOIN (SELECT user_id AS uid, CAST(SUM(c) AS BIGINT) AS n0
+              FROM per GROUP BY 1) n2
+          ON n2.uid = per.user_id
+        GROUP BY user_id
+    ),
+    ent AS (
+        SELECT user_id, n, tsum // n AS e6 FROM tot
+    )
+    SELECT CAST(e6 // {ENTROPY_BUCKET_E6} AS BIGINT) AS entropy_bucket,
+           CAST(COUNT(*) AS BIGINT)  AS n_users,
+           CAST(SUM(n) AS BIGINT)    AS n_events,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events_per_user,
+           CAST(MIN(e6) AS BIGINT)   AS min_entropy_e6,
+           CAST(MAX(e6) AS BIGINT)   AS max_entropy_e6
+    FROM ent
+    GROUP BY 1
+    ORDER BY entropy_bucket
+    """,
+)
+def user_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user event-type DIVERSITY (Shannon entropy of
+    each user's type mix, nats): bucket 0 holds single-feature users,
+    the top bucket near ln|types| the full-surface explorers — the
+    engagement-breadth segmentation that ``user_event_pareto`` (volume)
+    and ``user_lifecycle_stages`` (recency) don't capture.
+
+    Shape: one (user, type) count aggregate, per-user totals joined
+    back (user-keyed, no data-sized window), a |users|-row entropy
+    reduction, then a bounded bucket rollup.  Parity: each ln term is
+    fixed-pointed ×1e6 to BIGINT per TERM (r7 rule), the per-user sum
+    closes with an INTEGER division (tsum div n — exact, so the bucket
+    key e6 div {ENTROPY_BUCKET_E6} is boundary-stable), entropy bounds
+    emitted as exact ×1e6 integers, the mean an unrounded
+    exact-integer ratio."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n0 = per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n0")
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("n0").cast("double") / F.col("c")) * 1_000_000, 0
+    ).cast("long")
+    ent = (
+        per.join(n0, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(term).cast("long").alias("tsum"),
+        )
+        .select(
+            "user_id", "n", F.expr("tsum div n").alias("e6")
+        )
+    )
+    return sort_bounded(
+        ent.groupBy(
+            F.expr(f"e6 div {ENTROPY_BUCKET_E6}")
+            .cast("long")
+            .alias("entropy_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            (
+                F.sum("n").cast("double") / F.count(F.lit(1))
+            ).alias("avg_events_per_user"),
+            F.min("e6").cast("long").alias("min_entropy_e6"),
+            F.max("e6").cast("long").alias("max_entropy_e6"),
+        ),
+        "entropy_bucket",
+    )

@@ -1639,3 +1639,395 @@ def customer_balance_spend_quadrants(
         ),
         "quadrant",
     )
+
+
+# --------------------------------------------------------------------------
+# order-value percentiles by priority (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)        AS n_orders,
+           quantile_cont(cents, 0.25) / 100.0 AS p25_value,
+           quantile_cont(cents, 0.5)  / 100.0 AS p50_value,
+           quantile_cont(cents, 0.75) / 100.0 AS p75_value,
+           quantile_cont(cents, 0.99) / 100.0 AS p99_value
+    FROM o
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_value_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-value quartiles + p99 per priority class — does URGENT
+    actually carry bigger tickets?  The distributional companion to
+    ``order_priority_sla`` (latency) and ``orders_decile_report``
+    (global value tiers): a priority whose p99 dwarfs its p75 is where
+    manual review queues form.
+
+    Shape: one |priorities|-row exact percentile aggregate (swap
+    approx_percentile at 100 TB — the percentiles_agg scale note).
+    Parity: 2dp money ×100 into BIGINT at birth so interpolation runs
+    on EXACT integers (bit-identical cross-engine, r10 quantile
+    probe); the /100 rescale divides bit-identical doubles and the
+    outputs stay UNROUNDED (r10 new-op discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return sort_bounded(
+        o.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.percentile("cents", 0.25) / 100.0).alias("p25_value"),
+            (F.percentile("cents", 0.5) / 100.0).alias("p50_value"),
+            (F.percentile("cents", 0.75) / 100.0).alias("p75_value"),
+            (F.percentile("cents", 0.99) / 100.0).alias("p99_value"),
+        ),
+        "o_orderpriority",
+    )
+
+
+# --------------------------------------------------------------------------
+# quarterly ship-latency trend (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "ship_latency_quarterly",
+    oracle="""
+    WITH lat AS (
+        SELECT strftime(date_trunc('quarter', o.o_orderdate),
+                        '%Y-%m') AS quarter,
+               (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                   // 86400000000 AS lat_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT quarter,
+           CAST(COUNT(*) AS BIGINT)            AS n_lines,
+           CAST(SUM(lat_days) AS BIGINT)       AS total_lat_days,
+           CAST(SUM(lat_days) AS DOUBLE) / COUNT(*) AS avg_lat_days,
+           quantile_cont(lat_days, 0.9)        AS p90_lat_days
+    FROM lat
+    GROUP BY quarter
+    ORDER BY quarter
+    """,
+)
+def ship_latency_quarterly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency trend by calendar quarter: mean and p90
+    days from order to line shipment — the fulfilment-drift monitor
+    (``supplier_ship_latency`` ranks WHO is slow; this shows WHEN the
+    whole operation drifted).
+
+    Shape: one orderkey equi-join carrying only the two date columns,
+    then a |quarters|-bounded rollup with an exact percentile.
+    Parity: latency is integer-µs subtraction floored to whole days
+    (integer div both engines); quarter labels via date_trunc under
+    the UTC-pinned session (the catalog guarantees it) formatted
+    identically; the mean is an unrounded exact-integer ratio and the
+    p90 interpolates exact integers (unrounded, r10 discipline)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    lat = li.join(o, "o_orderkey").select(
+        F.date_format(
+            F.date_trunc("quarter", "o_orderdate"), "yyyy-MM"
+        ).alias("quarter"),
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("lat_days"),
+    )
+    return sort_bounded(
+        lat.groupBy("quarter").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("lat_days").cast("long").alias("total_lat_days"),
+            (
+                F.sum("lat_days").cast("double") / F.count(F.lit(1))
+            ).alias("avg_lat_days"),
+            F.percentile("lat_days", 0.9).alias("p90_lat_days"),
+        ),
+        "quarter",
+    )
+
+
+# --------------------------------------------------------------------------
+# part-type price premium vs the global mean (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "part_type_price_premium",
+    oracle="""
+    WITH p AS (
+        SELECT p_type,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
+        FROM part
+    ),
+    g AS (SELECT CAST(SUM(cents) AS BIGINT) AS s_g,
+                 CAST(COUNT(*) AS BIGINT)   AS c_g
+          FROM p)
+    SELECT p.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p.cents) AS DOUBLE) / COUNT(*) / 100.0
+               AS avg_price,
+           (CAST(SUM(p.cents) AS DOUBLE) * CAST(g.c_g AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(g.s_g AS DOUBLE))
+               AS premium_ratio
+    FROM p CROSS JOIN g
+    GROUP BY p.p_type, g.c_g, g.s_g
+    ORDER BY p_type
+    """,
+)
+def part_type_price_premium(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog price positioning: each part type's average retail price
+    and its ratio to the global average — the premium/discount map of
+    the assortment (``part_brand_price_dispersion`` profiles spread
+    WITHIN brands; this compares type means ACROSS the catalog).
+
+    Shape: one |types|-bounded rollup plus a 1-row broadcast global.
+    Parity: 2dp money ×100 into BIGINT at birth; the premium ratio is
+    (S_t·C_g)/(C_t·S_g) with each BIGINT factor cast to DOUBLE
+    SEPARATELY before multiplying (the r8 overflow rule — the integer
+    products overflow where the factors don't), identical on both
+    engines, emitted unrounded."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    g = p.agg(
+        F.sum("cents").cast("long").alias("s_g"),
+        F.count(F.lit(1)).cast("long").alias("c_g"),
+    )
+    per = p.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("s_t"),
+    )
+    return sort_bounded(
+        per.crossJoin(F.broadcast(g)).select(
+            "p_type",
+            "n_parts",
+            (
+                F.col("s_t").cast("double")
+                / F.col("n_parts")
+                / 100.0
+            ).alias("avg_price"),
+            (
+                (
+                    F.col("s_t").cast("double")
+                    * F.col("c_g").cast("double")
+                )
+                / (
+                    F.col("n_parts").cast("double")
+                    * F.col("s_g").cast("double")
+                )
+            ).alias("premium_ratio"),
+        ),
+        "p_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# nation revenue year-over-year (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "nation_revenue_yoy",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, yr, revenue,
+           revenue / NULLIF(LAG(revenue) OVER (
+               PARTITION BY n_name ORDER BY yr), 0) AS yoy_ratio
+    FROM rev
+    ORDER BY n_name, yr
+    """,
+)
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue per customer nation — the Q5-star grown a
+    time axis: which geographies are compounding and which rolled over
+    (``revenue_mom_growth`` is the global monthly line; this is the
+    annual per-nation matrix a regional review reads).
+
+    Shape: the canonical broadcast star (nation/customer broadcast
+    under AQE, lineitem⋈orders the only data-sized shuffle), a
+    |nations×years|-bounded rollup, and the lag window over that
+    bounded ledger.  Parity: revenue is ROUND(SUM(raw 4-decimal
+    products), 4) — decision-boundary-free (r6 rule); the YoY ratio
+    divides two bit-identical doubles (unrounded, NULLIF-guarded);
+    year() extracted under the UTC-pinned session on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                4,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return sort_bounded(
+        rev.select(
+            "n_name",
+            "yr",
+            "revenue",
+            (
+                F.col("revenue")
+                / F.nullif(F.lag("revenue").over(w), F.lit(0))
+            ).alias("yoy_ratio"),
+        ),
+        "n_name",
+        "yr",
+    )
+
+
+# --------------------------------------------------------------------------
+# balance-vs-spend correlation per market segment (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "segment_balance_spend_corr",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_mktsegment,
+               CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0)
+                                      AS BIGINT)), 0) // 100
+                    AS BIGINT) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey, c.c_acctbal
+    ),
+    s AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(y) AS BIGINT)     AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM cust GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           n AS n_customers,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)), 0), 6)
+               AS balance_spend_corr
+    FROM s
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_balance_spend_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does account balance predict spend?  Pearson correlation of
+    (account balance, lifetime order value) per market segment — the
+    one-number credit-vs-behavior screen behind
+    ``customer_balance_spend_quadrants``' 2×2 (quadrants show WHERE
+    customers sit; this says whether the axes are even related).
+
+    Shape: one customer-keyed LEFT-join rollup (zero-order customers
+    keep y=0 — the join_anti spine lesson), then |segments|-bounded
+    integer moments.  Parity: balance ×100 into BIGINT at birth;
+    spend is the cents sum INTEGER-DIVIDED to whole dollars (exact
+    and identical both engines — keeping cents made Σy² overflow
+    BIGINT already at sf0.01; dollar granularity holds Σy² to ~sf30,
+    beyond that coarsen y another decade); Pearson from the EXPLICIT
+    Σ formula (never engine corr — r6 rule) with every BIGINT factor
+    cast to DOUBLE separately BEFORE multiplying (r8 overflow rule);
+    sqrt is engine-transcendental so the output rounds 6dp on both
+    engines; NULLIF guards degenerate variance."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cust = (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("long")
+            .alias("x"),
+        )
+        .join(
+            o.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("cents"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_mktsegment", "c_custkey", "x")
+        .agg(
+            F.expr("coalesce(sum(cents), 0) div 100")
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return sort_bounded(
+        s.select(
+            "c_mktsegment",
+            F.col("n").alias("n_customers"),
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(
+                "balance_spend_corr"
+            ),
+        ),
+        "c_mktsegment",
+    )

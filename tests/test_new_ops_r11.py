@@ -1,0 +1,361 @@
+"""Closed-form semantic pins for the r11 operator wave (wave 1-2).
+
+Oracle parity proves Spark == DuckDB; these prove both == the MATH, on
+planted inputs with known answers — and give the
+clean-at-fixture audit op (``events_duplicate_check``: every
+multiplicity is 1 on synthetic µs timestamps) the planted-DELTA test
+the r7 zero-signal rule demands.
+
+- Duplicate check planted: a double-fired click and a triple-fired view
+  produce exactly the extra-row/multiplicity counters, cross-engine.
+- Gap survival planted: gaps of 0/2/8 days → exceed counts 2/1/1 at
+  thresholds 1/3/7.
+- WoW growth planted: a silent middle week appears as an explicit zero
+  and the following week's ratio is NULL (never inf).
+- Entropy buckets planted: a single-type user lands in bucket 0 with
+  e6 = 0; a uniform two-type user at ln2 (e6 = 693147, bucket 3).
+- Status matrix / percentiles / premium / YoY: closed-form consistency
+  on the real fixture (shares sum to 1, quantiles monotone, weighted
+  premium reconstructs the global mean, YoY recomputes from revenue).
+- Corr planted: spend ≡ balance (whole dollars) → Pearson exactly 1.0
+  per segment, cross-engine.
+"""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from googlecloudstorage_blueprints_spark.operators import (
+    all_oracles,
+    all_queries,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+QUERIES = None
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _q():
+    global QUERIES
+    if QUERIES is None:
+        QUERIES = all_queries()
+    return QUERIES
+
+
+def _planted_dir(tmp_path, replace: dict):
+    out = tmp_path / "sf_planted"
+    out.mkdir()
+    for t in TABLES:
+        if t in replace:
+            pq.write_table(replace[t], out / f"{t}.parquet")
+        else:
+            shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+def _driver_compare(spark, sf_dir: str, name: str):
+    sdf = _q()[name](spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(r[c]) for c in scols) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.sql(all_oracles()[name])
+    ocols = list(res.columns)
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    orows = sorted(
+        tuple(str(row[i]) for i in idx) for row in res.fetchall()
+    )
+    return srows, orows
+
+
+def _events_table(rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                [r[3] for r in rows], pa.string()
+            ),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def test_events_duplicate_check_planted_delta(spark, tmp_path):
+    """A double-fired click and a triple-fired view produce exactly the
+    extra-row counters; the clean type reports zeros (the fixture-wide
+    all-zeros output is meaningful only because this delta pins the
+    counters)."""
+    t0 = BASE
+    rows = [
+        (1, t0, 10, "click", 0.0),
+        (2, t0, 10, "click", 0.0),                       # dup of 1
+        (3, t0 + datetime.timedelta(hours=1), 10, "click", 0.0),
+        (4, t0, 20, "view", 0.0),
+        (5, t0, 20, "view", 0.0),                        # dup of 4
+        (6, t0, 20, "view", 0.0),                        # dup of 4
+        (7, t0, 30, "purchase", 5.0),
+    ]
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = {
+        r["event_type"]: r
+        for r in _q()["events_duplicate_check"](spark, sf).collect()
+    }
+    assert got["click"]["n_groups"] == 2
+    assert got["click"]["n_dup_groups"] == 1
+    assert got["click"]["n_extra_rows"] == 1
+    assert got["click"]["max_multiplicity"] == 2
+    assert got["view"]["n_dup_groups"] == 1
+    assert got["view"]["n_extra_rows"] == 2
+    assert got["view"]["max_multiplicity"] == 3
+    assert got["purchase"]["n_dup_groups"] == 0
+    assert got["purchase"]["max_multiplicity"] == 1
+    srows, orows = _driver_compare(
+        spark, sf, "events_duplicate_check"
+    )
+    assert srows == orows
+
+
+def test_user_gap_survival_planted_gaps(spark, tmp_path):
+    """One user, gaps of 0/2/8 whole days → exceed counts 2/1/1 at the
+    1/3/7-day thresholds, exact shares."""
+    rows = [
+        (1, BASE, 1, "click", 0.0),
+        (2, BASE + datetime.timedelta(hours=2), 1, "click", 0.0),
+        (3, BASE + datetime.timedelta(days=2, hours=2), 1, "click", 0.0),
+        (4, BASE + datetime.timedelta(days=10, hours=3), 1, "click", 0.0),
+    ]
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = {
+        r["threshold_days"]: r
+        for r in _q()["user_gap_survival"](spark, sf).collect()
+    }
+    assert all(got[t]["n_gaps"] == 3 for t in (1, 3, 7))
+    assert got[1]["n_exceed"] == 2
+    assert got[3]["n_exceed"] == 1
+    assert got[7]["n_exceed"] == 1
+    assert got[1]["survival_share"] == pytest.approx(2 / 3)
+    srows, orows = _driver_compare(spark, sf, "user_gap_survival")
+    assert srows == orows
+
+
+def test_events_wow_growth_silent_week_zero_then_null(
+    spark, tmp_path
+):
+    """Weeks 0 and 2 active, week 1 silent: the spine materializes the
+    zero, week 1's ratio is 0.0, week 2's is NULL (0 denominator) —
+    never an infinity."""
+    wk = datetime.timedelta(days=7)
+    rows = [
+        (1, BASE, 1, "click", 0.0),
+        (2, BASE + datetime.timedelta(hours=1), 2, "click", 0.0),
+        (3, BASE + 2 * wk, 1, "click", 0.0),
+    ]
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    out = _q()["events_wow_growth"](spark, sf).collect()
+    assert len(out) == 3
+    by_week = {r["epoch_week"] - out[0]["epoch_week"]: r for r in out}
+    assert by_week[0]["n_events"] == 2 and by_week[0]["wow_ratio"] is None
+    assert by_week[1]["n_events"] == 0 and by_week[1]["wow_ratio"] == 0.0
+    assert by_week[2]["n_events"] == 1 and by_week[2]["wow_ratio"] is None
+    srows, orows = _driver_compare(spark, sf, "events_wow_growth")
+    assert srows == orows
+
+
+def test_user_entropy_buckets_closed_form(spark, tmp_path):
+    """User 1: one type → entropy 0, bucket 0.  User 2: 2+2 events over
+    two types → ln 2 = 0.693147 nats → e6 693147, bucket 3."""
+    rows = [
+        (1, BASE, 1, "click", 0.0),
+        (2, BASE + datetime.timedelta(hours=1), 1, "click", 0.0),
+        (3, BASE, 2, "click", 0.0),
+        (4, BASE + datetime.timedelta(hours=1), 2, "click", 0.0),
+        (5, BASE + datetime.timedelta(hours=2), 2, "view", 0.0),
+        (6, BASE + datetime.timedelta(hours=3), 2, "view", 0.0),
+    ]
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = {
+        r["entropy_bucket"]: r
+        for r in _q()["user_entropy_buckets"](spark, sf).collect()
+    }
+    assert set(got) == {0, 3}
+    assert got[0]["n_users"] == 1 and got[0]["max_entropy_e6"] == 0
+    assert got[3]["n_users"] == 1
+    assert got[3]["min_entropy_e6"] == 693147
+    assert got[3]["avg_events_per_user"] == pytest.approx(4.0)
+    srows, orows = _driver_compare(spark, sf, "user_entropy_buckets")
+    assert srows == orows
+
+
+def test_order_line_status_matrix_shares_sum_to_one(spark):
+    rows = _q()["order_line_status_matrix"](spark, SF).collect()
+    assert len(rows) > 0
+    assert sum(r["line_share"] for r in rows) == pytest.approx(1.0)
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON o.o_orderkey = l.l_orderkey"
+    ).fetchone()[0]
+    assert sum(r["n_lines"] for r in rows) == n
+
+
+def test_order_value_percentiles_monotone(spark):
+    for r in _q()["order_value_percentiles"](spark, SF).collect():
+        assert (
+            r["p25_value"]
+            <= r["p50_value"]
+            <= r["p75_value"]
+            <= r["p99_value"]
+        )
+        assert r["n_orders"] > 0
+
+
+def test_ship_latency_quarterly_consistent(spark):
+    """mean × count reconstructs the exact integer total (the synthetic
+    fixture contains ship-before-order rows, so negative latency is
+    legitimate data here, not an op bug)."""
+    rows = _q()["ship_latency_quarterly"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["total_lat_days"] == pytest.approx(
+            r["avg_lat_days"] * r["n_lines"], rel=1e-9, abs=1e-6
+        )
+        assert r["n_lines"] > 0
+
+
+def test_part_type_price_premium_reconstructs_global_mean(spark):
+    """Weighted mean of avg_price over types == global mean price, and
+    premium-weighted part counts normalize to 1."""
+    rows = _q()["part_type_price_premium"](spark, SF).collect()
+    n_tot = sum(r["n_parts"] for r in rows)
+    mean_global = (
+        sum(r["avg_price"] * r["n_parts"] for r in rows) / n_tot
+    )
+    w_premium = (
+        sum(r["premium_ratio"] * r["n_parts"] * 1.0 for r in rows)
+        / n_tot
+    )
+    for r in rows:
+        assert r["avg_price"] / mean_global == pytest.approx(
+            r["premium_ratio"], rel=1e-9
+        )
+    assert w_premium == pytest.approx(1.0, rel=1e-9)
+
+
+def test_nation_revenue_yoy_recomputes_ratio(spark):
+    rows = _q()["nation_revenue_yoy"](spark, SF).collect()
+    assert len(rows) > 0
+    prev = {}
+    for r in rows:  # already ordered (nation, year)
+        key = r["n_name"]
+        if key in prev and prev[key][0] == r["yr"] - 1:
+            p = prev[key][1]
+            if p != 0:
+                assert r["yoy_ratio"] == pytest.approx(
+                    r["revenue"] / p
+                )
+        prev[key] = (r["yr"], r["revenue"])
+
+
+def test_segment_balance_spend_corr_planted_perfect(spark, tmp_path):
+    """Spend ≡ balance (whole dollars, two customers per segment with
+    distinct values) → Pearson exactly 1.0 per segment on both
+    engines."""
+    custs = [
+        (1, "a", 0, 100.0, "SEG1"),
+        (2, "b", 0, 300.0, "SEG1"),
+        (3, "c", 0, 50.0, "SEG2"),
+        (4, "d", 0, 250.0, "SEG2"),
+    ]
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([c[0] for c in custs], pa.int64()),
+            "c_name": pa.array([c[1] for c in custs], pa.string()),
+            "c_nationkey": pa.array(
+                [c[2] for c in custs], pa.int32()
+            ),
+            "c_acctbal": pa.array(
+                [c[3] for c in custs], pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                [c[4] for c in custs], pa.string()
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+            "o_totalprice": pa.array(
+                [c[3] for c in custs], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [BASE] * 4, pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * 4, pa.string()
+            ),
+        }
+    )
+    sf = _planted_dir(
+        tmp_path, {"customer": customer, "orders": orders}
+    )
+    got = {
+        r["c_mktsegment"]: r["balance_spend_corr"]
+        for r in _q()["segment_balance_spend_corr"](
+            spark, sf
+        ).collect()
+    }
+    assert got["SEG1"] == pytest.approx(1.0)
+    assert got["SEG2"] == pytest.approx(1.0)
+    srows, orows = _driver_compare(
+        spark, sf, "segment_balance_spend_corr"
+    )
+    assert srows == orows
+
+
+def test_events_hourly_load_percentiles_closed_form(spark, tmp_path):
+    """3 active hours with loads 1/2/3 → p50 = 2, max = 3, n_hours = 3
+    (zero hours absent by contract)."""
+    rows = [
+        (1, BASE, 1, "click", 0.0),
+        (2, BASE + datetime.timedelta(hours=1), 1, "click", 0.0),
+        (3, BASE + datetime.timedelta(hours=1, minutes=5), 2, "click", 0.0),
+        (4, BASE + datetime.timedelta(hours=5), 1, "click", 0.0),
+        (5, BASE + datetime.timedelta(hours=5, minutes=1), 2, "click", 0.0),
+        (6, BASE + datetime.timedelta(hours=5, minutes=2), 3, "click", 0.0),
+    ]
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    (r,) = _q()["events_hourly_load_percentiles"](
+        spark, sf
+    ).collect()
+    assert r["n_hours"] == 3 and r["max_load"] == 3
+    assert r["p50_load"] == pytest.approx(2.0)
+    srows, orows = _driver_compare(
+        spark, sf, "events_hourly_load_percentiles"
+    )
+    assert srows == orows
