@@ -1332,3 +1332,192 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# leading-token concentration per source (boilerplate detector, r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_first_token_profile",
+    oracle="""
+    WITH ft AS (
+        SELECT source, string_split(text, ' ')[1] AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cnts AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ft GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, tok, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, tok) AS r,
+               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_docs,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_distinct_first
+        FROM cnts
+    )
+    SELECT source,
+           n_docs,
+           n_distinct_first,
+           tok AS top_first_token,
+           cnt AS top_count,
+           CAST(cnt AS DOUBLE) / n_docs AS top_share
+    FROM ranked WHERE r = 1
+    ORDER BY source
+    """,
+)
+def doc_first_token_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leading-token concentration per source: the most common FIRST
+    token of a document and its share — the boilerplate/header detector
+    (a source whose docs all open with the same token is template
+    output; ``doc_prefix_dup_share`` needs a 5-token prefix to agree,
+    this fires on the cheaper 1-token signal first).
+
+    Shape: one (source, first-token) count aggregate — only the first
+    token is extracted, the text is never exploded — then rank/total
+    windows over the source-keyed count frame (bounded by the
+    per-source leading-token vocabulary).  Parity: (cnt DESC, tok) is the total
+    order on both engines; shares are unrounded exact-integer ratios;
+    Spark's 0-based getItem(0) is DuckDB's 1-based [1]."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    cnts = d.select(
+        "source", F.split("text", " ").getItem(0).alias("tok")
+    ).groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wsrc = Window.partitionBy("source")
+    wrank = wsrc.orderBy(F.col("cnt").desc(), "tok")
+    ranked = cnts.select(
+        "source",
+        "tok",
+        "cnt",
+        F.row_number().over(wrank).alias("r"),
+        F.sum("cnt").over(wsrc).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias(
+            "n_distinct_first"
+        ),
+    )
+    return sort_bounded(
+        ranked.where(F.col("r") == 1).select(
+            "source",
+            "n_docs",
+            "n_distinct_first",
+            F.col("tok").alias("top_first_token"),
+            F.col("cnt").alias("top_count"),
+            (F.col("cnt").cast("double") / F.col("n_docs")).alias(
+                "top_share"
+            ),
+        ),
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
+# adjacent repeated-token runs (loop detector, r11)
+# --------------------------------------------------------------------------
+
+RUN_ALERT_LEN = 3  # a run of >= 3 identical adjacent tokens flags a doc
+
+
+@register(
+    "doc_repeated_token_runs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(range(1, len(string_split(text, ' ')) + 1))
+                   AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grp AS (
+        SELECT doc_id, source, tok,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id, tok ORDER BY pos) AS g
+        FROM toks
+    ),
+    runs AS (
+        SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM grp GROUP BY doc_id, source, tok, g
+    ),
+    per_doc AS (
+        SELECT doc_id, source, CAST(MAX(run_len) AS BIGINT) AS max_run
+        FROM runs GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(max_run) AS BIGINT) AS longest_run,
+           CAST(SUM(CASE WHEN max_run >= {RUN_ALERT_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_looping,
+           CAST(SUM(CASE WHEN max_run >= {RUN_ALERT_LEN}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS looping_share
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_repeated_token_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adjacent repeated-token runs per source: the longest identical
+    run per doc and the share of docs with a run ≥ {RUN_ALERT_LEN} —
+    the degenerate-loop detector ("batch batch batch") that
+    ``repetition_score``'s n-gram ratios dilute when the doc is long
+    and ``doc_compression_ratio`` only sees once the loop dominates.
+
+    Shape: the islands-by-value decomposition — positional explode,
+    ONE (doc, token)-keyed row_number window (pos − rank is constant
+    within a run), then pure keyed aggregates; every shuffle is doc-
+    keyed, nothing global.  Parity: positions zip positionally on both
+    engines (the r7 dual-unnest rule); counts exact; the share an
+    unrounded exact-integer ratio."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode_outer(F.split("text", " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    grp = toks.select(
+        "doc_id",
+        "source",
+        "tok",
+        (F.col("pos") - F.row_number().over(w)).alias("g"),
+    )
+    runs = grp.groupBy("doc_id", "source", "tok", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    per_doc = runs.groupBy("doc_id", "source").agg(
+        F.max("run_len").cast("long").alias("max_run")
+    )
+    looping = F.when(
+        F.col("max_run") >= RUN_ALERT_LEN, 1
+    ).otherwise(0)
+    return sort_bounded(
+        per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("max_run").cast("long").alias("longest_run"),
+            F.sum(looping).cast("long").alias("n_docs_looping"),
+            (
+                F.sum(looping).cast("double") / F.count(F.lit(1))
+            ).alias("looping_share"),
+        ),
+        "source",
+    )
+
+
+doc_repeated_token_runs.__doc__ = doc_repeated_token_runs.__doc__.format(
+    RUN_ALERT_LEN=RUN_ALERT_LEN
+)

@@ -811,3 +811,102 @@ source_temperature_weights.__doc__ = (
         "{MIX_TEMPERATURE}", str(MIX_TEMPERATURE)
     )
 )
+
+
+# --------------------------------------------------------------------------
+# length-curriculum stages (r11)
+# --------------------------------------------------------------------------
+
+CURRICULUM_BOUNDS = (100, 200, 400)  # n_chars cuts -> 4 stages
+
+
+@register(
+    "length_curriculum_stages",
+    oracle=f"""
+    WITH staged AS (
+        SELECT CASE WHEN n_chars < {CURRICULUM_BOUNDS[0]} THEN 0
+                    WHEN n_chars < {CURRICULUM_BOUNDS[1]} THEN 1
+                    WHEN n_chars < {CURRICULUM_BOUNDS[2]} THEN 2
+                    ELSE 3 END AS stage,
+               n_chars,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+        SELECT CAST(stage AS BIGINT) AS stage,
+               CAST(COUNT(*) AS BIGINT)      AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM staged GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(total_chars) AS BIGINT) AS all_chars
+            FROM per)
+    SELECT per.stage, per.n_docs, per.total_chars, per.total_tokens,
+           CAST(per.total_chars AS DOUBLE) / tot.all_chars
+               AS char_share,
+           CAST(CAST(SUM(per.total_chars) OVER (
+                    ORDER BY per.stage ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS DOUBLE) / tot.all_chars
+               AS cum_char_share
+    FROM per CROSS JOIN tot
+    ORDER BY stage
+    """,
+)
+def length_curriculum_stages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-curriculum stage table: documents cut into short→long
+    stages at fixed n_chars bounds, with per-stage doc/char/token
+    budgets and the cumulative char share — the schedule a
+    curriculum-ordered pretraining run feeds from (start on stage 0,
+    unlock the next when the cumulative share crosses the plan;
+    ``sequence_pack`` then packs within a stage).
+
+    Shape: one scan computing stage + token count in-row (no explode —
+    len(split) is codegen), a 4-row stage rollup, and the cumulative
+    window over that 4-row LEDGER only.  Parity: integer stage cuts
+    (no double can sit on a boundary), exact BIGINT budgets, shares
+    unrounded exact-integer ratios."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    b = CURRICULUM_BOUNDS
+    stage = (
+        F.when(F.col("n_chars") < b[0], 0)
+        .when(F.col("n_chars") < b[1], 1)
+        .when(F.col("n_chars") < b[2], 2)
+        .otherwise(3)
+    )
+    per = (
+        d.select(
+            stage.cast("long").alias("stage"),
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("total_chars").cast("long").alias("all_chars"))
+    w = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sort_bounded(
+        per.crossJoin(F.broadcast(tot)).select(
+            "stage",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (
+                F.col("total_chars").cast("double") / F.col("all_chars")
+            ).alias("char_share"),
+            (
+                F.sum("total_chars").over(w).cast("long").cast("double")
+                / F.col("all_chars")
+            ).alias("cum_char_share"),
+        ),
+        "stage",
+    )

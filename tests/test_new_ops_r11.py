@@ -359,3 +359,92 @@ def test_events_hourly_load_percentiles_closed_form(spark, tmp_path):
         spark, sf, "events_hourly_load_percentiles"
     )
     assert srows == orows
+
+
+def _documents_table(rows):
+    """rows: (doc_id, text, lang, source)"""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def test_doc_repeated_token_runs_planted_loop(spark, tmp_path):
+    """'a a a b' has a 3-run (flagged); 'a b a b' alternates (longest
+    run 1, not flagged) — non-adjacent repeats never count."""
+    docs = _documents_table(
+        [
+            (1, "a a a b", "en", "sA"),
+            (2, "a b a b", "en", "sA"),
+            (3, "x y z", "en", "sB"),
+        ]
+    )
+    sf = _planted_dir(tmp_path, {"documents": docs})
+    got = {
+        r["source"]: r
+        for r in _q()["doc_repeated_token_runs"](spark, sf).collect()
+    }
+    assert got["sA"]["longest_run"] == 3
+    assert got["sA"]["n_docs_looping"] == 1
+    assert got["sA"]["looping_share"] == pytest.approx(0.5)
+    assert got["sB"]["longest_run"] == 1
+    assert got["sB"]["n_docs_looping"] == 0
+    srows, orows = _driver_compare(
+        spark, sf, "doc_repeated_token_runs"
+    )
+    assert srows == orows
+
+
+def test_doc_first_token_profile_planted_template(spark, tmp_path):
+    """A source whose docs all open with the same token concentrates to
+    share 1.0; a diverse source splits."""
+    docs = _documents_table(
+        [
+            (1, "header one two", "en", "tmpl"),
+            (2, "header three four", "en", "tmpl"),
+            (3, "alpha one", "en", "mix"),
+            (4, "beta two", "en", "mix"),
+        ]
+    )
+    sf = _planted_dir(tmp_path, {"documents": docs})
+    got = {
+        r["source"]: r
+        for r in _q()["doc_first_token_profile"](spark, sf).collect()
+    }
+    assert got["tmpl"]["top_first_token"] == "header"
+    assert got["tmpl"]["top_share"] == pytest.approx(1.0)
+    assert got["tmpl"]["n_distinct_first"] == 1
+    assert got["mix"]["top_share"] == pytest.approx(0.5)
+    # deterministic tiebreak: (cnt DESC, tok ASC) -> 'alpha'
+    assert got["mix"]["top_first_token"] == "alpha"
+    srows, orows = _driver_compare(
+        spark, sf, "doc_first_token_profile"
+    )
+    assert srows == orows
+
+
+def test_length_curriculum_stages_partitions_and_cumulates(spark):
+    rows = _q()["length_curriculum_stages"](spark, SF).collect()
+    assert [r["stage"] for r in rows] == sorted(
+        r["stage"] for r in rows
+    )
+    assert sum(r["char_share"] for r in rows) == pytest.approx(1.0)
+    assert rows[-1]["cum_char_share"] == pytest.approx(1.0)
+    cum = 0.0
+    for r in rows:
+        cum += r["char_share"]
+        assert r["cum_char_share"] == pytest.approx(cum)
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n
