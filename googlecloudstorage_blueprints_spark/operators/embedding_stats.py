@@ -974,3 +974,113 @@ def embedding_norm_label_anova(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PC1 spectrum share (encoder-health eigendecomposition, r11)
+# --------------------------------------------------------------------------
+
+PCA_TOP_SHARES = 5  # report the top-1 and top-5 eigenvalue shares
+
+
+@register("embedding_pc1_spectrum", oracle=None)
+def embedding_pc1_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral health of the embedding space: the share of total
+    variance carried by the top principal component (and the top
+    {PCA_TOP_SHARES}) — the anisotropy number behind every "embedding
+    collapse" postmortem (PC1 share near 1 means the encoder squeezed
+    everything onto one axis and cosine similarity is mush;
+    ``embedding_dim_correlation_topk`` sees pairwise symptoms, this is
+    the eigenvalue diagnosis).  Rows-only by contract (no SQL
+    eigensolver); the planted anisotropic/isotropic pins are the
+    semantic check (tests/test_new_ops_r11.py).
+
+    Shape: the scalable PCA decomposition — one Arrow-batched
+    mapInPandas pass computes per-partition GEMM partials (n, Σx,
+    XᵀX as a d² vector; numpy does the d×n·d work per batch), the
+    driver sums the ≤|partitions| partial rows (bounded collect, the
+    IVF-trainer convention) and eigensolves the d×d covariance with
+    ``numpy.linalg.eigvalsh`` (deterministic).  Raw vectors never
+    shuffle; the only data-sized work is the embarrassingly parallel
+    partial pass.  d is read from the first batch; d² doubles per
+    partition is the entire transfer."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def kernel(batches):
+        n = 0
+        s = None
+        xtx = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            if s is None:
+                s = np.zeros(x.shape[1])
+                xtx = np.zeros((x.shape[1], x.shape[1]))
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            xtx += x.T @ x
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "xtx": [xtx.ravel().tolist()],
+            }
+        )
+
+    partials = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_parts)  # one-row-group fixture trap
+        .mapInPandas(
+            kernel,
+            schema="n long, s array<double>, xtx array<double>",
+        )
+        .collect()  # bounded: <= defaultParallelism rows of d^2 doubles
+    )
+    n = sum(r["n"] for r in partials)
+    d = len(partials[0]["s"])
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for r in partials:
+        s += np.asarray(r["s"])
+        xtx += np.asarray(r["xtx"]).reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    eig = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(eig.sum())
+    top1 = float(eig[0]) / total if total > 0 else 0.0
+    topk = (
+        float(eig[:PCA_TOP_SHARES].sum()) / total if total > 0 else 0.0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(d),
+                round(total, 6),
+                round(top1, 6),
+                round(topk, 6),
+            )
+        ],
+        schema=(
+            "n_vectors long, dim long, total_variance double, "
+            "pc1_share double, top5_share double"
+        ),
+    )
+
+
+embedding_pc1_spectrum.__doc__ = embedding_pc1_spectrum.__doc__.format(
+    PCA_TOP_SHARES=PCA_TOP_SHARES
+)

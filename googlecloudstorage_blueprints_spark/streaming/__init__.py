@@ -10,6 +10,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_cooccurrence,
     streaming_dedup,
     streaming_first_ship_sla,
+    streaming_first_touch,
     streaming_funnel_delays,
     streaming_gapfill,
     streaming_dau_wau,
@@ -32,6 +33,7 @@ __all__ = [
     "streaming_cooccurrence",
     "streaming_dedup",
     "streaming_first_ship_sla",
+    "streaming_first_touch",
     "streaming_funnel_delays",
     "streaming_gapfill",
     "streaming_dau_wau",

@@ -1556,3 +1556,99 @@ def streaming_session_depth(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming first-touch attribution: running-min changelog per user (r11)
+# ---------------------------------------------------------------------------
+
+_FIRSTTOUCH_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_ts_us", LongType()),
+        StructField("first_event_id", LongType()),
+        StructField("first_type", StringType()),
+    ]
+)
+
+_FIRSTTOUCH_STATE_SCHEMA = StructType(
+    [
+        StructField("best_ts_us", LongType()),
+        StructField("best_event_id", LongType()),
+        StructField("best_type", StringType()),
+    ]
+)
+
+
+def _first_touch_per_user(key: tuple, pdfs, state: GroupState):
+    """Per-user running-MIN first-event compaction — the events-side
+    mirror of ``_first_ship_per_order``: state holds the earliest
+    (ts_us, event_id) seen plus its event type; a micro-batch emits one
+    row per user IFF it improves the minimum.  Late/out-of-order/
+    redelivered events that LOSE the (ts_us, event_id) race — the SAME
+    total order the batch ``user_first_touch_attribution`` rank window
+    uses — are absorbed silently, so the changelog is replay-idempotent
+    under ANY delivery order and its newest (= smallest) emission per
+    user is the true first touch once the backlog drains."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us)
+    best = rows.sort_values(["ts_us", "event_id"]).iloc[0]
+    cand = (
+        int(best["ts_us"]),
+        int(best["event_id"]),
+        str(best["event_type"]),
+    )
+    if state.exists:
+        cur = (int(state.get[0]), int(state.get[1]))
+        if cand[:2] >= cur:
+            return
+    state.update(cand)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(user_id),
+                "first_ts_us": cand[0],
+                "first_event_id": cand[1],
+                "first_type": cand[2],
+            }
+        ]
+    )
+
+
+def streaming_first_touch(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming first-touch feed — the incremental twin of the batch
+    ``user_first_touch_attribution`` first-pick core
+    (operators/behavior.py): each user's acquisition event arrives as a
+    running-min changelog row, so the per-channel attribution rollup
+    downstream is one stateless aggregate over the newest emission per
+    user (which matches the batch rank-window pick exactly —
+    test-pinned, including under full-backlog redelivery).
+
+    Scale: state is one fixed-width triple per user, no timeout (a
+    user's first touch must survive idle periods — memory is O(|users|),
+    the bound the downstream attribution table has anyway); one user_id
+    shuffle per micro-batch."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _first_touch_per_user,
+            _FIRSTTOUCH_OUT_SCHEMA,
+            _FIRSTTOUCH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

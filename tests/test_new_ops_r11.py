@@ -448,3 +448,64 @@ def test_length_curriculum_stages_partitions_and_cumulates(spark):
         f"WHERE text IS NOT NULL"
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in rows) == n
+
+
+def _embeddings_table(vecs, labels=None):
+    import numpy as np
+
+    n = len(vecs)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                labels if labels is not None else [0] * n,
+                pa.int32(),
+            ),
+        }
+    )
+
+
+def test_embedding_pc1_spectrum_planted_anisotropy(spark, tmp_path):
+    """All variance on one axis → PC1 share ≈ 1; isotropic noise →
+    PC1 share near 1/d (well under the collapse regime)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d = 16
+    aniso = np.zeros((120, d))
+    aniso[:, 3] = rng.randn(120) * 10.0
+    aniso += rng.randn(120, d) * 0.01
+    sf = _planted_dir(
+        tmp_path, {"embeddings": _embeddings_table(aniso)}
+    )
+    (r,) = _q()["embedding_pc1_spectrum"](spark, sf).collect()
+    assert r["n_vectors"] == 120 and r["dim"] == d
+    assert r["pc1_share"] > 0.999
+    assert r["top5_share"] >= r["pc1_share"]
+
+    iso_dir = tmp_path / "iso"
+    iso_dir.mkdir()
+    iso = rng.randn(200, d)
+    for t in TABLES:
+        if t == "embeddings":
+            pq.write_table(
+                _embeddings_table(iso), iso_dir / "embeddings.parquet"
+            )
+        else:
+            shutil.copy(f"{SF}/{t}.parquet", iso_dir / f"{t}.parquet")
+    (r2,) = _q()["embedding_pc1_spectrum"](
+        spark, str(iso_dir)
+    ).collect()
+    assert r2["pc1_share"] < 0.2
+    assert r2["top5_share"] < 0.6
+
+
+def test_embedding_pc1_spectrum_deterministic(spark):
+    a = _q()["embedding_pc1_spectrum"](spark, SF).collect()[0]
+    b = _q()["embedding_pc1_spectrum"](spark, SF).collect()[0]
+    assert a == b
+    assert 0.0 < a["pc1_share"] <= a["top5_share"] <= 1.0

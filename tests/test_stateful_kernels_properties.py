@@ -849,3 +849,93 @@ def test_sessionize_depth_kernel_latches_conversion(case):
     assert closed == [tuple(s) for s in ref_closed]
     start, last, n, conv = state.get
     assert [int(start), int(last), int(n), int(conv)] == ref_open
+
+
+# --- r11: first-touch running-min kernel ------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _first_touch_per_user,
+)
+
+
+def _touch_rows_df(rows):
+    """rows: list of (ts_us, event_id, event_type)."""
+    return pd.DataFrame(
+        {
+            "user_id": 1,
+            "event_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[0] * 1000 for r in rows]),
+            "event_type": [r[2] for r in rows],
+        }
+    )
+
+
+@st.composite
+def touch_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = [
+        (
+            draw(st.integers(min_value=0, max_value=5)) * 1_000_000,
+            i + 1,
+            draw(st.sampled_from(TYPES)),
+        )
+        for i in range(n)
+    ]
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(n - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        if c > prev:
+            batches.append(rows[prev:c])
+            prev = c
+    order = draw(st.permutations(range(len(batches))))
+    return rows, [batches[i] for i in order]
+
+
+@given(touch_batches())
+@settings(max_examples=200, deadline=None)
+def test_first_touch_kernel_min_race_under_any_delivery_order(case):
+    """Emissions strictly improve the (ts_us, event_id) minimum under
+    ANY batch permutation; the final emission carries the true first
+    event AND its type (ties broken by event_id, matching the batch
+    rank window); full redelivery adds nothing."""
+    rows, batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        for pdf in _first_touch_per_user(
+            (1,), iter([_touch_rows_df(batch)]), state
+        ):
+            emitted.append(
+                (
+                    int(pdf["first_ts_us"].iloc[0]),
+                    int(pdf["first_event_id"].iloc[0]),
+                    str(pdf["first_type"].iloc[0]),
+                )
+            )
+    true_first = min(rows, key=lambda r: (r[0], r[1]))
+    keys = [(e[0], e[1]) for e in emitted]
+    assert keys == sorted(set(keys), reverse=True)
+    assert emitted[-1] == true_first
+    assert (
+        int(state.get[0]),
+        int(state.get[1]),
+        str(state.get[2]),
+    ) == true_first
+
+    again = []
+    for batch in batches:
+        again.extend(
+            _first_touch_per_user(
+                (1,), iter([_touch_rows_df(batch)]), state
+            )
+        )
+    assert again == []

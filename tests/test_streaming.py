@@ -1464,3 +1464,70 @@ def test_streaming_session_depth_matches_batch_conversion_core(
         ).collect()
     }
     assert agg == batch and len(batch) > 0
+
+
+def test_streaming_first_touch_matches_batch_first_pick(spark):
+    """The smallest (ts_us, event_id) emission per user must equal the
+    batch user_first_touch_attribution rank-window pick: aggregating the
+    changelog's final state per channel reproduces the batch op's
+    (first_type, n_users) exactly."""
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_first_touch,
+    )
+
+    got = run_stream_to_memory(
+        streaming_first_touch(spark, SF), "firsttouch_single"
+    )
+    best = {}
+    for r in got.collect():
+        k = r["user_id"]
+        key = (r["first_ts_us"], r["first_event_id"])
+        if k not in best or key < (
+            best[k]["first_ts_us"],
+            best[k]["first_event_id"],
+        ):
+            best[k] = r
+    import collections
+
+    per_type = collections.Counter(
+        r["first_type"] for r in best.values()
+    )
+    batch = {
+        r["first_type"]: r["n_users"]
+        for r in all_queries()["user_first_touch_attribution"](
+            spark, SF
+        ).collect()
+    }
+    assert dict(per_type) == batch and len(batch) > 0
+
+
+def test_streaming_first_touch_idempotent_on_redelivery(
+    spark, tmp_path
+):
+    """Re-delivering the whole event backlog must emit ZERO new rows —
+    every event loses the (ts_us, event_id) min race."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_first_touch,
+    )
+
+    src = f"{SF}/events.parquet"
+    (tmp_path / "replay_ft").mkdir()
+    shutil.copy(src, tmp_path / "replay_ft" / "00_events.parquet")
+    shutil.copy(src, tmp_path / "replay_ft" / "01_events.parquet")
+    got = run_stream_to_memory(
+        streaming_first_touch(
+            spark,
+            f"file:{tmp_path}/replay_ft",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "firsttouch_redelivery",
+    )
+    rows = got.collect()
+    keys = [r["user_id"] for r in rows]
+    assert len(keys) == len(set(keys)) and len(keys) > 0
