@@ -306,7 +306,13 @@ def _run_index(args) -> int:
             .select("vec_id", "embedding")
         )
         append = append_ivfpq_index if args.pq else append_ivf_index
-        n = append(spark, args.index, shard)
+        try:
+            n = append(spark, args.index, shard)
+        except ValueError as exc:
+            # the library's overlap guard (r10 ADVICE): duplicated
+            # vec_ids would occupy multiple top-k slots at search time
+            print(str(exc))
+            return 1
         kind = "IVF-PQ" if args.pq else "IVF"
         print(f"{n} vectors appended ({kind}): {args.index}")
         return 0

@@ -2375,3 +2375,89 @@ def user_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "entropy_bucket",
     )
+
+
+# --------------------------------------------------------------------------
+# weekly conversion trend (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "weekly_conversion_trend",
+    oracle=f"""
+    WITH base AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY * 7} AS wk,
+               user_id,
+               event_type,
+               value
+        FROM events
+    )
+    SELECT CAST(wk AS BIGINT) AS epoch_week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS BIGINT)
+               AS n_buyers,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS DOUBLE)
+               / COUNT(DISTINCT user_id) AS conversion_share,
+           ROUND(SUM(CASE WHEN event_type = 'purchase'
+                          THEN value ELSE 0 END), 4) AS purchase_value
+    FROM base
+    GROUP BY wk
+    ORDER BY epoch_week
+    """,
+)
+def weekly_conversion_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly buyer-conversion trend: active users, buyers, purchase
+    count/value and the active→buyer share per integer epoch-week —
+    the top-of-deck growth chart that ``events_wow_growth`` (volume)
+    and ``session_depth_conversion`` (per-session) bracket from either
+    side.  Observed weeks only (the zero-densified volume view is
+    events_wow_growth's job).
+
+    Shape: ONE (week)-keyed aggregate with conditional distincts —
+    Spark expands the two COUNT DISTINCTs via a single grouping-sets
+    style expand, still one data shuffle.  Parity: integer epoch-week
+    keys (day div 7, the r8 convention); counts exact; the share an
+    unrounded exact-integer ratio (denominator ≥ 1 by construction);
+    purchase value is a SINGLE-level ROUND(SUM(raw value), 4) — the
+    events.value convention."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr(f"unix_micros(ts) div {_US_PER_DAY * 7}")
+    is_p = F.col("event_type") == "purchase"
+    return sort_bounded(
+        e.select(
+            wk.alias("wk"), "user_id", "event_type", "value"
+        )
+        .groupBy("wk")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.countDistinct(F.when(is_p, F.col("user_id")))
+            .cast("long")
+            .alias("n_buyers"),
+            F.sum(F.when(is_p, 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            (
+                F.countDistinct(
+                    F.when(is_p, F.col("user_id"))
+                ).cast("double")
+                / F.countDistinct("user_id")
+            ).alias("conversion_share"),
+            F.round(
+                F.sum(F.when(is_p, F.col("value")).otherwise(0.0)), 4
+            ).alias("purchase_value"),
+        )
+        .select(
+            F.col("wk").cast("long").alias("epoch_week"),
+            "n_active",
+            "n_buyers",
+            "n_purchases",
+            "conversion_share",
+            "purchase_value",
+        ),
+        "epoch_week",
+    )

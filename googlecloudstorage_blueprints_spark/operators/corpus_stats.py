@@ -1521,3 +1521,98 @@ def doc_repeated_token_runs(
 doc_repeated_token_runs.__doc__ = doc_repeated_token_runs.__doc__.format(
     RUN_ALERT_LEN=RUN_ALERT_LEN
 )
+
+
+# --------------------------------------------------------------------------
+# (lang, source) length interaction screen (r11)
+# --------------------------------------------------------------------------
+
+@register(
+    "length_lang_source_interaction",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT)     AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, n_docs, chars,
+               CAST(chars AS DOUBLE) / n_docs AS cell_mean,
+               CAST(SUM(chars) OVER (PARTITION BY lang) AS DOUBLE)
+                   / SUM(n_docs) OVER (PARTITION BY lang)
+                   AS lang_mean,
+               CAST(SUM(chars) OVER (PARTITION BY source) AS DOUBLE)
+                   / SUM(n_docs) OVER (PARTITION BY source)
+                   AS source_mean,
+               CAST(SUM(chars) OVER () AS DOUBLE)
+                   / SUM(n_docs) OVER () AS grand_mean
+        FROM cells
+    )
+    SELECT lang, source, n_docs, cell_mean,
+           cell_mean - lang_mean - source_mean + grand_mean
+               AS interaction_dev
+    FROM m
+    ORDER BY lang, source
+    """,
+)
+def length_lang_source_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-way interaction screen on document length: for every
+    (lang, source) cell, the deviation of its mean length from the
+    additive lang-effect + source-effect model — near 0 everywhere the
+    mix is homogeneous; a hot cell means ONE source is short/long in
+    ONE language specifically (a scraper truncating only its Korean
+    pages), which per-lang or per-source marginals each average away.
+
+    Shape: one (lang, source) count/sum aggregate, then the margin
+    means re-aggregated from that |langs|×|sources|-BOUNDED cell frame
+    (three tiny rollups broadcast-joined back — never the doc stream,
+    and no SinglePartition window).  Parity: every mean is an unrounded
+    exact-integer ratio computed from the SAME BIGINT cell sums on both
+    engines, and the interaction is one subtraction chain of those
+    bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    lm = cells.groupBy("lang").agg(
+        (F.sum("chars").cast("double") / F.sum("n_docs")).alias(
+            "lang_mean"
+        )
+    )
+    sm = cells.groupBy("source").agg(
+        (F.sum("chars").cast("double") / F.sum("n_docs")).alias(
+            "source_mean"
+        )
+    )
+    gm = cells.agg(
+        (F.sum("chars").cast("double") / F.sum("n_docs")).alias(
+            "grand_mean"
+        )
+    )
+    cell_mean = F.col("chars").cast("double") / F.col("n_docs")
+    return sort_bounded(
+        cells.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            cell_mean.alias("cell_mean"),
+            (
+                cell_mean
+                - F.col("lang_mean")
+                - F.col("source_mean")
+                + F.col("grand_mean")
+            ).alias("interaction_dev"),
+        ),
+        "lang",
+        "source",
+    )

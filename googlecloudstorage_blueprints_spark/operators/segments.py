@@ -2031,3 +2031,127 @@ def segment_balance_spend_corr(
         ),
         "c_mktsegment",
     )
+
+
+# --------------------------------------------------------------------------
+# supplier balance-quartile performance (r11)
+# --------------------------------------------------------------------------
+
+N_BALANCE_QUARTILES = 4
+
+
+@register(
+    "supplier_balance_quartiles",
+    oracle=f"""
+    WITH s AS (
+        SELECT s_suppkey,
+               CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM supplier
+    ),
+    ranked AS (
+        SELECT s_suppkey, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents, s_suppkey)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM s
+    ),
+    q AS (
+        SELECT s_suppkey, cents,
+               ((rn - 1) * {N_BALANCE_QUARTILES}) // n AS quartile
+        FROM ranked
+    ),
+    rev AS (
+        SELECT q.quartile,
+               CAST(COUNT(DISTINCT q.s_suppkey) AS BIGINT)
+                   AS n_suppliers,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+               CAST(COALESCE(SUM(CAST(ROUND(
+                   l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                   AS BIGINT)), 0) AS BIGINT) AS rev4
+        FROM q LEFT JOIN lineitem l ON l.l_suppkey = q.s_suppkey
+        GROUP BY q.quartile
+    ),
+    tot AS (SELECT CAST(SUM(rev4) AS BIGINT) AS total_rev4 FROM rev)
+    SELECT CAST(rev.quartile AS BIGINT) AS quartile,
+           rev.n_suppliers, rev.n_lines,
+           CAST(rev.rev4 AS DOUBLE) / 10000.0 AS revenue,
+           CAST(rev.rev4 AS DOUBLE) / NULLIF(tot.total_rev4, 0)
+               AS revenue_share
+    FROM rev CROSS JOIN tot
+    ORDER BY quartile
+    """,
+)
+def supplier_balance_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does supplier financial standing predict flow?  Suppliers cut
+    into account-balance quartiles, each quartile's line volume and
+    revenue share — the working-capital concentration view
+    (``supplier_abc_class`` ranks by revenue; this asks whether the
+    balance ledger would have predicted it).
+
+    Shape: the quartile cut ranks the SUPPLIER DIMENSION only (the ABC
+    cumsum class — dimension-sized, never the fact table), explicitly
+    via ((rn−1)·4) div n (the r8 rule: never NTILE); the fact join is
+    one suppkey equi-join with the quartile map broadcast.  Parity:
+    balance ×100 into BIGINT with (cents, suppkey) the unique rank
+    order; revenue is the ×1e4 fixed-point BIGINT sum (the 4-decimal
+    products are exact integers — a ROUND(SUM(raw),4) total flipped in
+    the last ulp at sf0.001 from summation order), so both revenue and
+    its share are single divisions of exact integers, NULLIF-guarded."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("cents", "s_suppkey")
+    ranked = s.select(
+        "s_suppkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "n"
+        ),
+    )
+    q = ranked.select(
+        "s_suppkey",
+        F.expr(f"((rn - 1) * {N_BALANCE_QUARTILES}) div n").alias(
+            "quartile"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("rev4"),
+    )
+    rev = (
+        F.broadcast(q)
+        .join(li, "s_suppkey", "left")
+        .groupBy("quartile")
+        .agg(
+            F.countDistinct("s_suppkey").cast("long").alias(
+                "n_suppliers"
+            ),
+            F.count("l_orderkey").cast("long").alias("n_lines"),
+            F.coalesce(F.sum("rev4"), F.lit(0))
+            .cast("long")
+            .alias("rev4"),
+        )
+    )
+    tot = rev.agg(F.sum("rev4").cast("long").alias("total_rev4"))
+    return sort_bounded(
+        rev.crossJoin(F.broadcast(tot)).select(
+            F.col("quartile").cast("long").alias("quartile"),
+            "n_suppliers",
+            "n_lines",
+            (F.col("rev4").cast("double") / 10000.0).alias("revenue"),
+            (
+                F.col("rev4").cast("double")
+                / F.nullif(F.col("total_rev4"), F.lit(0))
+            ).alias("revenue_share"),
+        ),
+        "quartile",
+    )

@@ -33,6 +33,8 @@ REPORT_SOURCES = (
     "source_temperature_weights",   # r10: sampling weights (prop vs τ)
     "doc_prefix_dup_share",         # r10: boilerplate-prefix pressure
     "source_token_budget_split",    # r10: exact token quota
+    "doc_first_token_profile",      # r11: 1-token boilerplate screen
+    "doc_repeated_token_runs",      # r11: degenerate-loop pressure
 )
 
 
@@ -77,6 +79,12 @@ def corpus_report(
     budget = qs["source_token_budget_split"](spark, sf_dir).select(
         "source", "alloc_tokens"
     )
+    first_tok = qs["doc_first_token_profile"](spark, sf_dir).select(
+        "source", F.col("top_share").alias("first_token_share")
+    )
+    runs = qs["doc_repeated_token_runs"](spark, sf_dir).select(
+        "source", "longest_run", "looping_share"
+    )
 
     report = (
         scorecard.join(F.broadcast(dedup), "source")
@@ -88,6 +96,8 @@ def corpus_report(
         .join(F.broadcast(temp), "source")
         .join(F.broadcast(prefix), "source")
         .join(F.broadcast(budget), "source")
+        .join(F.broadcast(first_tok), "source")
+        .join(F.broadcast(runs), "source")
         .orderBy("source")
     )
     if out_path is not None:

@@ -264,13 +264,38 @@ def test_cli_index_build_and_search(tmp_path, capsys):
     assert "neighbor_id" in out and "cosine" in out
 
 
-def test_cli_index_append(tmp_path, capsys):
+def test_cli_index_append(tmp_path, capsys, spark):
+    """Build on the first 400 vectors, CLI-append the disjoint tail —
+    and prove the r11 overlap guard surfaces as a clean nonzero exit
+    (never silent duplicate rows) when the shard collides."""
+    import os
+    import shutil
+
     from googlecloudstorage_blueprints_spark.fileops.cli import main
+
+    # fixture dir whose embeddings hold only vec_id < 400
+    base_dir = tmp_path / "base_sf"
+    base_dir.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents"
+    ).split():
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet",
+            base_dir / f"{t}.parquet",
+        )
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where("vec_id < 400").coalesce(1).write.parquet(
+        f"file:{base_dir}/tmp"
+    )
+    part = next((base_dir / "tmp").glob("part-*.parquet"))
+    os.rename(part, base_dir / "embeddings.parquet")
 
     idx = f"{tmp_path}/idx_app"
     assert main([
         "index", "build", "--index", idx,
-        "--sf-dir", "/root/testdata/sf0.001",
+        "--sf-dir", str(base_dir),
     ]) == 0
     capsys.readouterr()
     # guard: append without a shard selector is an error, not a dup
@@ -279,10 +304,13 @@ def test_cli_index_append(tmp_path, capsys):
         "--sf-dir", "/root/testdata/sf0.001",
     ]) == 1
     assert "--min-vec-id" in capsys.readouterr().out
-    # append the tail shard (vec_id >= 500 is empty at sf0.001: use a
-    # real cut to prove files land) — re-appending 400.. duplicates
-    # vec_ids on purpose here; the CLI's job is plumbing, the dedup
-    # semantics live with the caller
+    # overlapping shard: the library guard refuses, CLI exits nonzero
+    assert main([
+        "index", "append", "--index", idx,
+        "--sf-dir", "/root/testdata/sf0.001", "--min-vec-id", "399",
+    ]) == 1
+    assert "append overlap" in capsys.readouterr().out
+    # the disjoint tail appends cleanly
     assert main([
         "index", "append", "--index", idx,
         "--sf-dir", "/root/testdata/sf0.001", "--min-vec-id", "400",

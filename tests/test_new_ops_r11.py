@@ -509,3 +509,79 @@ def test_embedding_pc1_spectrum_deterministic(spark):
     b = _q()["embedding_pc1_spectrum"](spark, SF).collect()[0]
     assert a == b
     assert 0.0 < a["pc1_share"] <= a["top5_share"] <= 1.0
+
+
+def test_weekly_conversion_trend_reconciles_with_wow(spark):
+    """Weekly purchase counts must equal events_wow_growth's purchase
+    row on the same integer-week keys, and buyers never exceed
+    actives."""
+    conv = {
+        r["epoch_week"]: r
+        for r in _q()["weekly_conversion_trend"](spark, SF).collect()
+    }
+    wow = {
+        r["epoch_week"]: r["n_events"]
+        for r in _q()["events_wow_growth"](spark, SF).collect()
+        if r["event_type"] == "purchase"
+    }
+    assert set(conv) <= set(wow)
+    for wk, r in conv.items():
+        assert r["n_purchases"] == wow[wk]
+        assert 0 < r["n_buyers"] <= r["n_active"]
+        assert r["conversion_share"] == pytest.approx(
+            r["n_buyers"] / r["n_active"]
+        )
+
+
+def test_length_interaction_devs_match_closed_form(spark):
+    """Every interaction deviation equals the pure-Python recomputation
+    cell_mean − lang_mean − source_mean + grand_mean from the raw
+    parquet.  (Weighted devs do NOT cancel per row/column on an
+    unbalanced design — this means-decomposition is a screen, not a
+    least-squares ANOVA fit — so the pin is the exact formula.)"""
+    import collections
+
+    import duckdb
+
+    cells = {}
+    n = collections.Counter()
+    chars = collections.Counter()
+    for lang, src, nd, ch in duckdb.sql(
+        f"""SELECT lang, source, COUNT(*), SUM(n_chars)
+            FROM read_parquet('{SF}/documents.parquet')
+            WHERE text IS NOT NULL GROUP BY lang, source"""
+    ).fetchall():
+        cells[(lang, src)] = (nd, ch)
+        n[("l", lang)] += nd
+        n[("s", src)] += nd
+        n["g"] += nd
+        chars[("l", lang)] += ch
+        chars[("s", src)] += ch
+        chars["g"] += ch
+    rows = _q()["length_lang_source_interaction"](spark, SF).collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        nd, ch = cells[(r["lang"], r["source"])]
+        assert r["n_docs"] == nd
+        want = (
+            ch / nd
+            - chars[("l", r["lang"])] / n[("l", r["lang"])]
+            - chars[("s", r["source"])] / n[("s", r["source"])]
+            + chars["g"] / n["g"]
+        )
+        assert r["interaction_dev"] == pytest.approx(want, abs=1e-9)
+
+
+def test_supplier_balance_quartiles_partition_and_share(spark):
+    rows = _q()["supplier_balance_quartiles"](spark, SF).collect()
+    assert [r["quartile"] for r in rows] == [0, 1, 2, 3]
+    import duckdb
+
+    n_sup = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/supplier.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_suppliers"] for r in rows) == n_sup
+    assert sum(r["revenue_share"] for r in rows) == pytest.approx(1.0)
+    # quartile sizes differ by at most 1 (explicit div formula)
+    sizes = [r["n_suppliers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
