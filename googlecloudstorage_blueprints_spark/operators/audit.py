@@ -709,3 +709,74 @@ def order_line_status_matrix(
         "o_orderstatus",
         "l_linestatus",
     )
+
+
+# --------------------------------------------------------------------------
+# ingestion-order audit: event_id vs ts inversions (r11 wave 2)
+# --------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "events_id_ts_inversions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS prev_ts_us
+        FROM events
+    )
+    SELECT CAST(ts_us // {_US_PER_DAY} AS BIGINT) AS epoch_day,
+           CAST(COUNT(prev_ts_us) AS BIGINT)      AS n_pairs,
+           CAST(SUM(CASE WHEN ts_us < prev_ts_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           CAST(SUM(CASE WHEN ts_us < prev_ts_us
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(prev_ts_us), 0) AS inversion_share
+    FROM seq
+    GROUP BY 1
+    ORDER BY epoch_day
+    """,
+)
+def events_id_ts_inversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-order ingestion monitor: within each user's stream
+    ordered by EVENT_ID (assignment order), how often does the event
+    TIME run backwards?  A nonzero day says the producer assigned ids
+    ahead of a delayed clock or a replay landed late — the input-order
+    assumption every watermark and sessionizer in this engine leans on,
+    audited per day so a bad backfill shows up as a spike, not a
+    corpus-wide dilution.
+
+    Shape: one user-keyed lag window ordered by the globally-unique
+    event_id (no tiebreaker needed), then a span-bounded day rollup.
+    Parity: integer-µs comparisons only; the share an exact-integer
+    ratio NULLIF-guarded for days whose every event is a user's first
+    (count of non-NULL prev pairs is the denominator on both
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        ts_us.alias("ts_us"),
+        F.lag(ts_us).over(w).alias("prev_ts_us"),
+    )
+    inv = F.when(F.col("ts_us") < F.col("prev_ts_us"), 1).otherwise(0)
+    return sort_bounded(
+        seq.groupBy(
+            F.expr(f"ts_us div {_US_PER_DAY}")
+            .cast("long")
+            .alias("epoch_day")
+        )
+        .agg(
+            F.count("prev_ts_us").cast("long").alias("n_pairs"),
+            F.sum(inv).cast("long").alias("n_inversions"),
+            (
+                F.sum(inv).cast("double")
+                / F.nullif(F.count("prev_ts_us"), F.lit(0))
+            ).alias("inversion_share"),
+        ),
+        "epoch_day",
+    )

@@ -2461,3 +2461,271 @@ def weekly_conversion_trend(
         ),
         "epoch_week",
     )
+
+
+# --------------------------------------------------------------------------
+# event-type pair latency (r11 wave 2)
+# --------------------------------------------------------------------------
+
+@register(
+    "event_pair_latency",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER w AS prev_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT prev_type, next_type,
+           CAST(COUNT(*) AS BIGINT)      AS n_pairs,
+           CAST(SUM(gap_us) AS BIGINT)   AS total_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS mean_gap_us,
+           quantile_cont(gap_us, 0.5)    AS p50_gap_us,
+           quantile_cont(gap_us, 0.9)    AS p90_gap_us
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_pair_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long does each type→type hand-off take?  For every adjacent
+    (prev, next) event-type pair within a user's stream, the count and
+    the latency distribution — ``events_transition_matrix`` gives the
+    WHERE-NEXT probabilities, this gives the HOW-SOON (a slow
+    view→purchase median is a checkout-friction number no transition
+    share shows).
+
+    Shape: ONE user-keyed lag window (single exchange, same spine the
+    sessionizer rides), then a |types|²-BOUNDED rollup with an exact
+    percentile pass (swap approx_percentile at 100 TB).  Parity: the
+    window total-orders on (ts_us, event_id) — unique tiebreak; gaps
+    are exact BIGINT µs so the interpolated quantiles are bit-identical
+    (r10 probe) and mean is an unrounded exact-integer ratio."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (ts_us - F.lag(ts_us).over(w)).cast("long").alias("gap_us"),
+    ).where(F.col("prev_type").isNotNull())
+    return sort_bounded(
+        seq.groupBy("prev_type", "next_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            (
+                F.sum("gap_us").cast("double") / F.count(F.lit(1))
+            ).alias("mean_gap_us"),
+            F.percentile("gap_us", 0.5).alias("p50_gap_us"),
+            F.percentile("gap_us", 0.9).alias("p90_gap_us"),
+        ),
+        "prev_type",
+        "next_type",
+    )
+
+
+# --------------------------------------------------------------------------
+# purchase periodicity histogram (r11 wave 2)
+# --------------------------------------------------------------------------
+
+@register(
+    "user_purchase_periodicity",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT user_id,
+               ts_us - LAG(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id)
+                   AS gap_us
+        FROM p
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT)   AS sum_gap_us
+        FROM gaps
+        GROUP BY user_id
+        HAVING COUNT(gap_us) >= 1
+    ),
+    bucketed AS (
+        SELECT (sum_gap_us // n_gaps) // {_US_PER_DAY}
+                   AS mean_gap_days,
+               n_gaps
+        FROM per_user
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_buyers
+        FROM per_user
+    )
+    SELECT CAST(b.mean_gap_days AS BIGINT) AS mean_gap_days,
+           CAST(COUNT(*) AS BIGINT)        AS n_users,
+           CAST(SUM(b.n_gaps) AS BIGINT)   AS n_gaps,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_repeat_buyers)
+               AS user_share
+    FROM bucketed b CROSS JOIN tot t
+    GROUP BY b.mean_gap_days
+    ORDER BY mean_gap_days
+    """,
+)
+def user_purchase_periodicity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Re-purchase cadence histogram: repeat buyers bucketed by their
+    MEAN gap between consecutive purchases in whole days — the
+    replenishment-cycle view (a mass at 7 days is a weekly-habit
+    cohort) that ``user_gap_survival`` (all events, fixed thresholds)
+    and ``customer_repeat_rate`` (orders table, no cadence) bracket.
+
+    Shape: filter to purchases first (pushed to the scan), one
+    user-keyed lag window over that thin stream, a per-user reduction,
+    then a span-bounded day-histogram; the repeat-buyer total joins
+    back as a 1-row broadcast scalar.  Parity: the bucket key is a
+    PURE INTEGER chain — (Σgap_us div n) div µs-per-day — exact on both
+    engines (never double division, the r9 rule); the share an
+    unrounded exact-integer ratio with a ≥1 denominator."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_us.alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = p.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+        .where(F.col("n_gaps") >= 1)
+    )
+    bucketed = per_user.select(
+        F.expr(f"(sum_gap_us div n_gaps) div {_US_PER_DAY}").alias(
+            "mean_gap_days"
+        ),
+        "n_gaps",
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat_buyers")
+    )
+    return sort_bounded(
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("mean_gap_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_gaps").cast("long").alias("n_gaps"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.first("n_repeat_buyers")
+            ).alias("user_share"),
+        )
+        .select(
+            F.col("mean_gap_days").cast("long").alias("mean_gap_days"),
+            "n_users",
+            "n_gaps",
+            "user_share",
+        ),
+        "mean_gap_days",
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization gap-parameter sensitivity (r11 wave 2)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_SWEEP_MIN = (15, 30, 60)
+
+
+@register(
+    "sessionize_gap_sensitivity",
+    oracle=f"""
+    WITH g AS (
+        SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS gap_us
+        FROM events
+    ),
+    u AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+    ),
+    t AS (
+        SELECT unnest([{", ".join(str(m) for m in SESSION_GAP_SWEEP_MIN)}])
+                   AS gap_minutes
+    ),
+    b AS (
+        SELECT t.gap_minutes,
+               CAST(SUM(CASE WHEN g.gap_us
+                                  > CAST(t.gap_minutes AS BIGINT)
+                                    * 60000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+        FROM g CROSS JOIN t
+        GROUP BY t.gap_minutes
+    )
+    SELECT CAST(b.gap_minutes AS BIGINT) AS gap_minutes,
+           u.n_users + b.n_breaks AS n_sessions,
+           CAST(u.n_events AS DOUBLE) / (u.n_users + b.n_breaks)
+               AS events_per_session
+    FROM b CROSS JOIN u
+    ORDER BY gap_minutes
+    """,
+)
+def sessionize_gap_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is the 30-minute session gap a knife-edge?  Session count and
+    mean depth under a 15/30/60-minute gap sweep — if the three rows
+    barely move, the sessionizer's parameter is safe; if session count
+    doubles between 30 and 15, the corpus has a bimodal cadence and
+    every session metric downstream inherits the choice.
+
+    Shape: the inter-event gaps are computed ONCE (the same single
+    user-keyed window every sessionizer variant pays), each gap then
+    meets the |sweep|-row literal (3-row broadcast crossJoin) and the
+    totals land via a 1-row scalar join — the sweep costs one window,
+    not three sessionization passes.  Parity: session count is pure
+    integer arithmetic (users + gap-exceed count; NULL first-event gaps
+    fall to ELSE 0 on both engines), depth an unrounded exact-integer
+    ratio with denominator ≥ n_users ≥ 1."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    g = e.select((ts_us - F.lag(ts_us).over(w)).alias("gap_us"))
+    u = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(m) for m in SESSION_GAP_SWEEP_MIN])
+        ).alias("gap_minutes")
+    )
+    exceed = F.when(
+        F.col("gap_us")
+        > F.col("gap_minutes").cast("long") * F.lit(60_000_000),
+        1,
+    ).otherwise(0)
+    b = (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("gap_minutes")
+        .agg(F.sum(exceed).cast("long").alias("n_breaks"))
+    )
+    return sort_bounded(
+        b.crossJoin(F.broadcast(u)).select(
+            F.col("gap_minutes").cast("long").alias("gap_minutes"),
+            (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+            (
+                F.col("n_events").cast("double")
+                / (F.col("n_users") + F.col("n_breaks"))
+            ).alias("events_per_session"),
+        ),
+        "gap_minutes",
+    )

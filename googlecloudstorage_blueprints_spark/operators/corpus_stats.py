@@ -1616,3 +1616,197 @@ def length_lang_source_interaction(
         "lang",
         "source",
     )
+
+
+# --------------------------------------------------------------------------
+# per-source language-mix entropy (r11 wave 2)
+# --------------------------------------------------------------------------
+
+@register(
+    "source_lang_entropy",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM cells GROUP BY source
+    ),
+    ent AS (
+        SELECT c.source,
+               CAST(SUM(c.c * CAST(ROUND(
+                   ln(CAST(t.n AS DOUBLE) / c.c) * 1000000, 0)
+                   AS BIGINT)) AS BIGINT) // ANY_VALUE(t.n)
+                   AS entropy_e6
+        FROM cells c JOIN tot t ON t.source = c.source
+        GROUP BY c.source
+    ),
+    top AS (
+        SELECT source, lang AS top_lang, c AS top_c
+        FROM (
+            SELECT source, lang, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY c DESC, lang) AS rn
+            FROM cells
+        ) WHERE rn = 1
+    )
+    SELECT t.source,
+           t.n AS n_docs,
+           t.n_langs,
+           top.top_lang,
+           CAST(top.top_c AS DOUBLE) / t.n AS top_lang_share,
+           e.entropy_e6
+    FROM tot t
+    JOIN top ON top.source = t.source
+    JOIN ent e ON e.source = t.source
+    ORDER BY t.source
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix concentration per source: Shannon entropy (nats,
+    ×1e6 integer) of each source's language distribution plus the modal
+    language and its share — the multilinguality dial a sampling plan
+    reads (entropy 0 = monolingual feed; near ln|langs| = uniform mix),
+    where ``lang_source_chisq`` tests independence and
+    ``length_lang_source_interaction`` screens length, neither names
+    the mix itself.
+
+    Shape: one (source, lang) count aggregate, then every reduction —
+    totals, entropy terms, modal-language argmax — runs on the
+    |sources|×|langs|-BOUNDED cell frame (the argmax window is
+    bounded-frame, never data-sized).  Parity: each ln term is
+    fixed-pointed ×1e6 to BIGINT per TERM (r7 rule) and the per-source
+    sum closes with integer division; the modal share an unrounded
+    exact-integer ratio; the argmax total-orders on (count DESC,
+    lang)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("n").cast("double") / F.col("c")) * 1_000_000, 0
+    ).cast("long")
+    ent = (
+        cells.join(tot.select("source", "n"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(term).cast("long").alias("tsum"),
+            F.first("n").alias("n0"),
+        )
+        .select("source", F.expr("tsum div n0").alias("entropy_e6"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    top = (
+        cells.select(
+            "source", "lang", "c", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_c"),
+        )
+    )
+    return sort_bounded(
+        tot.join(top, "source")
+        .join(ent, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "top_lang",
+            (F.col("top_c").cast("double") / F.col("n")).alias(
+                "top_lang_share"
+            ),
+            "entropy_e6",
+        ),
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
+# sentence-granularity stats (r11 wave 2)
+# --------------------------------------------------------------------------
+
+_SENTENCE_BREAK = "[.!?]+"
+
+
+@register(
+    "doc_sentence_stats",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, n_chars,
+               CAST(len(regexp_extract_all(text, '{_SENTENCE_BREAK}'))
+                    AS BIGINT) AS n_breaks
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_breaks) AS BIGINT)   AS n_breaks,
+           CAST(SUM(CASE WHEN n_breaks = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                 AS n_unbroken_docs,
+           CAST(SUM(CASE WHEN n_breaks = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*)      AS unbroken_share,
+           CAST(SUM(n_breaks) AS DOUBLE) / COUNT(*)
+               AS sentences_per_doc,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_breaks + 1)
+               AS chars_per_sentence
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity profile per source: terminator-run counts
+    ([.!?]+), the share of docs with NO sentence break (list dumps,
+    code, truncated crawls — a chunker's worst input), and mean chars
+    per sentence — the segmentation-readiness screen that char/token
+    stats (``text_stats``, ``char_class_profile``) don't express.
+
+    Shape: one regexp_count projection inside the scan (JVM codegen,
+    no Python), one source-keyed aggregate.  Parity: the break pattern
+    stays in the Java/RE2-shared subset (char class + unbounded +, no
+    backrefs — r6 rule); counts exact BIGINT; both means unrounded
+    exact-integer ratios (chars-per-sentence divides by Σ(breaks+1) ≥
+    n_docs ≥ 1)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    per = d.select(
+        "source",
+        "n_chars",
+        F.regexp_count("text", F.lit(_SENTENCE_BREAK))
+        .cast("long")
+        .alias("n_breaks"),
+    )
+    unbroken = F.when(F.col("n_breaks") == 0, 1).otherwise(0)
+    return sort_bounded(
+        per.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_breaks").cast("long").alias("n_breaks"),
+            F.sum(unbroken).cast("long").alias("n_unbroken_docs"),
+            (
+                F.sum(unbroken).cast("double") / F.count(F.lit(1))
+            ).alias("unbroken_share"),
+            (
+                F.sum("n_breaks").cast("double") / F.count(F.lit(1))
+            ).alias("sentences_per_doc"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.sum(F.col("n_breaks") + 1)
+            ).alias("chars_per_sentence"),
+        ),
+        "source",
+    )

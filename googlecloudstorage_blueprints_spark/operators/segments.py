@@ -2155,3 +2155,106 @@ def supplier_balance_quartiles(
         ),
         "quartile",
     )
+
+
+# --------------------------------------------------------------------------
+# order fulfilment completeness by month (r11 wave 2)
+# --------------------------------------------------------------------------
+
+FULFIL_SLA_DAYS = 30
+
+
+@register(
+    "order_fulfillment_completeness",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               strftime(date_trunc('month', o.o_orderdate),
+                        '%Y-%m') AS month,
+               MAX((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                   // {_US_PER_DAY}) AS max_lat_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, month
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN max_lat_days <= {FULFIL_SLA_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_complete_in_sla,
+           CAST(SUM(CASE WHEN max_lat_days <= {FULFIL_SLA_DAYS}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS sla_share,
+           quantile_cont(max_lat_days, 0.5) AS p50_max_lat_days,
+           quantile_cont(max_lat_days, 0.9) AS p90_max_lat_days
+    FROM per_order
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def order_fulfillment_completeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whole-order fulfilment monitor: an order counts as complete only
+    when its SLOWEST line has shipped, so per order-month this reports
+    the share of orders FULLY shipped within {FULFIL_SLA_DAYS} days and
+    the p50/p90 of the per-order slowest-line latency —
+    ``ship_latency_quarterly`` averages lines (one fast line hides a
+    straggler), ``order_priority_sla`` gates single lines; this is the
+    customer-visible "my whole box arrived" number.
+
+    Shape: one orderkey-keyed MAX aggregate over the join (map-side
+    partial on the fact's natural key), then a |months|-bounded rollup
+    with exact percentiles (approx_percentile at 100 TB).  Parity:
+    latency is integer-µs subtraction with integer-div days; month via
+    date_trunc under the catalog's UTC pin; counts exact, share an
+    unrounded exact-integer ratio, quantiles interpolate exact
+    integers (unrounded, r10 discipline)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    per_order = (
+        li.join(o, "o_orderkey")
+        .groupBy(
+            "o_orderkey",
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month"),
+        )
+        .agg(
+            F.max(
+                F.expr(
+                    "(unix_micros(l_shipdate)"
+                    f" - unix_micros(o_orderdate)) div {_US_PER_DAY}"
+                )
+            ).alias("max_lat_days")
+        )
+    )
+    in_sla = F.when(
+        F.col("max_lat_days") <= FULFIL_SLA_DAYS, 1
+    ).otherwise(0)
+    return sort_bounded(
+        per_order.groupBy("month").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(in_sla).cast("long").alias("n_complete_in_sla"),
+            (
+                F.sum(in_sla).cast("double") / F.count(F.lit(1))
+            ).alias("sla_share"),
+            F.percentile("max_lat_days", 0.5).alias(
+                "p50_max_lat_days"
+            ),
+            F.percentile("max_lat_days", 0.9).alias(
+                "p90_max_lat_days"
+            ),
+        ),
+        "month",
+    )
+
+
+order_fulfillment_completeness.__doc__ = (
+    order_fulfillment_completeness.__doc__.format(
+        FULFIL_SLA_DAYS=FULFIL_SLA_DAYS
+    )
+)

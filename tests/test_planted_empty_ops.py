@@ -200,6 +200,48 @@ def test_fk_orphan_check_planted_orphan_lineitem(spark, planted_dir):
     )
 
 
+def test_id_ts_inversions_planted_backwards_clock(spark, tmp_path):
+    """Every fixture day has n_inversions == 0 (event_id assignment is
+    clock-ordered in the generator), so the detection path is vacuous —
+    plant a user whose second-assigned event_id carries an EARLIER
+    timestamp and prove exactly one inversion lands on the day of the
+    inverted (current-row) timestamp, identically on both engines."""
+    import datetime
+
+    ghost_user = 999_999_999
+    t_late = datetime.datetime(2024, 1, 2, 12, 0, 0)
+    t_early = datetime.datetime(2024, 1, 2, 11, 0, 0)
+
+    ev = pq.read_table(f"{SF_SRC}/events.parquet")
+    base_rows = _compare(spark, "events_id_ts_inversions", SF_SRC)
+    base = {r[0]: (r[1], r[2]) for r in base_rows}
+    assert all(inv == 0 for _, inv in base.values()), (
+        "fixture no longer vacuous — planted test can be retired"
+    )
+
+    planted = ev.slice(0, 2).to_pydict()
+    planted["event_id"] = [1_000_000, 1_000_001]
+    planted["ts"] = [t_late, t_early]  # id order inverts ts order
+    planted["user_id"] = [ghost_user] * 2
+    pq.write_table(
+        pa.concat_tables(
+            [ev, pa.Table.from_pydict(planted, schema=ev.schema)]
+        ),
+        tmp_path / "events.parquet",
+    )
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SRC}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    got_rows = _compare(spark, "events_id_ts_inversions", str(tmp_path))
+    got = {r[0]: (r[1], r[2]) for r in got_rows}
+    day = (t_early - datetime.datetime(1970, 1, 1)).days
+    base_pairs, _ = base.get(day, (0, 0))
+    # the ghost pair is the only new pair, and it inverts
+    assert got[day] == (base_pairs + 1, 1)
+    assert sum(inv for _, inv in got.values()) == 1
+
+
 def test_linenumber_audit_planted_violations(spark, tmp_path):
     """The fixture's counters fire naturally (its linenumbers are not
     contiguous — the known (l_orderkey, l_linenumber) non-uniqueness
