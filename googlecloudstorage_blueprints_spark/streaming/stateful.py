@@ -1652,3 +1652,105 @@ def streaming_first_touch(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming pair latency: hand-off gap partial sums (r11)
+# ---------------------------------------------------------------------------
+
+_PAIR_LATENCY_OUT_SCHEMA = StructType(
+    [
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n_pairs", LongType()),
+        StructField("total_gap_us", LongType()),
+    ]
+)
+
+_PAIR_LATENCY_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _pair_latency_sums(key: tuple, pdfs, state: GroupState):
+    """Per-user hand-off latency partials: state carries the newest
+    event's (ts_us, event_id, type) — the SAME one-tuple bridge as
+    ``_transition_counts`` — and each micro-batch emits per
+    (prev_type, next_type) pair the count AND the summed µs gap of the
+    consecutive hand-offs it completes, state's tuple bridging the
+    batch-boundary pair.  Partial (n, Σgap) rows are exact-integer
+    summable downstream in any order, the streaming decomposition of
+    the batch lag window's count/total columns; same in-order-replay
+    contract as the transition kernel (a late event older than state
+    would fabricate a hand-off the batch op doesn't have)."""
+    import collections
+
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+    seq = list(zip(rows["ts_us"].tolist(), rows["event_type"].tolist()))
+    if state.exists:
+        seq = [(int(state.get[0]), str(state.get[2]))] + seq
+    sums: dict = collections.defaultdict(lambda: [0, 0])
+    for (t0, ty0), (t1, ty1) in zip(seq, seq[1:]):
+        cell = sums[(ty0, ty1)]
+        cell[0] += 1
+        cell[1] += t1 - t0
+    last = rows.iloc[-1]
+    state.update(
+        (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
+    )
+    if sums:
+        yield pd.DataFrame(
+            [
+                {
+                    "prev_type": a,
+                    "next_type": b,
+                    "n_pairs": int(n),
+                    "total_gap_us": int(g),
+                }
+                for (a, b), (n, g) in sorted(sums.items())
+            ]
+        )
+
+
+def streaming_pair_latency(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming type→type hand-off latency — the incremental twin of
+    the batch ``event_pair_latency`` count/total core
+    (operators/behavior.py): per-batch partial (n_pairs, total_gap_us)
+    rows per (prev, next) type pair; summing partials over any in-order
+    replay reproduces the batch lag window's exact BIGINT counts and
+    gap totals (test-pinned, including a time-ordered multi-batch
+    split).  The batch op's percentile columns are deliberately NOT
+    streamed — interpolated quantiles aren't mergeable partials; at
+    100 TB the streaming side feeds a t-digest/approx sketch instead.
+
+    Scale: state is one fixed-width (ts_us, event_id, type) tuple per
+    user, no timeout; each micro-batch shuffles once on user_id and
+    emits at most |types|² rows per user."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pair_latency_sums,
+            _PAIR_LATENCY_OUT_SCHEMA,
+            _PAIR_LATENCY_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -939,3 +939,35 @@ def test_first_touch_kernel_min_race_under_any_delivery_order(case):
             )
         )
     assert again == []
+
+
+# --- r11: pair-latency partial sums ------------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _pair_latency_sums,
+)
+
+
+def _ref_pair_latency(events):
+    """Whole-sequence reference: (ts_us, event_id)-ordered consecutive
+    pairs, per (prev, next) type the count and summed µs gap."""
+    ordered = sorted(events)
+    sums: dict = {}
+    for a, b in zip(ordered, ordered[1:]):
+        n, g = sums.get((a[2], b[2]), (0, 0))
+        sums[(a[2], b[2])] = (n + 1, g + (b[0] - a[0]))
+    return sums
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_pair_latency_kernel_bridges_any_split(case):
+    events, batches = case
+    state = FakeGroupState()
+    got: dict = {}
+    for pdf in _run_kernel(_pair_latency_sums, batches, state):
+        for r in pdf.itertuples(index=False):
+            k = (r.prev_type, r.next_type)
+            n, g = got.get(k, (0, 0))
+            got[k] = (n + int(r.n_pairs), g + int(r.total_gap_us))
+    assert got == _ref_pair_latency(events)

@@ -1531,3 +1531,76 @@ def test_streaming_first_touch_idempotent_on_redelivery(
     rows = got.collect()
     keys = [r["user_id"] for r in rows]
     assert len(keys) == len(set(keys)) and len(keys) > 0
+
+
+def _batch_pair_latency_core(spark):
+    return {
+        (r["prev_type"], r["next_type"]): (r["n_pairs"], r["total_gap_us"])
+        for r in all_queries()["event_pair_latency"](spark, SF).collect()
+    }
+
+
+def test_streaming_pair_latency_matches_batch(spark):
+    """Summed (n_pairs, total_gap_us) partials over a single
+    availableNow replay must equal the batch lag-window count/total
+    columns exactly (the percentile columns are deliberately not
+    streamed — non-mergeable)."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_pair_latency,
+    )
+
+    got_df = run_stream_to_memory(
+        streaming_pair_latency(spark, SF), "pair_latency_single"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["g"])
+        for r in got_df.groupBy("prev_type", "next_type")
+        .agg(
+            F.sum("n_pairs").alias("n"),
+            F.sum("total_gap_us").alias("g"),
+        )
+        .collect()
+    }
+    batch = _batch_pair_latency_core(spark)
+    assert got == batch and len(batch) > 0
+
+
+def test_streaming_pair_latency_across_microbatches(spark, tmp_path):
+    """A time-ordered two-batch split must bridge the boundary pair
+    through keyed state: the gap spanning the split is still summed,
+    and totals equal the batch op."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_pair_latency,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_split_pl"
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    got_df = run_stream_to_memory(
+        streaming_pair_latency(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "pair_latency_batches",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["g"])
+        for r in got_df.groupBy("prev_type", "next_type")
+        .agg(
+            F.sum("n_pairs").alias("n"),
+            F.sum("total_gap_us").alias("g"),
+        )
+        .collect()
+    }
+    assert got == _batch_pair_latency_core(spark)
