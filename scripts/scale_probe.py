@@ -554,6 +554,64 @@ def bench_shapes(
             .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
         )
 
+    def pair_latency():
+        # round-11 claim: ONE user-keyed lag window, then a
+        # |types|²-bounded rollup whose exact-percentile buffers hold
+        # N/|types|² values per group — linear time; the documented
+        # swap-to-approx_percentile point at 100 TB is memory, not time
+        from pyspark.sql.window import Window
+
+        ts_us = F.unix_micros(F.col("ts"))
+        w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+        seq = ev.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            (ts_us - F.lag(ts_us).over(w)).cast("long").alias("gap_us"),
+        ).where(F.col("prev_type").isNotNull())
+        return seq.groupBy("prev_type", "next_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            F.percentile("gap_us", 0.5).alias("p50"),
+            F.percentile("gap_us", 0.9).alias("p90"),
+        )
+
+    def fulfillment():
+        # round-11 claim: orderkey-keyed MAX over the join rides the
+        # fact's natural key (map-side partial), months stay bounded
+        per_order = (
+            li.select(
+                F.col("l_orderkey").alias("k"),
+                F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+            )
+            .join(
+                o.select(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_orderdate").cast("timestamp").alias(
+                        "o_orderdate"
+                    ),
+                ),
+                "k",
+            )
+            .groupBy(
+                "k",
+                F.date_format(
+                    F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+                ).alias("month"),
+            )
+            .agg(
+                F.max(
+                    F.expr(
+                        "(unix_micros(l_shipdate)"
+                        " - unix_micros(o_orderdate)) div 86400000000"
+                    )
+                ).alias("max_lat_days")
+            )
+        )
+        return per_order.groupBy("month").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.percentile("max_lat_days", 0.9).alias("p90"),
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -586,6 +644,10 @@ def bench_shapes(
         "label_separation": label_separation,
         "seasonality_strength": seasonality_strength,
         "user_jaccard": user_jaccard,
+        # round-11 additions: lag-window percentile rollup, orderkey-MAX
+        # fulfilment join
+        "pair_latency": pair_latency,
+        "fulfillment": fulfillment,
         "gini": gini,
         "vocab_growth": vocab_growth,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -585,3 +585,61 @@ def test_supplier_balance_quartiles_partition_and_share(spark):
     # quartile sizes differ by at most 1 (explicit div formula)
     sizes = [r["n_suppliers"] for r in rows]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_sessionize_gap_sensitivity_closed_form(spark, tmp_path):
+    """Two users, gaps of exactly 15 min (must NOT break a 15-min sweep
+    row: the rule is STRICTLY greater) and 45 min: sessions = 3/3/2 at
+    15/30/60 min, and both engines agree on the planted corpus."""
+    m = 60_000_000  # µs per minute
+    rows = [
+        (1, BASE, 1, "view", 1.0),
+        (2, BASE + datetime.timedelta(microseconds=15 * m), 1, "view", 1.0),
+        (3, BASE + datetime.timedelta(microseconds=60 * m), 1, "view", 1.0),
+        (4, BASE, 2, "view", 1.0),
+    ]
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = {
+        r["gap_minutes"]: r
+        for r in _q()["sessionize_gap_sensitivity"](spark, sf).collect()
+    }
+    # user 1 gaps: 15 min (ties 15-min threshold), 45 min; user 2: none
+    assert got[15]["n_sessions"] == 3  # 45' breaks, 15' tie does NOT
+    assert got[30]["n_sessions"] == 3
+    assert got[60]["n_sessions"] == 2
+    assert got[15]["events_per_session"] == pytest.approx(4 / 3)
+    assert got[60]["events_per_session"] == pytest.approx(2.0)
+    srows, orows = _driver_compare(spark, sf, "sessionize_gap_sensitivity")
+    assert srows == orows
+
+
+def test_source_lang_entropy_closed_form(spark, tmp_path):
+    """A monolingual source reads entropy 0; a 50/50 two-language
+    source reads exactly round(ln 2 × 1e6) = 693147 with the modal
+    language broken lexicographically — and both engines agree."""
+    docs = _documents_table(
+        [
+            (1, "t1", "en", "mono"),
+            (2, "t2", "en", "mono"),
+            (3, "t3", "en", "mono"),
+            (4, "t4", "en", "mono"),
+            (5, "t5", "fr", "duo"),
+            (6, "t6", "en", "duo"),
+            (7, "t7", "fr", "duo"),
+            (8, "t8", "en", "duo"),
+        ]
+    )
+    sf = _planted_dir(tmp_path, {"documents": docs})
+    got = {
+        r["source"]: r
+        for r in _q()["source_lang_entropy"](spark, sf).collect()
+    }
+    assert got["mono"]["entropy_e6"] == 0
+    assert got["mono"]["n_langs"] == 1
+    assert got["mono"]["top_lang"] == "en"
+    assert got["mono"]["top_lang_share"] == pytest.approx(1.0)
+    assert got["duo"]["entropy_e6"] == 693147  # round(ln(2)*1e6)
+    assert got["duo"]["top_lang"] == "en"  # tied count, lexicographic
+    assert got["duo"]["top_lang_share"] == pytest.approx(0.5)
+    srows, orows = _driver_compare(spark, sf, "source_lang_entropy")
+    assert srows == orows
