@@ -968,3 +968,163 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(leak).cast("long").alias("n_leaking_groups"),
         F.sum(leak_docs).cast("long").alias("n_leaking_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sensitivity (r11 wave 3)
+# ---------------------------------------------------------------------------
+
+DEDUP_THRESHOLD_SWEEP_PCT = (50, 60, 70, 80, 90)
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH sh_all AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
+                     ))) AS s
+              FROM documents)
+    ),
+    kept AS (SELECT s FROM sh_all GROUP BY s
+             HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS BIGINT) AS n_common,
+               CAST(sa.sz + sb.sz - i.n_common AS BIGINT) AS n_union
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    ),
+    t AS (
+        SELECT unnest([{", ".join(str(p) for p in DEDUP_THRESHOLD_SWEEP_PCT)}])
+                   AS threshold_pct
+    ),
+    hits AS (
+        SELECT t.threshold_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_flagged
+        FROM pairs p CROSS JOIN t
+        WHERE p.n_common * 100 >= CAST(t.threshold_pct AS BIGINT) * p.n_union
+        GROUP BY t.threshold_pct
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT CAST(t.threshold_pct AS BIGINT) AS threshold_pct,
+           COALESCE(h.n_pairs, 0)          AS n_pairs,
+           COALESCE(h.n_docs_flagged, 0)   AS n_docs_flagged,
+           CAST(COALESCE(h.n_docs_flagged, 0) AS DOUBLE) / nd.n_docs
+               AS flagged_share
+    FROM t
+    LEFT JOIN hits h ON h.threshold_pct = t.threshold_pct
+    CROSS JOIN nd
+    ORDER BY threshold_pct
+    """,
+)
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is the 0.6-Jaccard near-dup cutoff a knife-edge?  Pair and
+    flagged-doc counts under a 50/60/70/80/90% threshold sweep — the
+    dedup-aggressiveness dial for exact n-gram Jaccard, the companion
+    of ``prefix_dedup_sensitivity`` (prefix lengths) and
+    ``sessionize_gap_sensitivity`` (session gaps): if flagged docs
+    double between 60 and 50, the corpus has a near-dup mass sitting
+    just under the production cutoff.
+
+    Shape: the df-capped shingle self-join (the SAME inverted-index
+    pair frame ``ngram_jaccard_dedup`` pays, cited there) is computed
+    ONCE without a threshold; each pair then meets the |sweep|-row
+    literal (5-row broadcast) — the sweep costs one pair pass, not
+    five dedup runs.  Missing thresholds are restored by a LEFT join
+    from the literal frame so all 5 rows always emit.  Parity: the
+    threshold test is PURE BIGINT (100·n_common ≥ pct·n_union — never
+    a double Jaccard compare, the r9 bucket-key rule); flagged docs
+    count DISTINCT doc_b (the non-keeper side under the min-doc_id
+    keeper convention); the share an unrounded exact-integer ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    dr = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh_all = dr.select("doc_id", F.explode_outer(_shingles()).alias("s"))
+    sh_all = sh_all.persist()
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    sh = sh_all.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in DEDUP_THRESHOLD_SWEEP_PCT])
+        ).alias("threshold_pct")
+    )
+    hits = (
+        pairs.crossJoin(F.broadcast(t))
+        .where(
+            F.col("n_common") * 100
+            >= F.col("threshold_pct").cast("long") * F.col("n_union")
+        )
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("long").alias("n_docs_flagged"),
+        )
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    out = sort_bounded(
+        t.join(hits, "threshold_pct", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs_flagged"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+            (
+                F.coalesce(F.col("n_docs_flagged"), F.lit(0)).cast("double")
+                / F.col("n_docs")
+            ).alias("flagged_share"),
+        ),
+        "threshold_pct",
+    ).persist()
+    out.count()  # materialize through the cached shingle frame
+    sh_all.unpersist()
+    return out

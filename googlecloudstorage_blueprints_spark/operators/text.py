@@ -746,3 +746,81 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "source",
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language (r11 wave 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per AS (
+        SELECT lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+                    AS BIGINT) AS bpe_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)         AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)     AS sum_chars,
+           CAST(SUM(ws_tokens) AS BIGINT)   AS sum_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT)  AS sum_bpe_tokens,
+           CAST(SUM(n_chars) AS DOUBLE)
+               / NULLIF(SUM(bpe_tokens), 0) AS chars_per_bpe_token,
+           CAST(SUM(bpe_tokens) AS DOUBLE)
+               / NULLIF(SUM(ws_tokens), 0)  AS bpe_per_ws_token
+    FROM per
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-fertility planning table: chars-per-token and
+    BPE-ish-tokens-per-word per (lang, source) cell — the
+    cost-per-character dial a multilingual token budget needs (a
+    high-fertility language pays more tokens for the same text, so a
+    char-based mixture underweights it), complementing ``token_count``
+    (per-doc counts, no lang dimension) and
+    ``source_token_budget_split`` (allocates, doesn't measure).
+
+    Shape: token counting stays inside the scan projection (JVM
+    regexp_extract_all codegen, the ``token_count`` convention cited
+    there), one (lang, source)-bounded aggregate.  Parity: the regex
+    stays in the Java/RE2-shared subset (r6 rule); sums exact BIGINT;
+    both ratios unrounded exact-integer ratios, NULLIF-guarded for
+    all-empty-text cells identically on both engines."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    per = d.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+    return sort_bounded(
+        per.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("ws_tokens").cast("long").alias("sum_ws_tokens"),
+            F.sum("bpe_tokens").cast("long").alias("sum_bpe_tokens"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.nullif(F.sum("bpe_tokens"), F.lit(0))
+            ).alias("chars_per_bpe_token"),
+            (
+                F.sum("bpe_tokens").cast("double")
+                / F.nullif(F.sum("ws_tokens"), F.lit(0))
+            ).alias("bpe_per_ws_token"),
+        ),
+        "lang",
+        "source",
+    )

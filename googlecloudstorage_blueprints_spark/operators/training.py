@@ -910,3 +910,107 @@ def length_curriculum_stages(
         ),
         "stage",
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window coverage (r11 wave 3)
+# ---------------------------------------------------------------------------
+
+CONTEXT_WINDOWS_TOKENS = (32, 64, 128, 512, 2048)
+
+
+@register(
+    "doc_context_window_coverage",
+    oracle=f"""
+    WITH per AS (
+        SELECT CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+        SELECT unnest([{", ".join(str(w) for w in CONTEXT_WINDOWS_TOKENS)}])
+                   AS window_tokens
+    )
+    SELECT CAST(w.window_tokens AS BIGINT) AS window_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_tokens <= w.window_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+           CAST(SUM(CASE WHEN p.n_tokens <= w.window_tokens
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS fit_share,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(least(p.n_tokens, CAST(w.window_tokens AS BIGINT)))
+                AS BIGINT) AS kept_tokens,
+           CAST(SUM(least(p.n_tokens, CAST(w.window_tokens AS BIGINT)))
+                AS DOUBLE) / NULLIF(SUM(p.n_tokens), 0) AS kept_share
+    FROM per p CROSS JOIN w
+    GROUP BY w.window_tokens
+    ORDER BY window_tokens
+    """,
+)
+def doc_context_window_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-window planning sweep: for each candidate window size,
+    the share of docs that FIT whole and the share of corpus tokens a
+    truncate-at-window policy KEEPS — the table that decides whether a
+    longer-context run buys real data (a kept_share jump 512→2048 says
+    the corpus has long-document mass worth paying attention for),
+    where ``length_curriculum_stages`` orders docs and
+    ``packing_efficiency_report`` measures bin fill, neither answers
+    fit-vs-truncate.
+
+    Shape: the per-doc token count is computed ONCE inside the scan
+    (JVM regexp codegen, the ``token_count`` convention), then each doc
+    meets the |windows|-row literal (5-row broadcast crossJoin — one
+    scan, not five; the same sweep shape as
+    ``sessionize_gap_sensitivity``/``dedup_threshold_sensitivity``).
+    Parity: counts and least() mins are exact BIGINT; both shares
+    unrounded exact-integer ratios (denominators NULLIF-guarded /
+    ≥ n_docs ≥ 1)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    per = d.select(
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in CONTEXT_WINDOWS_TOKENS])
+        ).alias("window_tokens")
+    )
+    fit = F.when(
+        F.col("n_tokens") <= F.col("window_tokens").cast("long"), 1
+    ).otherwise(0)
+    kept = F.least(
+        F.col("n_tokens"), F.col("window_tokens").cast("long")
+    )
+    return sort_bounded(
+        per.crossJoin(F.broadcast(w))
+        .groupBy("window_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(fit).cast("long").alias("n_docs_fit"),
+            (F.sum(fit).cast("double") / F.count(F.lit(1))).alias(
+                "fit_share"
+            ),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(kept).cast("long").alias("kept_tokens"),
+            (
+                F.sum(kept).cast("double")
+                / F.nullif(F.sum("n_tokens"), F.lit(0))
+            ).alias("kept_share"),
+        )
+        .select(
+            F.col("window_tokens").cast("long").alias("window_tokens"),
+            "n_docs",
+            "n_docs_fit",
+            "fit_share",
+            "total_tokens",
+            "kept_tokens",
+            "kept_share",
+        ),
+        "window_tokens",
+    )

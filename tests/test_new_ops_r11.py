@@ -643,3 +643,100 @@ def test_source_lang_entropy_closed_form(spark, tmp_path):
     assert got["duo"]["top_lang_share"] == pytest.approx(0.5)
     srows, orows = _driver_compare(spark, sf, "source_lang_entropy")
     assert srows == orows
+
+
+def test_dedup_threshold_sensitivity_planted_mid_jaccard(spark, tmp_path):
+    """Fixture near-dup pairs all sit above 0.9, so the sweep rows are
+    identical — plant a pair at Jaccard 17/19 ≈ 0.895 (20-word doc vs
+    the same doc with the last word swapped: 17 of 19 distinct
+    3-shingles shared) and prove it flips between the 80% and 90% rows,
+    with the pure-BIGINT threshold test agreeing across engines."""
+    words = [f"a{i}" for i in range(1, 21)]
+    doc_a = " ".join(words)
+    doc_b = " ".join(words[:-1] + ["zz"])
+    doc_c = " ".join(words[:10] + [f"c{i}" for i in range(10)])
+    docs = _documents_table(
+        [
+            (1, doc_a, "en", "s1"),
+            (2, doc_b, "en", "s1"),
+            (3, doc_c, "en", "s1"),
+            (4, "x y z p q r", "en", "s1"),
+        ]
+    )
+    sf = _planted_dir(tmp_path, {"documents": docs})
+    got = {
+        r["threshold_pct"]: r
+        for r in _q()["dedup_threshold_sensitivity"](spark, sf).collect()
+    }
+    for t in (50, 60, 70, 80):
+        assert got[t]["n_pairs"] == 1, t
+        assert got[t]["n_docs_flagged"] == 1
+        assert got[t]["flagged_share"] == pytest.approx(0.25)
+    assert got[90]["n_pairs"] == 0  # 17*100 < 90*19
+    assert got[90]["n_docs_flagged"] == 0
+    assert got[90]["flagged_share"] == 0.0
+    srows, orows = _driver_compare(
+        spark, sf, "dedup_threshold_sensitivity"
+    )
+    assert srows == orows
+
+
+def test_tokenizer_fertility_closed_form(spark, tmp_path):
+    """'ab cd12 x' = 9 chars, 3 ws tokens, 4 bpe tokens (ab, cd, 12,
+    x) → chars/bpe = 2.25 and bpe/ws = 4/3 exactly; an empty-text cell
+    NULLIF-guards to NULL on both engines."""
+    docs = _documents_table(
+        [
+            (1, "ab cd12 x", "en", "s1"),
+            (2, "", "xx", "s2"),
+        ]
+    )
+    sf = _planted_dir(tmp_path, {"documents": docs})
+    got = {
+        (r["lang"], r["source"]): r
+        for r in _q()["tokenizer_fertility_by_lang"](spark, sf).collect()
+    }
+    en = got[("en", "s1")]
+    assert en["sum_chars"] == 9
+    assert en["sum_ws_tokens"] == 3
+    assert en["sum_bpe_tokens"] == 4
+    assert en["chars_per_bpe_token"] == pytest.approx(2.25)
+    assert en["bpe_per_ws_token"] == pytest.approx(4 / 3)
+    xx = got[("xx", "s2")]
+    assert xx["sum_bpe_tokens"] == 0
+    assert xx["chars_per_bpe_token"] is None  # NULLIF, not inf
+    srows, orows = _driver_compare(spark, sf, "tokenizer_fertility_by_lang")
+    assert srows == orows
+
+
+def test_context_window_coverage_closed_form(spark, tmp_path):
+    """Docs of 10/40/100 bpe tokens against the 32/64/128 windows:
+    fit counts 1/2/3 and kept tokens 10+32+32 / 10+40+64 / 150 — the
+    truncate-at-window ledger, identical on both engines."""
+    def words(n):
+        return " ".join("w" for _ in range(n))
+
+    docs = _documents_table(
+        [
+            (1, words(10), "en", "s1"),
+            (2, words(40), "en", "s1"),
+            (3, words(100), "en", "s1"),
+        ]
+    )
+    sf = _planted_dir(tmp_path, {"documents": docs})
+    got = {
+        r["window_tokens"]: r
+        for r in _q()["doc_context_window_coverage"](spark, sf).collect()
+    }
+    assert got[32]["n_docs_fit"] == 1
+    assert got[64]["n_docs_fit"] == 2
+    assert got[128]["n_docs_fit"] == 3
+    assert got[32]["kept_tokens"] == 10 + 32 + 32
+    assert got[64]["kept_tokens"] == 10 + 40 + 64
+    assert got[128]["kept_tokens"] == 150
+    assert got[128]["kept_share"] == pytest.approx(1.0)
+    assert got[32]["fit_share"] == pytest.approx(1 / 3)
+    srows, orows = _driver_compare(
+        spark, sf, "doc_context_window_coverage"
+    )
+    assert srows == orows
