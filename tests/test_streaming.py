@@ -1604,3 +1604,73 @@ def test_streaming_pair_latency_across_microbatches(spark, tmp_path):
         .collect()
     }
     assert got == _batch_pair_latency_core(spark)
+
+
+def test_streaming_pair_latency_checkpoint_restart(spark, tmp_path):
+    """True restart semantics for the pair-latency bridge state: run
+    the first half of the backlog to a FILE sink with a checkpoint,
+    restart on the unchanged source (must emit NOTHING new), then add
+    the second half and restart again.  The one-tuple state recovered
+    from the checkpoint must complete the hand-off pairs that span the
+    halves: summed (n_pairs, total_gap_us) equal the batch op."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_pair_latency,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+
+    def plant(df, name):
+        import glob as globmod
+        import shutil
+
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_pair_latency(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant(events.where(F.col("ts") < F.lit(split)), "00")
+    run_once()
+    first = spark.read.parquet(sink).count()
+
+    run_once()  # unchanged source: committed file must be skipped
+    assert spark.read.parquet(sink).count() == first, (
+        "restart on an unchanged source must emit nothing"
+    )
+
+    plant(events.where(F.col("ts") >= F.lit(split)), "01")
+    run_once()
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["g"])
+        for r in spark.read.parquet(sink)
+        .groupBy("prev_type", "next_type")
+        .agg(
+            F.sum("n_pairs").alias("n"),
+            F.sum("total_gap_us").alias("g"),
+        )
+        .collect()
+    }
+    assert got == _batch_pair_latency_core(spark), (
+        "checkpoint-recovered state must complete cross-half hand-offs"
+    )
