@@ -35,6 +35,8 @@ REPORT_SOURCES = (
     "source_token_budget_split",    # r10: exact token quota
     "doc_first_token_profile",      # r11: 1-token boilerplate screen
     "doc_repeated_token_runs",      # r11: degenerate-loop pressure
+    "source_lang_entropy",          # r11: language-mix concentration
+    "doc_sentence_stats",           # r11: segmentation readiness
 )
 
 
@@ -85,6 +87,16 @@ def corpus_report(
     runs = qs["doc_repeated_token_runs"](spark, sf_dir).select(
         "source", "longest_run", "looping_share"
     )
+    langmix = qs["source_lang_entropy"](spark, sf_dir).select(
+        "source",
+        "n_langs",
+        "top_lang",
+        "top_lang_share",
+        F.col("entropy_e6").alias("lang_entropy_e6"),
+    )
+    sentences = qs["doc_sentence_stats"](spark, sf_dir).select(
+        "source", "unbroken_share", "chars_per_sentence"
+    )
 
     report = (
         scorecard.join(F.broadcast(dedup), "source")
@@ -98,6 +110,8 @@ def corpus_report(
         .join(F.broadcast(budget), "source")
         .join(F.broadcast(first_tok), "source")
         .join(F.broadcast(runs), "source")
+        .join(F.broadcast(langmix), "source")
+        .join(F.broadcast(sentences), "source")
         .orderBy("source")
     )
     if out_path is not None:

@@ -135,6 +135,7 @@ def test_corpus_report_composes_registered_ops(spark, tmp_path):
         ("stopword_ratio", "stopword_ratio_by_source"),
         ("bigram_entropy", "bigram_entropy_by_source"),
         ("drop_rate", "dedup_rate_by_source"),
+        ("unbroken_share", "doc_sentence_stats"),
     ]:
         expect = {r["source"]: r[col] for r in qs[op](spark, SF).collect()}
         got = {s: rows[s][col] for s in rows}
@@ -145,6 +146,12 @@ def test_corpus_report_composes_registered_ops(spark, tmp_path):
         for r in qs["logprob_quantiles_by_source"](spark, SF).collect()
     }
     assert {s: rows[s]["median_unigram_nll"] for s in rows} == nll
+
+    lang = {
+        r["source"]: r["entropy_e6"]
+        for r in qs["source_lang_entropy"](spark, SF).collect()
+    }
+    assert {s: rows[s]["lang_entropy_e6"] for s in rows} == lang
 
     written = spark.read.parquet(out)
     assert written.count() == len(sources)
