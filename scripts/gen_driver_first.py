@@ -44,15 +44,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r11 changes land here as they happen; r10 entries cleared after
-    # CORRECTNESS_r10.json adjudicated them (all passed).
-    # -- dropped the cancelling ×1e6 SS scale factor (r10 ADVICE
-    #    overflow audit): double-division operands changed, so the
-    #    unrounded R² can differ in the last ulp vs the r10 hash
-    "embedding_norm_label_anova",
-    # -- zlib kernel now round-robin repartitions (plan change only,
-    #    rows-only key; re-adjudication is cheap)
-    "doc_compression_ratio",
+    # r12 changes land here as they happen; r11 entries cleared after
+    # CORRECTNESS_r11.json adjudicated them (all passed).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
