@@ -2729,3 +2729,113 @@ def sessionize_gap_sensitivity(
         ),
         "gap_minutes",
     )
+
+
+# --------------------------------------------------------------------------
+# approx-percentile twins (r12) — the mergeable-sketch 100 TB path
+# --------------------------------------------------------------------------
+
+# GK-sketch accuracy: rank error ≤ n/accuracy per group.  At 1e4 the
+# sketch is a few KB of fixed-size state per group regardless of n —
+# the shuffle carries sketches, never the value multiset.
+PCTL_SKETCH_ACCURACY = 10_000
+
+
+@register("events_hourly_load_percentiles_approx")  # rows-only:
+# approx_percentile internals are engine-specific by design; the error
+# bound vs the exact twin is pinned in tests/test_new_ops_r12.py
+def events_hourly_load_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-sketch twin of ``events_hourly_load_percentiles`` —
+    the 100 TB execution path its docstring promises.  The exact op's
+    ``F.percentile`` buffers every hourly count of a group in one
+    aggregation buffer (N/|types| values — the memory bound SCALE.md's
+    pair-latency probe names); ``approx_percentile`` keeps a fixed-size
+    GK sketch that partial-aggregates map-side, so the shuffle and the
+    reducer hold KBs per group at any corpus size.
+
+    Same (type, hour) count frame as the exact twin; rank error
+    ≤ n/``PCTL_SKETCH_ACCURACY`` per group, pinned against the exact
+    op by a rank-bracket test at two scale factors."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    p = F.approx_percentile(
+        "y",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(PCTL_SKETCH_ACCURACY),
+    )
+    return sort_bounded(
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("y").cast("long").alias("max_load"),
+            p.alias("p"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "max_load",
+            F.col("p").getItem(0).cast("double").alias("p50_load"),
+            F.col("p").getItem(1).cast("double").alias("p90_load"),
+            F.col("p").getItem(2).cast("double").alias("p99_load"),
+        ),
+        "event_type",
+    )
+
+
+@register("event_pair_latency_approx")  # rows-only: sketch outputs are
+# engine-specific; error bound vs the exact twin pinned in
+# tests/test_new_ops_r12.py
+def event_pair_latency_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-sketch twin of ``event_pair_latency``.  The exact op's
+    per-(prev,next) ``F.percentile`` buffers N/|types|² gap values per
+    group — at 100 TB that per-group multiset is the memory bound the
+    SCALE.md pair-latency probe documents (percentile is linear TIME
+    but the buffer is the real constraint).  This twin swaps in
+    ``approx_percentile``: one fixed-size GK sketch per pair, merged
+    map-side, identical single-exchange lag-window spine.
+
+    Rank error ≤ n_pairs/``PCTL_SKETCH_ACCURACY`` per pair; the
+    count/sum/mean columns stay exact (they already partial-aggregate),
+    so only the two tail columns trade accuracy for memory."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (ts_us - F.lag(ts_us).over(w)).cast("long").alias("gap_us"),
+    ).where(F.col("prev_type").isNotNull())
+    p = F.approx_percentile(
+        "gap_us",
+        F.array(F.lit(0.5), F.lit(0.9)),
+        F.lit(PCTL_SKETCH_ACCURACY),
+    )
+    return sort_bounded(
+        seq.groupBy("prev_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            (
+                F.sum("gap_us").cast("double") / F.count(F.lit(1))
+            ).alias("mean_gap_us"),
+            p.alias("p"),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n_pairs",
+            "total_gap_us",
+            "mean_gap_us",
+            F.col("p").getItem(0).cast("double").alias("p50_gap_us"),
+            F.col("p").getItem(1).cast("double").alias("p90_gap_us"),
+        ),
+        "prev_type",
+        "next_type",
+    )

@@ -2258,3 +2258,52 @@ order_fulfillment_completeness.__doc__ = (
         FULFIL_SLA_DAYS=FULFIL_SLA_DAYS
     )
 )
+
+
+# --------------------------------------------------------------------------
+# approx-percentile twin (r12) — mergeable-sketch path for order values
+# --------------------------------------------------------------------------
+
+ORDER_PCTL_SKETCH_ACCURACY = 10_000  # GK rank error ≤ n/accuracy
+
+
+@register("order_value_percentiles_approx")  # rows-only: sketch
+# internals are engine-specific; error bound vs the exact twin pinned
+# in tests/test_new_ops_r12.py
+def order_value_percentiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-sketch twin of ``order_value_percentiles`` — the
+    approx_percentile swap that op's docstring prescribes at 100 TB.
+    The exact op buffers every order's cents value per priority class
+    in one aggregation buffer (N/5 values); here a fixed-size GK
+    sketch partial-aggregates map-side so reducer memory is constant
+    in N.  Same ×100 BIGINT cents domain and /100 rescale; rank error
+    ≤ n/``ORDER_PCTL_SKETCH_ACCURACY`` per class, pinned by the
+    rank-bracket test at two scale factors."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    p = F.approx_percentile(
+        "cents",
+        F.array(
+            F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)
+        ),
+        F.lit(ORDER_PCTL_SKETCH_ACCURACY),
+    )
+    return sort_bounded(
+        o.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            p.alias("p"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("p").getItem(0) / 100.0).alias("p25_value"),
+            (F.col("p").getItem(1) / 100.0).alias("p50_value"),
+            (F.col("p").getItem(2) / 100.0).alias("p75_value"),
+            (F.col("p").getItem(3) / 100.0).alias("p99_value"),
+        ),
+        "o_orderpriority",
+    )
