@@ -2092,8 +2092,13 @@ def supplier_balance_quartiles(
 
     Shape: the quartile cut ranks the SUPPLIER DIMENSION only (the ABC
     cumsum class — dimension-sized, never the fact table), explicitly
-    via ((rn−1)·4) div n (the r8 rule: never NTILE); the fact join is
-    one suppkey equi-join with the quartile map broadcast.  Parity:
+    via ((rn−1)·4) div n (the r8 rule: never NTILE); the fact table is
+    pre-aggregated to supplier grain (map-side combine — lineitem never
+    crosses the join), then the quartile map LEFT-joins the
+    supplier-sized aggregate.  No broadcast hint: Spark cannot build
+    the preserved (left) side of a left-outer BHJ, and the aggregate's
+    own static estimate gets a broadcast when the supplier dimension
+    fits, degrading correctly to shuffle when it doesn't.  Parity:
     balance ×100 into BIGINT with (cents, suppkey) the unique rank
     order; revenue is the ×1e4 fixed-point BIGINT sum (the 4-decimal
     products are exact integers — a ROUND(SUM(raw),4) total flipped in
@@ -2127,16 +2132,19 @@ def supplier_balance_quartiles(
         .cast("long")
         .alias("rev4"),
     )
+    li_agg = li.groupBy("s_suppkey").agg(
+        F.count("l_orderkey").cast("long").alias("cnt"),
+        F.sum("rev4").cast("long").alias("srev4"),
+    )
     rev = (
-        F.broadcast(q)
-        .join(li, "s_suppkey", "left")
+        q.join(li_agg, "s_suppkey", "left")
         .groupBy("quartile")
         .agg(
-            F.countDistinct("s_suppkey").cast("long").alias(
-                "n_suppliers"
-            ),
-            F.count("l_orderkey").cast("long").alias("n_lines"),
-            F.coalesce(F.sum("rev4"), F.lit(0))
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines"),
+            F.sum(F.coalesce(F.col("srev4"), F.lit(0)))
             .cast("long")
             .alias("rev4"),
         )

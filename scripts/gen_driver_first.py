@@ -46,6 +46,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHANGED_THIS_ROUND: list[str] = [
     # r12 changes land here as they happen; r11 entries cleared after
     # CORRECTNESS_r11.json adjudicated them (all passed).
+    # -- r11 ADVICE: replaced the ignored broadcast-left-of-left-join
+    #    with a supplier-grain pre-aggregate + left join (plan change;
+    #    values identical but re-adjudication is due)
+    "supplier_balance_quartiles",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

@@ -5,7 +5,9 @@ insurance replica of the driver's adjudication window.
 Runs each of the first N keys of ``operators/_driver_order.DRIVER_FIRST``
 against the sf0.01 fixtures (the driver's t2 dir) and hash-compares
 oracle-backed keys against DuckDB exactly like tests/test_oracle_parity.py;
-rows-only keys are checked for rows>0.  Exit 1 on any mismatch.
+rows-only keys are checked for rows>0 (a zero-row rows-only result counts
+as a failure — it would make the driver's check vacuous).  Exit 1 on any
+mismatch.
 
     python scripts/walk_head.py          # head-50 at /root/testdata/sf0.01
     python scripts/walk_head.py 30       # head-30
@@ -67,7 +69,8 @@ def main() -> int:
         else:
             status = f"rows-only rows={len(srows)}"
             if not srows:
-                status += " (ZERO — ensure a planted test covers this key)"
+                status += " (ZERO ROWS — vacuous)"
+                fails.append(name)
         print(f"{i:3d} {name}: {status}", flush=True)
     print("FAILS:", fails)
     return 1 if fails else 0
