@@ -569,7 +569,19 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-shuffles over three lineitem scans; this shape is one scan
     and three keyed shuffles (baskets, pair counts, part counts).
     collect_set is safe because baskets are bounded by order width —
-    the same bound the pair fan-out already relies on.  Parity:
+    the same bound the pair fan-out already relies on.
+
+    r12: the top-K cut moves BEFORE the marginal joins.  The output
+    order (n_both DESC, part_a, part_b) is fully determined by the
+    pair-count frame, so TakeOrdered(K) runs on the raw pair counts
+    (per-partition top-K + driver merge, no extra shuffle) and the two
+    frequency joins probe a K-row broadcast instead of the full pair
+    set — at 100 TB that pair set is billions of rows and the part
+    frequency table outgrows the broadcast threshold, so the old shape
+    degenerated to two sort-merge joins over the pairs; this one never
+    joins more than K rows.  (A slice-based a<b Generate that halves
+    the fan-out was measured SLOWER locally — per-position array
+    allocation beats the cheap a<b filter; don't revisit.)  Parity:
     lift = n_both·N / (n_a·n_b) over exact integers with both products
     formed in double (CAST(x AS DOUBLE) · y — a BIGINT product would
     overflow at cluster scale where the doubles stay exact to 2⁵³);
@@ -593,6 +605,9 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
+    topk = pairs.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(COPURCHASE_TOP_K)
     ca = pc.alias("ca")
     cb = pc.alias("cb")
     lift = (
@@ -601,12 +616,12 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("ca.n_part").cast("double") * F.col("cb.n_part"))
     )
     return (
-        pairs.join(ca, F.col("part_a") == F.col("ca.l_partkey"))
+        F.broadcast(topk)
+        .join(ca, F.col("part_a") == F.col("ca.l_partkey"))
         .join(cb, F.col("part_b") == F.col("cb.l_partkey"))
         .crossJoin(F.broadcast(n))
         .select("part_a", "part_b", "n_both", lift.alias("lift"))
         .orderBy(F.col("n_both").desc(), "part_a", "part_b")
-        .limit(COPURCHASE_TOP_K)
     )
 
 

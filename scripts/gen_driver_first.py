@@ -50,6 +50,9 @@ CHANGED_THIS_ROUND: list[str] = [
     #    with a supplier-grain pre-aggregate + left join (plan change;
     #    values identical but re-adjudication is due)
     "supplier_balance_quartiles",
+    # -- top-K cut moved before the marginal joins (plan change;
+    #    identical values, r11 VERDICT item 3)
+    "part_copurchase_lift",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

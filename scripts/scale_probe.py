@@ -311,13 +311,18 @@ def bench_shapes(
             F.col("n_both").cast("double") * F.col("n_orders")
             / (F.col("ca.n_part").cast("double") * F.col("cb.n_part"))
         )
+        # r12 live form: top-K cut BEFORE the marginal joins — the
+        # frequency joins probe a K-row broadcast, never the pair set
+        topk = pairs.orderBy(
+            F.col("n_both").desc(), "pa", "pb"
+        ).limit(20)
         return (
-            pairs.join(pc.alias("ca"), F.col("pa") == F.col("ca.l_partkey"))
+            F.broadcast(topk)
+            .join(pc.alias("ca"), F.col("pa") == F.col("ca.l_partkey"))
             .join(pc.alias("cb"), F.col("pb") == F.col("cb.l_partkey"))
             .crossJoin(F.broadcast(n))
             .select("pa", "pb", "n_both", lift.alias("lift"))
             .orderBy(F.col("n_both").desc(), "pa", "pb")
-            .limit(20)
         )
 
     def ship_latency():
