@@ -123,6 +123,15 @@ HEADLINE = [
     "bm25_topk",
 ]
 
+# r12 (r11 verdict item 4): rows-only heavies tracked as a SPARK-ONLY
+# lane — these have no DuckDB twin, so the ≤2× gate cannot see a
+# regression in them; the lane publishes their warm walls and
+# spark-only marginal seconds across the three SFs so round-over-round
+# drift is gated by inspection of BENCH_r{N}.  minhash_lsh_dedup is
+# already in HEADLINE (timings reused); similarity_knn_pq is timed by
+# dedicated passes with the same 1-cold + best-of-3-warm protocol.
+ROWS_ONLY_LANE = ["minhash_lsh_dedup", "similarity_knn_pq"]
+
 
 def _time_duckdb_oracles(
     names: list[str], sf_dir: str, n_runs: int = 3
@@ -266,7 +275,55 @@ def main() -> None:
         m1, _ = _time_spark_pass(spark, queries, HEADLINE, mid_dir)
         m2, _ = _time_spark_pass(spark, queries, HEADLINE, mid_dir)
         mid_spark = {n: min(m1[n], m2[n]) for n in m1}
+
+    # rows-only lane (spark-only; see ROWS_ONLY_LANE comment).  Lane ops
+    # already in HEADLINE reuse the headline timings; the rest get the
+    # same cold + best-of-3-warm treatment at every SF that was timed.
+    lane_extra = [n for n in ROWS_ONLY_LANE if n not in HEADLINE]
+    lane_warm = lane_mid = lane_slope = None
+    if lane_extra:
+        _time_spark_pass(spark, queries, lane_extra, SF_DIR)  # cold
+        la, _ = _time_spark_pass(spark, queries, lane_extra, SF_DIR)
+        lb, _ = _time_spark_pass(spark, queries, lane_extra, SF_DIR)
+        lc, _ = _time_spark_pass(spark, queries, lane_extra, SF_DIR)
+        lane_warm = {n: min(la[n], lb[n], lc[n]) for n in la}
+        if mid_spark is not None:
+            _time_spark_pass(spark, queries, lane_extra, mid_dir)
+            lm1, _ = _time_spark_pass(spark, queries, lane_extra, mid_dir)
+            lm2, _ = _time_spark_pass(spark, queries, lane_extra, mid_dir)
+            lane_mid = {n: min(lm1[n], lm2[n]) for n in lm1}
+        if slope_spark is not None:
+            _time_spark_pass(spark, queries, lane_extra, slope_dir)
+            ls1, _ = _time_spark_pass(spark, queries, lane_extra, slope_dir)
+            ls2, _ = _time_spark_pass(spark, queries, lane_extra, slope_dir)
+            lane_slope = {n: min(ls1[n], ls2[n]) for n in ls1}
     spark.stop()
+
+    def _lane_num(src_head, src_extra, name):
+        if name in HEADLINE:
+            return src_head[name] if src_head else None
+        return src_extra[name] if src_extra else None
+
+    rows_only_lane = {}
+    for name in ROWS_ONLY_LANE:
+        warm = _lane_num(timings, lane_warm, name)
+        at_mid = _lane_num(mid_spark, lane_mid, name)
+        at_001 = _lane_num(slope_spark, lane_slope, name)
+        rows_only_lane[name] = {
+            "warm": warm,
+            "warm_sf01": at_mid,
+            "warm_sf001": at_001,
+            "slope_seconds_high": (
+                round(warm - at_mid, 3)
+                if None not in (warm, at_mid)
+                else None
+            ),
+            "slope_seconds_full": (
+                round(warm - at_001, 3)
+                if None not in (warm, at_001)
+                else None
+            ),
+        }
 
     duck_runs = _time_duckdb_oracles(HEADLINE, SF_DIR)
     duck = _best_of(duck_runs)
@@ -382,6 +439,7 @@ def main() -> None:
         "scale_slope_ratio_high_runs": gate_runs,
         "scale_slope_ratio_high_median": gate_median,
         "scale_slope_ratio_high_spread": gate_spread,
+        "rows_only_lane": rows_only_lane,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -416,6 +474,9 @@ def main() -> None:
                 # noise moved the gate 27% between r6 and r7).
                 "gate_metric": "scale_slope_ratio_high",
                 "gate_value": gate_median,
+                # spark-only lane for rows-only heavies (no DuckDB twin;
+                # judge round-over-round by warm + slope_seconds)
+                "rows_only_lane": rows_only_lane,
             },
             separators=(",", ":"),
         )
