@@ -31,8 +31,32 @@ LSH_BANDS = 16           # 16 bands × 4 rows — ~0.5 jaccard threshold knee
 JACCARD_THRESHOLD = 0.6  # verified-duplicate cutoff
 SHINGLE_DF_CAP = 256     # drop shingles seen in more docs (stopword n-grams)
 
-# fixed odd multipliers for the (a*x+b) universal-hash family, seed=42 spirit
-_MERSENNE = (1 << 61) - 1
+# MinHash permutation family h_p(x) = (A[p]·x + B[p]) mod (2³¹−1) over
+# 31-bit shingle hashes.  The modulus MUST be small enough that the
+# product actually wraps: the pre-r12 family used small multipliers
+# (2p+1 ≤ 129) against mod 2⁶¹−1, so h_p(x) < 2³⁸ never wrapped — every
+# "permutation" was monotone in x, all 64 minima picked the SAME argmin
+# (the minimum shingle hash), and LSH banding degenerated to
+# single-hash matching (recall ≈ J instead of the banding curve; found
+# by the r12 planted mid-Jaccard pin, confirmed by a 0/64
+# signature-slot match at J≈0.67 where true minhash reads ~43/64).
+# With a full-range A and mod 2³¹−1 the orderings genuinely permute.
+# A[p]·x < 2⁶² fits a long, so the JVM expression stays ANSI-safe.
+# Constants are fixed (seeded Mersenne-Twister — stable across Python
+# versions), identical in the JVM and Arrow kernels.
+_MERSENNE = (1 << 61) - 1  # kept for the historical docstring reference
+_P31 = (1 << 31) - 1
+
+import random as _random  # noqa: E402  (module-level, deterministic)
+
+_minhash_rng = _random.Random(0x12C0FFEE)
+MINHASH_A = tuple(
+    _minhash_rng.randrange(1, _P31) for _ in range(MINHASH_PERMS)
+)
+MINHASH_B = tuple(
+    _minhash_rng.randrange(0, _P31) for _ in range(MINHASH_PERMS)
+)
+del _minhash_rng
 
 
 def _shingles(col: str = "text"):
@@ -216,10 +240,11 @@ def minhash_signatures_arrow(
     works, since both sides of the bucket self-join use the same one).
 
     Same permutation family as :func:`minhash_signatures`
-    (h_p(x) = ((2p+1)·x + p·12582917) mod (2⁶¹-1), exact integer math in
-    uint64 — no wraparound: x < 2³¹, a ≤ 2·perms+1), vectorized as one
-    modmul over the flattened shingle hashes per batch plus a
-    ``minimum.reduceat`` per permutation.  Chosen over the JVM
+    (h_p(x) = (A[p]·x + B[p]) mod (2³¹−1) — full-range multipliers so
+    the mod genuinely wraps; see the MINHASH_A comment for the r12
+    degenerate-family fix), vectorized as one modmul over the flattened
+    shingle hashes per batch plus a ``minimum.reduceat`` per
+    permutation (products < 2⁶² — exact in uint64).  Chosen over the JVM
     64-min-column aggregate because that plan pays ~3.5 s of whole-stage
     codegen compilation PER SESSION (the generated class is huge) before
     computing anything, and its explode feeds 64 aggregate expressions
@@ -235,10 +260,9 @@ def minhash_signatures_arrow(
         import numpy as np
         import pandas as pd
 
-        perms = np.arange(MINHASH_PERMS, dtype=np.uint64)
-        mult = 2 * perms + 1
-        add = perms * np.uint64(12582917)
-        mersenne = np.uint64(_MERSENNE)
+        mult = np.array(MINHASH_A, dtype=np.uint64)
+        add = np.array(MINHASH_B, dtype=np.uint64)
+        p31 = np.uint64(_P31)
         fnv_prime = np.uint64(1099511628211)
         fnv_basis = np.uint64(14695981039346656037)
         for pdf in batches:
@@ -253,7 +277,7 @@ def minhash_signatures_arrow(
             n = len(lens)
             sig = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
             for p in range(MINHASH_PERMS):
-                h = (mult[p] * flat + add[p]) % mersenne
+                h = (mult[p] * flat + add[p]) % p31
                 sig[:, p] = np.minimum.reduceat(h, starts)
             if not emit_bands:
                 yield pd.DataFrame(
@@ -290,9 +314,11 @@ def minhash_signatures(hashed_docs: DataFrame) -> DataFrame:
     """doc_id + array<bigint> minhash signature (MINHASH_PERMS values)
     from (doc_id, sh_hashes) as produced by :func:`hashed_shingle_docs`.
 
-    Shingle hashes are 31-bit, so the permutation family
-    h_p(x) = ((2p+1)·x + p·12582917) mod (2⁶¹-1) never overflows a long
-    (ANSI mode makes overflow an error in Spark 4).
+    Shingle hashes are 31-bit and A[p] < 2³¹, so the permutation family
+    h_p(x) = (A[p]·x + B[p]) mod (2³¹−1) never overflows a long
+    (product < 2⁶²; ANSI mode makes overflow an error in Spark 4).  The
+    small modulus is load-bearing — see the MINHASH_A comment for the
+    r12 fix of the non-wrapping (and therefore non-permuting) family.
 
     Shape: explode shingle hashes → ONE hash-aggregate with MINHASH_PERMS
     codegen'd min() columns.  This deliberately avoids higher-order
@@ -311,7 +337,11 @@ def minhash_signatures(hashed_docs: DataFrame) -> DataFrame:
     )
     mins = [
         F.min(
-            ((2 * p + 1) * F.col("h") + p * 12582917) % _MERSENNE
+            (
+                F.lit(MINHASH_A[p]).cast("long") * F.col("h")
+                + F.lit(MINHASH_B[p]).cast("long")
+            )
+            % F.lit(_P31).cast("long")
         ).alias(f"m{p}")
         for p in range(MINHASH_PERMS)
     ]
@@ -1127,4 +1157,224 @@ def dedup_threshold_sensitivity(
     ).persist()
     out.count()  # materialize through the cached shingle frame
     sh_all.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LSH banding sensitivity (r12) — recall/cost curve for (b, r) choices
+# ---------------------------------------------------------------------------
+
+# (bands, rows_per_band) pairs partitioning the SAME 64-perm signature;
+# the production config (LSH_BANDS=16, 4) sits inside the sweep.  With
+# consecutive-slice banding and doubling band counts, candidate sets are
+# NESTED: a (b, r) band match means its two (2b, r/2) halves match, so
+# candidates(4,16) ⊆ candidates(8,8) ⊆ candidates(16,4) ⊆ candidates(32,2)
+# and both recall and cost are deterministically monotone along the sweep
+# (pinned in tests/test_new_ops_r12b.py).
+LSH_BAND_SWEEP = ((4, 16), (8, 8), (16, 4), (32, 2))
+
+
+def minhash_band_rows_multi(hashed_docs: DataFrame) -> DataFrame:
+    """(n_bands, doc_id, band_id, band_hash) rows for every banding in
+    :data:`LSH_BAND_SWEEP`, from ONE signature computation.
+
+    Same permutation family and FNV band combiner as
+    :func:`minhash_signatures_arrow` (which stays the single-config
+    production path); the signature matrix is computed once per Arrow
+    batch and re-sliced per config, so the sweep pays one Python pass —
+    Σb extra OUTPUT rows per doc (60 for the default sweep), never extra
+    signature work.  Map-side only: rides ``hashed_docs``' partitioning."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        mult = np.array(MINHASH_A, dtype=np.uint64)
+        add = np.array(MINHASH_B, dtype=np.uint64)
+        p31 = np.uint64(_P31)
+        fnv_prime = np.uint64(1099511628211)
+        fnv_basis = np.uint64(14695981039346656037)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["sh_hashes"].map(len).to_numpy()
+            flat = np.concatenate(pdf["sh_hashes"].to_list()).astype(
+                np.uint64
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            n = len(lens)
+            sig = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
+            for p in range(MINHASH_PERMS):
+                h = (mult[p] * flat + add[p]) % p31
+                sig[:, p] = np.minimum.reduceat(h, starts)
+            frames = []
+            for n_bands, rpb in LSH_BAND_SWEEP:
+                grouped = sig.reshape(n, n_bands, rpb)
+                bh = np.full((n, n_bands), fnv_basis, dtype=np.uint64)
+                for j in range(rpb):  # uint64 wrap is the FNV mod
+                    bh = (bh ^ grouped[:, :, j]) * fnv_prime
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "n_bands": np.full(
+                                n * n_bands, n_bands, dtype=np.int32
+                            ),
+                            "doc_id": np.repeat(
+                                pdf["doc_id"].to_numpy(), n_bands
+                            ),
+                            "band_id": np.tile(
+                                np.arange(n_bands, dtype=np.int32), n
+                            ),
+                            "band_hash": bh.reshape(-1).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return hashed_docs.mapInPandas(
+        kernel,
+        schema="n_bands int, doc_id long, band_id int, band_hash long",
+    )
+
+
+@register("lsh_band_sensitivity")  # rows-only: minhash banding isn't
+# ANSI SQL; the monotone-nesting + planted mid-similarity pins live in
+# tests/test_new_ops_r12b.py
+def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost curve for the MinHash LSH banding choice — the
+    planning sweep a dedup owner runs before picking (b, r), the r11
+    one-frame-sweep pattern (``dedup_threshold_sensitivity``) applied
+    to ``minhash_lsh_dedup``'s own knob.  More, narrower bands catch
+    lower-Jaccard pairs (recall↑) but emit more candidate pairs for
+    the exact-verify tier (cost↑); the curve shows where the
+    production (16, 4) sits on that trade.
+
+    Ground truth: exact shingle-hash Jaccard ≥ the production
+    threshold over the SAME df-capped inverted-index pair frame
+    ``ngram_jaccard_dedup`` defines (hash domain, so shingle strings
+    never materialize) — itself oracle-checked via that op.  Recall is
+    measured against it; cost is the candidate-pair count the verify
+    tier would pay.
+
+    Shape: the expensive frames are computed ONCE — one persisted
+    shingle-hash projection feeds (a) one Arrow pass emitting band
+    rows for ALL four configs (one signature computation, re-sliced)
+    and (b) the truth pair frame; candidates come from ONE bucket
+    self-join keyed on (n_bands, band_id, band_hash) covering every
+    config (never per-config jobs, never all-pairs).  Empty configs
+    are restored by a LEFT join from the config literal.  Parity
+    hygiene (though rows-only): the truth threshold is the pure-BIGINT
+    100·n_common ≥ pct·n_union compare; recall is an unrounded
+    exact-integer ratio, NULLIF-guarded for an empty truth set."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = hashed_shingle_docs(d).persist()
+    bands = minhash_band_rows_multi(docs).persist()
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.n_bands") == F.col("bb.n_bands"))
+            & (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_hash") == F.col("bb.band_hash"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.n_bands").alias("n_bands"),
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    # truth tier: df-capped shingle-hash inverted index (the
+    # ngram_jaccard_dedup frame on the hash domain)
+    sh_all = docs.select(
+        "doc_id", F.explode_outer("sh_hashes").alias("h")
+    ).persist()
+    hot = (
+        sh_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("h")
+    )
+    sh = sh_all.join(hot, "h", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    thresh_pct = int(round(JACCARD_THRESHOLD * 100))
+    truth = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(
+            F.col("n_common") * 100
+            >= F.lit(thresh_pct)
+            * (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    )
+    cand_counts = candidates.groupBy("n_bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    recalled = (
+        candidates.join(truth, ["doc_a", "doc_b"])
+        .groupBy("n_bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recalled"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("n_bands"),
+                        F.lit(rpb).alias("rows_per_band"),
+                    )
+                    for nb, rpb in LSH_BAND_SWEEP
+                ]
+            )
+        ).alias("c")
+    ).select("c.n_bands", "c.rows_per_band")
+    out = sort_bounded(
+        spine.join(cand_counts, "n_bands", "left")
+        .join(recalled, "n_bands", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("n_bands").cast("long").alias("n_bands"),
+            F.col("rows_per_band").cast("long").alias("rows_per_band"),
+            F.coalesce(F.col("n_candidate_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+            F.col("n_true_pairs"),
+            F.coalesce(F.col("n_recalled"), F.lit(0))
+            .cast("long")
+            .alias("n_recalled"),
+            (
+                F.coalesce(F.col("n_recalled"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_true_pairs"), F.lit(0))
+            ).alias("recall"),
+        ),
+        "n_bands",
+    ).persist()
+    out.count()  # materialize through the cached intermediates
+    docs.unpersist()
+    bands.unpersist()
+    sh_all.unpersist()
+    candidates.unpersist()
+    truth.unpersist()
     return out

@@ -53,6 +53,10 @@ CHANGED_THIS_ROUND: list[str] = [
     # -- top-K cut moved before the marginal joins (plan change;
     #    identical values, r11 VERDICT item 3)
     "part_copurchase_lift",
+    # -- minhash permutation family fixed (the pre-r12 family never
+    #    wrapped its modulus, so banding degenerated to single-hash
+    #    matching; rows-only key, output pair set can change)
+    "minhash_lsh_dedup",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

@@ -1,0 +1,109 @@
+"""Pins for the r12 LSH banding sensitivity sweep.
+
+The fixture's near-dup pairs all sit at very high Jaccard, so every
+sweep row reads ~the same recall (the r11 vacuity trap,
+`dedup_threshold_sensitivity` precedent) — these tests make the curve
+non-vacuous:
+
+- NESTING (mathematical, any corpus): with consecutive-slice banding
+  and doubling band counts over one signature, a (b, r) band match
+  implies both (2b, r/2) halves match, so candidate sets are nested and
+  both cost and recall are monotone in n_bands.  Checked on the real
+  fixture at two SFs.
+- PLANTED mid-Jaccard pair: an identical pair (recall 1.0 everywhere)
+  plus a ~0.73-Jaccard pair that the wide (4,16) banding misses but the
+  narrow (32,2) banding catches — the curve actually bends.  All hash
+  functions are fixed, so the planted outcome is deterministic.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _planted_dir(tmp_path, replace: dict):
+    out = tmp_path / "sf_planted"
+    out.mkdir()
+    for t in TABLES:
+        if t in replace:
+            pq.write_table(replace[t], out / f"{t}.parquet")
+        else:
+            shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+def _docs_table(rows):
+    """rows: (doc_id, text)"""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_band_sweep_monotone_nesting(spark, sf_dir):
+    rows = all_queries()["lsh_band_sensitivity"](spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda r: r["n_bands"])
+    assert [r["n_bands"] for r in rows] == [4, 8, 16, 32]
+    assert [r["rows_per_band"] for r in rows] == [16, 8, 4, 2]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_candidate_pairs"] >= prev["n_candidate_pairs"]
+        assert cur["n_recalled"] >= prev["n_recalled"]
+    # every config shares one truth denominator
+    assert len({r["n_true_pairs"] for r in rows}) == 1
+
+
+def test_band_sweep_planted_mid_jaccard_pair_bends_curve(
+    spark, tmp_path
+):
+    """docs 1/2 identical (always candidates — every band agrees);
+    docs 3/4 share 79 of their 100 words (~0.65 shingle Jaccard, above
+    the 0.6 truth threshold): each 2-row band matches with p≈0.42 so
+    (32,2) catches the pair near-certainly (p≈1−3e-8), while a 16-row
+    band matches with p≈9e-4 so (4,16) misses it — recall must
+    strictly increase along the sweep.  Deterministic: xxhash64 and
+    the permutation family are fixed."""
+    base = [f"w{i:03d}" for i in range(100)]
+    variant = base[:79] + [f"v{i:03d}" for i in range(21)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base)),
+        (3, " ".join(f"a{w}" for w in base)),
+        (4, " ".join(f"a{w}" for w in variant)),
+    ]
+    sf = _planted_dir(tmp_path, {"documents": _docs_table(rows)})
+    got = {
+        r["n_bands"]: r
+        for r in all_queries()["lsh_band_sensitivity"](
+            spark, sf
+        ).collect()
+    }
+    assert got[4]["n_true_pairs"] == 2
+    # identical pair: every banding catches it; mid pair: only narrow
+    assert got[4]["n_recalled"] == 1 and got[4]["recall"] == 0.5
+    assert got[32]["n_recalled"] == 2 and got[32]["recall"] == 1.0
+    # cost grows with band count on the planted corpus too
+    assert (
+        got[32]["n_candidate_pairs"] >= got[4]["n_candidate_pairs"]
+    )
