@@ -1014,3 +1014,165 @@ def doc_context_window_coverage(
         ),
         "window_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# contamination n-gram-length sensitivity (r12)
+# ---------------------------------------------------------------------------
+
+# 3 = the production scan's n (benchmark_contamination); 8/13 = the
+# Brown et al. / GPT-3 decontamination conventions
+CONTAM_NGRAM_SWEEP = (3, 8, 13)
+
+
+def _contam_sweep_oracle() -> str:
+    per_n = "\n        UNION ALL\n".join(
+        f"""
+        SELECT {n} AS ngram_len, doc_id, s
+        FROM (SELECT DISTINCT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - {n - 1}, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+{n - 1}], ' ')
+                     ))) AS s
+              FROM documents
+              WHERE text IS NOT NULL)"""
+        for n in CONTAM_NGRAM_SWEEP
+    )
+    sweep = ", ".join(str(n) for n in CONTAM_NGRAM_SWEEP)
+    return f"""
+    WITH sh AS ({per_n}
+    ),
+    ev   AS (SELECT * FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+    corp AS (SELECT * FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+    hits AS (
+        SELECT corp.ngram_len,
+               CAST(COUNT(DISTINCT corp.doc_id) AS BIGINT) AS n_flagged_docs,
+               CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT)   AS n_eval_docs_hit,
+               CAST(COUNT(DISTINCT corp.s) AS BIGINT)      AS n_shared_ngrams
+        FROM corp JOIN ev
+          ON ev.ngram_len = corp.ngram_len AND ev.s = corp.s
+        GROUP BY corp.ngram_len
+    ),
+    t AS (SELECT unnest([{sweep}]) AS ngram_len),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_docs
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id % {CONTAM_EVAL_MOD} <> 0)
+    SELECT CAST(t.ngram_len AS BIGINT)  AS ngram_len,
+           COALESCE(h.n_flagged_docs, 0)  AS n_flagged_docs,
+           COALESCE(h.n_eval_docs_hit, 0) AS n_eval_docs_hit,
+           COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+           CAST(COALESCE(h.n_flagged_docs, 0) AS DOUBLE) / nd.n_corpus_docs
+               AS flagged_share
+    FROM t
+    LEFT JOIN hits h ON h.ngram_len = t.ngram_len
+    CROSS JOIN nd
+    ORDER BY ngram_len
+    """
+
+
+@register("contamination_ngram_sensitivity", oracle=_contam_sweep_oracle())
+def contamination_ngram_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much does the decontamination verdict depend on the n-gram
+    length?  ``benchmark_contamination`` scans at the production n=3;
+    this sweeps {3, 8, 13} (8/13-gram being the Brown et al./GPT-3
+    conventions) and reports, per length, how many corpus docs share at
+    least one n-gram with the held-out eval slice — the sweep an eval
+    owner runs before a release: if flagged docs collapse between 3 and
+    8, the 3-gram scan is mostly stopword-phrase noise; if 13-gram
+    still flags, those are verbatim spans.
+
+    Shape: ONE corpus scan — the persisted documents frame feeds a
+    union of three codegen shingle branches (arrays_zip of shifted
+    slices per n, the r5 in-row rule), then ONE inverted-index join
+    keyed on (ngram_len, s) covers every length, closing to a
+    |sweep|-row summary.  Missing lengths are restored by a LEFT join
+    from the sweep literal (empty rows always emit — at 13 the fixture
+    output IS empty, so the planted verbatim-span test in
+    tests/test_new_ops_r12b.py pins the detection path).  Parity:
+    counts exact BIGINT; flagged_share an unrounded exact-integer
+    ratio; truncated shingles for docs shorter than n agree with the
+    oracle's inclusive-slice construction (benchmark_contamination
+    precedent)."""
+    from googlecloudstorage_blueprints_spark.functions.columns import (
+        shingle_structs,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+        .persist()
+    )
+    branches = []
+    for n in CONTAM_NGRAM_SWEEP:
+        branches.append(
+            d.select(
+                "doc_id",
+                F.explode_outer(shingle_structs("text", n)).alias("p"),
+            )
+            .select(
+                F.lit(n).alias("ngram_len"),
+                "doc_id",
+                F.concat_ws(
+                    " ", *[f"p.{i}" for i in range(n)]
+                ).alias("s"),
+            )
+            .dropDuplicates(["ngram_len", "doc_id", "s"])
+        )
+    sh = branches[0]
+    for b in branches[1:]:
+        sh = sh.unionByName(b)
+    ev = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
+        "ngram_len", F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    corp = sh.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    hits = (
+        corp.join(ev, ["ngram_len", "s"])
+        .groupBy("ngram_len")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias(
+                "n_flagged_docs"
+            ),
+            F.countDistinct("eval_doc_id")
+            .cast("long")
+            .alias("n_eval_docs_hit"),
+            F.countDistinct("s").cast("long").alias("n_shared_ngrams"),
+        )
+    )
+    nd = d.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_docs")
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(n) for n in CONTAM_NGRAM_SWEEP])
+        ).alias("ngram_len")
+    )
+    out = sort_bounded(
+        t.join(hits, "ngram_len", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("ngram_len").cast("long").alias("ngram_len"),
+            F.coalesce(F.col("n_flagged_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_flagged_docs"),
+            F.coalesce(F.col("n_eval_docs_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_eval_docs_hit"),
+            F.coalesce(F.col("n_shared_ngrams"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_ngrams"),
+            (
+                F.coalesce(F.col("n_flagged_docs"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("n_corpus_docs")
+            ).alias("flagged_share"),
+        ),
+        "ngram_len",
+    ).persist()
+    out.count()  # materialize through the cached documents frame
+    d.unpersist()
+    return out

@@ -107,3 +107,66 @@ def test_band_sweep_planted_mid_jaccard_pair_bends_curve(
     assert (
         got[32]["n_candidate_pairs"] >= got[4]["n_candidate_pairs"]
     )
+
+
+def _driver_compare(spark, sf_dir: str, name: str):
+    import duckdb
+
+    from googlecloudstorage_blueprints_spark.operators import all_oracles
+
+    sdf = all_queries()[name](spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(r[c]) for c in scols) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.sql(all_oracles()[name])
+    ocols = list(res.columns)
+    idx = [ocols.index(c) for c in sorted(ocols)]
+    orows = sorted(
+        tuple(str(row[i]) for i in idx) for row in res.fetchall()
+    )
+    con.close()
+    return srows, orows
+
+
+def test_contamination_sweep_planted_verbatim_spans(spark, tmp_path):
+    """At sf0.01 the 8/13-gram sweep rows read zero (fixture has no
+    long verbatim cross-eval spans), so the detection path needs a
+    planted pin: an eval doc (doc_id % 97 == 0) shares a verbatim
+    13-word span with corpus doc 1 (flags at every length) and a
+    5-word span with corpus doc 2 (flags at 3 only — a 5-word overlap
+    contains 3-grams but no 8-gram).  Corpus doc 3 is clean.
+    Cross-engine compared."""
+    span13 = " ".join(f"s{i:02d}" for i in range(13))
+    span5 = " ".join(f"t{i:02d}" for i in range(5))
+    rows = [
+        (1, f"alpha beta {span13} gamma delta"),
+        (2, f"epsilon zeta {span5} eta theta"),
+        (3, "iota kappa lam mu nu xi omicron pi rho sigma"),
+        (97, f"intro words {span13} and then {span5} outro words"),
+    ]
+    sf = _planted_dir(tmp_path, {"documents": _docs_table(rows)})
+    got = {
+        r["ngram_len"]: r
+        for r in all_queries()["contamination_ngram_sensitivity"](
+            spark, sf
+        ).collect()
+    }
+    assert got[3]["n_flagged_docs"] == 2
+    assert got[8]["n_flagged_docs"] == 1
+    assert got[13]["n_flagged_docs"] == 1
+    assert got[13]["n_eval_docs_hit"] == 1
+    # 13-word span: exactly one 13-gram shared
+    assert got[13]["n_shared_ngrams"] == 1
+    # flagged_share over the 3 corpus docs
+    assert got[3]["flagged_share"] == pytest.approx(2 / 3)
+    srows, orows = _driver_compare(
+        spark, sf, "contamination_ngram_sensitivity"
+    )
+    assert srows == orows
