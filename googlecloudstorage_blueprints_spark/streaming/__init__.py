@@ -24,6 +24,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_session_path_trigrams,
     streaming_stateful_sessions,
     streaming_transition_matrix,
+    streaming_weekly_conversion,
 )
 
 __all__ = [
@@ -47,6 +48,7 @@ __all__ = [
     "streaming_session_entries",
     "streaming_session_path_trigrams",
     "streaming_transition_matrix",
+    "streaming_weekly_conversion",
     "run_stream_to_memory",
 ]
 

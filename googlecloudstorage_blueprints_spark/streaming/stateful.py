@@ -1754,3 +1754,101 @@ def streaming_pair_latency(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming weekly conversion: per-user seen/bought week sets (r12)
+# ---------------------------------------------------------------------------
+
+_WEEKLY_CONV_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("epoch_week", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+_WEEKLY_CONV_STATE_SCHEMA = StructType(
+    [
+        StructField("seen_weeks", ArrayType(LongType())),
+        StructField("bought_weeks", ArrayType(LongType())),
+    ]
+)
+
+_US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+def _weekly_conversion_marks(key: tuple, pdfs, state: GroupState):
+    """Per-user conditional-distinct marks: state holds the sets of
+    epoch-weeks already emitted as ACTIVE and as BUYER; a micro-batch
+    emits one ('active') row per first sighting of a (user, week) and
+    one ('buyer') row per first PURCHASE sighting of it — the two
+    conditional distincts of the batch weekly-conversion aggregate as
+    exactly-once changelog rows.  Re-sighted weeks (later events,
+    redelivered batches) are absorbed by the sets, so any replay's
+    summed emissions equal the batch COUNT(DISTINCT ...) pair."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    wk = rows["ts"].astype("int64") // 1000 // _US_PER_WEEK
+    weeks_all = set(wk.tolist())
+    buy_weeks = set(wk[rows["event_type"] == "purchase"].tolist())
+    seen = set(state.get[0]) if state.exists else set()
+    bought = set(state.get[1]) if state.exists else set()
+    fresh_active = sorted(weeks_all - seen)
+    fresh_buyer = sorted(buy_weeks - bought)
+    if not fresh_active and not fresh_buyer:
+        return
+    state.update(
+        (sorted(seen | weeks_all), sorted(bought | buy_weeks))
+    )
+    out = [
+        {"user_id": int(user_id), "epoch_week": int(w), "kind": "active"}
+        for w in fresh_active
+    ] + [
+        {"user_id": int(user_id), "epoch_week": int(w), "kind": "buyer"}
+        for w in fresh_buyer
+    ]
+    yield pd.DataFrame(out)
+
+
+def streaming_weekly_conversion(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming conditional-distinct feed — the incremental twin of
+    the batch ``weekly_conversion_trend`` distinct core
+    (operators/behavior.py): n_active and n_buyers are per-week
+    COUNT(DISTINCT user) and COUNT(DISTINCT user WHERE purchased),
+    and this maintains both incrementally, emitting each (user, week)
+    at most once per kind ('active' on first sighting, 'buyer' on
+    first purchase sighting) — the ``streaming_dau_wau`` seen-set
+    pattern extended to a CONDITIONAL distinct.  Downstream, the batch
+    table's distinct columns are a stateless per-week count of each
+    kind and conversion_share their ratio (test-pinned, including
+    under full-backlog redelivery — set absorption makes replay a
+    no-op).  The batch op's n_purchases/purchase_value columns are
+    plain sums any stateless streaming aggregate carries; the stateful
+    part worth a kernel is the distinct pair.
+
+    Scale: state is two week-sets per user — bounded by |weeks in
+    retention|, never event volume; one user_id shuffle per
+    micro-batch."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _weekly_conversion_marks,
+            _WEEKLY_CONV_OUT_SCHEMA,
+            _WEEKLY_CONV_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

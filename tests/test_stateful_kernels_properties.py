@@ -971,3 +971,46 @@ def test_pair_latency_kernel_bridges_any_split(case):
             n, g = got.get(k, (0, 0))
             got[k] = (n + int(r.n_pairs), g + int(r.total_gap_us))
     assert got == _ref_pair_latency(events)
+
+
+# --- r12: weekly-conversion conditional-distinct marks -----------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _US_PER_WEEK,
+    _weekly_conversion_marks,
+)
+
+
+def _ref_weekly_marks(events):
+    """Whole-sequence reference: one ('active') mark per distinct
+    epoch-week, one ('buyer') mark per week containing a purchase."""
+    active = {ts // _US_PER_WEEK for ts, _eid, _ty in events}
+    buyer = {
+        ts // _US_PER_WEEK
+        for ts, _eid, ty in events
+        if ty == "purchase"
+    }
+    return {(w, "active") for w in active} | {
+        (w, "buyer") for w in buyer
+    }
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_weekly_conversion_kernel_emits_each_mark_once(case):
+    """Summed emissions over any in-order split equal the reference
+    mark set with NO duplicates, and re-delivering every batch adds
+    zero emissions (both week-sets absorb replays)."""
+    events, batches = case
+    state = FakeGroupState()
+    marks = []
+    for batch in batches + batches:  # second pass = full redelivery
+        for pdf in _weekly_conversion_marks(
+            (1,), iter([_rows_df(batch)]), state
+        ):
+            marks.extend(
+                (int(r.epoch_week), str(r.kind))
+                for r in pdf.itertuples(index=False)
+            )
+    assert len(marks) == len(set(marks)), "duplicate mark emitted"
+    assert set(marks) == _ref_weekly_marks(events)

@@ -1674,3 +1674,88 @@ def test_streaming_pair_latency_checkpoint_restart(spark, tmp_path):
     assert got == _batch_pair_latency_core(spark), (
         "checkpoint-recovered state must complete cross-half hand-offs"
     )
+
+
+def test_streaming_weekly_conversion_matches_batch_and_redelivery(
+    spark, tmp_path
+):
+    """The conditional-distinct feed must emit exactly one 'active'
+    mark per distinct (user, epoch-week) and one 'buyer' mark per
+    (user, week-with-purchase) — and redelivering the backlog must add
+    ZERO emissions (both week-sets absorb repeats).  Rolling the marks
+    up per week must reproduce the batch weekly_conversion_trend
+    distinct columns exactly, conversion_share included."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_weekly_conversion,
+    )
+
+    e = load_table(spark, SF, "events")
+    wk = F.expr("unix_micros(ts) div 604800000000")
+    batch_active = {
+        (r["user_id"], r["wk"])
+        for r in e.select("user_id", wk.alias("wk")).distinct().collect()
+    }
+    batch_buyer = {
+        (r["user_id"], r["wk"])
+        for r in e.where(F.col("event_type") == "purchase")
+        .select("user_id", wk.alias("wk"))
+        .distinct()
+        .collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_weekly_conversion(spark, SF), "wconv_single"
+    ).collect()
+    got_active = {
+        (r["user_id"], r["epoch_week"])
+        for r in single
+        if r["kind"] == "active"
+    }
+    got_buyer = {
+        (r["user_id"], r["epoch_week"])
+        for r in single
+        if r["kind"] == "buyer"
+    }
+    assert len(single) == len(batch_active) + len(batch_buyer)
+    assert got_active == batch_active
+    assert got_buyer == batch_buyer
+
+    (tmp_path / "replay").mkdir()
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "00.parquet")
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "01.parquet")
+    redelivered = run_stream_to_memory(
+        streaming_weekly_conversion(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "wconv_redelivery",
+    ).collect()
+    assert len(redelivered) == len(single)
+
+    # rollup: per-week counts of each kind ≡ the batch op's distincts
+    per_week = {}
+    for uid, w in got_active:
+        per_week.setdefault(w, [0, 0])[0] += 1
+    for uid, w in got_buyer:
+        per_week[w][1] += 1
+    batch = {
+        r["epoch_week"]: (
+            r["n_active"],
+            r["n_buyers"],
+            r["conversion_share"],
+        )
+        for r in all_queries()["weekly_conversion_trend"](
+            spark, SF
+        ).collect()
+    }
+    assert set(per_week) == set(batch)
+    for w, (na, nb) in per_week.items():
+        ba, bb, share = batch[w]
+        assert (na, nb) == (ba, bb)
+        assert share == nb / na
