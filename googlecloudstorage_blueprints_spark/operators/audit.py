@@ -780,3 +780,172 @@ def events_id_ts_inversions(
         ),
         "epoch_day",
     )
+
+
+# ---------------------------------------------------------------------------
+# value-distribution drift (r12) — PSI between time halves
+# ---------------------------------------------------------------------------
+
+PSI_MAG_BUCKETS = 9  # cents-magnitude buckets: digits(cents) capped at 9
+
+
+@register(
+    "events_value_psi",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS ts_us,
+               LEAST({PSI_MAG_BUCKETS},
+                     length(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                 AS VARCHAR))) AS bucket
+        FROM events
+    ),
+    mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS tmid FROM e),
+    c AS (
+        SELECT e.event_type, e.bucket,
+               CAST(SUM(CASE WHEN e.ts_us <= mid.tmid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_a,
+               CAST(SUM(CASE WHEN e.ts_us > mid.tmid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cnt_b
+        FROM e CROSS JOIN mid
+        GROUP BY e.event_type, e.bucket
+    ),
+    spine AS (
+        SELECT t.event_type, b.bucket
+        FROM (SELECT DISTINCT event_type FROM e) t
+        CROSS JOIN (SELECT unnest(range(1, {PSI_MAG_BUCKETS} + 1))
+                        AS bucket) b
+    ),
+    f AS (
+        SELECT s.event_type, s.bucket,
+               COALESCE(c.cnt_a, 0) AS cnt_a,
+               COALESCE(c.cnt_b, 0) AS cnt_b
+        FROM spine s
+        LEFT JOIN c ON c.event_type = s.event_type
+                   AND c.bucket = s.bucket
+    ),
+    g AS (
+        SELECT event_type, bucket, cnt_a, cnt_b,
+               CAST(SUM(cnt_a) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS tot_a,
+               CAST(SUM(cnt_b) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS tot_b
+        FROM f
+    ),
+    terms AS (
+        SELECT event_type, tot_a, tot_b,
+               CAST(ROUND(
+                   (CAST(cnt_a + 1 AS DOUBLE)
+                        / (tot_a + {PSI_MAG_BUCKETS})
+                    - CAST(cnt_b + 1 AS DOUBLE)
+                        / (tot_b + {PSI_MAG_BUCKETS}))
+                   * (CAST(ROUND(LN(CAST(cnt_a + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                      - CAST(ROUND(LN(CAST(tot_a + {PSI_MAG_BUCKETS} AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                      - CAST(ROUND(LN(CAST(cnt_b + 1 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+                      + CAST(ROUND(LN(CAST(tot_b + {PSI_MAG_BUCKETS} AS DOUBLE)) * 1000000, 0) AS BIGINT)),
+                   0) AS BIGINT) AS term_e6
+        FROM g
+    )
+    SELECT event_type,
+           CAST(MIN(tot_a) AS BIGINT) AS n_first,
+           CAST(MIN(tot_b) AS BIGINT) AS n_second,
+           CAST(SUM(term_e6) AS BIGINT) AS psi_e6
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Has the value distribution DRIFTED?  Population Stability Index
+    per event type between the first and second half of the corpus
+    time range — the model-monitoring screen (PSI < 0.1 stable,
+    0.1-0.25 watch, > 0.25 investigate; psi_e6 is PSI × 1e6).  The
+    audit-family companion of ``events_value_benford`` (digit fraud)
+    and ``events_anomaly`` (pointwise outliers): PSI flags a SHIFTED
+    population even when every point looks normal.
+
+    Shape: one scan bucketing values by cents-magnitude (digit count —
+    a pure string/integer bucket key, no transcendental near a bucket
+    boundary), one (type, bucket, period) count aggregate, windows
+    over the enum-bounded (|types|×9) frame.  Parity: Laplace-smoothed
+    shares make every ln argument ≥ 1 and every denominator positive
+    (no NULLIF needed by construction); each ln is fixed-pointed ×1e6
+    at birth (the r7 transcendental rule) and each bucket's PSI term
+    is rounded to an INTEGER e6 unit, so the per-type sum is an
+    order-independent BIGINT sum — never ROUND(SUM(doubles)).  The
+    time midpoint is pure integer-µs arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    B = PSI_MAG_BUCKETS
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ev = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.least(
+            F.lit(B), F.length(cents.cast("string"))
+        ).alias("bucket"),
+    )
+    mid = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("tmid")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") <= F.col("tmid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(
+                F.when(F.col("ts_us") > F.col("tmid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    types = ev.select("event_type").distinct()
+    buckets = spark.range(1, B + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    spine = types.crossJoin(F.broadcast(buckets))
+    f = spine.join(c, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    w_t = Window.partitionBy("event_type")
+    g = f.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w_t).cast("long").alias("tot_a"),
+        F.sum("cnt_b").over(w_t).cast("long").alias("tot_b"),
+    )
+
+    def _ln_e6(col):
+        return F.round(F.log(col.cast("double")) * 1_000_000, 0).cast(
+            "long"
+        )
+
+    l_e6 = (
+        _ln_e6(F.col("cnt_a") + 1)
+        - _ln_e6(F.col("tot_a") + B)
+        - _ln_e6(F.col("cnt_b") + 1)
+        + _ln_e6(F.col("tot_b") + B)
+    )
+    p_minus_q = (F.col("cnt_a") + 1).cast("double") / (
+        F.col("tot_a") + B
+    ) - (F.col("cnt_b") + 1).cast("double") / (F.col("tot_b") + B)
+    term_e6 = F.round(p_minus_q * l_e6, 0).cast("long")
+    return sort_bounded(
+        g.select(
+            "event_type", "tot_a", "tot_b", term_e6.alias("term_e6")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("tot_a").cast("long").alias("n_first"),
+            F.min("tot_b").cast("long").alias("n_second"),
+            F.sum("term_e6").cast("long").alias("psi_e6"),
+        ),
+        "event_type",
+    )

@@ -1810,3 +1810,146 @@ def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "source",
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary top-k coverage (r12) — tokenizer-budget planning ledger
+# ---------------------------------------------------------------------------
+
+VOCAB_TOPK_SWEEP = (100, 1000, 10000)
+
+
+@register(
+    "vocab_topk_coverage",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS v
+        FROM words WHERE w <> '' GROUP BY w
+    ),
+    ledger AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS m
+        FROM counts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, m,
+               CAST(SUM(m) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumw_after
+        FROM ledger
+    ),
+    t AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_TOPK_SWEEP)}])
+              AS vocab_size),
+    tot AS (SELECT CAST(SUM(m * v) AS BIGINT) AS total_tokens,
+                   CAST(SUM(m) AS BIGINT)     AS n_vocab
+            FROM ledger),
+    cov AS (
+        SELECT t.vocab_size,
+               CAST(SUM(CASE
+                   WHEN cum.cumw_after <= t.vocab_size THEN cum.m * cum.v
+                   WHEN cum.cumw_after - cum.m >= t.vocab_size THEN 0
+                   ELSE (t.vocab_size - (cum.cumw_after - cum.m)) * cum.v
+               END) AS BIGINT) AS covered_tokens
+        FROM cum CROSS JOIN t
+        GROUP BY t.vocab_size
+    )
+    SELECT CAST(t.vocab_size AS BIGINT) AS vocab_size,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           tot.total_tokens,
+           tot.n_vocab,
+           CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+               / NULLIF(tot.total_tokens, 0) AS coverage
+    FROM t
+    LEFT JOIN cov c ON c.vocab_size = t.vocab_size
+    CROSS JOIN tot
+    ORDER BY vocab_size
+    """,
+)
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What share of token occurrences does a k-word vocabulary cover?
+    The tokenizer-budget dial (OOV rate = 1 − coverage) for k ∈
+    {100, 1000, 10000} — the planning companion of
+    ``ngram_coverage_curve`` (n-grams) and ``vocab_growth_curve``
+    (Heaps' law): coverage saturating early means a small vocab +
+    byte-fallback suffices; a flat curve means long-tail-heavy text.
+
+    Shape: the scale pattern here is the COUNTS-OF-COUNTS LEDGER (the
+    r8 value-bucket rule, applied to vocabulary): covering the top-k
+    words needs a rank over |vocab| rows, but ranks are only consumed
+    through the cutoff sum — so the op aggregates words to count
+    values (|ledger| ≈ distinct frequencies, thousands at any corpus
+    size), cumsums the BOUNDED ledger, and resolves each k cutoff
+    arithmetically, splitting the boundary frequency group
+    pro-rata-by-count ((k − words_above)·v — deterministic, no
+    per-word rank, no tie ambiguity since ties only exist WITHIN a
+    group the formula never orders).  No data-sized window anywhere.
+    Parity: everything is BIGINT until the single coverage division
+    (exact-integer ratio, unrounded, NULLIF-guarded)."""
+    counts = _words(spark, sf_dir).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    ledger = counts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w_cum = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded |distinct frequencies| ledger cumulative — never the vocab
+    cum = ledger.select(
+        "v",
+        "m",
+        F.sum("m").over(w_cum).cast("long").alias("cumw_after"),
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k) for k in VOCAB_TOPK_SWEEP])
+        ).alias("vocab_size")
+    )
+    contrib = (
+        F.when(
+            F.col("cumw_after") <= F.col("vocab_size"),
+            F.col("m") * F.col("v"),
+        )
+        .when(
+            F.col("cumw_after") - F.col("m") >= F.col("vocab_size"),
+            F.lit(0),
+        )
+        .otherwise(
+            (
+                F.col("vocab_size").cast("long")
+                - (F.col("cumw_after") - F.col("m"))
+            )
+            * F.col("v")
+        )
+    )
+    cov = (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("vocab_size")
+        .agg(F.sum(contrib).cast("long").alias("covered_tokens"))
+    )
+    tot = ledger.agg(
+        F.sum(F.col("m") * F.col("v")).cast("long").alias("total_tokens"),
+        F.sum("m").cast("long").alias("n_vocab"),
+    )
+    return sort_bounded(
+        t.join(cov, "vocab_size", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.col("total_tokens"),
+            F.col("n_vocab"),
+            (
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.nullif(F.col("total_tokens"), F.lit(0))
+            ).alias("coverage"),
+        ),
+        "vocab_size",
+    )

@@ -1007,6 +1007,56 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_THRESHOLD_SWEEP_PCT = (50, 60, 70, 80, 90)
 
 
+def _capped_pair_frame(spark: SparkSession, sf_dir: str):
+    """(documents, persisted shingle frame, pair frame) — the df-capped
+    inverted-index pair frame ``ngram_jaccard_dedup`` defines, WITHOUT a
+    threshold: (doc_a, doc_b, n_common, n_union) for every intersecting
+    pair.  Shared by ``dedup_threshold_sensitivity`` (threshold sweep)
+    and ``pair_similarity_histogram`` (full distribution) — factored
+    r12, byte-identical plan to the r11 inline form.  Callers must
+    materialize through and then unpersist the returned shingle
+    frame."""
+    d = load_table(spark, sf_dir, "documents")
+    dr = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh_all = dr.select("doc_id", F.explode_outer(_shingles()).alias("s"))
+    sh_all = sh_all.persist()
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    sh = sh_all.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return d, sh_all, pairs
+
+
 @register(
     "dedup_threshold_sensitivity",
     oracle=f"""
@@ -1081,44 +1131,7 @@ def dedup_threshold_sensitivity(
     a double Jaccard compare, the r9 bucket-key rule); flagged docs
     count DISTINCT doc_b (the non-keeper side under the min-doc_id
     keeper convention); the share an unrounded exact-integer ratio."""
-    d = load_table(spark, sf_dir, "documents")
-    dr = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh_all = dr.select("doc_id", F.explode_outer(_shingles()).alias("s"))
-    sh_all = sh_all.persist()
-    hot = (
-        sh_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > SHINGLE_DF_CAP)
-        .select("s")
-    )
-    sh = sh_all.join(hot, "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    pairs = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_common").cast("long").alias("n_common"),
-            (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
-            .cast("long")
-            .alias("n_union"),
-        )
-    )
+    d, sh_all, pairs = _capped_pair_frame(spark, sf_dir)
     t = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(p) for p in DEDUP_THRESHOLD_SWEEP_PCT])
@@ -1377,4 +1390,117 @@ def lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all.unpersist()
     candidates.unpersist()
     truth.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pair similarity histogram (r12) — the full Jaccard distribution
+# ---------------------------------------------------------------------------
+
+SIM_HIST_BUCKETS = 10
+
+
+@register(
+    "pair_similarity_histogram",
+    oracle=f"""
+    WITH sh_all AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
+                     ))) AS s
+              FROM documents)
+    ),
+    kept AS (SELECT s FROM sh_all GROUP BY s
+             HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT CAST(i.n_common AS BIGINT) AS n_common,
+               CAST(sa.sz + sb.sz - i.n_common AS BIGINT) AS n_union
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    ),
+    h AS (
+        SELECT LEAST({SIM_HIST_BUCKETS - 1},
+                     (n_common * {SIM_HIST_BUCKETS}) // n_union) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    ),
+    t AS (SELECT unnest(range({SIM_HIST_BUCKETS})) AS bucket),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pairs)
+    SELECT CAST(t.bucket AS BIGINT)                AS bucket,
+           CAST(t.bucket AS DOUBLE) / {SIM_HIST_BUCKETS}       AS j_lo,
+           CAST(t.bucket + 1 AS DOUBLE) / {SIM_HIST_BUCKETS}   AS j_hi,
+           COALESCE(h.n_pairs, 0)                  AS n_pairs,
+           CAST(COALESCE(h.n_pairs, 0) AS DOUBLE)
+               / NULLIF(tot.n_total, 0)            AS pair_share
+    FROM t
+    LEFT JOIN h ON h.bucket = t.bucket
+    CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def pair_similarity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL Jaccard distribution of intersecting document pairs —
+    where ``dedup_threshold_sensitivity`` answers "what changes at
+    these five cutoffs", this shows the whole curve: a mass in the
+    0.4-0.6 buckets is near-dup content sitting under the production
+    threshold, mass at 0.9+ is the boilerplate/mirror tail the LSH
+    banding must catch (``lsh_band_sensitivity``'s recall target).
+
+    Shape: the SAME df-capped inverted-index pair frame (factored
+    ``_capped_pair_frame``; candidate volume bounded by the df cap,
+    never hot-shingle df²), closed to a 10-bucket histogram.  Parity:
+    the bucket key is PURE BIGINT — least(9, (10·n_common) div
+    n_union), the r9 bucket-key rule, so a J=0.6 pair lands in bucket
+    6 identically on both engines with no double division anywhere;
+    bucket bounds and pair_share are exact-integer ratios, unrounded;
+    empty buckets restored by a LEFT join from the bucket literal;
+    NULLIF guards the zero-pair corpus."""
+    _, sh_all, pairs = _capped_pair_frame(spark, sf_dir)
+    bucket = F.least(
+        F.lit(SIM_HIST_BUCKETS - 1),
+        F.expr(f"(n_common * {SIM_HIST_BUCKETS}) div n_union"),
+    )
+    h = (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    t = spark.range(SIM_HIST_BUCKETS).select(
+        F.col("id").alias("bucket")
+    )
+    out = sort_bounded(
+        t.join(h, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (
+                F.col("bucket").cast("double") / SIM_HIST_BUCKETS
+            ).alias("j_lo"),
+            (
+                (F.col("bucket") + 1).cast("double") / SIM_HIST_BUCKETS
+            ).alias("j_hi"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            (
+                F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_total"), F.lit(0))
+            ).alias("pair_share"),
+        ),
+        "bucket",
+    ).persist()
+    out.count()  # materialize through the cached shingle frame
+    sh_all.unpersist()
     return out

@@ -170,3 +170,56 @@ def test_contamination_sweep_planted_verbatim_spans(spark, tmp_path):
         spark, sf, "contamination_ngram_sensitivity"
     )
     assert srows == orows
+
+
+def test_events_value_psi_planted_drift_and_stability(spark, tmp_path):
+    """A type whose two time halves have IDENTICAL bucket counts must
+    read psi_e6 == 0 exactly (p == q → every term is 0); a type whose
+    values jump a magnitude between halves must read a large positive
+    PSI.  Cross-engine compared."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = []
+    eid = 1
+    # 'stable': same values in both halves (buckets identical)
+    for h in (0, 1, 98, 99):  # range 0..99h, midpoint ~49.5h
+        for v in (5.0, 50.0):
+            rows.append((eid, at(h), 1, "stable", v))
+            eid += 1
+    # 'drift': cents magnitude 3 in first half, 5 in second
+    for h in (0, 1, 2, 3):
+        rows.append((eid, at(h), 2, "drift", 5.0))
+        eid += 1
+    for h in (96, 97, 98, 99):
+        rows.append((eid, at(h), 2, "drift", 500.0))
+        eid += 1
+    sf = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["events_value_psi"](spark, sf).collect()
+    }
+    assert got["stable"]["psi_e6"] == 0
+    assert got["stable"]["n_first"] == got["stable"]["n_second"] == 4
+    # full magnitude swap: PSI far beyond the 0.25 alarm line (250000)
+    assert got["drift"]["psi_e6"] > 250_000
+    srows, orows = _driver_compare(spark, sf, "events_value_psi")
+    assert srows == orows
+
+
+def _events_table(rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
