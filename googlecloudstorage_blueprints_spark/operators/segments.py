@@ -2330,3 +2330,207 @@ def order_value_percentiles_approx(
         ),
         "o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# co-purchase degree histogram (r12) — graph-degree view of the baskets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchase_degree_histogram",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey
+         AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT part_a AS part FROM pairs
+              UNION ALL
+              SELECT part_b AS part FROM pairs)
+        GROUP BY part
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg
+    GROUP BY degree
+    ORDER BY degree
+    """,
+)
+def copurchase_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many DISTINCT
+    partner parts does each part co-occur with, histogrammed — the
+    graph-shape view ``part_copurchase_lift`` (edge weights) doesn't
+    show: a heavy-tailed degree histogram means hub products that
+    bundle with everything (and predicts the hot keys a
+    recommendation join must skew-handle); a thin one means siloed
+    baskets.
+
+    Shape: the SAME single basket pass as part_copurchase_lift
+    (collect_set per order, in-row pair Generates — fan-out bounded by
+    basket width², never |parts|²), pairs made DISTINCT (degree counts
+    partners, not co-occurrence events), degrees via one keyed count
+    over the symmetric pair explode, closed to a degree-value
+    histogram — the output is bounded by max degree, the counts-of-
+    counts ledger shape again.  Parity: all counts exact BIGINT; no
+    doubles anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            "parts", F.explode_outer("parts").alias("part_a")
+        )
+        .select("part_a", F.explode_outer("parts").alias("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("part_a").alias("part"))
+        .unionByName(pairs.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return sort_bounded(
+        deg.groupBy("degree").agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts")
+        ),
+        "degree",
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation × market-segment mix deviation (r12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_segment_chisq",
+    oracle="""
+    WITH cells AS (
+        SELECT n.n_name, c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, c.c_mktsegment
+    ),
+    rn AS (SELECT n_name, CAST(SUM(o) AS BIGINT) AS r FROM cells
+           GROUP BY n_name),
+    cs AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS cn FROM cells
+           GROUP BY seg),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.n_name,
+               CAST(ROUND(
+                   POW(CAST(cells.o AS DOUBLE)
+                       - CAST(rn.r AS DOUBLE) * CAST(cs.cn AS DOUBLE)
+                         / CAST(t.n AS DOUBLE), 2)
+                   / (CAST(rn.r AS DOUBLE) * CAST(cs.cn AS DOUBLE)
+                      / CAST(t.n AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS t6
+        FROM cells
+        JOIN rn ON rn.n_name = cells.n_name
+        JOIN cs ON cs.seg = cells.seg
+        CROSS JOIN t
+    ),
+    top AS (
+        SELECT n_name, seg AS top_segment, o AS top_o
+        FROM cells
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY n_name ORDER BY o DESC, seg) = 1
+    )
+    SELECT rn.n_name,
+           rn.r AS n_customers,
+           ROUND(CAST(CAST(s.c6 AS BIGINT) AS DOUBLE) / 1000000.0, 6)
+               AS chi2_contrib,
+           top.top_segment,
+           CAST(top.top_o AS DOUBLE) / rn.r AS top_segment_share
+    FROM rn
+    JOIN (SELECT n_name, CAST(SUM(t6) AS BIGINT) AS c6 FROM terms
+          GROUP BY n_name) s ON s.n_name = rn.n_name
+    JOIN top ON top.n_name = rn.n_name
+    ORDER BY rn.n_name
+    """,
+)
+def nation_segment_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which nations deviate most from the global market-segment mix?
+    Per-nation χ² contribution against the independence expectation,
+    plus the modal segment and its share — the geographic-composition
+    screen (``mktsegment_quarterly_share`` shows the mix over TIME;
+    this shows where it's unrepresentative over GEOGRAPHY, and the
+    contribution column decomposes ``lang_source_chisq``-style global
+    stats to actionable rows).
+
+    Shape: one |nations|×|segments|-cell contingency aggregate off the
+    broadcast dimension join; everything after it is ≤125 rows.
+    Parity: the r7 fixed-point rule — each cell's (o−e)²/e term scaled
+    ×1e6 to BIGINT before the per-nation integer sum, the statistic
+    divided once and rounded 6dp; modal segment total-ordered by
+    (count DESC, segment); top share an unrounded exact-integer
+    ratio."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        c.join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        )
+        .groupBy("n_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rn = cells.groupBy("n_name").agg(
+        F.sum("o").cast("long").alias("r")
+    )
+    cs = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("cn"))
+    t = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("n").cast("double")
+    )
+    t6 = F.round(
+        F.pow(F.col("o").cast("double") - e, 2) / e * 1000000, 0
+    ).cast("long")
+    contrib = (
+        cells.join(F.broadcast(rn), "n_name")
+        .join(F.broadcast(cs), "seg")
+        .crossJoin(F.broadcast(t))
+        .select("n_name", t6.alias("t6"))
+        .groupBy("n_name")
+        .agg(F.sum("t6").cast("long").alias("c6"))
+    )
+    w_top = Window.partitionBy("n_name").orderBy(
+        F.col("o").desc(), F.col("seg")
+    )
+    top = (
+        cells.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") == 1)
+        .select(
+            "n_name",
+            F.col("seg").alias("top_segment"),
+            F.col("o").alias("top_o"),
+        )
+    )
+    return sort_bounded(
+        rn.join(contrib, "n_name")
+        .join(top, "n_name")
+        .select(
+            "n_name",
+            F.col("r").alias("n_customers"),
+            F.round(
+                F.col("c6").cast("double") / 1000000.0, 6
+            ).alias("chi2_contrib"),
+            "top_segment",
+            (
+                F.col("top_o").cast("double") / F.col("r")
+            ).alias("top_segment_share"),
+        ),
+        "n_name",
+    )

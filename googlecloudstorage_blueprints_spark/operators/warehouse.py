@@ -336,3 +336,214 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "o_orderstatus", "age_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# in-flight order ledger (r12) — monthly open-order peaks via delta sweep
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_inflight_monthly",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               epoch_us(o.o_orderdate) // 86400000000 AS s,
+               MAX(epoch_us(l.l_shipdate) // 86400000000) AS e
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT s AS day, CAST(1 AS BIGINT) AS net FROM spans
+        UNION ALL
+        SELECT e + 1 AS day, CAST(-1 AS BIGINT) AS net FROM spans
+    ),
+    ledger AS (
+        SELECT day, CAST(SUM(net) AS BIGINT) AS net
+        FROM deltas GROUP BY day
+    ),
+    cum AS (
+        SELECT day,
+               CAST(SUM(net) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open_cnt,
+               strftime(DATE '1970-01-01' + INTERVAL (day) DAY,
+                        '%Y-%m') AS month
+        FROM ledger
+    ),
+    per_m AS (
+        SELECT month,
+               CAST(MAX(open_cnt) AS BIGINT) AS mx,
+               CAST(arg_max(open_cnt, day) AS BIGINT) AS last_cnt
+        FROM cum GROUP BY month
+    ),
+    bounds AS (
+        SELECT date_trunc('month', MIN(DATE '1970-01-01'
+                   + INTERVAL (day) DAY)) AS lo,
+               date_trunc('month', MAX(DATE '1970-01-01'
+                   + INTERVAL (day) DAY)) AS hi
+        FROM ledger
+    ),
+    spine AS (
+        SELECT strftime(unnest(generate_series(lo, hi,
+                   INTERVAL 1 MONTH)), '%Y-%m') AS month
+        FROM bounds
+    ),
+    filled AS (
+        SELECT sp.month, p.mx, p.last_cnt,
+               COALESCE(LAST_VALUE(p.last_cnt IGNORE NULLS) OVER (
+                   ORDER BY sp.month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS carry_in
+        FROM spine sp LEFT JOIN per_m p ON p.month = sp.month
+    ),
+    st AS (
+        SELECT strftime(DATE '1970-01-01' + INTERVAL (s) DAY, '%Y-%m')
+                   AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_started
+        FROM spans GROUP BY 1
+    ),
+    cl AS (
+        SELECT strftime(DATE '1970-01-01' + INTERVAL (e) DAY, '%Y-%m')
+                   AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_closed
+        FROM spans GROUP BY 1
+    )
+    SELECT f.month,
+           GREATEST(COALESCE(f.mx, f.carry_in), f.carry_in)
+               AS peak_open,
+           COALESCE(f.last_cnt, f.carry_in) AS open_at_month_end,
+           COALESCE(st.n_started, 0) AS n_started,
+           COALESCE(cl.n_closed, 0)  AS n_closed
+    FROM filled f
+    LEFT JOIN st ON st.month = f.month
+    LEFT JOIN cl ON cl.month = f.month
+    ORDER BY f.month
+    """,
+)
+def orders_inflight_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How many orders are IN FLIGHT (placed, last line not yet
+    shipped) — monthly peak and month-end level, with starts/closes —
+    the fulfilment working-set view ``orders_backlog_aging`` (a
+    point-in-time age profile) doesn't give: capacity planning reads
+    the PEAK concurrent load, and a rising month-end level with flat
+    starts means throughput is slipping.
+
+    Shape: the sweep-line LEDGER decomposition
+    (``sessions_peak_concurrency``'s pattern on order lifespans) — one
+    orderkey-keyed MAX for the span end (rides the fact's natural
+    key), ±1 deltas per order, a |days|-bounded ledger cumsum, then a
+    |months|-bounded spine with carry-in forward fill for delta-free
+    months.  NOTHING data-sized is ever sorted globally: the only
+    unpartitioned windows run over the day ledger and the month spine
+    (both calendar-bounded, the r9 SinglePartition classes).  Orders
+    with no lineitem rows never open an interval (span needs a ship
+    date; documented, matched by the oracle's inner join).  Parity:
+    pure integer epoch-day math; counts exact BIGINT; month keys from
+    integer days via the same date arithmetic both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("s"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000").alias("d"),
+    )
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "s")
+        .agg(F.max("d").cast("long").alias("e"))
+    )
+    deltas = spans.select(
+        F.col("s").alias("day"), F.lit(1).cast("long").alias("net")
+    ).unionByName(
+        spans.select(
+            (F.col("e") + 1).alias("day"),
+            F.lit(-1).cast("long").alias("net"),
+        )
+    )
+    ledger = deltas.groupBy("day").agg(
+        F.sum("net").cast("long").alias("net")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    month_of_day = F.date_format(
+        F.expr("date_add(DATE '1970-01-01', CAST(day AS INT))"),
+        "yyyy-MM",
+    )
+    # bounded |days| ledger cumulative — never the order stream
+    cum = ledger.select(
+        "day",
+        F.sum("net").over(w_cum).cast("long").alias("open_cnt"),
+        month_of_day.alias("month"),
+    )
+    per_m = cum.groupBy("month").agg(
+        F.max("open_cnt").cast("long").alias("mx"),
+        F.max_by("open_cnt", "day").cast("long").alias("last_cnt"),
+    )
+    bounds = ledger.agg(
+        F.expr(
+            "date_trunc('month', date_add(DATE '1970-01-01', "
+            "CAST(min(day) AS INT)))"
+        ).alias("lo"),
+        F.expr(
+            "date_trunc('month', date_add(DATE '1970-01-01', "
+            "CAST(max(day) AS INT)))"
+        ).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 month)")
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+    w_fill = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bounded |months| spine fill — the r9 dimension-bounded class
+    filled = spine.join(per_m, "month", "left").select(
+        "month",
+        "mx",
+        "last_cnt",
+        F.coalesce(
+            F.last("last_cnt", ignorenulls=True).over(w_fill),
+            F.lit(0),
+        ).alias("carry_in"),
+    )
+    st = spans.groupBy(
+        F.date_format(
+            F.expr("date_add(DATE '1970-01-01', CAST(s AS INT))"),
+            "yyyy-MM",
+        ).alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_started"))
+    cl = spans.groupBy(
+        F.date_format(
+            F.expr("date_add(DATE '1970-01-01', CAST(e AS INT))"),
+            "yyyy-MM",
+        ).alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+    return sort_bounded(
+        filled.join(st, "month", "left")
+        .join(cl, "month", "left")
+        .select(
+            "month",
+            F.greatest(
+                F.coalesce(F.col("mx"), F.col("carry_in")),
+                F.col("carry_in"),
+            )
+            .cast("long")
+            .alias("peak_open"),
+            F.coalesce(F.col("last_cnt"), F.col("carry_in"))
+            .cast("long")
+            .alias("open_at_month_end"),
+            F.coalesce(F.col("n_started"), F.lit(0))
+            .cast("long")
+            .alias("n_started"),
+            F.coalesce(F.col("n_closed"), F.lit(0))
+            .cast("long")
+            .alias("n_closed"),
+        ),
+        "month",
+    )

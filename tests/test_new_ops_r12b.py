@@ -223,3 +223,96 @@ def _events_table(rows):
             "props": pa.array(["{}"] * len(rows), pa.string()),
         }
     )
+
+
+def _orders_table(rows):
+    """rows: (o_orderkey, o_custkey, status, price, orderdate, priority)"""
+    import datetime
+
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [r[4] for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [r[5] for r in rows], pa.string()
+            ),
+        }
+    )
+
+
+def _lineitem_rows(pairs):
+    """pairs: (l_orderkey, l_linenumber, shipdate) minimal lineitem."""
+    import datetime
+
+    n = len(pairs)
+    return pa.table(
+        {
+            "l_orderkey": pa.array([p[0] for p in pairs], pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(
+                [p[1] for p in pairs], pa.int64()
+            ),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [p[2] for p in pairs], pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_orders_inflight_planted_carry_in_and_peak(spark, tmp_path):
+    """A long order spanning Jan→Apr holds the open count at 1 through
+    the delta-free Feb/Mar months (the carry-in fill path — vacuous on
+    fixtures where every month has deltas); a second short Jan order
+    lifts January's peak to 2.  Cross-engine compared."""
+    import datetime
+
+    d = datetime.datetime
+    orders = [
+        (1, 1, "O", 100.0, d(2024, 1, 5), "1-URGENT"),
+        (2, 1, "O", 100.0, d(2024, 1, 10), "1-URGENT"),
+    ]
+    lines = [
+        (1, 1, d(2024, 4, 20)),  # order 1 open Jan 5 .. Apr 20
+        (2, 1, d(2024, 1, 20)),  # order 2 open Jan 10 .. Jan 20
+    ]
+    sf = _planted_dir(
+        tmp_path,
+        {
+            "orders": _orders_table(orders),
+            "lineitem": _lineitem_rows(lines),
+        },
+    )
+    got = {
+        r["month"]: r
+        for r in all_queries()["orders_inflight_monthly"](
+            spark, sf
+        ).collect()
+    }
+    assert set(got) == {"2024-01", "2024-02", "2024-03", "2024-04"}
+    assert got["2024-01"]["peak_open"] == 2
+    assert got["2024-01"]["open_at_month_end"] == 1
+    assert got["2024-01"]["n_started"] == 2
+    assert got["2024-01"]["n_closed"] == 1
+    # delta-free months: carried open count
+    for m in ("2024-02", "2024-03"):
+        assert got[m]["peak_open"] == 1
+        assert got[m]["open_at_month_end"] == 1
+        assert got[m]["n_started"] == got[m]["n_closed"] == 0
+    assert got["2024-04"]["open_at_month_end"] == 0
+    assert got["2024-04"]["n_closed"] == 1
+    srows, orows = _driver_compare(
+        spark, sf, "orders_inflight_monthly"
+    )
+    assert srows == orows
