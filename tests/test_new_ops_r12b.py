@@ -316,3 +316,34 @@ def test_orders_inflight_planted_carry_in_and_peak(spark, tmp_path):
         spark, sf, "orders_inflight_monthly"
     )
     assert srows == orows
+
+
+def test_vocab_topk_coverage_planted_boundary_split(spark, tmp_path):
+    """Planted frequency ledger: 5 words × count 10, 200 words ×
+    count 2, 1000 words × count 1 (vocab 1205, 1450 occurrences).
+    k=100 cuts INSIDE the count-2 group (5 whole + 95 pro-rata →
+    50 + 190 = 240 covered); k=1000 cuts inside the count-1 group
+    (50 + 400 + 795 = 1245); k=10000 exceeds the vocab (all 1450).
+    Pins the arithmetic boundary-group split exactly, cross-engine."""
+    words = (
+        [f"h{i}" for i in range(5) for _ in range(10)]
+        + [f"m{i}" for i in range(200) for _ in range(2)]
+        + [f"l{i}" for i in range(1000)]
+    )
+    rows = [(1, " ".join(words))]
+    sf = _planted_dir(tmp_path, {"documents": _docs_table(rows)})
+    got = {
+        r["vocab_size"]: r
+        for r in all_queries()["vocab_topk_coverage"](
+            spark, sf
+        ).collect()
+    }
+    assert got[100]["covered_tokens"] == 240
+    assert got[1000]["covered_tokens"] == 1245
+    assert got[10000]["covered_tokens"] == 1450
+    for k in (100, 1000, 10000):
+        assert got[k]["total_tokens"] == 1450
+        assert got[k]["n_vocab"] == 1205
+        assert got[k]["coverage"] == got[k]["covered_tokens"] / 1450
+    srows, orows = _driver_compare(spark, sf, "vocab_topk_coverage")
+    assert srows == orows
