@@ -452,6 +452,84 @@ def bench_shapes(
             F.sum((2 * F.col("r") - F.col("n") - 1) * F.col("cents"))
         )
 
+    def vocab_coverage():
+        # round-12 claim: top-k coverage needs NO per-word rank — the
+        # counts-of-counts ledger is bounded by distinct frequencies,
+        # so only the word-count aggregate grows with the corpus
+        words = (
+            docs.where(F.col("text").isNotNull())
+            .select(F.explode_outer(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != "")
+        )
+        counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("v"))
+        ledger = counts.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+        w_cum = (
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy(F.col("v").desc())
+            .rowsBetween(-(1 << 31), 0)
+        )
+        cum = ledger.select(
+            "v", "m", F.sum("m").over(w_cum).alias("cumw_after")
+        )
+        ks = spark.range(1).select(
+            F.explode(
+                F.array(F.lit(100), F.lit(1000), F.lit(10000))
+            ).alias("k")
+        )
+        contrib = (
+            F.when(
+                F.col("cumw_after") <= F.col("k"),
+                F.col("m") * F.col("v"),
+            )
+            .when(F.col("cumw_after") - F.col("m") >= F.col("k"), F.lit(0))
+            .otherwise(
+                (F.col("k").cast("long")
+                 - (F.col("cumw_after") - F.col("m"))) * F.col("v")
+            )
+        )
+        return (
+            cum.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.sum(contrib).alias("covered"))
+        )
+
+    def inflight():
+        # round-12 claim: the open-order sweep line rides a |days|
+        # ledger — replication grows the per-order MAX aggregate and
+        # the delta build, never the cumulative window's input size
+        o2 = o.select(
+            "o_orderkey",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+                   "div 86400000000").alias("s"),
+        )
+        li2 = li.select(
+            "l_orderkey",
+            F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) "
+                   "div 86400000000").alias("d"),
+        )
+        spans = (
+            o2.join(li2, o2.o_orderkey == li2.l_orderkey)
+            .groupBy("o_orderkey", "s")
+            .agg(F.max("d").alias("e"))
+        )
+        deltas = spans.select(
+            F.col("s").alias("day"), F.lit(1).alias("net")
+        ).unionByName(
+            spans.select(
+                (F.col("e") + 1).alias("day"),
+                F.lit(-1).alias("net"),
+            )
+        )
+        ledger = deltas.groupBy("day").agg(F.sum("net").alias("net"))
+        w_cum = (
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("day")
+            .rowsBetween(-(1 << 31), 0)
+        )
+        return ledger.select(
+            "day", F.sum("net").over(w_cum).alias("open_cnt")
+        )
+
     def vocab_growth():
         # round-9 claim: vocab-at-checkpoint needs NO running-distinct —
         # min(first_doc) per word + a 10× conditional rollup of the two
@@ -653,6 +731,10 @@ def bench_shapes(
         # fulfilment join
         "pair_latency": pair_latency,
         "fulfillment": fulfillment,
+        # round-12 additions: counts-of-counts coverage ledger,
+        # open-order sweep-line ledger
+        "vocab_coverage": vocab_coverage,
+        "inflight": inflight,
         "gini": gini,
         "vocab_growth": vocab_growth,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
