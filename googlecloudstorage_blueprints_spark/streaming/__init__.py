@@ -16,6 +16,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_dau_wau,
     streaming_latest_snapshot,
     streaming_lsh_candidates,
+    streaming_order_close,
     streaming_pair_latency,
     streaming_scd2_intervals,
     streaming_sequence_pack,
@@ -41,6 +42,7 @@ __all__ = [
     "streaming_dau_wau",
     "streaming_latest_snapshot",
     "streaming_lsh_candidates",
+    "streaming_order_close",
     "streaming_pair_latency",
     "streaming_scd2_intervals",
     "streaming_sequence_pack",

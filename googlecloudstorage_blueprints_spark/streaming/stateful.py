@@ -1852,3 +1852,98 @@ def streaming_weekly_conversion(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming order-close changelog: running-MAX ship per order (r12)
+# ---------------------------------------------------------------------------
+
+_ORDERCLOSE_OUT_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("close_day", LongType()),
+        StructField("close_line", LongType()),
+    ]
+)
+
+_ORDERCLOSE_STATE_SCHEMA = StructType(
+    [
+        StructField("best_day", LongType()),
+        StructField("best_line", LongType()),
+    ]
+)
+
+
+def _order_close_per_order(key: tuple, pdfs, state: GroupState):
+    """Per-order running-MAX ship compaction — the max-race mirror of
+    ``_first_ship_per_order``: state holds the latest (ship epoch-day,
+    linenumber) seen; a micro-batch emits one row per order IFF it
+    ADVANCES the maximum.  Late/out-of-order/redelivered lines that
+    lose the race are absorbed silently, so the changelog is
+    replay-idempotent under any delivery order, and its newest
+    (= largest) emission per order is the order's true close day once
+    the backlog drains — exactly the per-order MAX the batch
+    ``orders_inflight_monthly`` span frame takes."""
+    import pandas as pd
+
+    (orderkey,) = key
+    rows = pd.concat(list(pdfs))
+    day = rows["l_shipdate"].astype("int64") // 1000 // _US_PER_DAY
+    rows = rows.assign(day=day)
+    best = rows.sort_values(
+        ["day", "l_linenumber"], ascending=[False, False]
+    ).iloc[0]
+    cand = (int(best["day"]), int(best["l_linenumber"]))
+    if state.exists:
+        cur = (int(state.get[0]), int(state.get[1]))
+        if cand <= cur:
+            return
+    state.update(cand)
+    yield pd.DataFrame(
+        [
+            {
+                "l_orderkey": int(orderkey),
+                "close_day": cand[0],
+                "close_line": cand[1],
+            }
+        ]
+    )
+
+
+def streaming_order_close(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "lineitem.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming order-close feed — the incremental twin of the batch
+    ``orders_inflight_monthly`` span core (operators/warehouse.py):
+    that op's sweep-line ledger needs each order's LAST ship day (the
+    orderkey-keyed MAX); this maintains it as a running-max changelog,
+    so the downstream in-flight ledger is a stateless ±1 delta
+    aggregate over the newest emission per order plus the orders-side
+    start days.  Newest-emission-per-order equals the batch MAX
+    exactly (test-pinned, including under full-backlog redelivery —
+    non-advancing rows lose the max race and emit nothing).
+
+    Scale: state is one fixed-width (day, line) pair per live order —
+    the bound the in-flight working set has anyway; one orderkey
+    shuffle per micro-batch."""
+    from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+        read_lineitem_stream,
+    )
+
+    li = read_lineitem_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .groupBy("l_orderkey")
+        .applyInPandasWithState(
+            _order_close_per_order,
+            _ORDERCLOSE_OUT_SCHEMA,
+            _ORDERCLOSE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1014,3 +1014,62 @@ def test_weekly_conversion_kernel_emits_each_mark_once(case):
             )
     assert len(marks) == len(set(marks)), "duplicate mark emitted"
     assert set(marks) == _ref_weekly_marks(events)
+
+
+# --- r12: running-max order-close changelog ---------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _US_PER_DAY as _US_DAY_K,
+    _order_close_per_order,
+)
+
+
+def _close_rows_df(rows):
+    """rows: list of (ship_day, linenumber)."""
+    return pd.DataFrame(
+        {
+            "l_orderkey": 1,
+            "l_linenumber": [r[1] for r in rows],
+            "l_shipdate": pd.to_datetime(
+                [r[0] * _US_DAY_K * 1000 for r in rows]
+            ),
+        }
+    )
+
+
+@given(ship_batches())
+@settings(max_examples=200, deadline=None)
+def test_order_close_kernel_max_race_under_any_delivery_order(case):
+    """Max-race mirror of the first-ship kernel: emissions strictly
+    advance the maximum under ANY batch permutation; the last emission
+    and the final state are the true (max day, max line-at-day); full
+    redelivery emits nothing."""
+    rows, batches = case
+    days = [(us // 1_000_000, ln) for us, ln in rows]  # reuse strategy
+    day_batches = [
+        [(us // 1_000_000, ln) for us, ln in b] for b in batches
+    ]
+    state = FakeGroupState()
+    emitted = []
+    for batch in day_batches:
+        for pdf in _order_close_per_order(
+            (1,), iter([_close_rows_df(batch)]), state
+        ):
+            emitted.append(
+                (
+                    int(pdf["close_day"].iloc[0]),
+                    int(pdf["close_line"].iloc[0]),
+                )
+            )
+    assert emitted == sorted(set(emitted))
+    assert emitted[-1] == max(days)
+    assert (int(state.get[0]), int(state.get[1])) == max(days)
+
+    again = []
+    for batch in day_batches:
+        again.extend(
+            _order_close_per_order(
+                (1,), iter([_close_rows_df(batch)]), state
+            )
+        )
+    assert again == []

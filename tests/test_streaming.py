@@ -1759,3 +1759,59 @@ def test_streaming_weekly_conversion_matches_batch_and_redelivery(
         ba, bb, share = batch[w]
         assert (na, nb) == (ba, bb)
         assert share == nb / na
+
+
+def test_streaming_order_close_matches_batch_and_redelivery(
+    spark, tmp_path
+):
+    """The largest emission per order of the running-max changelog must
+    equal the batch per-order MAX ship epoch-day (the span core the
+    in-flight ledger consumes), and redelivering the backlog must add
+    ZERO emissions (non-advancing rows lose the max race)."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_order_close,
+    )
+
+    batch = {
+        r["l_orderkey"]: r["e"]
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "max(unix_micros(l_shipdate) div 86400000000)"
+            ).alias("e")
+        )
+        .collect()
+    }
+    single = run_stream_to_memory(
+        streaming_order_close(spark, SF), "orderclose_single"
+    ).collect()
+    newest = {}
+    for r in single:
+        k = r["l_orderkey"]
+        if k not in newest or r["close_day"] > newest[k]:
+            newest[k] = r["close_day"]
+    assert newest == batch and len(batch) > 0
+
+    (tmp_path / "replay").mkdir()
+    shutil.copy(
+        f"{SF}/lineitem.parquet", tmp_path / "replay" / "00.parquet"
+    )
+    shutil.copy(
+        f"{SF}/lineitem.parquet", tmp_path / "replay" / "01.parquet"
+    )
+    redelivered = run_stream_to_memory(
+        streaming_order_close(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "orderclose_redelivery",
+    ).collect()
+    # second copy advances nothing: emission count equals single-replay
+    assert len(redelivered) == len(single)
