@@ -157,6 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-tokens", dest="min_tokens", type=int, default=30)
     c.add_argument("--max-top-share", dest="max_top_share", type=float,
                    default=0.15)
+    c.add_argument("--contam-ngram-len", dest="contam_ngram_len", type=int,
+                   default=3,
+                   help="decontamination shingle length (3 production; "
+                        "8/13 per the contamination_ngram_sensitivity "
+                        "sweep)")
     c.add_argument("--service-account", dest="service_account", default=None)
 
     st = sub.add_parser(
@@ -429,6 +434,7 @@ def _run_curate(args) -> int:
         min_chars=args.min_chars,
         min_tokens=args.min_tokens,
         max_top_share=args.max_top_share,
+        contam_ngram_len=args.contam_ngram_len,
     )
     print(f"{report.n_input} documents read")
     print(f"{report.n_quality} passed quality gates")

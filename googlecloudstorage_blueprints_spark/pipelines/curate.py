@@ -101,6 +101,7 @@ def curate_corpus(
     min_tokens: int = MIN_TOKENS,
     max_top_share: float = MAX_TOP_SHARE,
     sem_tau: float | None = SEM_TAU,
+    contam_ngram_len: int = 3,
 ) -> CurationReport:
     """Run the full curation pipeline over ``documents`` and write the
     result partitioned by split; returns per-stage survivor counts.
@@ -110,7 +111,11 @@ def curate_corpus(
     semantic stage keeps the smallest doc_id per embedding neighborhood
     (the ``dedup_semantic`` greedy-dominance keeper, restricted to
     lexical survivors; ``sem_tau=None`` disables it).  Split is the
-    ``stratified_split`` operator's multiplicative-hash 80/10/10."""
+    ``stratified_split`` operator's multiplicative-hash 80/10/10.
+    ``contam_ngram_len`` sets the decontamination shingle length
+    (default 3, the production scan; 8/13 are the Brown et al./GPT-3
+    conventions — pick one from ``contamination_ngram_sensitivity``'s
+    sweep before an eval release)."""
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
 
@@ -194,10 +199,12 @@ def curate_corpus(
     )
 
     def shingles_of(frame: DataFrame) -> DataFrame:
+        k = contam_ngram_len
         return frame.select(
-            "doc_id", F.explode_outer(shingle_structs("text", 3)).alias("p")
+            "doc_id", F.explode_outer(shingle_structs("text", k)).alias("p")
         ).select(
-            "doc_id", F.concat_ws(" ", "p.0", "p.1", "p.2").alias("s")
+            "doc_id",
+            F.concat_ws(" ", *[f"p.{i}" for i in range(k)]).alias("s"),
         )
 
     eval_index = (

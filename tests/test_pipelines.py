@@ -203,3 +203,19 @@ def test_session_mart_composes_registered_ops(spark, tmp_path):
     assert mart_bounce == bounce
     assert report.n_bounces == sum(b for _, b in bounce.values())
     assert globmod.glob(f"{tmp_path}/mart/epoch_day=*")
+
+
+def test_curate_contam_ngram_len_monotone(spark, tmp_path):
+    """A longer decontamination shingle can only flag FEWER docs (every
+    13-gram hit contains 3-gram hits), so n_clean is monotone
+    non-decreasing in contam_ngram_len — the pipeline knob matches the
+    contamination_ngram_sensitivity sweep's direction."""
+    r3 = curate_corpus(
+        spark, SF, str(tmp_path / "c3"), contam_ngram_len=3
+    )
+    r13 = curate_corpus(
+        spark, SF, str(tmp_path / "c13"), contam_ngram_len=13
+    )
+    # identical upstream stages; only the decontamination gate differs
+    assert r13.n_sem_deduped == r3.n_sem_deduped
+    assert r13.n_clean >= r3.n_clean
