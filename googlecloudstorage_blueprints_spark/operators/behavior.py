@@ -2839,3 +2839,109 @@ def event_pair_latency_approx(
         "prev_type",
         "next_type",
     )
+
+
+# --------------------------------------------------------------------------
+# inter-session gap stats (r12) — the return-latency distribution
+# --------------------------------------------------------------------------
+
+@register(
+    "user_intersession_gap_stats",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+        FROM seq
+    ),
+    spans AS (
+        SELECT user_id, sid,
+               CAST(MIN(ts_us) AS BIGINT) AS s,
+               CAST(MAX(ts_us) AS BIGINT) AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    gaps AS (
+        SELECT user_id,
+               s - LAG(e) OVER (PARTITION BY user_id ORDER BY sid)
+                   AS gap_us
+        FROM spans
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_multi,
+           CAST(COUNT(*) AS BIGINT)                AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*)  AS mean_gap_us,
+           quantile_cont(gap_us, 0.5)              AS p50_gap_us,
+           quantile_cont(gap_us, 0.9)              AS p90_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    """,
+)
+def user_intersession_gap_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How long until users COME BACK?  The distribution of gaps
+    BETWEEN sessions (next session start − previous session end) —
+    ``events_interarrival`` profiles within-stream micro-gaps and
+    ``user_gap_survival`` daily churn thresholds; this is the
+    return-latency view a re-engagement campaign is tuned against
+    (every gap exceeds the 30-min session cutoff by construction).
+
+    Shape: the standard sessionizer spine — ONE user-keyed exchange
+    serves the lag window, the running-sum numbering, the span
+    aggregate and the between-span lag — closing to a single global
+    stats row (exact percentile buffers hold n_gaps values; swap
+    approx_percentile at 100 TB, the percentiles_agg note).  Parity:
+    pure integer-µs math end to end; mean an unrounded exact-integer
+    ratio; interpolated quantiles of exact BIGINTs are bit-identical
+    (r10 probe)."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(gap > SESSION_GAP_S * 1_000_000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        seq.select(
+            "user_id",
+            "ts_us",
+            F.sum("is_new").over(w2).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").cast("long").alias("s"),
+            F.max("ts_us").cast("long").alias("e"),
+        )
+    )
+    w3 = Window.partitionBy("user_id").orderBy("sid")
+    gaps = spans.select(
+        "user_id",
+        (F.col("s") - F.lag("e").over(w3)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_multi"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (
+            F.sum("gap_us").cast("double") / F.count(F.lit(1))
+        ).alias("mean_gap_us"),
+        F.percentile("gap_us", 0.5).alias("p50_gap_us"),
+        F.percentile("gap_us", 0.9).alias("p90_gap_us"),
+    )

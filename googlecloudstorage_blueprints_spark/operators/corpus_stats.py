@@ -1953,3 +1953,78 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vocab_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# word burstiness (r12) — Church–Gale clumping of the head vocabulary
+# ---------------------------------------------------------------------------
+
+BURSTINESS_TOP_K = 20
+
+
+@register(
+    "word_burstiness_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    stats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT)                 AS cnt,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT)   AS df
+        FROM words WHERE w <> ''
+        GROUP BY w
+    )
+    SELECT w, cnt, df,
+           CAST(cnt AS DOUBLE) / df AS burstiness
+    FROM stats
+    ORDER BY cnt DESC, w
+    LIMIT {BURSTINESS_TOP_K}
+    """,
+)
+def word_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness (occurrences per containing doc) for the
+    head vocabulary: function words read ≈ their per-doc rate (spread
+    evenly), while topical/templated words CLUMP — a head word with
+    high burstiness in a web corpus is usually boilerplate repeating
+    inside pages, the same signal ``repetition_score`` reads per doc,
+    here aggregated per word.  Complements ``word_zipf_slope`` (rank
+    curve) and ``hapax_ratio_by_source`` (tail mass).
+
+    Shape: one (word) aggregate carrying count + distinct-doc count
+    (Spark expands the distinct via one grouping-sets-style pass),
+    then TakeOrdered K — never a vocab-sized sort.  Parity:
+    (cnt DESC, w) is a total order; burstiness is an unrounded
+    exact-integer ratio (df ≥ 1 by construction)."""
+    stats = _words_with_doc(spark, sf_dir).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        stats.select(
+            "w",
+            "cnt",
+            "df",
+            (F.col("cnt").cast("double") / F.col("df")).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(BURSTINESS_TOP_K)
+    )
+
+
+def _words_with_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w) token stream — the _words() projection keeping the
+    doc key (for df-style aggregates)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode_outer(F.split("text", " ")).alias("w"),
+        )
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+    )

@@ -347,3 +347,17 @@ def test_vocab_topk_coverage_planted_boundary_split(spark, tmp_path):
         assert got[k]["coverage"] == got[k]["covered_tokens"] / 1450
     srows, orows = _driver_compare(spark, sf, "vocab_topk_coverage")
     assert srows == orows
+
+
+def test_intersession_gaps_exceed_session_cutoff(spark):
+    """Every inter-session gap exceeds the 30-min cutoff BY
+    CONSTRUCTION (a smaller gap would have stayed in-session) — the
+    closed-form property pinning the sessionizer/gap wiring."""
+    rows = all_queries()["user_intersession_gap_stats"](
+        spark, SF
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    if r["n_gaps"]:
+        assert r["p50_gap_us"] > 1800 * 1_000_000
+        assert r["mean_gap_us"] > 1800 * 1_000_000
