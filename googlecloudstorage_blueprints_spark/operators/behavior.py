@@ -2945,3 +2945,209 @@ def user_intersession_gap_stats(
         F.percentile("gap_us", 0.5).alias("p50_gap_us"),
         F.percentile("gap_us", 0.9).alias("p90_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# weekly growth accounting (r12) — new / retained / resurrected / churned
+# --------------------------------------------------------------------------
+
+@register(
+    "user_growth_accounting",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // {_US_PER_DAY * 7} AS wk
+        FROM events
+    ),
+    mx AS (
+        SELECT MAX(epoch_us(ts) // {_US_PER_DAY * 7}) AS max_wk FROM events
+    ),
+    seq AS (
+        SELECT user_id, wk,
+               LAG(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM uw
+    ),
+    classes AS (
+        SELECT wk,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected
+        FROM seq GROUP BY wk
+    ),
+    churn AS (
+        SELECT wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM seq, mx
+        WHERE wk < max_wk AND (next_wk IS NULL OR next_wk > wk + 1)
+        GROUP BY 1
+    )
+    SELECT CAST(COALESCE(classes.wk, churn.wk) AS BIGINT) AS epoch_week,
+           CAST(COALESCE(n_active, 0) AS BIGINT)       AS n_active,
+           CAST(COALESCE(n_new, 0) AS BIGINT)          AS n_new,
+           CAST(COALESCE(n_retained, 0) AS BIGINT)     AS n_retained,
+           CAST(COALESCE(n_resurrected, 0) AS BIGINT)  AS n_resurrected,
+           CAST(COALESCE(n_churned, 0) AS BIGINT)      AS n_churned,
+           CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0) AS DOUBLE)
+               / NULLIF(COALESCE(n_churned, 0), 0)     AS quick_ratio
+    FROM classes FULL OUTER JOIN churn ON classes.wk = churn.wk
+    ORDER BY epoch_week
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified NEW
+    (first-ever week), RETAINED (active the prior week) or RESURRECTED
+    (returning after a gap), plus CHURNED counts attributed to the week
+    the user went silent and the quick ratio (new+resurrected)/churned
+    — the standard growth-team state machine that ``events_retention``
+    (cohort view) and ``user_gap_survival`` (gap thresholds) don't
+    give directly.
+
+    Shape: ONE user-keyed exchange builds each user's sorted distinct
+    week array (calendar-bounded: |weeks| since epoch, never
+    data-sized); prev/next derive IN-ROW from the array (posexplode +
+    try_element_at, all codegen — the r5 adjacency rule, no second
+    lag-window shuffle); the class and churn rollups are week-keyed
+    bounded aggregates joined FULL OUTER so a churn-only silent week
+    still emits.  Parity: integer epoch-weeks (Thursday-anchored
+    ``div``, no TZ), exact counts coalesced to 0 identically, the
+    quick ratio an unrounded exact-integer division NULLIF-guarded on
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr(f"unix_micros(ts) div {_US_PER_DAY * 7}")
+    per_user = (
+        e.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("wk")).alias("wks"))
+    )
+    mx = e.agg(F.max(wk).cast("long").alias("max_wk"))
+    seq = per_user.select(
+        "user_id",
+        "wks",
+        F.posexplode("wks").alias("i", "wk"),
+    ).select(
+        "user_id",
+        "wk",
+        F.when(
+            F.col("i") > 0, F.try_element_at("wks", F.col("i"))
+        ).alias("prev_wk"),
+        F.try_element_at("wks", F.col("i") + F.lit(2)).alias("next_wk"),
+    )
+    classes = seq.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(
+            F.when(F.col("prev_wk").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("wk") < F.col("max_wk"))
+            & (
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.col("wk") + 1)
+            )
+        )
+        .select((F.col("wk") + 1).alias("wk"))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    joined = classes.join(churn, "wk", "full_outer").select(
+        F.col("wk").cast("long").alias("epoch_week"),
+        F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+    )
+    return sort_bounded(
+        joined.select(
+            "*",
+            (
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / F.nullif(F.col("n_churned"), F.lit(0))
+            ).alias("quick_ratio"),
+        ),
+        "epoch_week",
+    )
+
+
+# --------------------------------------------------------------------------
+# L28 engagement histogram (r12) — days-active in the trailing 28 days
+# --------------------------------------------------------------------------
+
+@register(
+    "user_engagement_l28",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(epoch_us(ts) // {_US_PER_DAY}) AS max_day FROM events
+    ),
+    ud AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT epoch_us(ts) // {_US_PER_DAY})
+                    AS BIGINT) AS days_active
+        FROM events, mx
+        WHERE epoch_us(ts) // {_US_PER_DAY} > max_day - 28
+        GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ud)
+    SELECT CAST(days_active AS BIGINT)  AS days_active,
+           CAST(COUNT(*) AS BIGINT)    AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS user_share
+    FROM ud GROUP BY days_active ORDER BY days_active
+    """,
+)
+def user_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L28 engagement histogram — for every user active in the 28
+    days ending at the corpus max day, the count of distinct active
+    days (1..28) and the user share per bucket.  The classic
+    power-user curve: a right-leaning hump is habit, a wall at 1 is
+    drive-by traffic; ``events_dau_wau`` tracks the ratio over time,
+    this is the distribution snapshot behind it.
+
+    Shape: scalar max-day aggregate broadcast into the scan filter,
+    then ONE user-keyed distinct-day aggregate and a bounded (≤28-row)
+    histogram; the user-share denominator is a 1-row aggregate joined
+    as a broadcast literal.  Parity: integer epoch-days, exact counts,
+    the share an unrounded exact-integer ratio (denominator ≥ 1 by
+    construction — every ud row counts itself)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    mx = e.agg(F.max(day).cast("long").alias("max_day"))
+    ud = (
+        e.select("user_id", day.alias("d"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("d") > F.col("max_day") - 28)
+        .groupBy("user_id")
+        .agg(F.countDistinct("d").cast("long").alias("days_active"))
+    )
+    tot = ud.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return sort_bounded(
+        ud.groupBy("days_active")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "days_active",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n")).alias(
+                "user_share"
+            ),
+        ),
+        "days_active",
+    )

@@ -2028,3 +2028,82 @@ def _words_with_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("w").isNotNull() & (F.col("w") != ""))
     )
+
+
+# --------------------------------------------------------------------------
+# positional novelty profile (r12) — where in the doc do new words stop?
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_position_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    marked AS (
+        SELECT (pos - 1) * 10 // n AS decile,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY doc_id, tok ORDER BY pos) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM toks
+    )
+    SELECT CAST(decile AS BIGINT)        AS decile,
+           CAST(COUNT(*) AS BIGINT)      AS n_tokens,
+           CAST(SUM(is_first) AS BIGINT) AS n_first,
+           CAST(SUM(is_first) AS DOUBLE) / COUNT(*) AS novelty_share
+    FROM marked GROUP BY decile ORDER BY decile
+    """,
+)
+def doc_position_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc novelty by POSITION decile: the share of tokens that
+    are the first occurrence of their word in the doc, bucketed by
+    where they sit (decile 0 = opening 10%, 9 = closing 10%).  Healthy
+    prose decays smoothly; template/boilerplate corpora decay to near
+    zero immediately, and generation loops show a LATE collapse that
+    doc-level ratios (``doc_ttr``, ``repetition_score``) average away
+    — this is the positional view a truncation/curriculum decision
+    actually needs.
+
+    Shape: positional explode inside the scan (codegen), ONE
+    (doc, token)-keyed row_number window marks first occurrences (the
+    scale-safe shape — in-row array_position rescans would be O(len²)
+    per doc), then a 10-row bounded aggregate.  Parity: positions zip
+    positionally on both engines (the r7 dual-unnest rule); the decile
+    key is pure-integer ((pos0·10) div n); counts exact; the share an
+    unrounded exact-integer ratio (n_tokens ≥ 1 per emitted row)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n"),
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos0")
+    marked = toks.select(
+        F.expr("pos0 * 10 div n").alias("decile"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return sort_bounded(
+        marked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("is_first").cast("long").alias("n_first"),
+            (
+                F.sum("is_first").cast("double") / F.count(F.lit(1))
+            ).alias("novelty_share"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_tokens",
+            "n_first",
+            "novelty_share",
+        ),
+        "decile",
+    )

@@ -1,0 +1,203 @@
+"""Planted-input pins for the r12c wave (growth accounting / L28 /
+positional novelty).
+
+Fixture vacuity (the r11 rule): every fixture user is active EVERY
+epoch-week, so ``user_growth_accounting``'s n_resurrected and n_churned
+columns are identically ZERO on the driver fixtures — the oracle pass
+alone cannot vouch for the classification logic.  The planted corpus
+exercises all four classes plus the churn-into-silent-week fill and the
+quick-ratio NULLIF edge, and re-runs the driver-style cross-engine hash
+compare on the planted dir.  ``user_engagement_l28``'s 28-day boundary
+(strictly-greater: exactly-28-days-ago is OUT) and
+``doc_position_novelty``'s decile decay are pinned the same way.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from googlecloudstorage_blueprints_spark.operators import (
+    all_oracles,
+    all_queries,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_WEEK = _US_PER_DAY * 7
+
+
+def _planted_dir(tmp_path, replace: dict) -> str:
+    out = tmp_path / "sf_planted"
+    out.mkdir()
+    for t in TABLES:
+        if t in replace:
+            pq.write_table(replace[t], out / f"{t}.parquet")
+        else:
+            shutil.copy(f"{SF}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+def _events_table(rows):
+    """rows: (event_id, ts_us, user_id)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def _docs_table(rows):
+    """rows: (doc_id, text)"""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def _cross_engine(spark, name: str, sf_dir: str):
+    """Driver-style canonical compare of the Spark op vs its oracle."""
+    from tests.test_oracle_parity import _canon_rows
+
+    sdf = all_queries()[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.execute(all_oracles()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert _canon_rows(sdf.columns, spark_rows) == _canon_rows(
+        duck_cols, duck_rows
+    )
+    return spark_rows, sdf.columns
+
+
+def _growth_events():
+    """user 1 weeks {0,1,3}; user 2 weeks {0..4}; user 3 week {2} —
+    exercises new/retained/resurrected plus churn into weeks 2/3/4."""
+    rows = []
+    eid = 1
+    for uid, weeks in ((1, (0, 1, 3)), (2, (0, 1, 2, 3, 4)), (3, (2,))):
+        for w in weeks:
+            rows.append((eid, w * _US_PER_WEEK + 3_600_000_000, uid))
+            eid += 1
+    return _events_table(rows)
+
+
+def test_growth_accounting_planted_classes(spark, tmp_path):
+    sf_dir = _planted_dir(tmp_path, {"events": _growth_events()})
+    rows, cols = _cross_engine(spark, "user_growth_accounting", sf_dir)
+    by_wk = {
+        r[cols.index("epoch_week")]: {
+            c: r[cols.index(c)] for c in cols
+        }
+        for r in rows
+    }
+    assert sorted(by_wk) == [0, 1, 2, 3, 4]
+    # (n_active, n_new, n_retained, n_resurrected, n_churned)
+    expect = {
+        0: (2, 2, 0, 0, 0),
+        1: (2, 0, 2, 0, 0),
+        2: (2, 1, 1, 0, 1),  # u3 new, u2 retained; u1 churned into 2
+        3: (2, 0, 1, 1, 1),  # u1 resurrected; u3 churned into 3
+        4: (1, 0, 1, 0, 1),  # u1 churned (again) into 4
+    }
+    for wk, (na, nn, nr, ns, nc) in expect.items():
+        got = by_wk[wk]
+        assert (
+            got["n_active"],
+            got["n_new"],
+            got["n_retained"],
+            got["n_resurrected"],
+            got["n_churned"],
+        ) == (na, nn, nr, ns, nc), wk
+    # quick ratio: NULL where churn is 0, exact ratio otherwise
+    assert by_wk[0]["quick_ratio"] is None
+    assert by_wk[1]["quick_ratio"] is None
+    assert by_wk[2]["quick_ratio"] == 1.0
+    assert by_wk[3]["quick_ratio"] == 1.0
+    assert by_wk[4]["quick_ratio"] == 0.0
+
+
+def test_growth_accounting_fixture_is_vacuous_for_resurrection(spark):
+    """Document WHY the planted pin exists: on the real fixture every
+    user is active every week — resurrected/churned identically 0."""
+    rows = all_queries()["user_growth_accounting"](spark, SF).collect()
+    assert rows, "fixture produced no weeks"
+    assert all(r["n_resurrected"] == 0 for r in rows)
+    assert all(r["n_churned"] == 0 for r in rows)
+
+
+def test_engagement_l28_window_boundary(spark, tmp_path):
+    """Strictly-greater boundary: exactly 28 days before max-day is
+    OUTSIDE the window (the window is the 28 days ENDING at max day)."""
+    d_max = 20_000  # epoch day of the anchor event
+    base = d_max * _US_PER_DAY
+    rows = [
+        (1, base, 10),  # user 10: max day ...
+        (2, base - 27 * _US_PER_DAY, 10),  # ... and the oldest IN day
+        (3, base - 28 * _US_PER_DAY, 11),  # user 11: exactly 28d -> OUT
+        (4, base - 29 * _US_PER_DAY, 12),  # user 12: clearly out
+        (5, base, 13),  # user 13: single day
+    ]
+    sf_dir = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got, cols = _cross_engine(spark, "user_engagement_l28", sf_dir)
+    as_map = {r[cols.index("days_active")]: r for r in got}
+    assert sorted(as_map) == [1, 2]
+    assert as_map[1][cols.index("n_users")] == 1  # user 13 only
+    assert as_map[2][cols.index("n_users")] == 1  # user 10
+    assert as_map[1][cols.index("user_share")] == 0.5
+
+
+def test_position_novelty_planted_decay(spark, tmp_path):
+    """doc 1 alternates two words (novelty dies after decile 1); doc 2
+    is all-distinct (novelty 1.0 everywhere) — per-decile blend is
+    closed-form."""
+    docs = _docs_table(
+        [
+            (1, "a b a b a b a b a b"),
+            (2, "c d e f g h i j k l"),
+        ]
+    )
+    sf_dir = _planted_dir(tmp_path, {"documents": docs})
+    got, cols = _cross_engine(spark, "doc_position_novelty", sf_dir)
+    by_dec = {r[cols.index("decile")]: r for r in got}
+    assert sorted(by_dec) == list(range(10))
+    for dec in range(10):
+        r = by_dec[dec]
+        assert r[cols.index("n_tokens")] == 2
+        want_first = 2 if dec in (0, 1) else 1
+        assert r[cols.index("n_first")] == want_first
+        assert r[cols.index("novelty_share")] == want_first / 2
+
+
+def test_position_novelty_fixture_decays(spark):
+    """On the real corpus the opening decile must be the most novel —
+    the monotone-ish sanity that makes the 10-row output meaningful."""
+    rows = all_queries()["doc_position_novelty"](spark, SF).collect()
+    by_dec = {r["decile"]: r["novelty_share"] for r in rows}
+    assert by_dec[0] == max(by_dec.values())
+    assert by_dec[9] < by_dec[0]
