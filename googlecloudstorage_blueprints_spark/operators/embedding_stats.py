@@ -1084,3 +1084,141 @@ def embedding_pc1_spectrum(
 embedding_pc1_spectrum.__doc__ = embedding_pc1_spectrum.__doc__.format(
     PCA_TOP_SHARES=PCA_TOP_SHARES
 )
+
+
+# --------------------------------------------------------------------------
+# k-means inertia curve (r12) — the iterative-refinement scale template
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@register("embedding_kmeans_inertia", oracle=None)
+def embedding_kmeans_inertia(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lloyd k-means over the embedding table, reporting the inertia
+    (within-cluster sum of squared distances) and max centroid shift
+    per iteration — the convergence curve behind every coarse
+    quantizer (the IVF/PQ trainers sample; this is the full-corpus
+    distributed loop, and the template for ANY iterative-refinement
+    op: broadcast the model down, tree-aggregate sufficient statistics
+    up, update on the driver).  Rows-only by contract (no SQL
+    iterative solver); the planted 8-blob closed-form pins are the
+    semantic check (tests/test_new_ops_r12c.py).
+
+    Shape: deterministic seeding (the K={KMEANS_K} smallest vec_ids via
+    TakeOrdered, never a global sort); each of the {KMEANS_ITERS}
+    iterations is ONE Arrow-batched mapInPandas pass emitting
+    per-partition sufficient statistics (counts[k], sums[k·d],
+    inertia partial — numpy GEMM does the n·k·d work per batch); the
+    driver sums the ≤|partitions| partial rows IN PARTITION-ID ORDER
+    (deterministic float merge) and moves the centroids.  Raw vectors
+    never shuffle; per-iteration transfer is k·d doubles each way.
+    Empty clusters keep their previous centroid (deterministic).
+    Inertia is evaluated against the ITERATION-START centroids, so
+    iteration 1's value is the seeding quality and the sequence is
+    non-increasing (Lloyd monotonicity — pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    cents = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
+    )
+    data = emb.select("vec_id", "embedding").repartition(
+        n_parts, "vec_id"
+    )
+    out_rows = []
+    for it in range(1, KMEANS_ITERS + 1):
+        c = cents  # capture current centroids in the kernel closure
+
+        def kernel(batches, c=c):
+            from pyspark import TaskContext
+
+            k, d = c.shape
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, d))
+            inertia = 0.0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2  (GEMM form)
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                a = d2.argmin(axis=1)
+                inertia += float(d2[np.arange(len(a)), a].sum())
+                np.add.at(cnt, a, 1)
+                np.add.at(sums, a, x)
+            if cnt.sum() == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "pid": [TaskContext.get().partitionId()],
+                    "cnt": [cnt.tolist()],
+                    "sums": [sums.ravel().tolist()],
+                    "inertia": [inertia],
+                }
+            )
+
+        partials = sorted(
+            data.mapInPandas(
+                kernel,
+                schema=(
+                    "pid long, cnt array<long>, "
+                    "sums array<double>, inertia double"
+                ),
+            ).collect(),
+            key=lambda r: r["pid"],
+        )
+        k, d = cents.shape
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d))
+        inertia = 0.0
+        for r in partials:  # bounded: <= n_parts rows, summed in order
+            cnt += np.asarray(r["cnt"], dtype=np.int64)
+            sums += np.asarray(r["sums"]).reshape(k, d)
+            inertia += r["inertia"]
+        new_cents = cents.copy()
+        nonempty = cnt > 0
+        new_cents[nonempty] = sums[nonempty] / cnt[nonempty, None]
+        shift = float(
+            np.sqrt(((new_cents - cents) ** 2).sum(axis=1)).max()
+        )
+        out_rows.append(
+            (
+                it,
+                round(inertia, 6),
+                round(shift, 6),
+                int((~nonempty).sum()),
+            )
+        )
+        cents = new_cents
+    return spark.createDataFrame(
+        out_rows,
+        schema=(
+            "iteration long, inertia double, max_shift double, "
+            "n_empty_clusters long"
+        ),
+    )
+
+
+embedding_kmeans_inertia.__doc__ = embedding_kmeans_inertia.__doc__.format(
+    KMEANS_K=KMEANS_K, KMEANS_ITERS=KMEANS_ITERS
+)

@@ -13,6 +13,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_first_touch,
     streaming_funnel_delays,
     streaming_gapfill,
+    streaming_growth_accounting,
     streaming_dau_wau,
     streaming_latest_snapshot,
     streaming_lsh_candidates,
@@ -39,6 +40,7 @@ __all__ = [
     "streaming_first_touch",
     "streaming_funnel_delays",
     "streaming_gapfill",
+    "streaming_growth_accounting",
     "streaming_dau_wau",
     "streaming_latest_snapshot",
     "streaming_lsh_candidates",

@@ -1947,3 +1947,120 @@ def streaming_order_close(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming growth accounting: reclassifying week-class changelog (r12)
+# ---------------------------------------------------------------------------
+
+_GROWTH_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("epoch_week", LongType()),
+        StructField("cls", StringType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+_GROWTH_STATE_SCHEMA = StructType(
+    [
+        StructField("weeks", ArrayType(LongType())),
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def _classify_weeks(ws: list) -> dict:
+    """Batch classification of a user's sorted distinct weeks: first
+    week NEW, predecessor-adjacent RETAINED, gap-crossing RESURRECTED
+    — exactly the batch ``user_growth_accounting`` class rule."""
+    out = {}
+    for i, w in enumerate(ws):
+        if i == 0:
+            out[w] = "new"
+        elif ws[i - 1] == w - 1:
+            out[w] = "retained"
+        else:
+            out[w] = "resurrected"
+    return out
+
+
+def _growth_class_diff(key: tuple, pdfs, state: GroupState):
+    """Per-user week-class CHANGELOG with reclassification: state holds
+    the sorted distinct active weeks plus a version counter; a
+    micro-batch that adds weeks re-derives every class from the merged
+    set and emits one row per week whose class is NEW OR CHANGED,
+    stamped with the bumped version.  Unlike the running-min/max twins
+    (which only shrink/advance one scalar), a LATE week can rewrite
+    neighbours — a gap fill flips the following week resurrected →
+    retained, an earlier first week demotes the old 'new' — so the
+    changelog's newest (max-ver) row per (user, week) always equals
+    the batch classification of everything seen so far.  Replays add
+    no weeks, so they emit nothing (set absorption)."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    batch_weeks = set(
+        (rows["ts"].astype("int64") // 1000 // _US_PER_WEEK).tolist()
+    )
+    old = list(state.get[0]) if state.exists else []
+    ver = int(state.get[1]) if state.exists else 0
+    merged = sorted(set(old) | batch_weeks)
+    if merged == old:
+        return
+    before = _classify_weeks(old)
+    after = _classify_weeks(merged)
+    ver += 1
+    state.update((merged, ver))
+    out = [
+        {
+            "user_id": int(user_id),
+            "epoch_week": int(w),
+            "cls": cls,
+            "ver": ver,
+        }
+        for w, cls in sorted(after.items())
+        if before.get(w) != cls
+    ]
+    yield pd.DataFrame(out)
+
+
+def streaming_growth_accounting(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming growth-accounting feed — the incremental twin of the
+    batch ``user_growth_accounting`` classifier
+    (operators/behavior.py): each (user, active-week) carries a
+    NEW / RETAINED / RESURRECTED class, and this maintains the
+    classification as a versioned changelog that RECLASSIFIES when
+    late or out-of-order weeks land (the first twin whose state
+    transition rewrites neighbours rather than racing one scalar).
+    Downstream, the batch op's n_new/n_retained/n_resurrected columns
+    are a stateless per-week count over the newest (max-ver) row per
+    (user, week) — test-pinned, including under an out-of-order
+    two-file split and full-backlog redelivery.  Churn attribution is
+    deliberately NOT streamed: "went silent in week w" is decidable
+    only at week close, i.e. by the same watermark-delayed rollup any
+    batch pass does.
+
+    Scale: state is one calendar-bounded week array + version per
+    user; one user_id shuffle per micro-batch."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _growth_class_diff,
+            _GROWTH_OUT_SCHEMA,
+            _GROWTH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -201,3 +201,58 @@ def test_position_novelty_fixture_decays(spark):
     by_dec = {r["decile"]: r["novelty_share"] for r in rows}
     assert by_dec[0] == max(by_dec.values())
     assert by_dec[9] < by_dec[0]
+
+
+# --- embedding_kmeans_inertia (rows-only) pins -------------------------------
+
+
+def _emb_table(rows):
+    """rows: (vec_id, [floats], label)"""
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+def test_kmeans_planted_blobs_closed_form(spark, tmp_path):
+    """8 two-point blobs whose first points are the seeds: iteration 1
+    scores the seeding (each blob's second point at dist^2 4 -> inertia
+    32), the centroids move to the exact blob means (shift 1.0), and
+    iterations 2-3 are the converged fixed point (inertia 16, shift 0)."""
+    rows = []
+    for j in range(1, 9):  # seeds: vec_id 1..8 = first point of blob j
+        rows.append((j, [10.0 * j, 1.0, 0.0, 0.0], j))
+    for j in range(1, 9):
+        rows.append((8 + j, [10.0 * j, -1.0, 0.0, 0.0], j))
+    sf_dir = _planted_dir(tmp_path, {"embeddings": _emb_table(rows)})
+    got = sorted(
+        all_queries()["embedding_kmeans_inertia"](spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert [
+        (r["iteration"], r["inertia"], r["max_shift"], r["n_empty_clusters"])
+        for r in got
+    ] == [(1, 32.0, 1.0, 0), (2, 16.0, 0.0, 0), (3, 16.0, 0.0, 0)]
+
+
+def test_kmeans_fixture_monotone_and_deterministic(spark):
+    """Lloyd monotonicity on the real fixture (inertia never increases
+    against iteration-start centroids) and run-to-run determinism of
+    the rounded outputs (partition-ordered float merge)."""
+    q = all_queries()["embedding_kmeans_inertia"]
+    a = sorted(
+        (r["iteration"], r["inertia"], r["max_shift"])
+        for r in q(spark, SF).collect()
+    )
+    inertias = [x[1] for x in a]
+    assert inertias == sorted(inertias, reverse=True)
+    b = sorted(
+        (r["iteration"], r["inertia"], r["max_shift"])
+        for r in q(spark, SF).collect()
+    )
+    assert a == b

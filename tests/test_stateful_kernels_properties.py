@@ -1073,3 +1073,99 @@ def test_order_close_kernel_max_race_under_any_delivery_order(case):
             )
         )
     assert again == []
+
+
+# --- r12: reclassifying growth-accounting changelog --------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _classify_weeks,
+    _growth_class_diff,
+)
+
+
+def _weeks_df(weeks):
+    """weeks: list of epoch-week ints -> kernel input frame."""
+    return pd.DataFrame(
+        {
+            "user_id": 1,
+            # kernel reads ts as ns-epoch via .astype("int64") // 1000
+            "ts": pd.to_datetime(
+                [w * _US_PER_WEEK * 1000 + 5_000 for w in weeks]
+            ),
+        }
+    )
+
+
+@st.composite
+def week_batches(draw):
+    """Distinct epoch-weeks dealt into 1-4 batches in ARBITRARY order —
+    the out-of-order delivery the reclassifying kernel exists for."""
+    weeks = sorted(
+        draw(
+            st.sets(
+                st.integers(min_value=0, max_value=10),
+                min_size=1,
+                max_size=8,
+            )
+        )
+    )
+    order = draw(st.permutations(weeks))
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(order) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(order)]:
+        if order[prev:c]:
+            batches.append(order[prev:c])
+        prev = c
+    return weeks, batches
+
+
+@given(week_batches())
+@settings(max_examples=200, deadline=None)
+def test_growth_kernel_newest_class_matches_batch_under_any_order(case):
+    """The max-ver emission per week must equal the whole-set batch
+    classification under ANY delivery order; versions strictly
+    increase; full redelivery emits nothing; and an in-order
+    (ascending) delivery never reclassifies — exactly one emission per
+    week."""
+    weeks, batches = case
+    state = FakeGroupState()
+    emitted = []  # (week, cls, ver)
+    for batch in batches:
+        for pdf in _growth_class_diff(
+            (1,), iter([_weeks_df(list(batch))]), state
+        ):
+            emitted.extend(
+                (int(r.epoch_week), str(r.cls), int(r.ver))
+                for r in pdf.itertuples(index=False)
+            )
+    newest = {}
+    for w, cls, ver in emitted:
+        if w not in newest or ver > newest[w][1]:
+            newest[w] = (cls, ver)
+    assert {w: c for w, (c, _v) in newest.items()} == _classify_weeks(
+        weeks
+    )
+    vers = [v for _w, _c, v in emitted]
+    assert vers == sorted(vers)
+    in_order = all(
+        max(batches[i]) < min(batches[i + 1])
+        for i in range(len(batches) - 1)
+    )
+    if in_order:
+        assert len(emitted) == len(weeks), "in-order must never reclass"
+
+    again = []
+    for batch in batches:
+        again.extend(
+            _growth_class_diff((1,), iter([_weeks_df(list(batch))]), state)
+        )
+    assert again == [], "redelivery must be absorbed by the week set"

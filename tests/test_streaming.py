@@ -1815,3 +1815,100 @@ def test_streaming_order_close_matches_batch_and_redelivery(
     ).collect()
     # second copy advances nothing: emission count equals single-replay
     assert len(redelivered) == len(single)
+
+
+def test_streaming_growth_accounting_matches_batch_and_reclassifies(
+    spark, tmp_path
+):
+    """The newest (max-ver) emission per (user, week) must reproduce
+    the batch user_growth_accounting class columns exactly — including
+    under an OUT-OF-ORDER two-file split (second half delivered first),
+    which must actually exercise the reclassification path (a user's
+    earliest second-half week flips new → retained/resurrected when
+    the first half lands).  Redelivering the backlog emits nothing."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_growth_accounting,
+    )
+
+    def newest_per_week(rows):
+        best = {}
+        for r in rows:
+            k = (r["user_id"], r["epoch_week"])
+            if k not in best or r["ver"] > best[k][1]:
+                best[k] = (r["cls"], r["ver"])
+        return {k: c for k, (c, _v) in best.items()}
+
+    def week_class_counts(newest):
+        per = {}
+        for (_uid, wk), cls in newest.items():
+            per.setdefault(wk, {"new": 0, "retained": 0, "resurrected": 0})
+            per[wk][cls] += 1
+        return per
+
+    batch = {
+        r["epoch_week"]: (
+            r["n_new"],
+            r["n_retained"],
+            r["n_resurrected"],
+        )
+        for r in all_queries()["user_growth_accounting"](
+            spark, SF
+        ).collect()
+        if r["n_active"] > 0
+    }
+
+    single = run_stream_to_memory(
+        streaming_growth_accounting(spark, SF), "growth_single"
+    ).collect()
+    got = week_class_counts(newest_per_week(single))
+    assert {
+        w: (c["new"], c["retained"], c["resurrected"])
+        for w, c in got.items()
+    } == batch
+
+    # out-of-order split: the LATER half of the stream arrives first
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_ooo_growth"
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    ooo = run_stream_to_memory(
+        streaming_growth_accounting(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "growth_ooo",
+    ).collect()
+    assert {
+        w: (c["new"], c["retained"], c["resurrected"])
+        for w, c in week_class_counts(newest_per_week(ooo)).items()
+    } == batch
+    reclassed = {
+        (r["user_id"], r["epoch_week"]) for r in ooo if r["ver"] > 1
+    }
+    assert reclassed, "out-of-order split must exercise reclassification"
+
+    # full-backlog redelivery: week sets absorb the replay
+    (tmp_path / "replay").mkdir()
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "00.parquet")
+    shutil.copy(f"{SF}/events.parquet", tmp_path / "replay" / "01.parquet")
+    redelivered = run_stream_to_memory(
+        streaming_growth_accounting(
+            spark,
+            f"file:{tmp_path}/replay",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "growth_redelivery",
+    ).collect()
+    assert len(redelivered) == len(single)
