@@ -2107,3 +2107,115 @@ def doc_position_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "decile",
     )
+
+
+# ---------------------------------------------------------------------------
+# head-vocabulary rank shift per source (r12c) — who reorders the top words?
+# ---------------------------------------------------------------------------
+
+RANK_SHIFT_K = 20
+
+
+@register(
+    "vocab_rank_shift_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    v AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words WHERE w <> '' GROUP BY source, w
+    ),
+    g AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c FROM v GROUP BY w),
+    gr AS (
+        SELECT w, r FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+            FROM g
+        ) WHERE r <= {RANK_SHIFT_K}
+    ),
+    sr AS (
+        SELECT source, w, r FROM (
+            SELECT source, w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY c DESC, w) AS r
+            FROM v
+        ) WHERE r <= {RANK_SHIFT_K}
+    )
+    SELECT sr.source,
+           CAST(COUNT(*) AS BIGINT)     AS n_topk_words,
+           CAST(COUNT(gr.w) AS BIGINT)  AS n_overlap,
+           CAST(COALESCE(SUM(ABS(sr.r - gr.r)), 0) AS BIGINT)
+                                        AS footrule,
+           CAST(COUNT(gr.w) AS DOUBLE) / {RANK_SHIFT_K}
+                                        AS coverage_share
+    FROM sr LEFT JOIN gr ON sr.w = gr.w
+    GROUP BY sr.source
+    ORDER BY sr.source
+    """,
+)
+def vocab_rank_shift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vocabulary drift per source: each source's top-{RANK_SHIFT_K}
+    words compared against the CORPUS top-{RANK_SHIFT_K} — overlap
+    count, Spearman-footrule rank displacement over the overlap, and
+    the share of the global head the source covers.  A source whose
+    head vocabulary reorders hard against the corpus (low overlap,
+    high footrule) is the one that will fight the shared tokenizer and
+    skew any frequency-derived mixture weight — the drilldown behind
+    ``source_unigram_kl``'s single divergence number.
+
+    Shape: one word scan feeds both rank frames; the GLOBAL head is a
+    TakeOrdered {RANK_SHIFT_K}-row cut (orderBy+limit — never a
+    vocab-sized global sort) ranked on the bounded result, and the
+    per-source heads use the ``topk_per_group`` window idiom (source-
+    keyed vocab sort, rows ≤ |source vocab|); the compare join is
+    K-row broadcast-sized.  Parity: ranks total-ordered by
+    (count DESC, word) on both engines; counts and footrule exact
+    BIGINTs (COALESCE'd to 0 for zero-overlap sources identically);
+    coverage an unrounded exact-integer ratio over the constant K."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    v = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = v.groupBy("w").agg(F.sum("c").cast("long").alias("c"))
+    g_top = g.orderBy(F.col("c").desc(), "w").limit(RANK_SHIFT_K)
+    w_glob = Window.orderBy(F.col("c").desc(), "w")  # bounded: K rows
+    gr = g_top.select(
+        "w", F.row_number().over(w_glob).cast("long").alias("r")
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), "w"
+    )
+    sr = v.select(
+        "source",
+        "w",
+        F.row_number().over(w_src).cast("long").alias("r"),
+    ).where(F.col("r") <= RANK_SHIFT_K)
+    joined = sr.join(
+        F.broadcast(gr.withColumnRenamed("r", "gr_r")), "w", "left"
+    )
+    return sort_bounded(
+        joined.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_topk_words"),
+            F.count("gr_r").cast("long").alias("n_overlap"),
+            F.coalesce(
+                F.sum(F.abs(F.col("r") - F.col("gr_r"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("footrule"),
+            (
+                F.count("gr_r").cast("double") / F.lit(RANK_SHIFT_K)
+            ).alias("coverage_share"),
+        ),
+        "source",
+    )
+
+
+vocab_rank_shift_topk.__doc__ = vocab_rank_shift_topk.__doc__.format(
+    RANK_SHIFT_K=RANK_SHIFT_K
+)

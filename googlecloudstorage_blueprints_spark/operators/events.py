@@ -1486,3 +1486,117 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 session_duration_histogram.__doc__ = session_duration_histogram.__doc__.format(
     w=SESSION_HIST_BIN_SECONDS
 )
+
+
+# ---------------------------------------------------------------------------
+# heavy-tail index per event type (r12c) — Hill estimator on the top order
+# statistics
+# ---------------------------------------------------------------------------
+
+HILL_TOP_M = 50
+
+
+@register(
+    "events_value_tail_index",
+    oracle=f"""
+    WITH pos AS (
+        SELECT event_type, event_id, value
+        FROM events WHERE value > 0
+    ),
+    ranked AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rn,
+               CAST(ROUND(ln(value) * 1000000) AS BIGINT) AS lnv_e6
+        FROM pos
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn <= {HILL_TOP_M}
+                             THEN lnv_e6 ELSE 0 END) AS BIGINT)
+                   AS top_sum_e6,
+               CAST(SUM(CASE WHEN rn = {HILL_TOP_M} + 1
+                             THEN lnv_e6 ELSE 0 END) AS BIGINT)
+                   AS thresh_e6,
+               CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY event_type
+        HAVING COUNT(*) > {HILL_TOP_M} + 1
+    )
+    SELECT event_type, n_pos,
+           CAST({HILL_TOP_M} AS BIGINT) AS m_used,
+           (top_sum_e6 - {HILL_TOP_M} * thresh_e6)
+               / ({HILL_TOP_M} * 1000000.0) AS hill_gamma
+    FROM agg ORDER BY event_type
+    """,
+)
+def events_value_tail_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How heavy is each event type's value tail?  The Hill estimator
+    γ̂ = (1/m)·Σᵢ₌₁..m [ln x₍ᵢ₎ − ln x₍ₘ₊₁₎] over the top m={HILL_TOP_M}
+    order statistics (γ̂ ≈ 1/α; γ̂ ≥ 1 means an infinite-mean-like tail
+    where capping/winsorizing decisions matter) — the parametric tail
+    summary behind ``events_value_quantiles_by_type``'s raw quantiles
+    and ``events_value_benford``'s digit screen.
+
+    Shape: one scan, one |types|-keyed rank window (the
+    ``topk_per_group`` idiom; per-type sort — at 100 TB swap the exact
+    rank for a per-type count-min threshold pass), one bounded
+    aggregate.  Parity: the transcendental is fixed-pointed PER TERM
+    (round(ln·1e6) BIGINT — the r7 rule) so the sums are
+    order-independent; the total order (value DESC, event_id) is
+    unique on both engines; types with ≤ m+1 positive values are
+    dropped by an identical HAVING; the final division is ONE exact-
+    integer ratio emitted UNROUNDED (the r10 discipline — a 6dp ROUND
+    here would sit on the …5e-7 divergence grid)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.log("value") * 1_000_000)
+        .cast("long")
+        .alias("lnv_e6"),
+    )
+    agg = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= HILL_TOP_M, F.col("lnv_e6"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("top_sum_e6"),
+            F.sum(
+                F.when(F.col("rn") == HILL_TOP_M + 1, F.col("lnv_e6"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("thresh_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+        )
+        .where(F.col("n_pos") > HILL_TOP_M + 1)
+    )
+    return sort_bounded(
+        agg.select(
+            "event_type",
+            "n_pos",
+            F.lit(HILL_TOP_M).cast("long").alias("m_used"),
+            (
+                (
+                    F.col("top_sum_e6")
+                    - F.lit(HILL_TOP_M) * F.col("thresh_e6")
+                ).cast("double")
+                / F.lit(HILL_TOP_M * 1_000_000.0)
+            ).alias("hill_gamma"),
+        ),
+        "event_type",
+    )
+
+
+events_value_tail_index.__doc__ = events_value_tail_index.__doc__.format(
+    HILL_TOP_M=HILL_TOP_M
+)

@@ -256,3 +256,81 @@ def test_kmeans_fixture_monotone_and_deterministic(spark):
         for r in q(spark, SF).collect()
     )
     assert a == b
+
+
+# --- events_value_tail_index pins --------------------------------------------
+
+
+def test_tail_index_planted_closed_form_and_having_drop(spark, tmp_path):
+    """'heavy' is exactly Pareto-in-logs (values 2^i): the Hill gamma
+    over the top 50 of 60 is 25.5*ln2 in closed form; 'light' (values
+    100+i) has a near-zero positive gamma; 'tiny' has exactly 51
+    positive values and must be DROPPED by the > m+1 HAVING (the path
+    the fixture never exercises — every fixture type has ~200)."""
+    import math
+
+    rows, eid = [], 1
+    for i in range(1, 61):
+        rows.append((eid, 2.0 ** i, "heavy")); eid += 1
+    for i in range(1, 61):
+        rows.append((eid, 100.0 + i, "light")); eid += 1
+    for i in range(1, 52):
+        rows.append((eid, float(i), "tiny")); eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf_dir = _planted_dir(tmp_path, {"events": tbl})
+    got, cols = _cross_engine(spark, "events_value_tail_index", sf_dir)
+    by_type = {r[cols.index("event_type")]: r for r in got}
+    assert sorted(by_type) == ["heavy", "light"], "tiny must be dropped"
+    g_heavy = by_type["heavy"][cols.index("hill_gamma")]
+    g_light = by_type["light"][cols.index("hill_gamma")]
+    assert abs(g_heavy - 25.5 * math.log(2)) < 1e-4
+    assert 0 < g_light < 0.5
+    assert g_heavy > g_light
+
+
+# --- vocab_rank_shift_topk pins ----------------------------------------------
+
+
+def test_rank_shift_planted_footrule_closed_form(spark, tmp_path):
+    """Source A dominates the corpus (global head order == A's order:
+    footrule 0, coverage 1); source B carries the same 20 words with
+    REVERSED frequencies (footrule = sum |21-2i| = 200)."""
+    words = [f"w{i:02d}" for i in range(1, 21)]
+    a_text = " ".join(
+        w for i, w in enumerate(words, 1) for _ in range(3 * (21 - i))
+    )
+    b_text = " ".join(
+        w for i, w in enumerate(words, 1) for _ in range(i)
+    )
+    docs = _docs_table([(1, a_text), (2, b_text)])
+    # the planted sources must differ: rebuild with per-doc sources
+    docs = pa.table(
+        {
+            "doc_id": docs["doc_id"],
+            "text": docs["text"],
+            "lang": docs["lang"],
+            "source": pa.array(["srcA", "srcB"], pa.string()),
+            "n_chars": docs["n_chars"],
+        }
+    )
+    sf_dir = _planted_dir(tmp_path, {"documents": docs})
+    got, cols = _cross_engine(spark, "vocab_rank_shift_topk", sf_dir)
+    by_src = {r[cols.index("source")]: r for r in got}
+    a, b = by_src["srcA"], by_src["srcB"]
+    assert a[cols.index("n_overlap")] == 20
+    assert a[cols.index("footrule")] == 0
+    assert a[cols.index("coverage_share")] == 1.0
+    assert b[cols.index("n_overlap")] == 20
+    assert b[cols.index("footrule")] == 200
