@@ -3151,3 +3151,113 @@ def user_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "days_active",
     )
+
+
+# --------------------------------------------------------------------------
+# power-law tail of user engagement (r12c) — CCDF slope off the ledger
+# --------------------------------------------------------------------------
+
+@register(
+    "user_activity_ccdf_slope",
+    oracle="""
+    WITH uc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    ledger AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM uc GROUP BY c
+    ),
+    pts AS (
+        SELECT c,
+               CAST(SUM(m) OVER (ORDER BY c DESC) AS BIGINT) AS n_ge
+        FROM ledger
+    ),
+    terms AS (
+        SELECT CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS x,
+               CAST(ROUND(ln(CAST(n_ge AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS y
+        FROM pts
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT)    AS n,
+               CAST(SUM(x) AS BIGINT)      AS sx,
+               CAST(SUM(y) AS BIGINT)      AS sy,
+               CAST(SUM(x * y) AS BIGINT)  AS sxy,
+               CAST(SUM(x * x) AS BIGINT)  AS sxx
+        FROM terms
+    )
+    SELECT (SELECT CAST(SUM(m) AS BIGINT) FROM ledger) AS n_users,
+           n AS n_levels,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS ccdf_slope
+    FROM s WHERE n >= 2
+    """,
+)
+def user_activity_ccdf_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is user engagement power-law distributed?  OLS slope of
+    ln P(activity ≥ c) on ln c over the complementary CDF — fit on the
+    counts-of-counts LEDGER (one point per distinct activity level),
+    the statistically cleaner cousin of a per-rank Zipf fit (no rank
+    ties to arbitrate, and the ledger is bounded by |distinct levels|,
+    never |users| — the ``vocab_topk_coverage`` decomposition applied
+    to a regression).  A slope near −1 is the classic participation
+    long tail; a cliff toward −∞ means engagement is homogeneous and
+    whale-based capacity planning is wrong.
+
+    Shape: user-keyed count, level-keyed ledger rollup, one bounded
+    descending-cumsum window (SinglePartition over the ledger — the
+    bounded class), a 1-row regression close.  Parity: ln terms
+    fixed-pointed to BIGINT e6 PER POINT (r7 rule); factor sums stay
+    BIGINT and are cast to DOUBLE separately before multiplying (the
+    r8 overflow rule); the slope is emitted UNROUNDED (identical IEEE
+    arithmetic over exact integers); single-level ledgers dropped by
+    an identical n >= 2 filter (zero OLS denominator).  At extreme
+    ledger sizes (≫1e5 levels) the x·y term sum approaches BIGINT
+    range — bucket levels log-spaced first; ANSI mode fails loudly."""
+    e = load_table(spark, sf_dir, "events")
+    uc = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ledger = uc.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w = Window.orderBy(F.col("c").desc())  # bounded: distinct levels
+    pts = ledger.select(
+        "c", F.sum("m").over(w).cast("long").alias("n_ge")
+    )
+    terms = pts.select(
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n_ge").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    tot = ledger.agg(F.sum("m").cast("long").alias("n_users"))
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    return (
+        s.where(F.col("n") >= 2)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_users",
+            F.col("n").alias("n_levels"),
+            (num / den).alias("ccdf_slope"),
+        )
+    )

@@ -695,6 +695,102 @@ def bench_shapes(
             F.percentile("max_lat_days", 0.9).alias("p90"),
         )
 
+    def growth_accounting():
+        # r12c claim: ONE user-keyed exchange builds calendar-bounded
+        # week arrays; everything downstream is week-keyed and bounded.
+        # Replication grows users; weeks stay fixed.
+        wk = F.expr("unix_micros(ts) div 604800000000")
+        per_user = (
+            ev.select("user_id", wk.alias("wk"))
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_set("wk")).alias("wks"))
+        )
+        seq = per_user.select(
+            F.posexplode("wks").alias("i", "wk"), "wks"
+        ).select(
+            "wk",
+            F.when(
+                F.col("i") > 0, F.try_element_at("wks", F.col("i"))
+            ).alias("prev_wk"),
+        )
+        return seq.groupBy("wk").agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("prev_wk").isNull(), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+
+    def position_novelty():
+        # r12c claim: token-volume shuffle keyed (doc, token), 10-row
+        # close — the row_number marking is the linear-scaling part
+        from pyspark.sql.window import Window
+
+        toks = docs.where(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n"),
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        w = Window.partitionBy("doc_id", "tok").orderBy("pos0")
+        return (
+            toks.select(
+                F.expr("pos0 * 10 div n").alias("decile"),
+                F.when(F.row_number().over(w) == 1, 1)
+                .otherwise(0)
+                .alias("is_first"),
+            )
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("is_first").alias("f"))
+        )
+
+    def rank_shift():
+        # r12c claim: word-agg scan dominates; global head is a
+        # TakeOrdered cut, per-source ranks sort vocab only.  CAVEAT:
+        # replication keeps vocab fixed (the bigram-LM probe caveat) —
+        # the scan/agg is the scaling part.
+        from pyspark.sql.window import Window
+
+        words = docs.where(F.col("text").isNotNull()).select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        ).where(F.col("w") != "")
+        v = words.groupBy("source", "w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        g_top = (
+            v.groupBy("w")
+            .agg(F.sum("c").alias("c"))
+            .orderBy(F.col("c").desc(), "w")
+            .limit(20)
+        )
+        w_src = Window.partitionBy("source").orderBy(
+            F.col("c").desc(), "w"
+        )
+        sr = v.select(
+            "source", "w", F.row_number().over(w_src).alias("r")
+        ).where(F.col("r") <= 20)
+        return sr.join(
+            F.broadcast(g_top.select("w")), "w", "left_semi"
+        ).groupBy("source").agg(F.count(F.lit(1)).alias("n_overlap"))
+
+    def tail_index():
+        # r12c claim: |types|-keyed rank window (per-type sort is the
+        # linear-time part), bounded close
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        ranked = ev.where(F.col("value") > 0).select(
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.log("value") * 1e6).cast("long").alias("lnv"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.sum(F.when(F.col("rn") <= 50, F.col("lnv")).otherwise(0))
+            .alias("top"),
+            F.sum(F.when(F.col("rn") == 51, F.col("lnv")).otherwise(0))
+            .alias("th"),
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -735,6 +831,10 @@ def bench_shapes(
         # open-order sweep-line ledger
         "vocab_coverage": vocab_coverage,
         "inflight": inflight,
+        "growth_accounting": growth_accounting,
+        "position_novelty": position_novelty,
+        "rank_shift": rank_shift,
+        "tail_index": tail_index,
         "gini": gini,
         "vocab_growth": vocab_growth,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -753,8 +853,11 @@ def bench_shapes(
             ),
         ).where(F.col("rk") <= 100),
     }
+    only = set(sys.argv[1:])  # optional shape-name filter
     out = {}
     for name, build in shapes.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)

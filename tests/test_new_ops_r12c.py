@@ -334,3 +334,28 @@ def test_rank_shift_planted_footrule_closed_form(spark, tmp_path):
     assert a[cols.index("coverage_share")] == 1.0
     assert b[cols.index("n_overlap")] == 20
     assert b[cols.index("footrule")] == 200
+
+
+# --- user_activity_ccdf_slope pins --------------------------------------------
+
+
+def test_ccdf_slope_planted_exact_power_law(spark, tmp_path):
+    """Users with activity counts {1,2,4,8} at multiplicities {4,2,1,1}
+    make the CCDF exactly n_ge(c) = 8/c — a pure power law with slope
+    exactly -1 (up to the e6 per-term fixed-point grid)."""
+    rows, eid, uid = [], 1, 1
+    for c, m in ((1, 4), (2, 2), (4, 1), (8, 1)):
+        for _ in range(m):
+            for i in range(c):
+                rows.append(
+                    (eid, 1_700_000_000_000_000 + eid * 1_000, uid)
+                )
+                eid += 1
+            uid += 1
+    sf_dir = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got, cols = _cross_engine(spark, "user_activity_ccdf_slope", sf_dir)
+    assert len(got) == 1
+    r = got[0]
+    assert r[cols.index("n_users")] == 8
+    assert r[cols.index("n_levels")] == 4
+    assert abs(r[cols.index("ccdf_slope")] + 1.0) < 1e-5
