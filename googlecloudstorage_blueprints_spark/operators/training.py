@@ -1176,3 +1176,97 @@ def contamination_ngram_sensitivity(
     out.count()  # materialize through the cached documents frame
     d.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# worker shard balance (r12c) — will the readers starve?
+# --------------------------------------------------------------------------
+
+SHARD_WORKERS = 32
+
+
+@register(
+    "worker_shard_balance",
+    oracle=f"""
+    WITH per AS (
+        SELECT doc_id % {SHARD_WORKERS} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    shards AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS n_tokens
+        FROM per GROUP BY shard
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT)      AS k,
+               CAST(MAX(n_tokens) AS BIGINT) AS mx,
+               CAST(MIN(n_tokens) AS BIGINT) AS mn
+        FROM shards
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) * (SELECT k FROM tot)
+               / (SELECT t FROM tot)              AS load_factor,
+           CAST((SELECT mx FROM tot) AS DOUBLE)
+               / (SELECT mn FROM tot)             AS max_min_ratio
+    FROM shards ORDER BY shard
+    """,
+)
+def worker_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loader shard balance: documents dealt to {SHARD_WORKERS}
+    workers by ``doc_id % {SHARD_WORKERS}`` (the deterministic reader
+    assignment a fixed-host training job uses), with per-shard doc and
+    token loads, each shard's load factor vs the uniform ideal, and the
+    global max/min straggler ratio — the number that decides whether
+    epoch time is gated by one hot reader.  ``source_token_budget_split``
+    plans WHAT each source contributes; this checks WHERE it lands.
+
+    Shape: one scan, one {SHARD_WORKERS}-row keyed aggregate, a 1-row
+    total joined back as a broadcast literal.  Parity: the shard key is
+    pure-integer modulo (never an engine hash — Spark's murmur3 and
+    DuckDB's hash disagree by construction); counts exact BIGINTs; the
+    load factor and straggler ratio are unrounded exact-integer ratios
+    (denominators ≥ 1: every shard row carries ≥ 1 doc).  The min over
+    PRESENT shards equals the true min whenever all {SHARD_WORKERS}
+    shards are hit (fixture asserts it); empty shards would need a
+    worker spine — deliberately omitted to keep the op spine-free."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    per = d.select(
+        (F.col("doc_id") % SHARD_WORKERS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    shards = per.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    tot = shards.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_tokens").cast("long").alias("mx"),
+        F.min("n_tokens").cast("long").alias("mn"),
+    )
+    return sort_bounded(
+        shards.crossJoin(F.broadcast(tot)).select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                * F.col("k")
+                / F.col("t")
+            ).alias("load_factor"),
+            (F.col("mx").cast("double") / F.col("mn")).alias(
+                "max_min_ratio"
+            ),
+        ),
+        "shard",
+    )
+
+
+worker_shard_balance.__doc__ = worker_shard_balance.__doc__.format(
+    SHARD_WORKERS=SHARD_WORKERS
+)

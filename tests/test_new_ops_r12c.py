@@ -359,3 +359,39 @@ def test_ccdf_slope_planted_exact_power_law(spark, tmp_path):
     assert r[cols.index("n_users")] == 8
     assert r[cols.index("n_levels")] == 4
     assert abs(r[cols.index("ccdf_slope")] + 1.0) < 1e-5
+
+
+# --- worker_shard_balance pins -------------------------------------------------
+
+
+def test_shard_balance_planted_straggler(spark, tmp_path):
+    """64 one-token docs (ids 0..63: every shard gets exactly 2), with
+    the two docs landing on shard 0 inflated to 11 tokens each — shard
+    0 carries 22 tokens vs 2 everywhere else: straggler ratio exactly
+    11, load factors closed-form."""
+    docs = _docs_table(
+        [
+            (i, " ".join(["tok"] * (11 if i % 32 == 0 else 1)))
+            for i in range(64)
+        ]
+    )
+    sf_dir = _planted_dir(tmp_path, {"documents": docs})
+    got, cols = _cross_engine(spark, "worker_shard_balance", sf_dir)
+    by_shard = {r[cols.index("shard")]: r for r in got}
+    assert sorted(by_shard) == list(range(32))
+    total = 22 + 31 * 2
+    for s in range(32):
+        r = by_shard[s]
+        want_toks = 22 if s == 0 else 2
+        assert r[cols.index("n_docs")] == 2
+        assert r[cols.index("n_tokens")] == want_toks
+        assert r[cols.index("load_factor")] == want_toks * 32 / total
+        assert r[cols.index("max_min_ratio")] == 11.0
+
+
+def test_shard_balance_fixture_covers_all_workers(spark):
+    """The docstring's min-over-present-shards caveat is moot on the
+    fixture: all 32 shards are hit, and the straggler ratio is sane."""
+    rows = all_queries()["worker_shard_balance"](spark, SF).collect()
+    assert len(rows) == 32
+    assert all(r["max_min_ratio"] >= 1.0 for r in rows)
