@@ -1222,3 +1222,61 @@ def embedding_kmeans_inertia(
 embedding_kmeans_inertia.__doc__ = embedding_kmeans_inertia.__doc__.format(
     KMEANS_K=KMEANS_K, KMEANS_ITERS=KMEANS_ITERS
 )
+
+
+# --------------------------------------------------------------------------
+# exact-duplicate vectors (r12c) — retry/ingest dup screen
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_exact_dup_stats",
+    oracle="""
+    WITH g AS (
+        SELECT embedding, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM embeddings WHERE embedding IS NOT NULL
+        GROUP BY embedding
+    )
+    SELECT CAST(sz AS BIGINT)            AS cluster_size,
+           CAST(COUNT(*) AS BIGINT)      AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_vectors
+    FROM g GROUP BY sz ORDER BY sz
+    """,
+)
+def embedding_exact_dup_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bitwise-identical embedding vectors, as a cluster-size
+    histogram — the cheap screen that catches ingest retries, frozen
+    encoders fed identical inputs, and zero-vector fallbacks BEFORE
+    the semantic tiers spend compute on them (``dedup_semantic`` finds
+    near-dups; exact dups are a groupBy).  cluster_size 1 rows count
+    the unique mass, so the histogram also audits total coverage
+    (Σ n_vectors = corpus size — test-pinned).
+
+    Shape: one structural group-by on the vector value, closing to a
+    counts-of-counts histogram (bounded by |distinct cluster sizes|).
+    At 100 TB pre-hash each vector to a 128-bit digest Spark-side so
+    the exchange carries 16 B/row instead of 4d B — the histogram is
+    digest-invariant.  Parity: array equality is elementwise float
+    identity on both engines (no arithmetic, no tolerance — fixture
+    floats round-trip exactly); counts exact BIGINTs; fixture vectors
+    are all DISTINCT (histogram = one all-ones row), so the planted
+    duplicate test is the semantic check."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    g = emb.groupBy("embedding").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sort_bounded(
+        g.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_vectors"),
+        ),
+        "cluster_size",
+    )

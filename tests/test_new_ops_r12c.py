@@ -395,3 +395,47 @@ def test_shard_balance_fixture_covers_all_workers(spark):
     rows = all_queries()["worker_shard_balance"](spark, SF).collect()
     assert len(rows) == 32
     assert all(r["max_min_ratio"] >= 1.0 for r in rows)
+
+
+# --- embedding_exact_dup_stats pins --------------------------------------------
+
+
+def test_embedding_exact_dup_planted_clusters(spark, tmp_path):
+    """Planted: one triple-duplicated vector, one pair (a zero-vector
+    fallback), three unique — histogram {1:3, 2:1, 3:1} and the
+    n_vectors column re-sums to the corpus size."""
+    dup = [1.5, -2.25, 0.5, 3.0]  # exactly representable floats
+    zero = [0.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, dup, 0), (2, dup, 0), (3, dup, 1),
+        (4, zero, 1), (5, zero, 2),
+        (6, [9.0, 1.0, 0.0, 0.0], 2),
+        (7, [8.0, 2.0, 0.0, 0.0], 0),
+        (8, [7.0, 3.0, 0.0, 0.0], 1),
+    ]
+    sf_dir = _planted_dir(tmp_path, {"embeddings": _emb_table(rows)})
+    got, cols = _cross_engine(spark, "embedding_exact_dup_stats", sf_dir)
+    hist = {
+        r[cols.index("cluster_size")]: (
+            r[cols.index("n_clusters")],
+            r[cols.index("n_vectors")],
+        )
+        for r in got
+    }
+    assert hist == {1: (3, 3), 2: (1, 2), 3: (1, 3)}
+    assert sum(v for _n, v in hist.values()) == len(rows)
+
+
+def test_embedding_exact_dup_fixture_all_unique(spark):
+    """Document WHY the planted pin exists: fixture vectors are all
+    distinct — the histogram is a single cluster_size=1 row covering
+    the whole corpus."""
+    rows = all_queries()["embedding_exact_dup_stats"](spark, SF).collect()
+    assert len(rows) == 1 and rows[0]["cluster_size"] == 1
+    from googlecloudstorage_blueprints_spark.sources.catalog import (
+        load_table,
+    )
+
+    assert rows[0]["n_vectors"] == load_table(
+        spark, SF, "embeddings"
+    ).count()
