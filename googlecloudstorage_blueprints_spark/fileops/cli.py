@@ -191,6 +191,20 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--service-account", dest="service_account",
                    default=None)
 
+    gm = sub.add_parser(
+        "growth",
+        help="build the weekly growth mart "
+             "(per-(user, week) new/retained/resurrected class rows, "
+             "week-partitioned write)",
+    )
+    gm.add_argument("--sf-dir", dest="sf_dir",
+                    default="/root/testdata/sf0.001")
+    gm.add_argument("--output", dest="output", required=True,
+                    help="destination directory "
+                         "(partitioned by epoch_week)")
+    gm.add_argument("--service-account", dest="service_account",
+                    default=None)
+
     ix = sub.add_parser(
         "index",
         help="build or query a persisted ANN index "
@@ -259,6 +273,25 @@ def _run_stream(args) -> int:
     query.awaitTermination()
     n = spark.read.parquet(args.output).count()
     print(f"{n} rows written: {args.output}")
+    return 0
+
+
+def _run_growth(args) -> int:
+    from googlecloudstorage_blueprints_spark.pipelines import (
+        build_growth_mart,
+    )
+
+    spark = get_spark(
+        app_name="gcs-blueprints-growth",
+        service_account=args.service_account,
+    )
+    r = build_growth_mart(spark, args.sf_dir, args.output)
+    print(f"{r.n_rows} (user, week) rows ({r.n_users} users, "
+          f"{r.n_weeks} weeks)")
+    print(f"classes: {r.n_new} new / {r.n_retained} retained / "
+          f"{r.n_resurrected} resurrected; "
+          f"{r.n_churn_events} churn events attributed")
+    print(f"written: {args.output} (partitioned by epoch_week)")
     return 0
 
 
@@ -461,6 +494,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_stream(args)
     if args.verb == "sessions":
         return _run_sessions(args)
+    if args.verb == "growth":
+        return _run_growth(args)
     if args.verb == "index":
         return _run_index(args)
     if args.verb == "curate":

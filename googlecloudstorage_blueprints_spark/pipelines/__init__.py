@@ -17,11 +17,17 @@ from googlecloudstorage_blueprints_spark.pipelines.ann_index import (
 from googlecloudstorage_blueprints_spark.pipelines.sessions import (
     build_session_mart,
 )
+from googlecloudstorage_blueprints_spark.pipelines.growth import (
+    GrowthMartReport,
+    build_growth_mart,
+)
 
 __all__ = [
     "curate_corpus",
     "corpus_report",
     "build_session_mart",
+    "build_growth_mart",
+    "GrowthMartReport",
     "build_ivf_index",
     "search_ivf_index",
     "build_ivfpq_index",

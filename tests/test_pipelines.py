@@ -219,3 +219,59 @@ def test_curate_contam_ngram_len_monotone(spark, tmp_path):
     # identical upstream stages; only the decontamination gate differs
     assert r13.n_sem_deduped == r3.n_sem_deduped
     assert r13.n_clean >= r3.n_clean
+
+
+def test_growth_mart_composes_registered_op(spark, tmp_path):
+    """Every mart rollup must equal the registered
+    user_growth_accounting operator's weekly columns (classes AND the
+    report's churn attribution), and the write must be hive-partitioned
+    on epoch_week."""
+    import glob as globmod
+
+    from googlecloudstorage_blueprints_spark.pipelines import (
+        build_growth_mart,
+    )
+
+    out = f"file:{tmp_path}/growth"
+    report = build_growth_mart(spark, SF, out)
+    written = spark.read.parquet(out)
+
+    op = {
+        r["epoch_week"]: (
+            r["n_active"], r["n_new"], r["n_retained"], r["n_resurrected"]
+        )
+        for r in all_queries()["user_growth_accounting"](spark, SF).collect()
+        if r["n_active"] > 0
+    }
+    mart = {
+        r["epoch_week"]: (r["a"], r["n"], r["t"], r["s"])
+        for r in written.groupBy("epoch_week")
+        .agg(
+            F.count(F.lit(1)).alias("a"),
+            F.sum((F.col("cls") == "new").cast("long")).alias("n"),
+            F.sum((F.col("cls") == "retained").cast("long")).alias("t"),
+            F.sum((F.col("cls") == "resurrected").cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert mart == op and len(op) > 0
+    assert report.n_rows == sum(a for a, *_ in op.values())
+    assert report.n_new == sum(n for _a, n, *_ in op.values())
+    op_churn = sum(
+        r["n_churned"]
+        for r in all_queries()["user_growth_accounting"](spark, SF).collect()
+    )
+    assert report.n_churn_events == op_churn
+    assert globmod.glob(f"{tmp_path}/growth/epoch_week=*")
+
+
+def test_cli_growth_builds_the_mart(tmp_path, capsys):
+    from googlecloudstorage_blueprints_spark.fileops.cli import main
+
+    out = f"{tmp_path}/growth_mart"
+    assert main([
+        "growth", "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out,
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "(user, week) rows" in text and "written:" in text
