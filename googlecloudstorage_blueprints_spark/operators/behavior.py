@@ -3261,3 +3261,125 @@ def user_activity_ccdf_slope(
             (num / den).alias("ccdf_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# hour-of-day concentration per type (r12c) — the automation smell test
+# --------------------------------------------------------------------------
+
+@register(
+    "events_type_hour_entropy",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_us(ts) // {_US_PER_HOUR}) % 24 AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM cells GROUP BY event_type
+    ),
+    ent AS (
+        SELECT c.event_type,
+               CAST(SUM(c.c * CAST(ROUND(
+                   ln(CAST(t.n AS DOUBLE) / c.c) * 1000000, 0)
+                   AS BIGINT)) AS BIGINT) // ANY_VALUE(t.n)
+                   AS entropy_e6
+        FROM cells c JOIN tot t ON t.event_type = c.event_type
+        GROUP BY c.event_type
+    ),
+    pk AS (
+        SELECT event_type, hour_of_day AS peak_hour, c AS peak_c
+        FROM (
+            SELECT event_type, hour_of_day, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY c DESC, hour_of_day) AS rn
+            FROM cells
+        ) WHERE rn = 1
+    )
+    SELECT t.event_type,
+           t.n AS n_events,
+           t.n_hours,
+           CAST(pk.peak_hour AS BIGINT) AS peak_hour,
+           CAST(pk.peak_c AS DOUBLE) / t.n AS peak_share,
+           e.entropy_e6
+    FROM tot t
+    JOIN pk ON pk.event_type = t.event_type
+    JOIN ent e ON e.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def events_type_hour_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-day concentration per event type: Shannon entropy
+    (nats, ×1e6 integer) of each type's 24-hour activity distribution
+    plus the modal hour and its share — the automation smell test
+    (human traffic spreads toward ln 24 ≈ 3.178; a cron-driven or bot
+    type collapses toward one hour).  The heatmap
+    (``events_weekday_hour_heatmap``) shows the raw cells; this is the
+    per-type concentration number a triage alert thresholds on.
+
+    Shape: one (type, hour) aggregate (≤ |types|·24 cells), bounded
+    rollups.  Parity: pure-integer UTC hour key ((µs div hour) % 24 —
+    no calendar/TZ); the entropy is the ``source_lang_entropy``
+    template (per-term round(ln(n/c)·1e6) BIGINT weighted by c,
+    integer-divided by n — order-independent); the modal hour is
+    total-ordered (c DESC, hour); peak share an unrounded
+    exact-integer ratio."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr(f"(unix_micros(ts) div {_US_PER_HOUR}) % 24")
+    cells = e.groupBy(
+        "event_type", hour.alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    term = F.col("c") * F.round(
+        F.log(F.col("n").cast("double") / F.col("c")) * 1_000_000, 0
+    ).cast("long")
+    ent = (
+        cells.join(tot.select("event_type", "n"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(term).cast("long").alias("tsum"),
+            F.first("n").alias("n0"),
+        )
+        .select("event_type", F.expr("tsum div n0").alias("entropy_e6"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("hour_of_day")
+    )
+    pk = (
+        cells.select(
+            "event_type",
+            "hour_of_day",
+            "c",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour_of_day").cast("long").alias("peak_hour"),
+            F.col("c").alias("peak_c"),
+        )
+    )
+    return sort_bounded(
+        tot.join(pk, "event_type")
+        .join(ent, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "n_hours",
+            "peak_hour",
+            (F.col("peak_c").cast("double") / F.col("n")).alias(
+                "peak_share"
+            ),
+            "entropy_e6",
+        ),
+        "event_type",
+    )

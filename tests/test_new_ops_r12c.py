@@ -439,3 +439,82 @@ def test_embedding_exact_dup_fixture_all_unique(spark):
     assert rows[0]["n_vectors"] == load_table(
         spark, SF, "embeddings"
     ).count()
+
+
+# --- events_type_hour_entropy pins ---------------------------------------------
+
+
+def test_hour_entropy_planted_closed_forms(spark, tmp_path):
+    """'cron' fires only at hour 7 (entropy exactly 0, peak share 1);
+    'human' splits 50/50 across two hours (entropy exactly
+    round(ln2*1e6) = 693147 — the source_lang_entropy pin applied to
+    hours); modal tiebreak is the SMALLER hour on equal counts."""
+    rows, eid = [], 1
+    hour_us = 3_600_000_000
+    for i in range(8):  # cron: all in hour 7 (UTC day offset 7h)
+        rows.append((eid, 7 * hour_us + i * 1_000, 1)); eid += 1
+    human = []
+    for i in range(4):  # human: 4 at hour 2, 4 at hour 5
+        human.append((eid, 2 * hour_us + i * 1_000, 2)); eid += 1
+    for i in range(4):
+        human.append((eid, 5 * hour_us + i * 1_000, 2)); eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array(
+                [r[0] for r in rows + human], pa.int64()
+            ),
+            "ts": pa.array(
+                [r[1] for r in rows + human], pa.timestamp("us")
+            ),
+            "user_id": pa.array(
+                [r[2] for r in rows + human], pa.int64()
+            ),
+            "event_type": pa.array(
+                ["cron"] * len(rows) + ["human"] * len(human), pa.string()
+            ),
+            "value": pa.array([1.0] * (len(rows) + len(human)), pa.float64()),
+            "props": pa.array(["{}"] * (len(rows) + len(human)), pa.string()),
+        }
+    )
+    sf_dir = _planted_dir(tmp_path, {"events": tbl})
+    got, cols = _cross_engine(spark, "events_type_hour_entropy", sf_dir)
+    by_type = {r[cols.index("event_type")]: r for r in got}
+    cron, human_r = by_type["cron"], by_type["human"]
+    assert cron[cols.index("entropy_e6")] == 0
+    assert cron[cols.index("peak_hour")] == 7
+    assert cron[cols.index("peak_share")] == 1.0
+    assert human_r[cols.index("entropy_e6")] == 693147
+    assert human_r[cols.index("peak_hour")] == 2  # tie -> smaller hour
+    assert human_r[cols.index("peak_share")] == 0.5
+
+
+# --- cross-surface: streaming dau_wau marks derive the batch L28 ---------------
+
+
+def test_streaming_day_marks_derive_batch_l28(spark):
+    """user_engagement_l28 needs no twin of its own: the
+    streaming_dau_wau (user, day) mark feed IS its stateful part — a
+    stateless rollup of the drained marks over the trailing-28 window
+    reproduces the batch histogram exactly."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_dau_wau,
+    )
+
+    marks = run_stream_to_memory(
+        streaming_dau_wau(spark, SF), "l28_marks"
+    ).collect()
+    days = {}
+    for r in marks:
+        days.setdefault(r["user_id"], set()).add(r["epoch_day"])
+    max_day = max(d for s in days.values() for d in s)
+    hist = {}
+    for _uid, s in days.items():
+        k = len({d for d in s if d > max_day - 28})
+        if k:
+            hist[k] = hist.get(k, 0) + 1
+    batch = {
+        r["days_active"]: r["n_users"]
+        for r in all_queries()["user_engagement_l28"](spark, SF).collect()
+    }
+    assert hist == batch and len(batch) > 0
