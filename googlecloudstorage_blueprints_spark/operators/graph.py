@@ -215,3 +215,98 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels.unpersist()
     jac.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# co-purchase PageRank (r12c) — join-based message passing, integer ranks
+# --------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_TOP_K = 20
+_PR_SCALE = 10**12  # ranks are int64 fixed-point (×1e12)
+
+
+@register("copurchase_pagerank", oracle=None)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts are nodes, "appeared
+    in the same order" the undirected edges): the influence ranking a
+    recommender seeds from, where ``part_copurchase_lift`` scores
+    individual PAIRS and ``copurchase_degree_histogram`` the degree
+    mass.  Damping 0.85, {PAGERANK_ITERS} power iterations, top-
+    {PAGERANK_TOP_K} by rank.  Rows-only by contract (iterative — no
+    ANSI oracle); planted cycle/star closed forms and integer
+    determinism are the semantic pins (tests/test_new_ops_r12c.py).
+
+    Shape: the third iterative template in the repo (dedup_clusters =
+    driver loop over joins, kmeans = broadcast-model mapInPandas
+    rounds; this is JOIN-BASED MESSAGE PASSING): per round ONE
+    ranks⋈edges join keyed on src and one dst-keyed sum —
+    ``localCheckpoint`` per round keeps the plan constant-size.
+    Isolated parts (never co-purchased) have no edges and are excluded
+    by construction.  Ranks are int64 fixed-point (×1e12) end to end:
+    contributions are ``rank div deg``, damping is ``(85·s) div 100``
+    — runs are bit-deterministic (no float accumulation order), and
+    ANSI mode fails loudly if the scale ever overflows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    edges = (
+        baskets.where(F.size("ps") >= 2)
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    nodes = deg.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    init = _PR_SCALE // n_nodes
+    base = (_PR_SCALE * 15) // 100 // n_nodes  # (1-d)/N, fixed-point
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select(
+        F.col("src").alias("node"),
+        F.lit(init).cast("long").alias("rank_e12"),
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_e12 div deg").alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum("c").cast("long").alias("s")
+        )
+        ranks = (
+            nodes.select(F.col("src").alias("node"))
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT)))"
+                             " div 100")
+                )
+                .cast("long")
+                .alias("rank_e12"),
+            )
+            .localCheckpoint(eager=True)  # constant-size plan per round
+        )
+    return (
+        ranks.join(nodes, ranks.node == nodes.src)
+        .select(
+            F.col("node").alias("p_partkey"),
+            "rank_e12",
+            F.col("deg").alias("out_degree"),
+        )
+        .orderBy(F.col("rank_e12").desc(), "p_partkey")
+        .limit(PAGERANK_TOP_K)
+    )
+
+
+copurchase_pagerank.__doc__ = copurchase_pagerank.__doc__.format(
+    PAGERANK_ITERS=PAGERANK_ITERS, PAGERANK_TOP_K=PAGERANK_TOP_K
+)

@@ -518,3 +518,67 @@ def test_streaming_day_marks_derive_batch_l28(spark):
         for r in all_queries()["user_engagement_l28"](spark, SF).collect()
     }
     assert hist == batch and len(batch) > 0
+
+
+# --- copurchase_pagerank (rows-only) pins --------------------------------------
+
+
+def _lineitem_table(rows):
+    """rows: (orderkey, partkey, linenumber)"""
+    n = len(rows)
+    return pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([r[2] for r in rows], pa.int64()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([100.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [1_700_000_000_000_000] * n, pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_pagerank_planted_pair_is_fixed_point(spark, tmp_path):
+    """Two parts always bought together: the symmetric 2-cycle is
+    PageRank's exact fixed point — both ranks stay at 1/2 (5e11 in the
+    e12 fixed-point scale) through every iteration."""
+    li = _lineitem_table([(1, 101, 1), (1, 102, 2), (2, 101, 1), (2, 102, 2)])
+    sf_dir = _planted_dir(tmp_path, {"lineitem": li})
+    got = all_queries()["copurchase_pagerank"](spark, sf_dir).collect()
+    ranks = {r["p_partkey"]: r["rank_e12"] for r in got}
+    assert ranks == {101: 500_000_000_000, 102: 500_000_000_000}
+
+
+def test_pagerank_planted_star_center_dominates(spark, tmp_path):
+    """A hub part co-purchased with four leaves (never leaf-leaf): the
+    center outranks every leaf and the leaves tie exactly (integer
+    fixed-point arithmetic is bit-deterministic)."""
+    rows = []
+    for i, leaf in enumerate([201, 202, 203, 204], 1):
+        rows.append((i, 100, 1))
+        rows.append((i, leaf, 2))
+    sf_dir = _planted_dir(tmp_path, {"lineitem": _lineitem_table(rows)})
+    got = all_queries()["copurchase_pagerank"](spark, sf_dir).collect()
+    ranks = {r["p_partkey"]: r["rank_e12"] for r in got}
+    degs = {r["p_partkey"]: r["out_degree"] for r in got}
+    assert degs == {100: 4, 201: 1, 202: 1, 203: 1, 204: 1}
+    leaf_ranks = {ranks[p] for p in (201, 202, 203, 204)}
+    assert len(leaf_ranks) == 1
+    assert ranks[100] > leaf_ranks.pop()
+
+
+def test_pagerank_fixture_deterministic_topk(spark):
+    """Top-20 on the real fixture: full rows, exact run-to-run equality
+    (integer ranks carry no float accumulation order)."""
+    q = all_queries()["copurchase_pagerank"]
+    a = [tuple(r) for r in q(spark, SF).collect()]
+    b = [tuple(r) for r in q(spark, SF).collect()]
+    assert a == b and len(a) == 20
+    assert all(a[i][1] >= a[i + 1][1] for i in range(len(a) - 1))
