@@ -130,7 +130,15 @@ HEADLINE = [
 # drift is gated by inspection of BENCH_r{N}.  minhash_lsh_dedup is
 # already in HEADLINE (timings reused); similarity_knn_pq is timed by
 # dedicated passes with the same 1-cold + best-of-3-warm protocol.
-ROWS_ONLY_LANE = ["minhash_lsh_dedup", "similarity_knn_pq"]
+ROWS_ONLY_LANE = [
+    "minhash_lsh_dedup",
+    "similarity_knn_pq",
+    # r12c: the two iterative rows-only heavies (Python-kernel Lloyd
+    # rounds / 5-round join message passing) — regressions in driver
+    # loops are otherwise invisible to the gate
+    "embedding_kmeans_inertia",
+    "copurchase_pagerank",
+]
 
 
 def _time_duckdb_oracles(
