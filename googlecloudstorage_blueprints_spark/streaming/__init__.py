@@ -25,6 +25,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_session_entries,
     streaming_session_path_trigrams,
     streaming_stateful_sessions,
+    streaming_topk_words,
     streaming_transition_matrix,
     streaming_weekly_conversion,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "streaming_session_depth",
     "streaming_session_entries",
     "streaming_session_path_trigrams",
+    "streaming_topk_words",
     "streaming_transition_matrix",
     "streaming_weekly_conversion",
     "run_stream_to_memory",

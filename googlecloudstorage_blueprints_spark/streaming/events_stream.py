@@ -356,3 +356,22 @@ def read_lineitem_stream(
             "l_shipdate", F.col("l_shipdate").cast("timestamp")
         )
     return stream
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Documents as a file-source stream (the corpus-ingest feed) — no
+    timestamp column, so no ntz normalization is needed; the glob /
+    maxFilesPerTrigger knobs match the other readers."""
+    apply_runtime_conf(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)

@@ -2064,3 +2064,144 @@ def streaming_growth_accounting(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: Space-Saving word counters per shard (r12c)
+# ---------------------------------------------------------------------------
+
+SPACE_SAVING_CAPACITY = 64
+TOPK_WORD_SHARDS = 32
+
+_TOPK_WORDS_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("word", StringType()),
+        StructField("est", LongType()),
+        StructField("err", LongType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+_TOPK_WORDS_STATE_SCHEMA = StructType(
+    [
+        StructField("words", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def _space_saving_counts(key: tuple, pdfs, state: GroupState):
+    """Per-shard Space-Saving (Metwally et al.) heavy-hitter counters:
+    state holds at most {SPACE_SAVING_CAPACITY} (word, est, err)
+    counters; a new word beyond capacity EVICTS the minimum counter
+    and inherits its estimate as the error bound.  The classic sketch
+    guarantees hold under any arrival order: est ≥ true ≥ est − err
+    for every tracked word, and Σ est equals the total words processed
+    (mass is conserved through evictions) — all pinned by the
+    hypothesis harness.  Admission within a micro-batch is
+    word-sorted, so runs are deterministic for a fixed file split.
+    Each batch emits the shard's FULL counter table stamped with a
+    bumped version — newest (max-ver) rows per shard are the current
+    sketch, a bounded C-row changelog regardless of stream length."""
+    import pandas as pd
+
+    (shard,) = key
+    rows = pd.concat(list(pdfs))
+    batch = rows["word"].value_counts().sort_index()
+    if state.exists:
+        words = list(state.get[0])
+        counts = dict(zip(words, state.get[1]))
+        errs = dict(zip(words, state.get[2]))
+        ver = int(state.get[3])
+    else:
+        counts, errs, ver = {}, {}, 0
+    for word, c in batch.items():
+        c = int(c)
+        if word in counts:
+            counts[word] += c
+        elif len(counts) < SPACE_SAVING_CAPACITY:
+            counts[word] = c
+            errs[word] = 0
+        else:
+            mw = min(counts, key=lambda w: (counts[w], w))
+            mc = counts.pop(mw)
+            errs.pop(mw)
+            counts[word] = mc + c
+            errs[word] = mc
+    ver += 1
+    ws = sorted(counts)
+    state.update(
+        (ws, [counts[w] for w in ws], [errs[w] for w in ws], ver)
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "shard": int(shard),
+                "word": w,
+                "est": int(counts[w]),
+                "err": int(errs[w]),
+                "ver": ver,
+            }
+            for w in ws
+        ]
+    )
+
+
+def streaming_topk_words(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming heavy-hitter word counts — the first SKETCH-state twin:
+    exact per-word streaming counts need state linear in the live
+    vocabulary, which at web scale is unbounded; Space-Saving caps the
+    state at {TOPK_WORD_SHARDS}·{SPACE_SAVING_CAPACITY} counters total
+    while keeping the deterministic overestimate guarantee
+    (est ≥ true ≥ est − err), which is what a "top words right now"
+    dashboard actually needs.  Words shard by a stable hash so the
+    sketches build in parallel; the newest (max-ver) rows per shard
+    merge driver-side into the global top-K.  When the true vocabulary
+    fits the capacity no eviction ever fires and the sketch is EXACT —
+    the fixture pin; the planted over-capacity corpus pins the error
+    bound.  (Exactly-once across restarts comes from the checkpointed
+    file source, as with the partial-sum twins — a sketch replay would
+    double-count, same as any counter.)
+
+    Scale: fixed C-counter state per shard — corpus-size-independent;
+    one shard shuffle per micro-batch."""
+    from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+        read_documents_stream,
+    )
+
+    docs = read_documents_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .select(
+            (F.abs(F.hash("word")) % TOPK_WORD_SHARDS).alias("shard"),
+            "word",
+        )
+    )
+    return words.groupBy("shard").applyInPandasWithState(
+        _space_saving_counts,
+        _TOPK_WORDS_OUT_SCHEMA,
+        _TOPK_WORDS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+streaming_topk_words.__doc__ = streaming_topk_words.__doc__.format(
+    SPACE_SAVING_CAPACITY=SPACE_SAVING_CAPACITY,
+    TOPK_WORD_SHARDS=TOPK_WORD_SHARDS,
+)
+_space_saving_counts.__doc__ = _space_saving_counts.__doc__.format(
+    SPACE_SAVING_CAPACITY=SPACE_SAVING_CAPACITY
+)

@@ -1169,3 +1169,73 @@ def test_growth_kernel_newest_class_matches_batch_under_any_order(case):
             _growth_class_diff((1,), iter([_weeks_df(list(batch))]), state)
         )
     assert again == [], "redelivery must be absorbed by the week set"
+
+
+# --- r12c: Space-Saving heavy-hitter sketch ----------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    SPACE_SAVING_CAPACITY,
+    _space_saving_counts,
+)
+
+
+def _words_rows_df(words):
+    return pd.DataFrame({"shard": 0, "word": list(words)})
+
+
+@st.composite
+def word_batches(draw):
+    """Word sequences over an alphabet LARGER than the sketch capacity
+    (so evictions actually fire), cut into 1-4 in-order batches."""
+    alphabet = [f"w{i:03d}" for i in range(SPACE_SAVING_CAPACITY + 16)]
+    n = draw(st.integers(min_value=1, max_value=220))
+    words = draw(
+        st.lists(st.sampled_from(alphabet), min_size=n, max_size=n)
+    )
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(n - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        if words[prev:c]:
+            batches.append(words[prev:c])
+        prev = c
+    return words, batches
+
+
+@given(word_batches())
+@settings(max_examples=150, deadline=None)
+def test_space_saving_kernel_invariants_under_any_split(case):
+    """The Metwally guarantees must hold at every batch boundary:
+    est >= true >= est - err for every tracked word, total mass is
+    conserved (sum est == words processed so far), the counter table
+    never exceeds capacity, and with vocabulary <= capacity the sketch
+    is EXACT (err identically 0)."""
+    words, batches = case
+    state = FakeGroupState()
+    true = collections.Counter()
+    newest = {}
+    for batch in batches:
+        true.update(batch)
+        for pdf in _space_saving_counts(
+            (0,), iter([_words_rows_df(batch)]), state
+        ):
+            rows = {
+                str(r.word): (int(r.est), int(r.err))
+                for r in pdf.itertuples(index=False)
+            }
+            newest = rows
+        assert len(newest) <= SPACE_SAVING_CAPACITY
+        assert sum(e for e, _ in newest.values()) == sum(true.values())
+        for w, (est, err) in newest.items():
+            assert est >= true[w] >= est - err, w
+    if len(set(words)) <= SPACE_SAVING_CAPACITY:
+        assert {w: e for w, (e, _err) in newest.items()} == dict(true)
+        assert all(err == 0 for _e, err in newest.values())

@@ -1912,3 +1912,104 @@ def test_streaming_growth_accounting_matches_batch_and_reclassifies(
         "growth_redelivery",
     ).collect()
     assert len(redelivered) == len(single)
+
+
+def test_streaming_topk_words_exact_when_vocab_fits(spark, tmp_path):
+    """The fixture vocabulary fits the per-shard capacity, so no
+    eviction ever fires: merging the newest (max-ver) counter rows per
+    shard must equal the batch word counts EXACTLY (err all 0), and
+    the global top-20 by (est, word) must match the batch top-20."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_topk_words,
+    )
+
+    rows = run_stream_to_memory(
+        streaming_topk_words(spark, SF), "topk_words"
+    ).collect()
+    newest = {}
+    for r in rows:
+        k = (r["shard"], r["word"])
+        if k not in newest or r["ver"] > newest[k][2]:
+            newest[k] = (r["est"], r["err"], r["ver"])
+    merged = {}
+    for (_s, w), (est, err, _v) in newest.items():
+        merged[w] = (merged.get(w, (0, 0))[0] + est,
+                     merged.get(w, (0, 0))[1] + err)
+    batch = {
+        r["w"]: r["c"]
+        for r in load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {w: e for w, (e, _err) in merged.items()} == batch
+    assert all(err == 0 for _e, err in merged.values())
+    top_stream = sorted(
+        ((e, w) for w, (e, _err) in merged.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    top_batch = sorted(
+        ((c, w) for w, c in batch.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    assert top_stream == top_batch
+
+
+def test_streaming_topk_words_bounds_over_capacity(spark, tmp_path):
+    """A planted corpus with more distinct words than one shard's
+    capacity (all words forced into ONE shard via a single doc stream
+    is impractical — instead the alphabet is sized so at least one
+    shard overflows): every emitted counter must satisfy
+    est >= true >= est - err, and the dominant planted word must
+    surface with an exact count despite churn."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_topk_words,
+    )
+    from googlecloudstorage_blueprints_spark.streaming.stateful import (
+        SPACE_SAVING_CAPACITY,
+        TOPK_WORD_SHARDS,
+    )
+
+    n_words = SPACE_SAVING_CAPACITY * TOPK_WORD_SHARDS + 512
+    rare = [f"tok{i:05d}" for i in range(n_words)]
+    text = "hot " * 400 + " ".join(rare)
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array([text.strip()], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["web"], pa.string()),
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }
+        ),
+        src / "documents.parquet",
+    )
+    rows = run_stream_to_memory(
+        streaming_topk_words(spark, f"file:{src}"), "topk_planted"
+    ).collect()
+    true = {w: 1 for w in rare}
+    true["hot"] = 400
+    newest = {}
+    for r in rows:
+        k = (r["shard"], r["word"])
+        if k not in newest or r["ver"] > newest[k][2]:
+            newest[k] = (r["est"], r["err"], r["ver"])
+    assert any(err > 0 for _e, err, _v in newest.values()), (
+        "planted corpus must actually overflow a shard"
+    )
+    for (_s, w), (est, err, _v) in newest.items():
+        t = true.get(w, 0)
+        assert est >= t >= est - err, w
+    hot = [v for (_s, w), v in newest.items() if w == "hot"]
+    assert hot and hot[0][0] == 400 and hot[0][1] == 0
