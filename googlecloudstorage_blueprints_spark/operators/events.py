@@ -1600,3 +1600,83 @@ def events_value_tail_index(
 events_value_tail_index.__doc__ = events_value_tail_index.__doc__.format(
     HILL_TOP_M=HILL_TOP_M
 )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive volume backtest (r12c) — is last week a good forecast?
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+@register(
+    "events_volume_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi)) AS d FROM bounds
+    ),
+    dense AS (
+        SELECT spine.d, COALESCE(daily.c, 0) AS c
+        FROM spine LEFT JOIN daily ON daily.d = spine.d
+    ),
+    scored AS (
+        SELECT d, c,
+               LAG(c, 7) OVER (ORDER BY d) AS pred
+        FROM dense
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(c - pred)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(ABS(c - pred)) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(ABS(c - pred)) AS DOUBLE)
+               / NULLIF(SUM(c), 0) AS wape
+    FROM scored WHERE pred IS NOT NULL
+    """,
+)
+def events_volume_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict day d's event
+    volume with day d−7's) on a DENSIFIED day spine: MAE and WAPE over
+    every day that has a week-ago observation.  The baseline every
+    capacity-planning forecast must beat — if a model can't beat
+    "same day last week", ship the heuristic; and a WAPE spike between
+    rounds flags a regime change the seasonality ops
+    (``events_seasonality_strength``) summarize but don't score.
+
+    Shape: one day-keyed count, a calendar-bounded spine join (silent
+    days are real zeros, not missing rows — the ``events_wow_growth``
+    densify rule), one lag-7 window over the bounded ledger, a 1-row
+    close.  Parity: pure-integer epoch days and counts; MAE/WAPE are
+    unrounded exact-integer ratios (denominators: scored-day count
+    ≥ 1 via the WHERE, Σ actual NULLIF-guarded identically)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode_outer(F.sequence("lo", "hi")).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.orderBy("d")  # bounded: |days| ledger
+    scored = dense.select(
+        "c", F.lag("c", 7).over(w).alias("pred")
+    ).where(F.col("pred").isNotNull())
+    abs_err = F.sum(F.abs(F.col("c") - F.col("pred"))).cast("long")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        abs_err.alias("total_abs_err"),
+        (abs_err.cast("double") / F.count(F.lit(1))).alias("mae"),
+        (
+            abs_err.cast("double")
+            / F.nullif(F.sum("c").cast("long"), F.lit(0))
+        ).alias("wape"),
+    )

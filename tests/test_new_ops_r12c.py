@@ -582,3 +582,37 @@ def test_pagerank_fixture_deterministic_topk(spark):
     b = [tuple(r) for r in q(spark, SF).collect()]
     assert a == b and len(a) == 20
     assert all(a[i][1] >= a[i + 1][1] for i in range(len(a) - 1))
+
+
+# --- events_volume_seasonal_naive_backtest pins ---------------------------------
+
+
+def test_seasonal_naive_backtest_planted_closed_form(spark, tmp_path):
+    """Week 1 runs 10 events/day; week 2 plants +3, -3, and a SILENT
+    day (densified to an explicit zero, scored as error 10) — MAE and
+    WAPE are closed-form, and the silent day proves the spine join."""
+    rows, eid = [], 1
+    base_day = 20_000
+    week2 = {0: 13, 1: 7, 2: 0, 3: 10, 4: 10, 5: 10, 6: 10}
+    for off in range(7):
+        for i in range(10):
+            rows.append(
+                (eid, (base_day + off) * _US_PER_DAY + i * 1_000, 1)
+            )
+            eid += 1
+    for off, n in week2.items():
+        for i in range(n):
+            rows.append(
+                (eid, (base_day + 7 + off) * _US_PER_DAY + i * 1_000, 1)
+            )
+            eid += 1
+    sf_dir = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got, cols = _cross_engine(
+        spark, "events_volume_seasonal_naive_backtest", sf_dir
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert r[cols.index("n_days_scored")] == 7
+    assert r[cols.index("total_abs_err")] == 3 + 3 + 10
+    assert r[cols.index("mae")] == 16 / 7
+    assert r[cols.index("wape")] == 16 / 60
