@@ -2013,3 +2013,79 @@ def test_streaming_topk_words_bounds_over_capacity(spark, tmp_path):
         assert est >= t >= est - err, w
     hot = [v for (_s, w), v in newest.items() if w == "hot"]
     assert hot and hot[0][0] == 400 and hot[0][1] == 0
+
+
+def test_streaming_topk_words_checkpoint_restart(spark, tmp_path):
+    """The sketch twin's exactly-once claim pinned the pair-latency
+    way: drain half the corpus to a FILE sink with a checkpoint,
+    restart on the unchanged source (must emit NOTHING new), add the
+    second half and restart — recovered counters must continue, and
+    since the fixture vocabulary fits capacity, the final newest
+    counters equal the single-drain exact counts."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_topk_words,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    mid = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.5)").cast("long").alias("m")
+    ).collect()[0]["m"]
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+
+    def plant(df, name):
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0],
+            src / f"{name}.parquet",
+        )
+
+    def run_once():
+        q = (
+            streaming_topk_words(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant(docs.where(F.col("doc_id") <= F.lit(mid)), "00")
+    run_once()
+    first = spark.read.parquet(sink).count()
+    run_once()  # unchanged source: committed file must be skipped
+    assert spark.read.parquet(sink).count() == first, (
+        "restart on an unchanged source must emit nothing"
+    )
+    plant(docs.where(F.col("doc_id") > F.lit(mid)), "01")
+    run_once()
+
+    newest = {}
+    for r in spark.read.parquet(sink).collect():
+        k = (r["shard"], r["word"])
+        if k not in newest or r["ver"] > newest[k][1]:
+            newest[k] = (r["est"], r["ver"])
+    merged = {}
+    for (_s, w), (est, _v) in newest.items():
+        merged[w] = merged.get(w, 0) + est
+    batch = {
+        r["w"]: r["c"]
+        for r in docs.where(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert merged == batch, (
+        "checkpoint-recovered sketch state must continue exactly"
+    )
