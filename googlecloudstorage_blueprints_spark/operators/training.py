@@ -1270,3 +1270,201 @@ def worker_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 worker_shard_balance.__doc__ = worker_shard_balance.__doc__.format(
     SHARD_WORKERS=SHARD_WORKERS
 )
+
+
+# --------------------------------------------------------------------------
+# capped epoch water-filling (r12c) — the data-constrained scaling plan
+# --------------------------------------------------------------------------
+
+WATERFILL_BUDGET_MULT = 2  # token budget = 2 x the corpus
+WATERFILL_EPOCH_CAP = 4   # no source repeats more than 4 epochs
+WATERFILL_TAU = 0.5       # temperature on the proportional weights
+
+
+@register(
+    "source_epoch_waterfill",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    ),
+    wtd AS (
+        SELECT source, n_tokens,
+               CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE),
+                                {WATERFILL_TAU}) * 1000000, 0) AS BIGINT)
+                   AS w_e6,
+               CAST({WATERFILL_EPOCH_CAP} * n_tokens AS BIGINT) AS cap
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) * {WATERFILL_BUDGET_MULT} AS BIGINT)
+                   AS budget,
+               CAST(SUM(w_e6) AS BIGINT) AS w_tot
+        FROM wtd
+    ),
+    ordered AS (
+        SELECT wtd.*, tot.budget,
+               COALESCE(CAST(SUM(cap) OVER (
+                   ORDER BY cap * 1000000 // w_e6, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS pc_prev,
+               tot.w_tot - COALESCE(CAST(SUM(w_e6) OVER (
+                   ORDER BY cap * 1000000 // w_e6, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS sw_prev
+        FROM wtd, tot
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN (budget - pc_prev) * w_e6 >= cap * sw_prev
+                    THEN 1 ELSE 0 END AS capped
+        FROM ordered
+    ),
+    pools AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN cap END), 0)
+                    AS BIGINT) AS capped_cap,
+               CAST(COALESCE(SUM(CASE WHEN capped = 0 THEN w_e6 END), 0)
+                    AS BIGINT) AS free_w
+        FROM flagged
+    )
+    SELECT f.source,
+           f.n_tokens,
+           f.w_e6 AS weight_e6,
+           CAST(f.capped AS BIGINT) AS capped,
+           CAST(CASE WHEN f.capped = 1 THEN f.cap
+                     ELSE (f.budget - p.capped_cap) * f.w_e6
+                          // NULLIF(p.free_w, 0)
+                END AS BIGINT) AS alloc_tokens,
+           CAST((CASE WHEN f.capped = 1 THEN f.cap
+                      ELSE (f.budget - p.capped_cap) * f.w_e6
+                           // NULLIF(p.free_w, 0)
+                 END) * 1000000 // f.n_tokens AS BIGINT) AS epochs_e6
+    FROM flagged f, pools p
+    ORDER BY f.source
+    """,
+)
+def source_epoch_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The data-constrained scaling plan (Muennighoff et al.): given a
+    token budget of {WATERFILL_BUDGET_MULT}× the corpus and a
+    {WATERFILL_EPOCH_CAP}-epoch repeat cap per source, water-fill the
+    budget across sources proportionally to temperature weights
+    w_s = tokens_s^{WATERFILL_TAU} — small high-weight sources hit the
+    repeat cap and their unfilled demand overflows to the rest.
+    ``source_token_budget_split`` divides a budget with NO cap;
+    ``source_temperature_weights`` stops at the weights; this is the
+    allocation a data-constrained pretraining run actually executes
+    (alloc_tokens and fractional epochs_e6 per source).
+
+    Shape: one token-count scan, then ALL waterfill algebra on the
+    |sources|-bounded frame (one ordered window for the prefix pools,
+    one bounded conditional aggregate, one broadcast join).  Parity:
+    the cap ratio order key is pure-integer (cap·1e6 div w_e6, source
+    tiebreak); the cap test cross-multiplies BIGINTs — never a double
+    water level; sqrt is IEEE-correctly-rounded on both engines so the
+    ×1e6-at-birth weight is identical (the temperature-weights rule);
+    allocations and epochs are integer-div truncations with explicit
+    NULLIF on the all-capped edge (budget > total cap leaves free_w=0;
+    fixture budget can't reach it — planted).  Capping is prefix-closed
+    in ratio order (standard waterfill lemma), pinned planted.  At
+    extreme corpus sizes the cross-products approach BIGINT range —
+    promote to DECIMAL(38,0); ANSI mode fails loudly."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    wtd = per.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), WATERFILL_TAU)
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("w_e6"),
+        (F.lit(WATERFILL_EPOCH_CAP) * F.col("n_tokens"))
+        .cast("long")
+        .alias("cap"),
+    )
+    tot = wtd.agg(
+        (F.sum("n_tokens") * WATERFILL_BUDGET_MULT)
+        .cast("long")
+        .alias("budget"),
+        F.sum("w_e6").cast("long").alias("w_tot"),
+    )
+    w = (
+        Window.orderBy(F.expr("cap * 1000000 div w_e6"), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: |sources| frame
+    ordered = wtd.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.coalesce(F.sum("cap").over(w), F.lit(0))
+        .cast("long")
+        .alias("pc_prev"),
+        (
+            F.col("w_tot")
+            - F.coalesce(F.sum("w_e6").over(w), F.lit(0))
+        )
+        .cast("long")
+        .alias("sw_prev"),
+    )
+    flagged = ordered.select(
+        "*",
+        F.when(
+            (F.col("budget") - F.col("pc_prev")) * F.col("w_e6")
+            >= F.col("cap") * F.col("sw_prev"),
+            1,
+        )
+        .otherwise(0)
+        .alias("capped"),
+    )
+    pools = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("capped_cap"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 0, F.col("w_e6"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("free_w"),
+    )
+    alloc = F.when(F.col("capped") == 1, F.col("cap")).otherwise(
+        F.expr(
+            "(budget - capped_cap) * w_e6 div nullif(free_w, 0)"
+        )
+    )
+    return sort_bounded(
+        flagged.crossJoin(F.broadcast(pools)).select(
+            "source",
+            "n_tokens",
+            F.col("w_e6").alias("weight_e6"),
+            F.col("capped").cast("long").alias("capped"),
+            alloc.cast("long").alias("alloc_tokens"),
+            F.expr(
+                "(CASE WHEN capped = 1 THEN cap"
+                " ELSE (budget - capped_cap) * w_e6"
+                " div nullif(free_w, 0) END) * 1000000 div n_tokens"
+            )
+            .cast("long")
+            .alias("epochs_e6"),
+        ),
+        "source",
+    )
+
+
+source_epoch_waterfill.__doc__ = source_epoch_waterfill.__doc__.format(
+    WATERFILL_BUDGET_MULT=WATERFILL_BUDGET_MULT,
+    WATERFILL_EPOCH_CAP=WATERFILL_EPOCH_CAP,
+    WATERFILL_TAU=WATERFILL_TAU,
+)

@@ -616,3 +616,55 @@ def test_seasonal_naive_backtest_planted_closed_form(spark, tmp_path):
     assert r[cols.index("total_abs_err")] == 3 + 3 + 10
     assert r[cols.index("mae")] == 16 / 7
     assert r[cols.index("wape")] == 16 / 60
+
+
+# --- source_epoch_waterfill pins -------------------------------------------------
+
+
+def test_waterfill_planted_caps_and_overflow(spark, tmp_path):
+    """Skewed corpus: two tiny sources whose temperature share exceeds
+    the 4-epoch cap get EXACTLY cap tokens (epochs_e6 = 4e6), and the
+    freed budget overflows to the giant — closed form: giant alloc =
+    budget - caps = 19940 of 10000 tokens -> epochs_e6 = 1_994_000."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(["tok"] * 10000),
+                    " ".join(["tok"] * 10),
+                    " ".join(["tok"] * 20),
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["giant", "tiny_a", "tiny_b"], pa.string()),
+            "n_chars": pa.array([4 * 10000, 40, 80], pa.int64()),
+        }
+    )
+    sf_dir = _planted_dir(tmp_path, {"documents": docs})
+    got, cols = _cross_engine(spark, "source_epoch_waterfill", sf_dir)
+    by_src = {r[cols.index("source")]: r for r in got}
+    a, b, g = by_src["tiny_a"], by_src["tiny_b"], by_src["giant"]
+    assert (a[cols.index("capped")], b[cols.index("capped")]) == (1, 1)
+    assert a[cols.index("alloc_tokens")] == 40
+    assert b[cols.index("alloc_tokens")] == 80
+    assert a[cols.index("epochs_e6")] == 4_000_000
+    assert b[cols.index("epochs_e6")] == 4_000_000
+    assert g[cols.index("capped")] == 0
+    assert g[cols.index("alloc_tokens")] == 2 * 10030 - 120
+    assert g[cols.index("epochs_e6")] == 1_994_000
+    # budget is fully used: truncation leftover is zero here
+    total_alloc = sum(r[cols.index("alloc_tokens")] for r in got)
+    assert total_alloc == 2 * 10030
+
+
+def test_waterfill_fixture_uncapped_is_uniform_two_epochs(spark):
+    """Document WHY the planted pin exists: fixture sources are
+    near-equal, nobody caps, and every allocation sits near 2 epochs
+    (the budget multiplier) — the capping branch never fires."""
+    rows = all_queries()["source_epoch_waterfill"](spark, SF).collect()
+    assert all(r["capped"] == 0 for r in rows)
+    assert all(
+        1_500_000 < r["epochs_e6"] < 2_500_000 for r in rows
+    )
