@@ -44,19 +44,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r12 changes land here as they happen; r11 entries cleared after
-    # CORRECTNESS_r11.json adjudicated them (all passed).
-    # -- r11 ADVICE: replaced the ignored broadcast-left-of-left-join
-    #    with a supplier-grain pre-aggregate + left join (plan change;
-    #    values identical but re-adjudication is due)
-    "supplier_balance_quartiles",
-    # -- top-K cut moved before the marginal joins (plan change;
-    #    identical values, r11 VERDICT item 3)
-    "part_copurchase_lift",
-    # -- minhash permutation family fixed (the pre-r12 family never
-    #    wrapped its modulus, so banding degenerated to single-hash
-    #    matching; rows-only key, output pair set can change)
-    "minhash_lsh_dedup",
+    # r13 changes land here as they happen; r12 entries
+    # (supplier_balance_quartiles, part_copurchase_lift,
+    # minhash_lsh_dedup) cleared after CORRECTNESS_r12.json
+    # adjudicated them (all passed / rows-only green).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
