@@ -1,0 +1,98 @@
+"""Size gate for ``copurchase_pagerank``'s per-round broadcasts (r12
+VERDICT item 1).
+
+Nodes in the co-purchase graph are distinct co-purchased parts —
+DATA-sized, not dimension-bounded — so the per-round ``F.broadcast`` of
+the rank frame is only safe under an explicit node-count ceiling
+(``PAGERANK_BROADCAST_MAX_NODES``).  These pins prove:
+
+1. the >threshold branch plans SHUFFLE joins with no broadcast of the
+   rank/contribution frames (the exact failure the gate prevents is a
+   forced tens-of-millions-row broadcast OOMing the driver);
+2. the large branch pre-partitions the edge frame on ``src`` once so
+   every round's contribution join reuses that co-partitioning (no
+   per-round exchange on the edge side);
+3. both branches produce IDENTICAL ranks — integer fixed-point
+   arithmetic makes the equality exact, so the gate can never change
+   answers, only plans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+from googlecloudstorage_blueprints_spark.operators import graph
+from googlecloudstorage_blueprints_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+)
+
+from tests.test_new_ops_r12c import _lineitem_table, _planted_dir
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_frames(spark):
+    """Tiny checkpointed frames shaped like one pagerank round's inputs
+    (checkpointed = no Catalyst stats, exactly the production shape)."""
+    nodes = (
+        spark.createDataFrame([(1, 1), (2, 1)], "src long, deg long")
+        .localCheckpoint(eager=True)
+    )
+    edges_deg = (
+        spark.createDataFrame(
+            [(1, 2, 1), (2, 1, 1)], "src long, dst long, deg long"
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        F.col("src").alias("node"),
+        F.lit(500_000_000_000).cast("long").alias("rank_e12"),
+    )
+    return nodes, edges_deg, ranks
+
+
+def test_large_branch_round_plans_no_broadcast(spark):
+    nodes, edges_deg, ranks = _round_frames(spark)
+    out = graph._pagerank_round(
+        nodes, edges_deg, ranks, base=1, broadcast_nodes=False
+    )
+    assert not has_broadcast_join(out)
+    # both joins present, as shuffle joins
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_small_branch_round_plans_broadcast(spark):
+    nodes, edges_deg, ranks = _round_frames(spark)
+    out = graph._pagerank_round(
+        nodes, edges_deg, ranks, base=1, broadcast_nodes=True
+    )
+    assert has_broadcast_join(out)
+
+
+def test_gate_branches_produce_identical_ranks(spark, tmp_path, monkeypatch):
+    """Force the large branch on a planted graph and on the fixture:
+    ranks must be bit-identical to the broadcast branch (integer
+    fixed-point — the gate changes plans, never answers)."""
+    rows = []
+    for i, leaf in enumerate([201, 202, 203, 204], 1):
+        rows.append((i, 100, 1))
+        rows.append((i, leaf, 2))
+    # connect a second component so >1 cluster shape is covered
+    rows += [(10, 301, 1), (10, 302, 2), (11, 301, 1), (11, 302, 2)]
+    sf_dir = _planted_dir(tmp_path, {"lineitem": _lineitem_table(rows)})
+    q = all_queries()["copurchase_pagerank"]
+
+    small = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    monkeypatch.setattr(graph, "PAGERANK_BROADCAST_MAX_NODES", 0)
+    large = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    assert small == large and len(small) == 7
+
+    # fixture run under the large branch still returns the full top-K,
+    # deterministically
+    a = [tuple(r) for r in q(spark, SF).collect()]
+    b = [tuple(r) for r in q(spark, SF).collect()]
+    assert a == b and len(a) == graph.PAGERANK_TOP_K
