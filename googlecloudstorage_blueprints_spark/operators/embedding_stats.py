@@ -1184,7 +1184,7 @@ def embedding_kmeans_inertia(
                     "pid long, cnt array<long>, "
                     "sums array<double>, inertia double"
                 ),
-            ).collect(),
+            ).collect(),  # bounded: one partial row per partition
             key=lambda r: r["pid"],
         )
         k, d = cents.shape

@@ -62,6 +62,25 @@ def _sample_training_rows(emb: DataFrame, n_corpus: int) -> list:
     return sample_src.orderBy("vec_id").collect()
 
 
+# Search plans the probe list driver-side (one row per query), so the
+# query frame is collected — fine for a query BATCH, wrong for a
+# data-sized frame.  The guard keeps the contract explicit: a caller
+# with more queries than this should chunk them (or join query-side,
+# at which point it's the operator tiers' problem, not the index's).
+SEARCH_QUERY_MAX = 10_000
+
+
+def _guard_query_batch(queries: DataFrame, fn_name: str) -> None:
+    n = queries.limit(SEARCH_QUERY_MAX + 1).count()
+    if n > SEARCH_QUERY_MAX:
+        raise ValueError(
+            f"{fn_name}: query frame exceeds the driver-side batch "
+            f"ceiling of {SEARCH_QUERY_MAX:,} rows. Chunk the queries "
+            "into batches at or under the ceiling and call search per "
+            "batch."
+        )
+
+
 def _assign_cells(spark: SparkSession, emb: DataFrame, centroids):
     """(vec_id, embedding) → + cell, Arrow-batched against the given
     quantizer — the one code path shared by build and append so an
@@ -83,7 +102,7 @@ def _load_centroids(spark: SparkSession, index_path: str):
     cent_rows = (
         spark.read.parquet(f"{index_path}/centroids")
         .orderBy("cell")
-        .collect()
+        .collect()  # bounded: the sidecar is ≤ N_CELLS rows by build
     )
     return np.asarray(
         [r["centroid"] for r in cent_rows], dtype=np.float64
@@ -184,6 +203,7 @@ def search_ivf_index(
 
     centroids = _load_centroids(spark, index_path)
 
+    _guard_query_batch(queries, "search_ivf_index")
     q_rows = queries.orderBy("query_id").collect()
     q_mat = np.asarray(
         [r["qv"] for r in q_rows], dtype=np.float64
@@ -328,7 +348,7 @@ def _load_codebooks(spark: SparkSession, index_path: str):
     book_rows = (
         spark.read.parquet(f"{index_path}/codebooks")
         .orderBy("m", "k")
-        .collect()
+        .collect()  # bounded: sidecar is M_SUBSPACES × 256 rows by build
     )
     m_dim = max(r["m"] for r in book_rows) + 1
     k_dim = max(r["k"] for r in book_rows) + 1
@@ -395,6 +415,7 @@ def search_ivfpq_index(
     books = _load_codebooks(spark, index_path)
     dsub = books.shape[2]
 
+    _guard_query_batch(queries, "search_ivfpq_index")
     q_rows = queries.orderBy("query_id").collect()
     q_mat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
