@@ -2898,7 +2898,11 @@ def user_intersession_gap_stats(
     serves the lag window, the running-sum numbering, the span
     aggregate and the between-span lag — closing to a single global
     stats row (exact percentile buffers hold n_gaps values; swap
-    approx_percentile at 100 TB, the percentiles_agg note).  Parity:
+    approx_percentile at 100 TB, the percentiles_agg note).  Streaming
+    twin: ``streaming_intersession_gaps`` (r13) streams the
+    count/total core as per-user partial sums; the p50/p90 columns are
+    deliberately NOT streamed — non-mergeable, the pair-latency
+    precedent.  Parity:
     pure integer-µs math end to end; mean an unrounded exact-integer
     ratio; interpolated quantiles of exact BIGINTs are bit-identical
     (r10 probe)."""

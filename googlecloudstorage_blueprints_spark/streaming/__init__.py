@@ -15,6 +15,7 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (
     streaming_gapfill,
     streaming_growth_accounting,
     streaming_dau_wau,
+    streaming_intersession_gaps,
     streaming_latest_snapshot,
     streaming_lsh_candidates,
     streaming_order_close,
@@ -43,6 +44,7 @@ __all__ = [
     "streaming_gapfill",
     "streaming_growth_accounting",
     "streaming_dau_wau",
+    "streaming_intersession_gaps",
     "streaming_latest_snapshot",
     "streaming_lsh_candidates",
     "streaming_order_close",

@@ -1757,6 +1757,101 @@ def streaming_pair_latency(
 
 
 # ---------------------------------------------------------------------------
+# streaming intersession gaps: return-latency partial sums (r13)
+# ---------------------------------------------------------------------------
+
+_INTERSESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("total_gap_us", LongType()),
+    ]
+)
+
+_INTERSESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+
+def _intersession_gap_sums(key: tuple, pdfs, state: GroupState):
+    """Per-user BETWEEN-session gap partials: state carries the newest
+    event's (ts_us, event_id) — the one-tuple bridge — and each
+    micro-batch emits the count and summed µs of the >gap deltas it
+    completes.  A delta strictly over ``SESSION_GAP_US`` is, by the
+    sessionizer's own rule, exactly next-session-start minus
+    prev-session-end, so summed partials over any in-order replay
+    reproduce the batch op's per-user intersession gaps (within-session
+    deltas are skipped, not summed).  Same in-order-replay contract as
+    the transition/pair-latency kernels."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+    seq = rows["ts_us"].tolist()
+    if state.exists:
+        seq = [int(state.get[0])] + seq
+    n, total = 0, 0
+    for t0, t1 in zip(seq, seq[1:]):
+        d = t1 - t0
+        if d > SESSION_GAP_US:
+            n += 1
+            total += d
+    last = rows.iloc[-1]
+    state.update((int(last["ts_us"]), int(last["event_id"])))
+    if n:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(key[0]),
+                    "n_gaps": int(n),
+                    "total_gap_us": int(total),
+                }
+            ]
+        )
+
+
+def streaming_intersession_gaps(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming return-latency — the incremental twin of the batch
+    ``user_intersession_gap_stats`` count/total core
+    (operators/behavior.py): per-batch partial (n_gaps, total_gap_us)
+    rows per user; summing partials over any in-order replay
+    reproduces the batch op's exact BIGINT gap count and total (users
+    with no completed gap never emit, so the users-that-emitted set IS
+    n_users_multi).  The batch op's p50/p90 columns are deliberately
+    NOT streamed — interpolated quantiles aren't mergeable partials
+    (the pair-latency precedent); at 100 TB the streaming side feeds a
+    t-digest/approx sketch instead.
+
+    Scale: state is one fixed-width (ts_us, event_id) tuple per user,
+    no timeout; each micro-batch shuffles once on user_id and emits at
+    most one partial row per user."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _intersession_gap_sums,
+            _INTERSESSION_OUT_SCHEMA,
+            _INTERSESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming weekly conversion: per-user seen/bought week sets (r12)
 # ---------------------------------------------------------------------------
 

@@ -1239,3 +1239,43 @@ def test_space_saving_kernel_invariants_under_any_split(case):
     if len(set(words)) <= SPACE_SAVING_CAPACITY:
         assert {w: e for w, (e, _err) in newest.items()} == dict(true)
         assert all(err == 0 for _e, err in newest.values())
+
+
+# --- r13: intersession-gap partial sums --------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _intersession_gap_sums,
+)
+
+
+def _ref_intersession(events):
+    """Whole-sequence reference: (ts, event_id)-ordered consecutive
+    deltas STRICTLY over the session gap — by the sessionizer rule each
+    such delta is next-session-start − prev-session-end."""
+    ordered = sorted(events)
+    n, total = 0, 0
+    for a, b in zip(ordered, ordered[1:]):
+        d = b[0] - a[0]
+        if d > SESSION_GAP_US:
+            n += 1
+            total += d
+    return n, total
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_intersession_kernel_bridges_any_split(case):
+    """Summed partials over any in-order batch split equal the whole-
+    sequence gap count/total — a boundary-spanning gap must be
+    completed by the state tuple, an exactly-gap delta must NOT count
+    (strictly-greater rule), and state ends at the newest event."""
+    events, batches = case
+    state = FakeGroupState()
+    n, total = 0, 0
+    for pdf in _run_kernel(_intersession_gap_sums, batches, state):
+        assert (pdf["n_gaps"] > 0).all()  # no vacuous zero-partials
+        n += int(pdf["n_gaps"].sum())
+        total += int(pdf["total_gap_us"].sum())
+    assert (n, total) == _ref_intersession(events)
+    last = max(events)
+    assert (int(state.get[0]), int(state.get[1])) == (last[0], last[1])

@@ -2089,3 +2089,74 @@ def test_streaming_topk_words_checkpoint_restart(spark, tmp_path):
     assert merged == batch, (
         "checkpoint-recovered sketch state must continue exactly"
     )
+
+
+# --- r13: intersession-gap partial sums --------------------------------------
+
+
+def _batch_intersession_core(spark):
+    r = all_queries()["user_intersession_gap_stats"](spark, SF).collect()[0]
+    return (r["n_users_multi"], r["n_gaps"], r["mean_gap_us"])
+
+
+def test_streaming_intersession_gaps_matches_batch(spark):
+    """Summed (n_gaps, total_gap_us) partials over a single availableNow
+    replay must equal the batch op's count/total core exactly, and the
+    set of emitting users IS n_users_multi (the p50/p90 columns are
+    deliberately not streamed — non-mergeable, the pair-latency
+    precedent)."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_intersession_gaps,
+    )
+
+    got_df = run_stream_to_memory(
+        streaming_intersession_gaps(spark, SF), "intersession_single"
+    )
+    agg = got_df.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.sum("n_gaps").alias("n"),
+        F.sum("total_gap_us").alias("g"),
+    ).collect()[0]
+    n_users, n_gaps, mean = _batch_intersession_core(spark)
+    assert agg["u"] == n_users
+    assert agg["n"] == n_gaps
+    assert agg["g"] / agg["n"] == mean  # both exact-BIGINT ratios
+    assert n_gaps > 0
+
+
+def test_streaming_intersession_gaps_across_microbatches(spark, tmp_path):
+    """A time-ordered two-batch split must bridge a boundary gap
+    through the one-tuple state: totals still equal the batch op."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_intersession_gaps,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_split_ig"
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    got_df = run_stream_to_memory(
+        streaming_intersession_gaps(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "intersession_batches",
+    )
+    agg = got_df.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.sum("n_gaps").alias("n"),
+        F.sum("total_gap_us").alias("g"),
+    ).collect()[0]
+    n_users, n_gaps, mean = _batch_intersession_core(spark)
+    assert (agg["u"], agg["n"]) == (n_users, n_gaps)
+    assert agg["g"] / agg["n"] == mean
