@@ -42,6 +42,16 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batches for every pandas_udf / mapInPandas operator
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Catalyst sizes file sources by their on-disk bytes; snappy parquet
+    # decompresses ~3× into the hash relations a broadcast actually
+    # builds, so the default factor (1.0) lets a column-pruned FACT
+    # table slip under autoBroadcastJoinThreshold and get collected
+    # through the driver (r13: sql_tpch_q5 was broadcasting LINEITEM at
+    # sf0.1 — the estimate said 3.7 MB for a 600k-row build side).
+    # 3.0 keeps every true dimension broadcast (they sit orders of
+    # magnitude under the threshold) while fact-sized scans plan the
+    # shuffle join they would get on a cluster.
+    "spark.sql.sources.fileCompressionFactor": "3.0",
     # fixture timestamps are timezone-naive; pin the session to UTC so
     # year()/date_trunc()/date_format() agree with the (naive) DuckDB oracle
     # regardless of the host timezone
