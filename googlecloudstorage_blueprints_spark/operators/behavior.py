@@ -3387,3 +3387,65 @@ def events_type_hour_entropy(
         ),
         "event_type",
     )
+
+
+# --------------------------------------------------------------------------
+# sessions-per-user histogram (r13)
+# --------------------------------------------------------------------------
+
+@register(
+    "user_session_count_histogram",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    per_user AS (
+        SELECT user_id, CAST(1 + SUM(is_new) AS BIGINT) AS n_sessions
+        FROM seq GROUP BY user_id
+    )
+    SELECT n_sessions AS sessions_per_user,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY n_sessions
+    ORDER BY sessions_per_user
+    """,
+)
+def user_session_count_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How many sessions does a user rack up?  The counts-of-counts
+    histogram over the sessionizer spine — the engagement-frequency
+    view next to ``session_duration_histogram`` (how long) and
+    ``user_intersession_gap_stats`` (how long until back); its tail is
+    the power-user segment a retention team studies.
+
+    Shape: ONE user-keyed exchange serves the lag window and the
+    per-user aggregate (sessions = 1 + Σ is_new — the first session
+    has no >gap delta, same strictly-greater rule as every sessionizer
+    here); the histogram regroups |users| rows by a small integer key.
+    Output is histogram-bounded → sort_bounded.  Parity: pure integer
+    µs math and BIGINT counts end to end."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    seq = e.select(
+        "user_id",
+        F.when(gap > SESSION_GAP_S * 1_000_000, 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        (F.lit(1) + F.sum("is_new")).cast("long").alias("n_sessions")
+    )
+    return sort_bounded(
+        per_user.groupBy(
+            F.col("n_sessions").alias("sessions_per_user")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_users")),
+        "sessions_per_user",
+    )

@@ -1680,3 +1680,75 @@ def events_volume_seasonal_naive_backtest(
             / F.nullif(F.sum("c").cast("long"), F.lit(0))
         ).alias("wape"),
     )
+
+
+# --------------------------------------------------------------------------
+# robust daily-volume anomaly via MAD (r13)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT quantile_cont(n_events, 0.5) AS med FROM d),
+    dev AS (
+        SELECT d.epoch_day, d.n_events, m.med,
+               ABS(d.n_events - m.med) AS dev
+        FROM d CROSS JOIN m
+    ),
+    md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+    SELECT dev.epoch_day, dev.n_events, dev.med, md.mad,
+           (dev.dev > 3 * md.mad) AS is_outlier
+    FROM dev CROSS JOIN md
+    ORDER BY dev.epoch_day
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection: flag days whose event
+    count deviates from the corpus median by more than 3× the median
+    absolute deviation — the outlier gate that, unlike
+    ``events_anomaly``'s z-score, is immune to the outliers it hunts
+    (one 100× traffic spike drags a mean/σ threshold but leaves the
+    median untouched; ``length_outlier_mad`` is the same statistic over
+    doc lengths).  Every day emits with its flag so the report doubles
+    as the volume spine.
+
+    Shape: one day aggregate (|days| rows), two scalar-median
+    crossJoin broadcasts — no window, no data-sized sort; at 100 TB
+    the day frame is calendar-bounded.  Parity: day counts are exact
+    BIGINTs; interpolated medians of exact integers are bit-identical
+    cross-engine (r10 probe), deviations are exact dyadic rationals
+    (integer ± k/2), and 3·mad is exact — the strictly-greater compare
+    can never sit on a float boundary, so med/mad are emitted
+    UNROUNDED (the r10 rule).  A fixture corpus with stable daily
+    volume flags nothing — the detection path is pinned by a planted
+    spike-day test (tests/test_new_ops_r13.py)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias(
+            "epoch_day"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    m = d.agg(F.percentile("n_events", 0.5).alias("med"))
+    dev = d.crossJoin(F.broadcast(m)).select(
+        "epoch_day",
+        "n_events",
+        "med",
+        F.abs(F.col("n_events") - F.col("med")).alias("dev"),
+    )
+    md = dev.agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(md))
+        .select(
+            "epoch_day",
+            "n_events",
+            "med",
+            "mad",
+            (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+        )
+        .transform(sort_bounded, "epoch_day")
+    )

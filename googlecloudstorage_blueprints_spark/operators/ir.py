@@ -140,6 +140,119 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 bm25_topk.__doc__ = bm25_topk.__doc__.format(k1=BM25_K1, b=BM25_B)
 
 
+QL_MU = 2000  # Dirichlet smoothing mass (Zhai & Lafferty 2004 default)
+QL_TOP_K = 10
+
+
+@register(
+    "doc_query_likelihood_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_total FROM tok),
+    cf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cf
+        FROM tok WHERE w IN {BM25_QUERY_TERMS!r} GROUP BY w
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE w IN {BM25_QUERY_TERMS!r}
+        GROUP BY doc_id, w
+    ),
+    terms AS (
+        SELECT dl.doc_id,
+               CAST(ROUND(LN(
+                   (COALESCE(tf.tf, 0) + ({QL_MU}.0 * cf.cf) / c.c_total)
+                   / (dl.dl + {QL_MU}.0)
+               ) * 1000000, 0) AS BIGINT) AS t6
+        FROM dl CROSS JOIN cf CROSS JOIN c
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = cf.w
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(t6) AS BIGINT) / 1000000.0, 6) AS score
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT {QL_TOP_K}
+    """,
+)
+def doc_query_likelihood_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2004) for the same fixed probe query as ``bm25_topk``: score(q,d) =
+    Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)) — the language-model scoring
+    tier next to BM25's probabilistic one.  Unlike BM25, EVERY query
+    term contributes to every document (a zero-tf term adds the
+    smoothed background mass), so the scoring spine is dl × query
+    terms, restored by a LEFT join FROM the spine (the r11
+    restore-empty-rows rule — an inner join would silently drop the
+    zero-tf cells that define the model).
+
+    Shape: one token explode feeds dl / corpus-total / cf / tf; cf is a
+    ≤|query|-row broadcast, the corpus total a 1-row broadcast
+    crossJoin, and the per-doc fan-out is |query|-bounded — corpus-
+    sized frames never join each other (the bm25_topk scale story).
+    Parity: tf/cf/dl/|C| are exact BIGINTs, the smoothing ratio is
+    spelled with identical association on both engines, and each
+    per-(doc, term) ln is fixed-pointed round(·1e6)→BIGINT at birth
+    (the r7 transcendental rule) so the per-doc sum is
+    order-independent; one closing division, 6dp.  (score DESC, doc_id)
+    is a total order."""
+    tok = _tokens(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    c = tok.agg(F.count(F.lit(1)).cast("long").alias("c_total"))
+    q_tok = tok.where(F.col("w").isin(*BM25_QUERY_TERMS))
+    cf = q_tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    tf = q_tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    spine = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(c))
+        .alias("sp")
+    )
+    tfa = tf.alias("tfa")
+    t6 = F.round(
+        F.log(
+            (
+                F.coalesce(F.col("tfa.tf"), F.lit(0))
+                + (F.lit(float(QL_MU)) * F.col("sp.cf"))
+                / F.col("sp.c_total")
+            )
+            / (F.col("sp.dl") + float(QL_MU))
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    return (
+        spine.join(
+            tfa,
+            (F.col("tfa.doc_id") == F.col("sp.doc_id"))
+            & (F.col("tfa.w") == F.col("sp.w")),
+            "left",
+        )
+        .select(F.col("sp.doc_id").alias("doc_id"), t6.alias("t6"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("t6").cast("double") / 1_000_000.0, 6).alias(
+                "score"
+            )
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(QL_TOP_K)
+    )
+
+
 @register(
     "inverted_index_stats",
     oracle="""

@@ -519,6 +519,59 @@ def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COPURCHASE_TOP_K = 20
 
+# the oracle CTE chain shared by part_copurchase_lift and
+# copurchase_association_rules (identical frames, different projection)
+_COPURCHASE_CTES = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM op),
+    pc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+        FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _copurchase_frames(spark: SparkSession, sf_dir: str):
+    """(n, pc, topk) — the one-basket-pass decomposition shared by
+    ``part_copurchase_lift`` (r10/r12 shape, expressions unchanged by
+    the r13 extraction — plan-identical) and
+    ``copurchase_association_rules``: order total, per-part order
+    counts, and the TakeOrdered top-K pair counts, all off ONE baskets
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode_outer("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    )
+    pairs = (
+        baskets.select(
+            "parts", F.explode_outer("parts").alias("part_a")
+        )
+        .select("part_a", F.explode_outer("parts").alias("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    topk = pairs.orderBy(
+        F.col("n_both").desc(), "part_a", "part_b"
+    ).limit(COPURCHASE_TOP_K)
+    return n, pc, topk
+
 
 @register(
     "part_copurchase_lift",
@@ -586,28 +639,7 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     formed in double (CAST(x AS DOUBLE) · y — a BIGINT product would
     overflow at cluster scale where the doubles stay exact to 2⁵³);
     (n_both DESC, part_a, part_b) is a total order."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    pc = (
-        baskets.select(F.explode_outer("parts").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
-    )
-    pairs = (
-        baskets.select(
-            "parts", F.explode_outer("parts").alias("part_a")
-        )
-        .select("part_a", F.explode_outer("parts").alias("part_b"))
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-    )
-    topk = pairs.orderBy(
-        F.col("n_both").desc(), "part_a", "part_b"
-    ).limit(COPURCHASE_TOP_K)
+    n, pc, topk = _copurchase_frames(spark, sf_dir)
     ca = pc.alias("ca")
     cb = pc.alias("cb")
     lift = (
@@ -621,6 +653,72 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, F.col("part_b") == F.col("cb.l_partkey"))
         .crossJoin(F.broadcast(n))
         .select("part_a", "part_b", "n_both", lift.alias("lift"))
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+    )
+
+
+@register(
+    "copurchase_association_rules",
+    oracle=_COPURCHASE_CTES
+    + f""",
+    topk AS (
+        SELECT part_a, part_b, n_both FROM pairs
+        ORDER BY n_both DESC, part_a, part_b
+        LIMIT {COPURCHASE_TOP_K}
+    )
+    SELECT t.part_a, t.part_b, t.n_both,
+           ca.n_part AS n_a,
+           cb.n_part AS n_b,
+           CAST(t.n_both AS DOUBLE) / n.n_orders  AS support,
+           CAST(t.n_both AS DOUBLE) / ca.n_part   AS conf_a_to_b,
+           CAST(t.n_both AS DOUBLE) / cb.n_part   AS conf_b_to_a
+    FROM topk t
+    JOIN pc ca ON ca.l_partkey = t.part_a
+    JOIN pc cb ON cb.l_partkey = t.part_b
+    CROSS JOIN n
+    ORDER BY t.n_both DESC, t.part_a, t.part_b
+    """,
+)
+def copurchase_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules for the top co-purchased pairs: support and
+    BOTH directional confidences (P(b|a), P(a|b)) — the numbers a
+    recommender actually thresholds on (Agrawal-style market-basket
+    rules); ``part_copurchase_lift`` ranks the same pairs by their
+    independence ratio, this emits the rule strengths.
+
+    Shape: the SAME one-basket-pass decomposition
+    (:func:`_copurchase_frames` — one lineitem scan, TakeOrdered top-K
+    BEFORE the marginal joins, two K-row broadcasts; the r12 lift
+    plan's scale story applies verbatim).  Parity: support and the
+    confidences are exact-integer ratios emitted UNROUNDED (the r10
+    rule — both engines divide the same exact BIGINTs, bit-identical);
+    (n_both DESC, part_a, part_b) is a total order."""
+    n, pc, topk = _copurchase_frames(spark, sf_dir)
+    ca = pc.alias("ca")
+    cb = pc.alias("cb")
+    return (
+        F.broadcast(topk)
+        .join(ca, F.col("part_a") == F.col("ca.l_partkey"))
+        .join(cb, F.col("part_b") == F.col("cb.l_partkey"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.col("ca.n_part").alias("n_a"),
+            F.col("cb.n_part").alias("n_b"),
+            (F.col("n_both").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("n_both").cast("double") / F.col("ca.n_part")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("n_both").cast("double") / F.col("cb.n_part")).alias(
+                "conf_b_to_a"
+            ),
+        )
         .orderBy(F.col("n_both").desc(), "part_a", "part_b")
     )
 

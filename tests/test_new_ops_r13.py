@@ -1,0 +1,185 @@
+"""Planted-input and closed-form pins for the r13 operator wave
+(association rules / query likelihood / session-count histogram /
+MAD anomaly), following the r11 vacuity rule: every detection or
+classification path a fixture cannot exercise gets a planted corpus,
+and every planted corpus re-runs the driver-style cross-engine hash
+compare.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from googlecloudstorage_blueprints_spark.operators import all_queries
+
+from tests.test_new_ops_r12c import (
+    SF,
+    _events_table,
+    _lineitem_table,
+    _planted_dir,
+)
+from tests.test_planted_empty_ops import _compare
+
+_US = 1_000_000
+_GAP_US = 1800 * _US
+
+
+# --- copurchase_association_rules ---------------------------------------------
+
+
+def test_association_rules_planted_closed_form(spark, tmp_path):
+    """Baskets {A,B}, {A,B}, {A,C}: rule A→B has confidence 2/3 while
+    B→A has 1 — the directional asymmetry is the whole point of
+    emitting both columns.  Cross-engine hash compare runs on the
+    planted corpus."""
+    rows = [
+        (1, 100, 1), (1, 200, 2),
+        (2, 100, 1), (2, 200, 2),
+        (3, 100, 1), (3, 300, 2),
+    ]
+    sf_dir = _planted_dir(tmp_path, {"lineitem": _lineitem_table(rows)})
+    got = _compare(spark, "copurchase_association_rules", sf_dir)
+    by_pair = {(r[0], r[1]): r for r in got}
+    a_b = by_pair[(100, 200)]
+    assert a_b[2] == 2 and a_b[3] == 3 and a_b[4] == 2
+    assert a_b[5] == 2 / 3          # support = 2 of 3 orders
+    assert a_b[6] == 2 / 3          # conf A→B
+    assert a_b[7] == 1.0            # conf B→A
+    a_c = by_pair[(100, 300)]
+    assert a_c[2] == 1 and a_c[6] == 1 / 3 and a_c[7] == 1.0
+
+
+def test_association_rules_fixture_matches_lift_pairs(spark):
+    """Same top-K pair set and identical n_both as
+    part_copurchase_lift on the fixture (shared frame extraction must
+    not change the cut)."""
+    qs = all_queries()
+    rules = [tuple(r)[:3] for r in
+             qs["copurchase_association_rules"](spark, SF).collect()]
+    lift = [tuple(r)[:3] for r in
+            qs["part_copurchase_lift"](spark, SF).collect()]
+    assert rules == lift and len(rules) == 20
+
+
+# --- doc_query_likelihood_topk --------------------------------------------------
+
+
+def _docs_table(rows):
+    """rows: (doc_id, text)"""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def test_query_likelihood_planted_closed_form(spark, tmp_path):
+    """Three tiny docs with hand-computable tf/dl: the python
+    reference applies the same ln×1e6 fixed-point per term.  The
+    zero-tf background path (doc 3 has no query terms at all) must
+    still score — the LEFT-join-from-the-spine rule."""
+    docs = [
+        (1, "spark query spark table"),          # tf: spark 2, query 1, table 1
+        (2, "spark alpha beta gamma"),           # tf: spark 1
+        (3, "alpha beta gamma delta"),           # tf: none — background only
+    ]
+    sf_dir = _planted_dir(tmp_path, {"documents": _docs_table(docs)})
+    got = _compare(spark, "doc_query_likelihood_topk", sf_dir)
+    by_id = {r[0]: r[1] for r in got}
+
+    mu, c_total = 2000.0, 12
+    cf = {"spark": 3, "query": 1, "table": 1}
+    tf = {
+        1: {"spark": 2, "query": 1, "table": 1},
+        2: {"spark": 1},
+        3: {},
+    }
+
+    def score(doc_id, dl):
+        t6 = 0
+        for w in ("spark", "query", "table"):
+            x = (tf[doc_id].get(w, 0) + (mu * cf[w]) / c_total) / (dl + mu)
+            t6 += int(round(math.log(x) * 1_000_000))
+        return round(t6 / 1_000_000.0, 6)
+
+    assert by_id[1] == score(1, 4)
+    assert by_id[2] == score(2, 4)
+    assert by_id[3] == score(3, 4)
+    # more query mass → higher likelihood
+    assert by_id[1] > by_id[2] > by_id[3]
+
+
+def test_query_likelihood_fixture_total_rank_order(spark):
+    rows = [tuple(r) for r in
+            all_queries()["doc_query_likelihood_topk"](spark, SF).collect()]
+    assert len(rows) == 10
+    assert all(
+        (rows[i][1], -rows[i][0]) >= (rows[i + 1][1], -rows[i + 1][0])
+        for i in range(len(rows) - 1)
+    )
+
+
+# --- user_session_count_histogram ----------------------------------------------
+
+
+def test_session_count_histogram_planted_strict_gap(spark, tmp_path):
+    """User 1: three events with gaps (exactly 30 min, 30 min + 1 µs)
+    → the tie does NOT split (strictly-greater rule), the +1 µs does →
+    2 sessions.  User 2: one event → 1 session.  Histogram:
+    {1: 1 user, 2: 1 user}."""
+    t0 = 10_000_000_000
+    rows = [
+        (1, t0, 1),
+        (2, t0 + _GAP_US, 1),            # exactly the gap: same session
+        (3, t0 + _GAP_US + _GAP_US + 1, 1),  # gap + 1 µs: new session
+        (4, t0, 2),
+    ]
+    sf_dir = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = _compare(spark, "user_session_count_histogram", sf_dir)
+    assert {(r[0], r[1]) for r in got} == {(1, 1), (2, 1)}
+
+
+# --- events_anomaly_mad ---------------------------------------------------------
+
+
+def test_anomaly_mad_planted_spike_day(spark, tmp_path):
+    """Seven days at 10 events/day plus one 100-event spike day: med
+    and mad come from the stable mass (med=10, mad=0 → any deviation
+    flags), the spike day is the ONLY outlier, and the planted
+    closed form pins both medians.  Fixture volumes are stable, so
+    without this pin the is_outlier=true path is vacuous."""
+    rows, eid = [], 1
+    base_day = 20_000
+    for off in range(7):
+        for i in range(10):
+            rows.append((eid, (base_day + off) * 86_400_000_000 + i, 1))
+            eid += 1
+    for i in range(100):  # the spike day
+        rows.append((eid, (base_day + 7) * 86_400_000_000 + i, 1))
+        eid += 1
+    sf_dir = _planted_dir(tmp_path, {"events": _events_table(rows)})
+    got = _compare(spark, "events_anomaly_mad", sf_dir)
+    by_day = {r[0]: r for r in got}
+    assert len(got) == 8
+    spike = by_day[base_day + 7]
+    assert spike[1] == 100 and spike[4] is True
+    assert spike[2] == 10.0 and spike[3] == 0.0  # med, mad closed form
+    for off in range(7):
+        assert by_day[base_day + off][4] is False
+
+
+def test_anomaly_mad_fixture_emits_every_day(spark):
+    rows = [tuple(r) for r in
+            all_queries()["events_anomaly_mad"](spark, SF).collect()]
+    assert len(rows) > 0
+    days = [r[0] for r in rows]
+    assert days == sorted(days)
