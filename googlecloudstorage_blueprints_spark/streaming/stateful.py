@@ -1852,6 +1852,84 @@ def streaming_intersession_gaps(
 
 
 # ---------------------------------------------------------------------------
+# streaming session starts: the session-count changelog (r13)
+# ---------------------------------------------------------------------------
+
+_SESSION_STARTS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ts_us", LongType()),
+    ]
+)
+
+
+def _session_start_marks(key: tuple, pdfs, state: GroupState):
+    """Per-user session-START marks: state is the same (ts_us,
+    event_id) one-tuple bridge as ``_intersession_gap_sums``; a
+    micro-batch emits one row per session the gap rule OPENS — the
+    user's first-ever event, then every strictly->gap delta.  Counting
+    a user's marks over any in-order replay equals the batch
+    sessionizer's 1 + Σ is_new, so the histogram twin is a pure
+    downstream regroup; each mark carries its start timestamp so the
+    same changelog also feeds session-rate-over-time rollups."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    rows = rows.assign(ts_us=ts_us).sort_values(["ts_us", "event_id"])
+    seq = rows["ts_us"].tolist()
+    starts = []
+    prev = int(state.get[0]) if state.exists else None
+    for t in seq:
+        if prev is None or t - prev > SESSION_GAP_US:
+            starts.append(t)
+        prev = t
+    last = rows.iloc[-1]
+    state.update((int(last["ts_us"]), int(last["event_id"])))
+    if starts:
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(starts),
+                "start_ts_us": starts,
+            }
+        )
+
+
+def streaming_session_starts(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming session-count changelog — the incremental twin of
+    ``user_session_count_histogram``'s per-user session counts
+    (operators/behavior.py): one append-only mark per session the gap
+    rule opens; COUNT(marks) per user over any in-order replay equals
+    the batch 1 + Σ is_new, and the histogram is a downstream regroup
+    of those counts (batch-equality pinned).  Unlike the partial-sum
+    twins each mark is emitted exactly once, so the changelog is also
+    a session-start event stream (rate rollups, alerting) for free.
+
+    Scale: state is one fixed-width (ts_us, event_id) tuple per user,
+    no timeout; at most one shuffle per micro-batch on user_id."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_start_marks,
+            _SESSION_STARTS_OUT_SCHEMA,
+            _INTERSESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming weekly conversion: per-user seen/bought week sets (r12)
 # ---------------------------------------------------------------------------
 

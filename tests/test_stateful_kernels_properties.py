@@ -1279,3 +1279,40 @@ def test_intersession_kernel_bridges_any_split(case):
     assert (n, total) == _ref_intersession(events)
     last = max(events)
     assert (int(state.get[0]), int(state.get[1])) == (last[0], last[1])
+
+
+# --- r13: session-start marks -------------------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _session_start_marks,
+)
+
+
+def _ref_session_starts(events):
+    """Whole-sequence reference: the first event opens a session, every
+    strictly->gap delta opens another; marks carry the start ts."""
+    ordered = sorted(events)
+    starts, prev = [], None
+    for ts, _eid, _ty in ordered:
+        if prev is None or ts - prev > SESSION_GAP_US:
+            starts.append(ts)
+        prev = ts
+    return starts
+
+
+@given(sequences_with_splits())
+@settings(max_examples=200, deadline=None)
+def test_session_start_marks_under_any_split(case):
+    """Collected marks over any in-order split equal the whole-sequence
+    session starts exactly once each — a batch whose first event
+    continues the previous batch's session must NOT emit, an
+    exactly-gap delta must NOT open (strictly-greater rule), and the
+    user's very first event always opens session #1."""
+    events, batches = case
+    state = FakeGroupState()
+    got = []
+    for pdf in _run_kernel(_session_start_marks, batches, state):
+        got.extend(int(t) for t in pdf["start_ts_us"])
+    assert got == _ref_session_starts(events)
+    last = max(events)
+    assert (int(state.get[0]), int(state.get[1])) == (last[0], last[1])

@@ -2160,3 +2160,80 @@ def test_streaming_intersession_gaps_across_microbatches(spark, tmp_path):
     n_users, n_gaps, mean = _batch_intersession_core(spark)
     assert (agg["u"], agg["n"]) == (n_users, n_gaps)
     assert agg["g"] / agg["n"] == mean
+
+
+# --- r13: session-start marks ---------------------------------------------------
+
+
+def test_streaming_session_starts_matches_batch_histogram(spark):
+    """COUNT(marks) per user over a single availableNow replay must
+    equal the batch sessionizer's per-user session counts, and the
+    regrouped histogram must equal user_session_count_histogram
+    row-for-row."""
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_starts,
+    )
+
+    got_df = run_stream_to_memory(
+        streaming_session_starts(spark, SF), "session_starts_single"
+    )
+    hist = {
+        r["k"]: r["n"]
+        for r in got_df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch = {
+        r["sessions_per_user"]: r["n_users"]
+        for r in all_queries()["user_session_count_histogram"](
+            spark, SF
+        ).collect()
+    }
+    assert hist == batch and len(batch) > 0
+
+
+def test_streaming_session_starts_across_microbatches(spark, tmp_path):
+    """A time-ordered split must NOT double-open the session spanning
+    the boundary: totals still equal the batch histogram."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_starts,
+    )
+
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_split_ss"
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    got_df = run_stream_to_memory(
+        streaming_session_starts(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "session_starts_batches",
+    )
+    hist = {
+        r["k"]: r["n"]
+        for r in got_df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch = {
+        r["sessions_per_user"]: r["n_users"]
+        for r in all_queries()["user_session_count_histogram"](
+            spark, SF
+        ).collect()
+    }
+    assert hist == batch
