@@ -3449,3 +3449,112 @@ def user_session_count_histogram(
         ).agg(F.count(F.lit(1)).cast("long").alias("n_users")),
         "sessions_per_user",
     )
+
+
+# --------------------------------------------------------------------------
+# funnel window sensitivity (r13) — the conversion-window parameter sweep
+# --------------------------------------------------------------------------
+
+FUNNEL_WINDOW_SWEEP_DAYS = (1, 7, 30, 90)
+
+
+@register(
+    "funnel_window_sensitivity",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+        FROM events WHERE event_type = '{FUNNEL_FROM}' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = '{FUNNEL_TO}'
+          AND epoch_us(e.ts) >= s.signup_us
+        GROUP BY e.user_id
+    ),
+    u AS (
+        SELECT s.user_id, s.signup_us, fp.purchase_us
+        FROM s LEFT JOIN fp ON fp.user_id = s.user_id
+    ),
+    t AS (
+        SELECT unnest([{", ".join(str(d) for d in FUNNEL_WINDOW_SWEEP_DAYS)}])
+                   AS window_days
+    )
+    SELECT CAST(t.window_days AS BIGINT) AS window_days,
+           CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN u.purchase_us IS NOT NULL
+                          AND u.purchase_us - u.signup_us
+                              <= CAST(t.window_days AS BIGINT) * 86400000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN u.purchase_us IS NOT NULL
+                          AND u.purchase_us - u.signup_us
+                              <= CAST(t.window_days AS BIGINT) * 86400000000
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(COUNT(*), 0) AS conv_share
+    FROM u CROSS JOIN t
+    GROUP BY t.window_days
+    ORDER BY window_days
+    """,
+)
+def funnel_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Is the conversion rate a function of how long you wait?  The
+    signup→purchase funnel under a 1/7/30/90-day attribution-window
+    sweep — the parameter ``events_funnel`` fixes implicitly at ∞; if
+    the 7→30 step still moves the share, reported "conversion" is
+    really a window choice (the same knife-edge question
+    ``sessionize_gap_sensitivity`` asks of the session gap).
+
+    Shape: the r11 sweep template — the per-user (first signup, first
+    at-or-after purchase) frame is computed ONCE (two filtered per-user
+    aggregates + one equi-join), then meets the |sweep|-row literal via
+    a broadcast crossJoin; the window test is PURE BIGINT
+    (purchase_us − signup_us ≤ days·86400e6 — never a double date
+    diff).  Parity: integer-µs math end to end, conversion share an
+    exact-integer ratio (unrounded) with a NULLIF-guarded denominator
+    spelled identically on both engines (Spark 4 ANSI division
+    throws, DuckDB yields inf — the r7 rule).  Fixture windows 30/90
+    read identically (the corpus spans ~1 month) — the sweep bend is
+    pinned by a planted 2/10/40-day-converter test
+    (tests/test_new_ops_r13.py)."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == FUNNEL_FROM)
+        .groupBy("user_id")
+        .agg(F.unix_micros(F.min("ts")).alias("signup_us"))
+    )
+    fp = (
+        e.where(F.col("event_type") == FUNNEL_TO)
+        .join(s, "user_id")
+        .where(F.unix_micros(F.col("ts")) >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts"))).alias("purchase_us"))
+    )
+    u = s.join(fp, "user_id", "left")
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d) for d in FUNNEL_WINDOW_SWEEP_DAYS])
+        ).alias("window_days")
+    )
+    converted = F.when(
+        F.col("purchase_us").isNotNull()
+        & (
+            F.col("purchase_us") - F.col("signup_us")
+            <= F.col("window_days").cast("long") * F.lit(86_400_000_000)
+        ),
+        1,
+    ).otherwise(0)
+    return sort_bounded(
+        u.crossJoin(F.broadcast(t))
+        .groupBy(F.col("window_days").cast("long").alias("window_days"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signed_up"),
+            F.sum(converted).cast("long").alias("n_converted"),
+            (
+                F.sum(converted).cast("double")
+                / F.nullif(F.count(F.lit(1)), F.lit(0))
+            ).alias("conv_share"),
+        ),
+        "window_days",
+    )

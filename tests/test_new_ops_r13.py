@@ -183,3 +183,48 @@ def test_anomaly_mad_fixture_emits_every_day(spark):
     assert len(rows) > 0
     days = [r[0] for r in rows]
     assert days == sorted(days)
+
+
+# --- funnel_window_sensitivity --------------------------------------------------
+
+
+def _typed_events_table(rows):
+    """rows: (event_id, ts_us, user_id, event_type)"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def test_funnel_window_sweep_planted_bend(spark, tmp_path):
+    """Four signups: conversions at 2, 10, and 40 days plus one
+    never-converter — every sweep row reads a DIFFERENT share
+    (1d: 0/4, 7d: 1/4, 30d: 2/4, 90d: 3/4), so the window test's
+    BIGINT day boundary is exercised at every step.  The fixture
+    corpus spans ~a month (30/90 identical), which is why this pin
+    exists."""
+    day = 86_400_000_000
+    t0 = 1_000 * day
+    rows = [
+        (1, t0, 1, "signup"), (2, t0 + 2 * day, 1, "purchase"),
+        (3, t0, 2, "signup"), (4, t0 + 10 * day, 2, "purchase"),
+        (5, t0, 3, "signup"), (6, t0 + 40 * day, 3, "purchase"),
+        (7, t0, 4, "signup"),
+        # a pre-signup purchase must NOT count (at-or-after rule)
+        (8, t0 - day, 4, "purchase"),
+    ]
+    sf_dir = _planted_dir(tmp_path, {"events": _typed_events_table(rows)})
+    got = _compare(spark, "funnel_window_sensitivity", sf_dir)
+    by_w = {r[0]: (r[1], r[2], r[3]) for r in got}
+    assert by_w == {
+        1: (4, 0, 0.0),
+        7: (4, 1, 0.25),
+        30: (4, 2, 0.5),
+        90: (4, 3, 0.75),
+    }
