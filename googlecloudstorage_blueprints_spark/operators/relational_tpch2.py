@@ -937,3 +937,86 @@ def global_sales_opportunity(
         ),
         "n_name",
     )
+
+
+# --------------------------------------------------------------------------
+# customer cohort retention triangle (r13)
+# --------------------------------------------------------------------------
+
+@register(
+    "customer_cohort_retention",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                    AS BIGINT) AS m
+        FROM orders
+    ),
+    fc AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY o_custkey),
+    act AS (
+        SELECT DISTINCT om.o_custkey, fc.m0, om.m - fc.m0 AS off
+        FROM om JOIN fc ON fc.o_custkey = om.o_custkey
+    ),
+    cs AS (
+        SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM fc GROUP BY m0
+    )
+    SELECT act.m0 AS cohort_month,
+           CAST(act.off AS BIGINT) AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           cs.cohort_size,
+           CAST(COUNT(*) AS DOUBLE) / cs.cohort_size AS retention_share
+    FROM act JOIN cs ON cs.m0 = act.m0
+    GROUP BY act.m0, act.off, cs.cohort_size
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def customer_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cohort retention TRIANGLE: customers grouped by
+    first-order month, each cohort's share still ordering N months
+    later — the classic growth chart ``events_retention`` draws for
+    event cohorts and ``cohort_ltv`` prices in revenue; this is the
+    count/share layer a subscription review reads row by row.
+
+    Shape: one orders scan feeds the per-customer first-month
+    aggregate and the activity frame; the (customer, offset) DISTINCT
+    and the triangle aggregate share the custkey/cohort keying, and
+    the |cohorts|-row size frame broadcasts back — output is bounded
+    by |months|², never customer-sized.  Parity: month keys are pure
+    integers (year·12 + month — never an engine date-diff),
+    retention_share an unrounded exact-integer ratio with
+    cohort_size ≥ n_active ≥ 1 by construction; (cohort_month,
+    month_offset) is a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        F.year("o_orderdate").cast("long") * 12
+        + F.month("o_orderdate").cast("long")
+    )
+    om = o.select("o_custkey", m.alias("m"))
+    fc = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    act = (
+        om.join(fc, "o_custkey")
+        .select("o_custkey", "m0", (F.col("m") - F.col("m0")).alias("off"))
+        .distinct()
+    )
+    cs = fc.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return sort_bounded(
+        act.groupBy("m0", "off")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(cs), "m0")
+        .select(
+            F.col("m0").alias("cohort_month"),
+            F.col("off").cast("long").alias("month_offset"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
+            ).alias("retention_share"),
+        ),
+        "cohort_month",
+        "month_offset",
+    )

@@ -228,3 +228,55 @@ def test_funnel_window_sweep_planted_bend(spark, tmp_path):
         30: (4, 2, 0.5),
         90: (4, 3, 0.75),
     }
+
+
+# --- customer_cohort_retention --------------------------------------------------
+
+
+def _orders_month_table(rows):
+    """rows: (o_orderkey, o_custkey, o_orderdate_us)"""
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([100.0] * len(rows), pa.float64()),
+            "o_orderdate": pa.array(
+                [r[2] for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                ["3-MEDIUM"] * len(rows), pa.string()
+            ),
+        }
+    )
+
+
+def test_cohort_retention_planted_triangle(spark, tmp_path):
+    """Three customers first order in Jan-2020; two return in Feb, one
+    in Mar — the triangle reads 3/3, 2/3, 1/3 with exact shares, and a
+    two-orders-in-one-month customer is counted ONCE per cell
+    (the DISTINCT)."""
+    import datetime as dt
+
+    def us(y, m, d):
+        return int(
+            dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp()
+        ) * 1_000_000
+
+    rows = [
+        (1, 1, us(2020, 1, 5)),
+        (2, 2, us(2020, 1, 9)),
+        (3, 3, us(2020, 1, 20)),
+        (4, 1, us(2020, 2, 2)),
+        (5, 2, us(2020, 2, 3)),
+        (6, 2, us(2020, 2, 28)),  # same month again: one active mark
+        (7, 3, us(2020, 3, 15)),
+    ]
+    sf_dir = _planted_dir(tmp_path, {"orders": _orders_month_table(rows)})
+    got = _compare(spark, "customer_cohort_retention", sf_dir)
+    m0 = 2020 * 12 + 1
+    assert [tuple(r) for r in got] == [
+        (m0, 0, 3, 3, 1.0),
+        (m0, 1, 2, 3, 2 / 3),
+        (m0, 2, 1, 3, 1 / 3),
+    ]
