@@ -541,13 +541,54 @@ _COPURCHASE_CTES = """
 """
 
 
+# Ceiling on each component of the packed 63-bit pair key: both parts
+# must fit in 31/32 bits for `(a << 32) | b` to stay positive and
+# order-preserving.  TPC-H partkeys are dense from 1, so the part
+# dimension's max bounds every l_partkey; above the ceiling (≈ SF 10k+,
+# where partkeys outgrow 2^31) the frames fall back to the two-column
+# pair key — same values, wider shuffle rows.
+PAIR_PACK_MAX_KEY = (1 << 31) - 1
+
+# sf_dir -> max(p_partkey): the pack gate's probe is one column-pruned
+# 1-row job; memoized so the two copurchase ops (and repeated bench
+# sweeps) pay it once per process, not once per plan build.
+_PART_KEY_DOMAIN_CACHE: dict[str, int | None] = {}
+
+
+def _part_key_domain(spark: SparkSession, sf_dir: str) -> int | None:
+    if sf_dir not in _PART_KEY_DOMAIN_CACHE:
+        # bounded: 1-row .agg() probe of the part dimension's key domain
+        _PART_KEY_DOMAIN_CACHE[sf_dir] = (
+            load_table(spark, sf_dir, "part")
+            .agg(F.max("p_partkey"))
+            .collect()[0][0]
+        )
+    return _PART_KEY_DOMAIN_CACHE[sf_dir]
+
+
 def _copurchase_frames(spark: SparkSession, sf_dir: str):
     """(n, pc, topk) — the one-basket-pass decomposition shared by
-    ``part_copurchase_lift`` (r10/r12 shape, expressions unchanged by
-    the r13 extraction — plan-identical) and
-    ``copurchase_association_rules``: order total, per-part order
-    counts, and the TakeOrdered top-K pair counts, all off ONE baskets
-    exchange."""
+    ``part_copurchase_lift`` and ``copurchase_association_rules``:
+    order total, per-part order counts, and the TakeOrdered top-K pair
+    counts, all off ONE baskets exchange.
+
+    r14: the pair aggregate — the dominant exchange (1.2M rows, 99.7%
+    distinct keys at sf0.1; billions at 100 TB) — groups on ONE packed
+    BIGINT key ``(part_a << 32) | part_b`` instead of two longs,
+    cutting the shuffle row from 24 to 16 payload bytes and the hash
+    map to single-column hashing/equality.  The pack is strictly
+    monotone in (part_a, part_b) lexicographic order, so the top-K
+    tiebreak ``pk ASC`` ≡ ``(part_a, part_b) ASC`` and unpacking after
+    the K-row cut reproduces the exact unpacked output.  Gated on the
+    part-key domain (a memoized 1-row probe of the part dimension —
+    one job per process): keys over 2^31 fall back to the two-column
+    aggregate rather than silently wrapping.  Measured locally (r14,
+    6-run interleaved A/B at sf0.1): a wash inside the documented
+    JIT/GC warm band (packed 1.59 vs unpacked 1.56 median, paired mean
+    slightly favoring packed) — the 1.2M-row local exchange is
+    CPU-floor-bound, not byte-bound; the win is the ~33% shuffle
+    payload cut (24→16 B/row) + single-column hash on the
+    billions-of-pairs exchange at cluster scale."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
@@ -558,18 +599,42 @@ def _copurchase_frames(spark: SparkSession, sf_dir: str):
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
     )
-    pairs = (
+    pair_base = (
         baskets.select(
             "parts", F.explode_outer("parts").alias("part_a")
         )
         .select("part_a", F.explode_outer("parts").alias("part_b"))
         .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
-    topk = pairs.orderBy(
-        F.col("n_both").desc(), "part_a", "part_b"
-    ).limit(COPURCHASE_TOP_K)
+    max_key = _part_key_domain(spark, sf_dir)
+    if max_key is not None and max_key <= PAIR_PACK_MAX_KEY:
+        pairs = (
+            pair_base.select(
+                F.shiftleft(F.col("part_a"), 32)
+                .bitwiseOR(F.col("part_b"))
+                .alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        )
+        topk = (
+            pairs.orderBy(F.col("n_both").desc(), "pk")
+            .limit(COPURCHASE_TOP_K)
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("part_a"),
+                F.col("pk")
+                .bitwiseAND(F.lit((1 << 32) - 1))
+                .alias("part_b"),
+                "n_both",
+            )
+        )
+    else:
+        pairs = pair_base.groupBy("part_a", "part_b").agg(
+            F.count(F.lit(1)).cast("long").alias("n_both")
+        )
+        topk = pairs.orderBy(
+            F.col("n_both").desc(), "part_a", "part_b"
+        ).limit(COPURCHASE_TOP_K)
     return n, pc, topk
 
 

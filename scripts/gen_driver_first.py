@@ -44,10 +44,11 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r13 changes land here as they happen; r12 entries
-    # (supplier_balance_quartiles, part_copurchase_lift,
-    # minhash_lsh_dedup) cleared after CORRECTNESS_r12.json
-    # adjudicated them (all passed / rows-only green).
+    # r14: the copurchase pair aggregate now groups on a packed BIGINT
+    # key (gated on the part-key domain) — output values identical,
+    # plan changed, so both consumers re-adjudicate.
+    "part_copurchase_lift",
+    "copurchase_association_rules",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
