@@ -187,12 +187,18 @@ def doc_query_likelihood_topk(
     """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
     2004) for the same fixed probe query as ``bm25_topk``: score(q,d) =
     Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)) — the language-model scoring
-    tier next to BM25's probabilistic one.  Unlike BM25, EVERY query
-    term contributes to every document (a zero-tf term adds the
-    smoothed background mass), so the scoring spine is dl × query
-    terms, restored by a LEFT join FROM the spine (the r11
-    restore-empty-rows rule — an inner join would silently drop the
-    zero-tf cells that define the model).
+    tier next to BM25's probabilistic one.  Unlike BM25, every query
+    term PRESENT IN THE CORPUS contributes to every document (a
+    zero-tf term adds the smoothed background mass), so the scoring
+    spine is dl × corpus-present query terms, restored by a LEFT join
+    FROM the spine (the r11 restore-empty-rows rule — an inner join
+    would silently drop the zero-tf cells that define the model).
+    Convention (r13 ADVICE, pinned by a planted absent-term corpus in
+    test_new_ops_r13.py): a query term with ZERO corpus frequency has
+    no cf row and drops out of the spine on both engines — its
+    background mass is ln(0/…) = −∞ under pure Dirichlet smoothing, so
+    omission is the standard practical treatment; the score is a sum
+    over the corpus-present query subset, identical cross-engine.
 
     Shape: one token explode feeds dl / corpus-total / cf / tf; cf is a
     ≤|query|-row broadcast, the corpus total a 1-row broadcast

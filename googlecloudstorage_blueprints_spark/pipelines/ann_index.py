@@ -70,15 +70,27 @@ def _sample_training_rows(emb: DataFrame, n_corpus: int) -> list:
 SEARCH_QUERY_MAX = 10_000
 
 
-def _guard_query_batch(queries: DataFrame, fn_name: str) -> None:
-    n = queries.limit(SEARCH_QUERY_MAX + 1).count()
-    if n > SEARCH_QUERY_MAX:
+def _collect_query_batch(queries: DataFrame, fn_name: str) -> list:
+    """Pull the caller's query frame ONCE, enforcing the batch ceiling.
+
+    The caller's frame may be a computed plan; a separate guard count
+    would evaluate it twice per search (r13 ADVICE).  TakeOrdered of
+    SEARCH_QUERY_MAX+1 rows both enforces the ceiling and returns the
+    query_id-sorted rows the search kernels need — one job, no global
+    sort."""
+    rows = (
+        queries.orderBy("query_id")
+        .limit(SEARCH_QUERY_MAX + 1)
+        .collect()
+    )
+    if len(rows) > SEARCH_QUERY_MAX:
         raise ValueError(
             f"{fn_name}: query frame exceeds the driver-side batch "
             f"ceiling of {SEARCH_QUERY_MAX:,} rows. Chunk the queries "
             "into batches at or under the ceiling and call search per "
             "batch."
         )
+    return rows
 
 
 def _assign_cells(spark: SparkSession, emb: DataFrame, centroids):
@@ -203,8 +215,7 @@ def search_ivf_index(
 
     centroids = _load_centroids(spark, index_path)
 
-    _guard_query_batch(queries, "search_ivf_index")
-    q_rows = queries.orderBy("query_id").collect()
+    q_rows = _collect_query_batch(queries, "search_ivf_index")
     q_mat = np.asarray(
         [r["qv"] for r in q_rows], dtype=np.float64
     )
@@ -415,8 +426,7 @@ def search_ivfpq_index(
     books = _load_codebooks(spark, index_path)
     dsub = books.shape[2]
 
-    _guard_query_batch(queries, "search_ivfpq_index")
-    q_rows = queries.orderBy("query_id").collect()
+    q_rows = _collect_query_batch(queries, "search_ivfpq_index")
     q_mat = np.asarray([r["qv"] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]

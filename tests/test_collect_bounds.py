@@ -29,18 +29,26 @@ AUDITED = sorted(
     + glob.glob(os.path.join(PKG, "pipelines", "*.py"))
 )
 
-# a collect site passes if ANY of these appears in the chained collect
-# expression itself, on its physical source lines (trailing comments
-# included), or within the 3 lines directly above it (guard calls).
-BOUND_MARKERS = (
-    "bounded",            # explicit "# bounded: <why>" comment
+# Markers that bound the pull STRUCTURALLY must appear inside the
+# collect call's own chained expression (r13 ADVICE: a `.agg(` or
+# `limit(` on an unrelated nearby line must not whitewash the site).
+SEGMENT_MARKERS = (
+    "limit(",             # explicit row cap on the collected frame
+    ".agg(",              # scalar/partial aggregate result
+)
+
+# Specific identifiers (guard calls, named sample-cap constants) and the
+# explicit declaration comment may also sit on the call's source lines
+# or the 3 lines directly above: a guard call precedes the collect as
+# its own statement, and `# bounded:` is an exact token (the bare word
+# "bounded" also matches a comment saying "unbounded" — r13 ADVICE).
+SPAN_MARKERS = (
+    "# bounded:",
     "_guard_exact_tier",  # similarity exact-tier ceiling
-    "_guard_query_batch",  # ann_index search-batch ceiling
-    "limit(",             # explicit row cap
+    "_collect_query_batch",  # ann_index search-batch ceiling
     "N_QUERIES",          # fixed query-set constant
     "TRAIN_SAMPLE",       # ANN trainer-sample constant
     "_sample_training_rows",
-    ".agg(",              # scalar/partial aggregate result
 )
 
 
@@ -58,25 +66,31 @@ def _collect_sites(path: str):
             span = "\n".join(
                 lines[max(node.lineno - 4, 0): node.end_lineno]
             )
-            yield node.lineno, seg + "\n" + span
+            yield node.lineno, seg, span
 
 
 def test_every_collect_site_declares_its_bound():
     assert AUDITED, "package layout moved — fix PKG"
     offenders = []
     for path in AUDITED:
-        for lineno, ctx in _collect_sites(path):
-            if not any(m in ctx for m in BOUND_MARKERS):
-                rel = os.path.relpath(path, os.path.dirname(PKG))
-                offenders.append(f"{rel}:{lineno}")
+        for lineno, seg, span in _collect_sites(path):
+            if any(m in seg for m in SEGMENT_MARKERS):
+                continue
+            if any(m in seg or m in span for m in SPAN_MARKERS):
+                continue
+            rel = os.path.relpath(path, os.path.dirname(PKG))
+            offenders.append(f"{rel}:{lineno}")
     assert not offenders, (
         "unbounded-looking .collect() sites (add a cap, a guard, or a "
-        f"'# bounded: <why>' comment): {offenders}"
+        "'# bounded: <why>' comment): {}".format(offenders)
     )
 
 
 def test_search_query_guard_raises_actionably(spark):
-    """The ann_index search ceiling is enforced, not advisory."""
+    """The ann_index search ceiling is enforced, not advisory — and the
+    single-evaluation guard returns the full sorted batch when under
+    the cap (r13 ADVICE: the old separate guard count evaluated a
+    computed query plan twice per search)."""
     import pytest
 
     from googlecloudstorage_blueprints_spark.pipelines import ann_index
@@ -88,8 +102,9 @@ def test_search_query_guard_raises_actionably(spark):
     try:
         ann_index.SEARCH_QUERY_MAX = 3
         with pytest.raises(ValueError, match="batch ceiling"):
-            ann_index._guard_query_batch(big, "search_ivf_index")
+            ann_index._collect_query_batch(big, "search_ivf_index")
         ann_index.SEARCH_QUERY_MAX = 5
-        ann_index._guard_query_batch(big, "search_ivf_index")  # at cap: ok
+        rows = ann_index._collect_query_batch(big, "search_ivf_index")
+        assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
     finally:
         ann_index.SEARCH_QUERY_MAX = orig

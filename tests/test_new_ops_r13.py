@@ -118,6 +118,35 @@ def test_query_likelihood_planted_closed_form(spark, tmp_path):
     assert by_id[1] > by_id[2] > by_id[3]
 
 
+def test_query_likelihood_absent_term_drops_from_spine(spark, tmp_path):
+    """A query term with ZERO corpus frequency ("table" never appears)
+    has no cf row, so it silently leaves the scoring spine on BOTH
+    engines — the documented convention (its Dirichlet background mass
+    would be ln(0) = −∞): the score is the sum over the corpus-present
+    query subset, here exactly {spark, query}."""
+    docs = [
+        (1, "spark query spark alpha"),  # tf: spark 2, query 1
+        (2, "alpha beta gamma delta"),   # background only
+    ]
+    sf_dir = _planted_dir(tmp_path, {"documents": _docs_table(docs)})
+    got = _compare(spark, "doc_query_likelihood_topk", sf_dir)
+    by_id = {r[0]: r[1] for r in got}
+
+    mu, c_total = 2000.0, 8
+    cf = {"spark": 2, "query": 1}  # NO "table" row anywhere
+    tf = {1: {"spark": 2, "query": 1}, 2: {}}
+
+    def score(doc_id, dl):
+        t6 = 0
+        for w in ("spark", "query"):  # the present-subset sum
+            x = (tf[doc_id].get(w, 0) + (mu * cf[w]) / c_total) / (dl + mu)
+            t6 += int(round(math.log(x) * 1_000_000))
+        return round(t6 / 1_000_000.0, 6)
+
+    assert by_id[1] == score(1, 4)
+    assert by_id[2] == score(2, 4)
+
+
 def test_query_likelihood_fixture_total_rank_order(spark):
     rows = [tuple(r) for r in
             all_queries()["doc_query_likelihood_topk"](spark, SF).collect()]
