@@ -791,6 +791,74 @@ def bench_shapes(
             .alias("th"),
         )
 
+    def cohort_retention():
+        # r13 claim (customer_cohort_retention): one orders scan feeds
+        # the per-customer first-month aggregate and the activity
+        # frame; (customer, offset) DISTINCT shares the custkey keying;
+        # output |months|²-bounded.  Replication grows customers
+        # (disjoint key spaces); the month space stays fixed.
+        m = (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+        )
+        om = o.select("o_custkey", m.alias("m"))
+        fc = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+        act = (
+            om.join(fc, "o_custkey")
+            .select(
+                "o_custkey", "m0", (F.col("m") - F.col("m0")).alias("off")
+            )
+            .distinct()
+        )
+        cs = fc.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_size"))
+        return (
+            act.groupBy("m0", "off")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(F.broadcast(cs), "m0")
+        )
+
+    def funnel_window():
+        # r13 claim (funnel_window_sensitivity): the per-user
+        # (first signup, first at-or-after purchase) frame computes
+        # ONCE (two filtered per-user aggregates + one equi-join), the
+        # 4-row sweep literal meets it via broadcast crossJoin, the
+        # window test is pure BIGINT µs.  Replication grows users.
+        s = (
+            ev.where(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.unix_micros(F.min("ts")).alias("signup_us"))
+        )
+        fp = (
+            ev.where(F.col("event_type") == "purchase")
+            .join(s, "user_id")
+            .where(F.unix_micros(F.col("ts")) >= F.col("signup_us"))
+            .groupBy("user_id")
+            .agg(F.min(F.unix_micros(F.col("ts"))).alias("purchase_us"))
+        )
+        u = s.join(fp, "user_id", "left")
+        t = spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(d) for d in (1, 7, 30, 90)])
+            ).alias("window_days")
+        )
+        converted = F.when(
+            F.col("purchase_us").isNotNull()
+            & (
+                F.col("purchase_us") - F.col("signup_us")
+                <= F.col("window_days").cast("long")
+                * F.lit(86_400_000_000)
+            ),
+            1,
+        ).otherwise(0)
+        return (
+            u.crossJoin(F.broadcast(t))
+            .groupBy("window_days")
+            .agg(
+                F.count(F.lit(1)).alias("n_signed_up"),
+                F.sum(converted).alias("n_converted"),
+            )
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -837,6 +905,9 @@ def bench_shapes(
         "tail_index": tail_index,
         "gini": gini,
         "vocab_growth": vocab_growth,
+        # round-14 additions: month-cohort triangle, attribution sweep
+        "cohort_retention": cohort_retention,
+        "funnel_window": funnel_window,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
