@@ -358,6 +358,36 @@ def read_lineitem_stream(
     return stream
 
 
+def read_orders_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "orders.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Orders as a file-source stream (the order-intake feed) with the
+    same timestamp_ntz → TIMESTAMP normalization the batch catalog
+    applies to ``o_orderdate`` (the round-5 rule — fixtures regenerate
+    between rounds and have switched physical timestamp types)."""
+    apply_runtime_conf(spark)
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    od_type = dict(stream.dtypes).get("o_orderdate")
+    if od_type == "bigint":
+        stream = stream.withColumn(
+            "o_orderdate", F.timestamp_micros(F.expr("o_orderdate div 1000"))
+        )
+    elif od_type == "timestamp_ntz":
+        stream = stream.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        )
+    return stream
+
+
 def read_documents_stream(
     spark: SparkSession,
     sf_dir: str,

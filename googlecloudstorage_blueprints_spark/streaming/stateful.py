@@ -2240,6 +2240,119 @@ def streaming_growth_accounting(
 
 
 # ---------------------------------------------------------------------------
+# streaming cohort retention: reclassifying (cohort, offset) changelog (r14)
+# ---------------------------------------------------------------------------
+
+_COHORT_OUT_SCHEMA = StructType(
+    [
+        StructField("o_custkey", LongType()),
+        StructField("month", LongType()),
+        StructField("cohort_month", LongType()),
+        StructField("month_offset", LongType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+_COHORT_STATE_SCHEMA = StructType(
+    [
+        StructField("months", ArrayType(LongType())),
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def _cohort_assign_diff(key: tuple, pdfs, state: GroupState):
+    """Per-customer (cohort, offset) CHANGELOG with reclassification:
+    state holds the sorted distinct order months (year·12 + month —
+    the batch op's pure-integer key rule) plus a version counter; a
+    micro-batch that adds months re-derives EVERY month's cell
+    (m0, m − m0) from the merged set and emits one row per month whose
+    cell is new or changed, stamped with the bumped version.  Where
+    the growth-accounting reclass rewrites only neighbour weeks, a
+    LATE month EARLIER than the known first lowers m0 and rewrites
+    every month's cohort and offset at once — the heaviest reclass
+    shape.  The newest (max-ver) row per (customer, month) always
+    equals the batch ``customer_cohort_retention`` activity row
+    (custkey, m0, off) for everything seen so far; replays add no
+    months, so they emit nothing (set absorption)."""
+    import pandas as pd
+
+    (custkey,) = key
+    rows = pd.concat(list(pdfs))
+    od = pd.to_datetime(rows["o_orderdate"])
+    batch_months = set(
+        (
+            od.dt.year.astype("int64") * 12 + od.dt.month.astype("int64")
+        ).tolist()
+    )
+    old = list(state.get[0]) if state.exists else []
+    ver = int(state.get[1]) if state.exists else 0
+    merged = sorted(set(old) | batch_months)
+    if merged == old:
+        return
+    before = {m: (old[0], m - old[0]) for m in old}
+    m0 = merged[0]
+    after = {m: (m0, m - m0) for m in merged}
+    ver += 1
+    state.update((merged, ver))
+    yield pd.DataFrame(
+        [
+            {
+                "o_custkey": int(custkey),
+                "month": int(m),
+                "cohort_month": int(c),
+                "month_offset": int(off),
+                "ver": ver,
+            }
+            for m, (c, off) in sorted(after.items())
+            if before.get(m) != (c, off)
+        ]
+    )
+
+
+def streaming_cohort_retention(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "orders.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming cohort-assignment feed — the incremental twin of the
+    batch ``customer_cohort_retention`` triangle
+    (operators/relational_tpch2.py): each (customer, active-month)
+    carries its (cohort_month, month_offset) cell, maintained as a
+    versioned changelog that RECLASSIFIES when late orders land (the
+    second reclassifying twin after ``streaming_growth_accounting`` —
+    and the stronger case: an earlier first order rewrites EVERY cell
+    of the customer, not just neighbours).  Downstream, the batch
+    op's n_active/cohort_size/retention_share columns are a stateless
+    count over the newest (max-ver) row per (customer, month) —
+    test-pinned, including under an out-of-order two-file split and
+    full-backlog redelivery.
+
+    Scale: state is one calendar-bounded month array + version per
+    customer; one o_custkey shuffle per micro-batch."""
+    from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+        read_orders_stream,
+    )
+
+    orders = read_orders_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        orders.select("o_custkey", "o_orderdate")
+        .withWatermark("o_orderdate", WATERMARK)
+        .groupBy("o_custkey")
+        .applyInPandasWithState(
+            _cohort_assign_diff,
+            _COHORT_OUT_SCHEMA,
+            _COHORT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming heavy hitters: Space-Saving word counters per shard (r12c)
 # ---------------------------------------------------------------------------
 

@@ -1171,6 +1171,111 @@ def test_growth_kernel_newest_class_matches_batch_under_any_order(case):
     assert again == [], "redelivery must be absorbed by the week set"
 
 
+# --- r14: reclassifying cohort-assignment changelog ---------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _cohort_assign_diff,
+)
+
+
+def _months_df(month_keys):
+    """month_keys: list of year·12+month ints -> kernel input frame."""
+    return pd.DataFrame(
+        {
+            "o_custkey": 1,
+            "o_orderdate": pd.to_datetime(
+                [
+                    f"{(m - 1) // 12:04d}-{(m - 1) % 12 + 1:02d}-15"
+                    for m in month_keys
+                ]
+            ),
+        }
+    )
+
+
+@st.composite
+def month_batches(draw):
+    """Distinct month keys dealt into 1-4 batches in ARBITRARY order —
+    a batch carrying an EARLIER month than the known first must rewrite
+    every cell (the all-cells reclass the kernel exists for)."""
+    base = 2020 * 12
+    months = sorted(
+        draw(
+            st.sets(
+                st.integers(min_value=base + 1, max_value=base + 14),
+                min_size=1,
+                max_size=8,
+            )
+        )
+    )
+    order = draw(st.permutations(months))
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(order) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(order)]:
+        if order[prev:c]:
+            batches.append(order[prev:c])
+        prev = c
+    return months, batches
+
+
+@given(month_batches())
+@settings(max_examples=200, deadline=None)
+def test_cohort_kernel_newest_cell_matches_batch_under_any_order(case):
+    """The max-ver emission per month must equal the whole-set batch
+    cell assignment (m0, m − m0) under ANY delivery order; versions
+    strictly increase; full redelivery emits nothing; and an in-order
+    (ascending) delivery never reclassifies — exactly one emission per
+    month."""
+    months, batches = case
+    state = FakeGroupState()
+    emitted = []  # (month, cohort, offset, ver)
+    for batch in batches:
+        for pdf in _cohort_assign_diff(
+            (1,), iter([_months_df(list(batch))]), state
+        ):
+            emitted.extend(
+                (
+                    int(r.month),
+                    int(r.cohort_month),
+                    int(r.month_offset),
+                    int(r.ver),
+                )
+                for r in pdf.itertuples(index=False)
+            )
+    newest = {}
+    for m, c, off, ver in emitted:
+        if m not in newest or ver > newest[m][2]:
+            newest[m] = (c, off, ver)
+    m0 = months[0]
+    assert {m: (c, off) for m, (c, off, _v) in newest.items()} == {
+        m: (m0, m - m0) for m in months
+    }
+    vers = [v for _m, _c, _o, v in emitted]
+    assert vers == sorted(vers)
+    in_order = all(
+        max(batches[i]) < min(batches[i + 1])
+        for i in range(len(batches) - 1)
+    )
+    if in_order:
+        assert len(emitted) == len(months), "in-order must never reclass"
+
+    again = []
+    for batch in batches:
+        again.extend(
+            _cohort_assign_diff((1,), iter([_months_df(list(batch))]), state)
+        )
+    assert again == [], "redelivery must be absorbed by the month set"
+
+
 # --- r12c: Space-Saving heavy-hitter sketch ----------------------------------
 
 from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402

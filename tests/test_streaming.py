@@ -2237,3 +2237,105 @@ def test_streaming_session_starts_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert hist == batch
+
+
+def test_streaming_cohort_retention_matches_batch_and_reclassifies(
+    spark, tmp_path
+):
+    """The newest (max-ver) emission per (customer, month) must
+    regroup into the batch customer_cohort_retention triangle exactly
+    — including under an OUT-OF-ORDER two-file split (second half of
+    the order stream delivered first), which must actually exercise
+    the all-cells reclassification (a customer's first-half order
+    lowers m0 and rewrites every month's cohort and offset).
+    Redelivering the backlog emits nothing."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        run_stream_to_memory,
+        streaming_cohort_retention,
+    )
+
+    def newest_cells(rows):
+        best = {}
+        for r in rows:
+            k = (r["o_custkey"], r["month"])
+            if k not in best or r["ver"] > best[k][2]:
+                best[k] = (r["cohort_month"], r["month_offset"], r["ver"])
+        return {k: (c, off) for k, (c, off, _v) in best.items()}
+
+    def triangle(newest):
+        tri = {}
+        for (_ck, _m), cell in newest.items():
+            tri[cell] = tri.get(cell, 0) + 1
+        return tri
+
+    batch_rows = all_queries()["customer_cohort_retention"](
+        spark, SF
+    ).collect()
+    batch_tri = {
+        (r["cohort_month"], r["month_offset"]): r["n_active"]
+        for r in batch_rows
+    }
+
+    single = run_stream_to_memory(
+        streaming_cohort_retention(spark, SF), "cohort_single"
+    ).collect()
+    newest = newest_cells(single)
+    assert triangle(newest) == batch_tri
+    # cohort_size is the off=0 diagonal of the same newest-row count
+    for r in batch_rows:
+        assert (
+            triangle(newest)[(r["cohort_month"], 0)] == r["cohort_size"]
+        )
+
+    # out-of-order split: the LATER half of the order stream lands first
+    orders = load_table(spark, SF, "orders")
+    split = orders.selectExpr(
+        "timestamp_micros(CAST(percentile_approx("
+        "unix_micros(o_orderdate), 0.5) AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/orders_ooo_cohort"
+    orders.where(F.col("o_orderdate") >= F.lit(split)).coalesce(
+        1
+    ).write.mode("append").parquet(out)
+    orders.where(F.col("o_orderdate") < F.lit(split)).coalesce(
+        1
+    ).write.mode("append").parquet(out)
+    ooo = run_stream_to_memory(
+        streaming_cohort_retention(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "cohort_ooo",
+    ).collect()
+    assert triangle(newest_cells(ooo)) == batch_tri
+    # the reclass path must actually fire: some (customer, month) is
+    # re-emitted with a DIFFERENT cohort after the earlier half lands
+    seen = {}
+    recohorted = set()
+    for r in ooo:
+        k = (r["o_custkey"], r["month"])
+        if k in seen and seen[k] != r["cohort_month"]:
+            recohorted.add(k)
+        seen.setdefault(k, r["cohort_month"])
+    assert recohorted, "out-of-order split must rewrite some cohort"
+
+    # full-backlog redelivery: month sets absorb the replay
+    (tmp_path / "replay_cohort").mkdir()
+    shutil.copy(
+        f"{SF}/orders.parquet", tmp_path / "replay_cohort" / "00.parquet"
+    )
+    shutil.copy(
+        f"{SF}/orders.parquet", tmp_path / "replay_cohort" / "01.parquet"
+    )
+    redelivered = run_stream_to_memory(
+        streaming_cohort_retention(
+            spark,
+            f"file:{tmp_path}/replay_cohort",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "cohort_redelivery",
+    ).collect()
+    assert len(redelivered) == len(single)
