@@ -2219,3 +2219,150 @@ def vocab_rank_shift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_rank_shift_topk.__doc__ = vocab_rank_shift_topk.__doc__.format(
     RANK_SHIFT_K=RANK_SHIFT_K
 )
+
+
+DOC_ENTROPY_TOP_K = 15
+
+
+@register(
+    "doc_unigram_entropy_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    tc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, w
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT)   AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * CAST(ROUND(LN(c) * 1000000, 0) AS BIGINT))
+                    AS BIGINT)          AS s6
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(CAST(ROUND(LN(n_tokens) * 1000000, 0) AS BIGINT)
+                    * n_tokens - s6 AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS entropy
+    FROM d
+    ORDER BY entropy DESC, doc_id
+    LIMIT {DOC_ENTROPY_TOP_K}
+    """,
+)
+def doc_unigram_entropy_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document token Shannon entropy, highest-entropy head: H(d) =
+    ln(dl) − Σ c·ln(c)/dl over the doc's token counts — the
+    distributional cousin of ``doc_ttr`` (a repetitive doc scores near
+    0, an all-distinct doc exactly ln(dl)); the quality screen that
+    catches keyword-stuffed or template docs whose TTR still looks
+    healthy.
+
+    Shape: one token explode → (doc, token)-keyed count → doc-keyed
+    reduction; the top-K head is a TakeOrdered cut, so nothing
+    doc-sized sorts globally.  Parity: each ln fixed-points
+    round(·1e6)→BIGINT AT BIRTH (the r7 transcendental rule — the
+    per-doc sum is order-independent), and the entropy closes as ONE
+    division of exact integers (round(ln dl·1e6)·dl − Σ c·round(ln
+    c·1e6)) / (dl·1e6) — bit-identical cross-engine, emitted UNROUNDED
+    (the r10 rule); (entropy DESC, doc_id) is a total order because
+    the ratio doubles are identical on both engines."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    tc = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ln6 = lambda col: F.round(F.log(col) * 1_000_000, 0).cast("long")  # noqa: E731
+    doc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * ln6(F.col("c"))).cast("long").alias("s6"),
+    )
+    entropy = (
+        (ln6(F.col("n_tokens")) * F.col("n_tokens") - F.col("s6")).cast(
+            "double"
+        )
+        / (F.col("n_tokens").cast("double") * 1_000_000.0)
+    )
+    return (
+        doc.select(
+            "doc_id", "n_tokens", "n_distinct", entropy.alias("entropy")
+        )
+        .orderBy(F.col("entropy").desc(), "doc_id")
+        .limit(DOC_ENTROPY_TOP_K)
+    )
+
+
+@register(
+    "source_length_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM((2 * r - n - 1) * n_chars) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * NULLIF(SUM(n_chars), 0))
+               AS gini
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the
+    inequality lens on the corpus mix: a source whose token mass sits
+    in a handful of giant documents (gini → 1) packs, dedups and
+    samples very differently from one with even lengths (gini → 0),
+    and a high-gini source is the first place a length-curriculum or
+    context-packing plan goes wrong.  ``customer_value_gini``'s
+    formula applied to the corpus axis.
+
+    Shape: a rank window PARTITIONED BY SOURCE (a keyed sort, never
+    global), then one per-source reduction of G = Σ(2r − n − 1)·x /
+    (n·Σx).  All docs count, null-text rows at their stored n_chars —
+    excluding them would understate concentration.  Parity: n_chars is
+    already BIGINT, ranks total-ordered by (n_chars, doc_id), the
+    weighted sum is exact integer arithmetic, the closing division
+    casts its factors separately (r8 overflow rule), NULLIF guards an
+    all-empty source, gini emitted UNROUNDED (exact-integer ratio)."""
+    d = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return sort_bounded(
+        ranked.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (
+                F.sum(
+                    (2 * F.col("r") - F.col("n") - 1) * F.col("n_chars")
+                ).cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.nullif(F.sum("n_chars"), F.lit(0))
+                )
+            ).alias("gini"),
+        ),
+        "source",
+    )
