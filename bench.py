@@ -447,6 +447,23 @@ def main() -> None:
         "scale_slope_ratio_high_runs": gate_runs,
         "scale_slope_ratio_high_median": gate_median,
         "scale_slope_ratio_high_spread": gate_spread,
+        # per-query gate attribution (r14): the high-span Δspark/Δduck
+        # each query contributes, sorted by Δspark — makes "which query
+        # carries the gate" a lookup instead of a decomposition run
+        "slope_detail_high": (
+            {
+                n: {
+                    "dspark": round(max(timings[n] - mid_spark[n], 0.0), 3),
+                    "dduck": round(max(duck[n] - mid_duck[n], 0.0), 3),
+                }
+                for n in sorted(
+                    (n for n in duck if n in mid_spark and n in mid_duck),
+                    key=lambda n: mid_spark[n] - timings[n],
+                )
+            }
+            if mid_spark is not None and mid_duck is not None
+            else None
+        ),
         "rows_only_lane": rows_only_lane,
     }
     detail_path = os.path.join(
