@@ -2543,20 +2543,41 @@ def copurchase_degree_histogram(
     partners, not co-occurrence events), degrees via one keyed count
     over the symmetric pair explode, closed to a degree-value
     histogram — the output is bounded by max degree, the counts-of-
-    counts ledger shape again.  Parity: all counts exact BIGINT; no
-    doubles anywhere."""
+    counts ledger shape again.  r14: the pair DISTINCT — this op's
+    dominant exchange — runs on the packed single-BIGINT key
+    ``(part_a << 32) | part_b`` under the same part-key-domain gate as
+    ``_copurchase_frames`` (unpacked fallback above 2^31), halving the
+    distinct exchange's key bytes.  Parity: all counts exact BIGINT;
+    no doubles anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pairs = (
+    pair_base = (
         baskets.select(
             "parts", F.explode_outer("parts").alias("part_a")
         )
         .select("part_a", F.explode_outer("parts").alias("part_b"))
         .where(F.col("part_a") < F.col("part_b"))
-        .distinct()
     )
+    # the pair DISTINCT is this op's dominant exchange — same packed
+    # single-BIGINT key as _copurchase_frames (r14), same domain gate
+    max_key = _part_key_domain(spark, sf_dir)
+    if max_key is not None and max_key <= PAIR_PACK_MAX_KEY:
+        pk = (
+            pair_base.select(
+                F.shiftleft(F.col("part_a"), 32)
+                .bitwiseOR(F.col("part_b"))
+                .alias("pk")
+            )
+            .distinct()
+        )
+        pairs = pk.select(
+            F.shiftright(F.col("pk"), 32).alias("part_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("part_b"),
+        )
+    else:
+        pairs = pair_base.distinct()
     deg = (
         pairs.select(F.col("part_a").alias("part"))
         .unionByName(pairs.select(F.col("part_b").alias("part")))

@@ -49,6 +49,7 @@ CHANGED_THIS_ROUND: list[str] = [
     # plan changed, so both consumers re-adjudicate.
     "part_copurchase_lift",
     "copurchase_association_rules",
+    "copurchase_degree_histogram",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
