@@ -1052,6 +1052,11 @@ def _capped_pair_frame(spark: SparkSession, sf_dir: str):
             (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
             .cast("long")
             .alias("n_union"),
+            # r14: the smaller side's size, for containment metrics —
+            # column-pruned away by the Jaccard-only consumers
+            F.least(F.col("sa.sz"), F.col("sb.sz"))
+            .cast("long")
+            .alias("n_min"),
         )
     )
     return d, sh_all, pairs
@@ -1494,6 +1499,124 @@ def pair_similarity_histogram(
             F.coalesce(F.col("n_pairs"), F.lit(0))
             .cast("long")
             .alias("n_pairs"),
+            (
+                F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_total"), F.lit(0))
+            ).alias("pair_share"),
+        ),
+        "bucket",
+    ).persist()
+    out.count()  # materialize through the cached shingle frame
+    sh_all.unpersist()
+    return out
+
+
+@register(
+    "pair_containment_histogram",
+    oracle=f"""
+    WITH sh_all AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
+                         i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
+                     ))) AS s
+              FROM documents)
+    ),
+    kept AS (SELECT s FROM sh_all GROUP BY s
+             HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+    sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT CAST(i.n_common AS BIGINT) AS n_common,
+               CAST(sa.sz + sb.sz - i.n_common AS BIGINT) AS n_union,
+               CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS n_min
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    ),
+    h AS (
+        SELECT LEAST({SIM_HIST_BUCKETS - 1},
+                     (n_common * {SIM_HIST_BUCKETS}) // n_min) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN 2 * n_common < n_union
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low_jaccard
+        FROM pairs GROUP BY 1
+    ),
+    t AS (SELECT unnest(range({SIM_HIST_BUCKETS})) AS bucket),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pairs)
+    SELECT CAST(t.bucket AS BIGINT)                      AS bucket,
+           CAST(t.bucket AS DOUBLE) / {SIM_HIST_BUCKETS}     AS c_lo,
+           CAST(t.bucket + 1 AS DOUBLE) / {SIM_HIST_BUCKETS} AS c_hi,
+           COALESCE(h.n_pairs, 0)                        AS n_pairs,
+           COALESCE(h.n_low_jaccard, 0)                  AS n_low_jaccard,
+           CAST(COALESCE(h.n_pairs, 0) AS DOUBLE)
+               / NULLIF(tot.n_total, 0)                  AS pair_share
+    FROM t
+    LEFT JOIN h ON h.bucket = t.bucket
+    CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def pair_containment_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CONTAINMENT distribution of intersecting document pairs —
+    containment = n_common / min(|A|, |B|), the asymmetric companion
+    to ``pair_similarity_histogram``'s Jaccard: a short doc embedded
+    verbatim in a long one scores containment ≈ 1 while its Jaccard
+    stays low, so symmetric dedup never sees it.  ``n_low_jaccard``
+    counts exactly those pairs per bucket (containment-bucketed pairs
+    whose Jaccard < ½) — mass in the HIGH-containment/low-Jaccard
+    corner is the subset-duplicate class (quote farms, boilerplate
+    wrappers, doc-in-doc mirrors) a curation pass must handle
+    separately from near-dups.
+
+    Shape: the SAME df-capped inverted-index pair frame
+    (``_capped_pair_frame``, now carrying the smaller side's size),
+    closed to a 10-bucket histogram.  Parity: bucket key PURE BIGINT —
+    least(9, (10·n_common) div n_min) (the r9 rule); the Jaccard<½
+    test is the integer compare 2·n_common < n_union (never a double
+    ratio); bounds and pair_share exact-integer ratios, unrounded;
+    empty buckets restored by a LEFT join from the bucket literal;
+    NULLIF guards the zero-pair corpus."""
+    _, sh_all, pairs = _capped_pair_frame(spark, sf_dir)
+    bucket = F.least(
+        F.lit(SIM_HIST_BUCKETS - 1),
+        F.expr(f"(n_common * {SIM_HIST_BUCKETS}) div n_min"),
+    )
+    h = pairs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(2 * F.col("n_common") < F.col("n_union"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_jaccard"),
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    t = spark.range(SIM_HIST_BUCKETS).select(F.col("id").alias("bucket"))
+    out = sort_bounded(
+        t.join(h, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("bucket").cast("double") / SIM_HIST_BUCKETS).alias(
+                "c_lo"
+            ),
+            (
+                (F.col("bucket") + 1).cast("double") / SIM_HIST_BUCKETS
+            ).alias("c_hi"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_low_jaccard"), F.lit(0))
+            .cast("long")
+            .alias("n_low_jaccard"),
             (
                 F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double")
                 / F.nullif(F.col("n_total"), F.lit(0))

@@ -80,3 +80,25 @@ def test_source_length_gini_planted_closed_forms(spark, tmp_path):
     by_src = {r[0]: r for r in rows}
     assert tuple(by_src["g0"]) == ("g0", 4, 400, 0.0)
     assert tuple(by_src["g1"]) == ("g1", 4, 4000, 3 / 4)
+
+
+def test_pair_containment_planted_subset_duplicate(spark, tmp_path):
+    """The subset-duplicate signature the op exists for: doc 1 (12
+    words, 10 3-shingles) embedded VERBATIM at the head of doc 2 (72
+    words, 70 shingles) scores containment exactly 1.0 (bucket 9)
+    while its Jaccard is 10/70 < 1/2 — so bucket 9 reads n_pairs 1,
+    n_low_jaccard 1, the pair symmetric Jaccard dedup never flags."""
+    from tests.test_new_ops_r12c import _docs_table as _docs
+
+    small = " ".join(f"w{i}" for i in range(12))
+    big = small + " " + " ".join(f"f{i}" for i in range(60))
+    docs = [(1, small), (2, big)]
+    sf_dir = _planted_dir(tmp_path, {"documents": _docs(docs)})
+    rows = _compare(spark, "pair_containment_histogram", sf_dir)
+    by_bucket = {r[0]: r for r in rows}
+    assert len(rows) == 10  # empty buckets restored by the literal
+    # (bucket, c_lo, c_hi, n_pairs, n_low_jaccard, pair_share)
+    assert tuple(by_bucket[9][3:]) == (1, 1, 1.0)
+    assert all(
+        by_bucket[b][3] == 0 for b in range(9)
+    ), "the single planted pair must land in the top containment bucket"
