@@ -288,11 +288,13 @@ def bench_shapes(
         )
 
     def copurchase():
-        # round-10 form: ONE basket pass — collect_set per order (map-side
-        # partial dedup), in-row pair Generates, marginals + total derived
-        # from the same exchange; pair count still linear in baskets
+        # r14 live form: ONE basket pass — UNSORTED collect_set per
+        # order (map-side partial dedup; nothing downstream is
+        # position-dependent), in-row pair Generates, the pair
+        # aggregate keyed on the packed single BIGINT (a<<32)|b,
+        # top-K cut BEFORE the marginal joins
         baskets = li.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+            F.collect_set("l_partkey").alias("parts")
         )
         n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         pc = (
@@ -304,18 +306,27 @@ def bench_shapes(
             baskets.select("parts", F.explode_outer("parts").alias("pa"))
             .select("pa", F.explode_outer("parts").alias("pb"))
             .where(F.col("pa") < F.col("pb"))
-            .groupBy("pa", "pb")
+            .select(
+                F.shiftleft(F.col("pa"), 32)
+                .bitwiseOR(F.col("pb"))
+                .alias("pk")
+            )
+            .groupBy("pk")
             .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
         )
         lift = (
             F.col("n_both").cast("double") * F.col("n_orders")
             / (F.col("ca.n_part").cast("double") * F.col("cb.n_part"))
         )
-        # r12 live form: top-K cut BEFORE the marginal joins — the
-        # frequency joins probe a K-row broadcast, never the pair set
-        topk = pairs.orderBy(
-            F.col("n_both").desc(), "pa", "pb"
-        ).limit(20)
+        topk = (
+            pairs.orderBy(F.col("n_both").desc(), "pk")
+            .limit(20)
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("pa"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("pb"),
+                "n_both",
+            )
+        )
         return (
             F.broadcast(topk)
             .join(pc.alias("ca"), F.col("pa") == F.col("ca.l_partkey"))
