@@ -44,12 +44,9 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r14: the copurchase pair aggregate now groups on a packed BIGINT
-    # key (gated on the part-key domain) — output values identical,
-    # plan changed, so both consumers re-adjudicate.
-    "part_copurchase_lift",
-    "copurchase_association_rules",
-    "copurchase_degree_histogram",
+    # r15: (none yet) — the r14 copurchase replans adjudicated green in
+    # CORRECTNESS_r14 so their entries are cleared; add r15 plan/semantic
+    # changes here as they land.
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
