@@ -556,6 +556,14 @@ _PART_KEY_DOMAIN_CACHE: dict[str, int | None] = {}
 
 
 def _part_key_domain(spark: SparkSession, sf_dir: str) -> int | None:
+    """Max part key for the pair-pack gate — probed from the PART
+    DIMENSION (one column-pruned 1-row agg), not the fact table, so the
+    probe stays O(|part|) at 100 TB.  The packed values are
+    ``lineitem.l_partkey``, so the gate is sound only under FK
+    integrity (l_partkey ⊆ p_partkey — true for TPC-H and this repo's
+    fixtures); callers must NOT reuse the copurchase frames on planted
+    non-FK data, where an orphan l_partkey above the gate would pack
+    ungated (r14 ADVICE note)."""
     if sf_dir not in _PART_KEY_DOMAIN_CACHE:
         # bounded: 1-row .agg() probe of the part dimension's key domain
         _PART_KEY_DOMAIN_CACHE[sf_dir] = (
@@ -615,9 +623,14 @@ def _copurchase_frames(spark: SparkSession, sf_dir: str):
     max_key = _part_key_domain(spark, sf_dir)
     if max_key is not None and max_key <= PAIR_PACK_MAX_KEY:
         pairs = (
+            # cast to long BEFORE shifting: shiftleft on an IntegerType
+            # column masks the shift count to 5 bits (Java semantics),
+            # so an int32 x<<32 == x and the pack would silently
+            # degenerate to part_a|part_b under a fixture regen to
+            # int32 partkeys (r14 ADVICE)
             pair_base.select(
-                F.shiftleft(F.col("part_a"), 32)
-                .bitwiseOR(F.col("part_b"))
+                F.shiftleft(F.col("part_a").cast("long"), 32)
+                .bitwiseOR(F.col("part_b").cast("long"))
                 .alias("pk")
             )
             .groupBy("pk")
@@ -2573,9 +2586,11 @@ def copurchase_degree_histogram(
     max_key = _part_key_domain(spark, sf_dir)
     if max_key is not None and max_key <= PAIR_PACK_MAX_KEY:
         pk = (
+            # long cast before the shift: int32 shiftleft masks the
+            # count to 5 bits and x<<32 == x (r14 ADVICE type-proofing)
             pair_base.select(
-                F.shiftleft(F.col("part_a"), 32)
-                .bitwiseOR(F.col("part_b"))
+                F.shiftleft(F.col("part_a").cast("long"), 32)
+                .bitwiseOR(F.col("part_b").cast("long"))
                 .alias("pk")
             )
             .distinct()

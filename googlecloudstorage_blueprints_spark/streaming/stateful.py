@@ -2279,7 +2279,11 @@ def _cohort_assign_diff(key: tuple, pdfs, state: GroupState):
 
     (custkey,) = key
     rows = pd.concat(list(pdfs))
-    od = pd.to_datetime(rows["o_orderdate"])
+    # drop NULL order dates BEFORE the int64 cast: .astype("int64") on a
+    # NaT raises, so one dirty row would kill the stream — the batch
+    # twin's groupBy silently skips NULL months, and a dirty intake feed
+    # must degrade to the same semantics (r14 ADVICE)
+    od = pd.to_datetime(rows["o_orderdate"]).dropna()
     batch_months = set(
         (
             od.dt.year.astype("int64") * 12 + od.dt.month.astype("int64")

@@ -307,8 +307,8 @@ def bench_shapes(
             .select("pa", F.explode_outer("parts").alias("pb"))
             .where(F.col("pa") < F.col("pb"))
             .select(
-                F.shiftleft(F.col("pa"), 32)
-                .bitwiseOR(F.col("pb"))
+                F.shiftleft(F.col("pa").cast("long"), 32)
+                .bitwiseOR(F.col("pb").cast("long"))
                 .alias("pk")
             )
             .groupBy("pk")

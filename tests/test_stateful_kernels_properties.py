@@ -1276,6 +1276,36 @@ def test_cohort_kernel_newest_cell_matches_batch_under_any_order(case):
     assert again == [], "redelivery must be absorbed by the month set"
 
 
+def test_cohort_kernel_drops_null_order_dates():
+    """A NULL o_orderdate in a micro-batch is SKIPPED (the batch twin's
+    groupBy drops NULL months), never raised on — pre-fix, the int64
+    cast on NaT killed the stream on one dirty row (r14 ADVICE).  An
+    all-NULL batch emits nothing and leaves state untouched."""
+    state = FakeGroupState()
+    base = 2020 * 12 + 3
+    out = list(_cohort_assign_diff((1,), iter([_months_df([base])]), state))
+    assert len(out) == 1
+
+    dirty = pd.concat(
+        [
+            _months_df([base + 2]),
+            pd.DataFrame({"o_custkey": [1], "o_orderdate": [pd.NaT]}),
+        ],
+        ignore_index=True,
+    )
+    months = sorted(
+        int(r.month)
+        for pdf in _cohort_assign_diff((1,), iter([dirty]), state)
+        for r in pdf.itertuples(index=False)
+    )
+    assert months == [base + 2], "non-null month lands, NaT row dropped"
+
+    ver_before = int(state.get[1])
+    all_null = pd.DataFrame({"o_custkey": [1], "o_orderdate": [pd.NaT]})
+    assert list(_cohort_assign_diff((1,), iter([all_null]), state)) == []
+    assert int(state.get[1]) == ver_before, "all-NULL batch must not bump"
+
+
 # --- r12c: Space-Saving heavy-hitter sketch ----------------------------------
 
 from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
