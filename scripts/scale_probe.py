@@ -870,6 +870,137 @@ def bench_shapes(
             )
         )
 
+    def unigram_entropy():
+        # r14 claim (doc_unigram_entropy_topk): token explode →
+        # (doc, token)-keyed count → doc-keyed reduction → TakeOrdered
+        # head; nothing doc-sized sorts globally.  Replication grows
+        # docs (disjoint doc_ids), so both keyed exchanges grow N×.
+        tok = (
+            docs.where(F.col("text").isNotNull())
+            .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .where(F.col("w") != "")
+        )
+        tc = tok.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        ln6 = lambda col: F.round(  # noqa: E731
+            F.log(col) * 1_000_000, 0
+        ).cast("long")
+        doc = tc.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * ln6(F.col("c"))).cast("long").alias("s6"),
+        )
+        entropy = (
+            ln6(F.col("n_tokens")) * F.col("n_tokens") - F.col("s6")
+        ).cast("double") / (F.col("n_tokens").cast("double") * 1e6)
+        return (
+            doc.select("doc_id", "n_tokens", entropy.alias("entropy"))
+            .orderBy(F.col("entropy").desc(), "doc_id")
+            .limit(25)
+        )
+
+    def length_gini():
+        # r14 claim (source_length_gini): rank window PARTITIONED BY
+        # SOURCE (keyed sort, never global) + one per-source reduction.
+        # Source space stays FIXED under replication, so each window
+        # partition grows N× — exactly the keyed-sort growth the claim
+        # is about.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        ranked = docs.select(
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("source"))
+            .cast("long")
+            .alias("n"),
+        )
+        return ranked.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum(
+                    (2 * F.col("r") - F.col("n") - 1) * F.col("n_chars")
+                ).cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.nullif(F.sum("n_chars"), F.lit(0))
+                )
+            ).alias("gini"),
+        )
+
+    def containment_hist():
+        # r14 claim (pair_containment_histogram): the df-capped
+        # inverted-index pair frame (shingle explode → hot-shingle
+        # anti-join → s-keyed self-join → pair aggregate), closed to a
+        # bounded bucket histogram.  Replicated docs share TEXT, which
+        # would (a) multiply every shingle's df by N so the df cap
+        # collapses the frame and (b) add N² cross-replica verbatim-dup
+        # pairs — both degenerate vs real corpus growth; the shingle is
+        # SALTED with the replica id (doc_id div KEY_STRIDE) so each
+        # replica is a disjoint corpus: shingle space and pair volume
+        # grow N×, the realistic 100 TB shape.
+        from googlecloudstorage_blueprints_spark.operators.dedup import (
+            SHINGLE_DF_CAP,
+            _shingles,
+        )
+
+        dr = docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        sh_all = dr.select(
+            "doc_id", F.explode_outer(_shingles()).alias("s0")
+        ).select(
+            "doc_id",
+            F.concat_ws(
+                "|",
+                F.expr(f"doc_id div {KEY_STRIDE}").cast("string"),
+                "s0",
+            ).alias("s"),
+        ).persist()
+        hot = (
+            sh_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > SHINGLE_DF_CAP)
+            .select("s")
+        )
+        sh = sh_all.join(hot, "s", "left_anti")
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        sa, sb = sizes.alias("sa"), sizes.alias("sb")
+        pairs = (
+            inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "n_common",
+                F.least(F.col("sa.sz"), F.col("sb.sz"))
+                .cast("long")
+                .alias("n_min"),
+            )
+        )
+        bucket = F.least(
+            F.lit(9), F.expr("(n_common * 10) div n_min")
+        )
+        return pairs.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -919,6 +1050,12 @@ def bench_shapes(
         # round-14 additions: month-cohort triangle, attribution sweep
         "cohort_retention": cohort_retention,
         "funnel_window": funnel_window,
+        # round-15 additions: the three r14-new op shapes (r14 VERDICT
+        # item 6) — doc entropy head, per-source gini rank window,
+        # replica-salted containment pair frame
+        "unigram_entropy": unigram_entropy,
+        "length_gini": length_gini,
+        "containment_hist": containment_hist,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
