@@ -3517,7 +3517,10 @@ def funnel_window_sensitivity(
     throws, DuckDB yields inf — the r7 rule).  Fixture windows 30/90
     read identically (the corpus spans ~1 month) — the sweep bend is
     pinned by a planted 2/10/40-day-converter test
-    (tests/test_new_ops_r13.py)."""
+    (tests/test_new_ops_r13.py).  Streaming twin (r15):
+    ``streaming_funnel_attribution`` maintains the per-user
+    (signup_us, purchase_us) frame as a reclassifying changelog; the
+    sweep is a stateless rollup of its newest rows."""
     e = load_table(spark, sf_dir, "events")
     s = (
         e.where(F.col("event_type") == FUNNEL_FROM)

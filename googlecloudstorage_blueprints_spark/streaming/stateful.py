@@ -2495,3 +2495,155 @@ streaming_topk_words.__doc__ = streaming_topk_words.__doc__.format(
 _space_saving_counts.__doc__ = _space_saving_counts.__doc__.format(
     SPACE_SAVING_CAPACITY=SPACE_SAVING_CAPACITY
 )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel attribution: per-user (first signup, first at-or-after
+# purchase) reclassifying changelog (r15 — 30th twin)
+# ---------------------------------------------------------------------------
+
+# Mirror of operators.behavior.FUNNEL_FROM/FUNNEL_TO — duplicated as
+# literals so the Arrow worker running the kernel never imports the
+# operator registry; pinned equal to the batch constants by the twin
+# test (test_streaming.py).
+_FUNNEL_ATTR_FROM = "signup"
+_FUNNEL_ATTR_TO = "purchase"
+
+_FUNNEL_ATTR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_us", LongType()),
+        StructField("purchase_us", LongType()),  # NULL until one qualifies
+        StructField("ver", LongType()),
+    ]
+)
+
+_FUNNEL_ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("signup_us", LongType()),    # NULL until first signup
+        StructField("purchase_us", LongType()),  # min purchase >= signup
+        StructField("pre", ArrayType(LongType())),  # purchases < signup
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def _funnel_attribution_diff(key: tuple, pdfs, state: GroupState):
+    """Per-user funnel-attribution changelog with reclassification:
+    state holds (s = running-MIN signup µs, a = MIN purchase µs ≥ s,
+    pre = the purchases seen BEFORE s, version).  ``pre`` is the whole
+    trick: a LATE signup EARLIER than the known first can make a
+    previously-unqualified purchase the new first conversion, so those
+    (and only those) purchases must be retained — a purchase ≥ the
+    current answer can never win (the answer only decreases as s only
+    decreases and candidates only accumulate), so it is discarded at
+    arrival, keeping state bounded by the user's PRE-SIGNUP purchase
+    count, not their event volume.  Emits one (user, s, a, ver) row
+    whenever the visible pair changes; the newest (max-ver) row per
+    user equals the batch ``funnel_window_sensitivity`` per-user frame
+    (first signup, first at-or-after purchase) for everything seen so
+    far, and the 1/7/30/90-day sweep is a stateless rollup of those
+    newest rows.  A purchase exactly AT the signup instant qualifies
+    (``>=``, matching the batch op).  Users with purchases but no
+    signup yet update ``pre`` silently and emit nothing — the batch
+    frame has no row for them either."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    ts_us = rows["ts"].astype("int64") // 1000
+    new_signups = ts_us[rows["event_type"] == _FUNNEL_ATTR_FROM]
+    new_purch = ts_us[rows["event_type"] == _FUNNEL_ATTR_TO]
+
+    if state.exists:
+        s, a, pre, ver = state.get
+        s = None if s is None else int(s)
+        a = None if a is None else int(a)
+        pre = [int(x) for x in (pre or [])]
+        ver = int(ver)
+    else:
+        s = a = None
+        pre = []
+        ver = 0
+    s_old, a_old = s, a
+
+    if len(new_signups):
+        ns = int(new_signups.min())
+        s = ns if s is None else min(s, ns)
+
+    cand = []
+    for p in (int(x) for x in new_purch.tolist()):
+        if s is not None and p >= s:
+            if a is None or p < a:
+                cand.append(p)
+            # p >= a: can never become the min-qualifying purchase
+        else:
+            pre.append(p)
+    if s is not None and (s_old is None or s < s_old):
+        cand.extend(p for p in pre if p >= s)
+        pre = [p for p in pre if p < s]
+    pool = ([a] if a is not None else []) + cand
+    a = min(pool) if pool else None
+
+    changed_state = (s, a) != (s_old, a_old) or len(new_purch)
+    if not changed_state:
+        return
+    emit = s is not None and (s, a) != (s_old, a_old)
+    if emit:
+        ver += 1
+    state.update((s, a, sorted(set(pre)), ver))
+    if emit:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": int(user_id),
+                    "signup_us": int(s),
+                    "purchase_us": None if a is None else int(a),
+                    "ver": ver,
+                }
+            ]
+        )
+
+
+def streaming_funnel_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming funnel-attribution feed — the incremental twin of the
+    batch ``funnel_window_sensitivity`` per-user core
+    (operators/behavior.py): each signed-up user carries (first signup
+    µs, first at-or-after purchase µs), maintained as a versioned
+    changelog that RECLASSIFIES when late events land (the third
+    reclassifying twin): a late earlier signup can both lower
+    signup_us and swap in a previously-unqualified purchase.
+    Downstream, the batch op's window sweep (n_signed_up, n_converted
+    per 1/7/30/90 days) is a stateless BIGINT-µs rollup over the
+    newest (max-ver) row per user — test-pinned, including an
+    out-of-order split that fires the re-attribution, redelivery
+    absorption, a checkpoint-restart re-attribution, and a hypothesis
+    harness over permuted event batches.
+
+    Scale: state per user is two scalars + the PRE-SIGNUP purchase
+    list (post-signup purchases are folded or discarded at arrival —
+    never stored), so state rides funnel entry order, not event
+    volume; one user_id shuffle per micro-batch."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.where(
+            F.col("event_type").isin(_FUNNEL_ATTR_FROM, _FUNNEL_ATTR_TO)
+        )
+        .select("user_id", "ts", "event_type")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_attribution_diff,
+            _FUNNEL_ATTR_OUT_SCHEMA,
+            _FUNNEL_ATTR_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

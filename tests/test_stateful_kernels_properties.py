@@ -1451,3 +1451,185 @@ def test_session_start_marks_under_any_split(case):
     assert got == _ref_session_starts(events)
     last = max(events)
     assert (int(state.get[0]), int(state.get[1])) == (last[0], last[1])
+
+
+# --- r15: reclassifying funnel-attribution changelog --------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _FUNNEL_ATTR_FROM,
+    _FUNNEL_ATTR_TO,
+    _funnel_attribution_diff,
+)
+
+
+def _funnel_df(events):
+    """events: list of (ts_us, event_type) -> kernel input frame."""
+    return pd.DataFrame(
+        {
+            "user_id": 1,
+            "ts": pd.to_datetime([e[0] * 1000 for e in events]),
+            "event_type": [e[1] for e in events],
+        }
+    )
+
+
+def _funnel_ref(events):
+    """Whole-sequence reference: (first signup µs, first purchase µs at
+    or after it) — None where absent, exactly the batch op's per-user
+    frame semantics."""
+    signups = [t for t, k in events if k == _FUNNEL_ATTR_FROM]
+    if not signups:
+        return None
+    s = min(signups)
+    qual = [t for t, k in events if k == _FUNNEL_ATTR_TO and t >= s]
+    return (s, min(qual) if qual else None)
+
+
+@st.composite
+def funnel_event_batches(draw):
+    """Signup/purchase events over a small µs grid (collisions and
+    exact signup==purchase ties likely), dealt into 1-4 batches in
+    ARBITRARY order — late earlier signups must re-attribute through
+    the pre-signup purchase buffer."""
+    n = draw(st.integers(min_value=1, max_value=10))
+    events = [
+        (
+            draw(st.integers(min_value=0, max_value=20)),
+            draw(
+                st.sampled_from([_FUNNEL_ATTR_FROM, _FUNNEL_ATTR_TO])
+            ),
+        )
+        for _ in range(n)
+    ]
+    order = draw(st.permutations(events))
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(order) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(order)]:
+        if order[prev:c]:
+            batches.append(order[prev:c])
+        prev = c
+    return events, batches
+
+
+@given(funnel_event_batches())
+@settings(max_examples=300, deadline=None)
+def test_funnel_attribution_kernel_matches_batch_under_any_order(case):
+    """The newest (max-ver) emission must equal the whole-set reference
+    (first signup, first at-or-after purchase) under ANY delivery
+    order; versions strictly increase; no-signup users never emit;
+    full redelivery emits nothing."""
+    events, batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        for pdf in _funnel_attribution_diff(
+            (1,), iter([_funnel_df(list(batch))]), state
+        ):
+            emitted.extend(
+                (
+                    int(r.signup_us),
+                    None if pd.isna(r.purchase_us) else int(r.purchase_us),
+                    int(r.ver),
+                )
+                for r in pdf.itertuples(index=False)
+            )
+    ref = _funnel_ref(events)
+    if ref is None:
+        assert emitted == [], "no-signup user must never emit"
+    else:
+        assert emitted, "signed-up user must emit"
+        s, a, _v = max(emitted, key=lambda t: t[2])
+        assert (s, a) == ref
+        vers = [v for _s, _a, v in emitted]
+        assert vers == sorted(set(vers)), "versions strictly increase"
+
+    again = []
+    for batch in batches:
+        again.extend(
+            _funnel_attribution_diff(
+                (1,), iter([_funnel_df(list(batch))]), state
+            )
+        )
+    assert again == [], "redelivery must be absorbed"
+
+
+def test_funnel_attribution_pre_signup_purchase_swaps_in():
+    """The retained pre-signup purchase buffer is the whole point:
+    purchase@5 arrives BEFORE any signup (buffered, no emission on its
+    own), signup@10 + purchase@20 attribute to (10, 20), then a LATE
+    signup@2 must swap the buffered purchase@5 in as the first
+    conversion — (2, 5)."""
+    state = FakeGroupState()
+    out1 = list(
+        _funnel_attribution_diff(
+            (1,),
+            iter(
+                [
+                    _funnel_df(
+                        [
+                            (5, _FUNNEL_ATTR_TO),
+                            (10, _FUNNEL_ATTR_FROM),
+                            (20, _FUNNEL_ATTR_TO),
+                        ]
+                    )
+                ]
+            ),
+            state,
+        )
+    )
+    assert len(out1) == 1
+    r = out1[0].iloc[0]
+    assert (int(r.signup_us), int(r.purchase_us)) == (10, 20)
+    assert list(state.get[2]) == [5], "pre-signup purchase retained"
+
+    out2 = list(
+        _funnel_attribution_diff(
+            (1,), iter([_funnel_df([(2, _FUNNEL_ATTR_FROM)])]), state
+        )
+    )
+    r = out2[0].iloc[0]
+    assert (int(r.signup_us), int(r.purchase_us)) == (2, 5)
+    assert list(state.get[2]) == [], "qualified purchase leaves the buffer"
+
+
+def test_funnel_attribution_discards_above_answer():
+    """A purchase ≥ the current answer can never win (the answer only
+    decreases), so it must NOT grow state — the boundedness claim."""
+    state = FakeGroupState()
+    list(
+        _funnel_attribution_diff(
+            (1,),
+            iter(
+                [_funnel_df([(10, _FUNNEL_ATTR_FROM), (15, _FUNNEL_ATTR_TO)])]
+            ),
+            state,
+        )
+    )
+    list(
+        _funnel_attribution_diff(
+            (1,), iter([_funnel_df([(30, _FUNNEL_ATTR_TO)])]), state
+        )
+    )
+    assert list(state.get[2]) == [], "post-answer purchase discarded"
+    assert (int(state.get[0]), int(state.get[1])) == (10, 15)
+
+
+def test_funnel_attribution_constants_match_batch():
+    """The kernel's literals are a deliberate copy of the batch
+    constants (the Arrow worker must not import the operator
+    registry) — this pin breaks if they drift."""
+    from googlecloudstorage_blueprints_spark.operators.behavior import (
+        FUNNEL_FROM,
+        FUNNEL_TO,
+    )
+
+    assert (_FUNNEL_ATTR_FROM, _FUNNEL_ATTR_TO) == (FUNNEL_FROM, FUNNEL_TO)

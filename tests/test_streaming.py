@@ -2421,3 +2421,196 @@ def test_streaming_cohort_retention_checkpoint_restart(spark, tmp_path):
     )
     # the recohort actually fired across the restart boundary
     assert any(v > 1 for _c, _o, v in best.values())
+
+
+def test_streaming_funnel_attribution_matches_batch_and_reattributes(
+    spark, tmp_path
+):
+    """30th twin: the newest (max-ver) emission per user must carry the
+    batch funnel_window_sensitivity per-user frame (first signup, first
+    at-or-after purchase), so the 1/7/30/90-day sweep rolled up from
+    those rows equals the batch op EXACTLY — including under an
+    OUT-OF-ORDER two-file split (later events first), which must
+    actually fire the re-attribution path.  Redelivering the backlog
+    emits nothing."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.operators.behavior import (
+        FUNNEL_WINDOW_SWEEP_DAYS,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_funnel_attribution,
+    )
+
+    def newest(rows):
+        best = {}
+        for r in rows:
+            if (
+                r["user_id"] not in best
+                or r["ver"] > best[r["user_id"]][2]
+            ):
+                best[r["user_id"]] = (
+                    r["signup_us"],
+                    r["purchase_us"],
+                    r["ver"],
+                )
+        return {u: (s, a) for u, (s, a, _v) in best.items()}
+
+    def sweep(pairs):
+        out = {}
+        for d in FUNNEL_WINDOW_SWEEP_DAYS:
+            conv = sum(
+                1
+                for s, a in pairs.values()
+                if a is not None and a - s <= d * 86_400_000_000
+            )
+            out[d] = (len(pairs), conv)
+        return out
+
+    batch = {
+        r["window_days"]: (r["n_signed_up"], r["n_converted"])
+        for r in all_queries()["funnel_window_sensitivity"](
+            spark, SF
+        ).collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_funnel_attribution(spark, SF), "funnel_attr_single"
+    ).collect()
+    assert sweep(newest(single)) == batch
+
+    # out-of-order split: the LATER half of the event stream lands first
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx("
+        "unix_micros(ts), 0.5) AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_ooo_funnel"
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    ooo = run_stream_to_memory(
+        streaming_funnel_attribution(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "funnel_attr_ooo",
+    ).collect()
+    assert sweep(newest(ooo)) == batch
+    # the re-attribution path must actually fire: some user re-emits a
+    # DIFFERENT (signup, purchase) pair after the earlier half lands
+    seen, reattributed = {}, set()
+    for r in ooo:
+        k = r["user_id"]
+        pair = (r["signup_us"], r["purchase_us"])
+        if k in seen and seen[k] != pair:
+            reattributed.add(k)
+        seen.setdefault(k, pair)
+    assert reattributed, "out-of-order split must re-attribute someone"
+
+    # full-backlog redelivery: state absorbs the replay
+    (tmp_path / "replay_funnel").mkdir()
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay_funnel" / "00.parquet"
+    )
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay_funnel" / "01.parquet"
+    )
+    redelivered = run_stream_to_memory(
+        streaming_funnel_attribution(
+            spark,
+            f"file:{tmp_path}/replay_funnel",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "funnel_attr_redelivery",
+    ).collect()
+    assert len(redelivered) == len(single)
+
+
+def test_streaming_funnel_attribution_checkpoint_restart(spark, tmp_path):
+    """True restart semantics for the pre-signup purchase buffer: a
+    planted user whose purchase precedes every signup streams in three
+    restarts — purchase-only (buffered, NO emission), signup@10d +
+    purchase@20d (attributes to (10d, 20d)), then a LATE signup@2d that
+    must swap the checkpoint-recovered buffered purchase@5d in as the
+    first conversion.  An unchanged-source restart emits nothing."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_funnel_attribution,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    day_us = 86_400_000_000
+
+    def plant(rows, name):
+        df = spark.createDataFrame(
+            [
+                (i, r[0] * day_us, 1, r[1], 1.0, "{}")
+                for i, r in enumerate(rows)
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_funnel_attribution(
+                spark, f"file:{src}", glob="*.parquet"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([(5, "purchase")], "00")
+    run_once()
+    # parquet sink writes metadata even with zero rows; the buffered
+    # purchase alone must emit none
+    import pyspark.sql.utils  # noqa: F401
+
+    n0 = spark.read.parquet(sink).count()
+    assert n0 == 0, "pre-signup purchase alone must not emit"
+
+    plant([(10, "signup"), (20, "purchase")], "01")
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert {
+        (r["signup_us"], r["purchase_us"]) for r in rows
+    } == {(10 * day_us, 20 * day_us)}
+
+    run_once()  # unchanged source: committed files must be skipped
+    assert spark.read.parquet(sink).count() == len(rows)
+
+    plant([(2, "signup")], "02")
+    run_once()
+    final = spark.read.parquet(sink).collect()
+    best = max(final, key=lambda r: r["ver"])
+    assert (best["signup_us"], best["purchase_us"]) == (
+        2 * day_us,
+        5 * day_us,
+    ), "restart must re-attribute through the recovered purchase buffer"
