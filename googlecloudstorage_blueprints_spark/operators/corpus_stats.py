@@ -2366,3 +2366,140 @@ def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "source",
     )
+
+
+# ---------------------------------------------------------------------------
+# robust LM-score outlier screen per source (r15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_logprob_mad_outliers",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, w
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM words GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq),
+    scored AS (
+        SELECT words.doc_id, words.source,
+               CAST(ROUND(-LN(CAST(freq.cnt AS DOUBLE) / tot.n)
+                          * 1000000, 0) AS BIGINT) AS nll6
+        FROM words JOIN freq ON words.w = freq.w CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT source, doc_id,
+               CAST(SUM(nll6) AS BIGINT) * 1000
+                   // COUNT(*)                     AS avg9
+        FROM scored GROUP BY source, doc_id
+    ),
+    m AS (SELECT source, quantile_cont(avg9, 0.5) AS med
+          FROM per_doc GROUP BY source),
+    dev AS (
+        SELECT p.source, p.doc_id, p.avg9, m.med,
+               ABS(p.avg9 - m.med) AS dev
+        FROM per_doc p JOIN m ON m.source = p.source
+    ),
+    md AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+           FROM dev GROUP BY source)
+    SELECT dev.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           dev.med                  AS med_nll9,
+           md.mad                   AS mad_nll9,
+           CAST(SUM(CASE WHEN dev.dev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_outliers,
+           CAST(SUM(CASE WHEN dev.dev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS outlier_share
+    FROM dev JOIN md ON md.source = dev.source
+    GROUP BY dev.source, dev.med, md.mad
+    ORDER BY dev.source
+    """,
+)
+def doc_logprob_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust perplexity-style quality screen: per source, how many
+    documents' unigram NLL deviates from the source median by more than
+    3× the median absolute deviation — the outlier gate a CCNet-style
+    LM filter runs where ``logprob_quantiles_by_source`` only reports
+    the distribution (MAD, not z-score, because the degenerate docs
+    being hunted are exactly what drags a mean/σ threshold —
+    ``events_anomaly_mad`` over the LM-score axis).
+
+    Shape: the corpus unigram model (one word-count aggregate + scalar
+    total), per-doc integer NLL, then two |sources|-row percentile
+    aggregates broadcast back onto the doc frame — no window, no
+    data-sized sort; the per-doc aggregate exchange is shared between
+    the median branch and the deviation branch (ReusedExchange).
+    Parity: each −ln fixed-points ×1e6→BIGINT at birth, the per-doc
+    average scales to an EXACT ×1e9 integer via integer division (the
+    logprob_quantiles rule), so per-source interpolated medians of
+    exact integers are bit-identical cross-engine (r10 probe),
+    deviations are exact dyadic rationals, 3·mad is exact, and the
+    strictly-greater compare can never sit on a float boundary —
+    med/mad emit UNROUNDED (the r10 rule), the share an exact-integer
+    ratio.  Stable fixtures may flag nothing — the detection path is
+    pinned by a planted gibberish-doc test
+    (tests/test_new_ops_r15.py)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    words = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode_outer(F.split("text", " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    nll6 = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n")) * 1000000, 0
+    ).cast("long")
+    scored = (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", nll6.alias("nll6"))
+    )
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        F.expr("CAST(SUM(nll6) AS BIGINT) * 1000 div COUNT(*)").alias(
+            "avg9"
+        )
+    )
+    m = per_doc.groupBy("source").agg(
+        F.percentile("avg9", 0.5).alias("med")
+    )
+    dev = per_doc.join(F.broadcast(m), "source").select(
+        "source",
+        "avg9",
+        "med",
+        F.abs(F.col("avg9") - F.col("med")).alias("dev"),
+    )
+    md = dev.groupBy("source").agg(F.percentile("dev", 0.5).alias("mad"))
+    flagged = F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+    return sort_bounded(
+        dev.join(F.broadcast(md), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(flagged).cast("long").alias("n_outliers"),
+            (
+                F.sum(flagged).cast("double") / F.count(F.lit(1))
+            ).alias("outlier_share"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("med").alias("med_nll9"),
+            F.col("mad").alias("mad_nll9"),
+            "n_outliers",
+            "outlier_share",
+        ),
+        "source",
+    )

@@ -39,9 +39,10 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
+# full oracle texts kept as constants so rrf_fusion_topk can compose
+# them as subqueries (DuckDB allows WITH inside a parenthesized
+# subquery)
+_BM25_ORACLE_SQL = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents WHERE text IS NOT NULL
@@ -76,7 +77,12 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY tf.doc_id
     ORDER BY score DESC, tf.doc_id
     LIMIT {BM25_TOP_K}
-    """,
+    """
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE_SQL,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k for a fixed probe query (k1={k1}, b={b}): the
@@ -144,9 +150,7 @@ QL_MU = 2000  # Dirichlet smoothing mass (Zhai & Lafferty 2004 default)
 QL_TOP_K = 10
 
 
-@register(
-    "doc_query_likelihood_topk",
-    oracle=f"""
+_QL_ORACLE_SQL = f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents WHERE text IS NOT NULL
@@ -179,7 +183,12 @@ QL_TOP_K = 10
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
     LIMIT {QL_TOP_K}
-    """,
+    """
+
+
+@register(
+    "doc_query_likelihood_topk",
+    oracle=_QL_ORACLE_SQL,
 )
 def doc_query_likelihood_topk(
     spark: SparkSession, sf_dir: str
@@ -412,3 +421,92 @@ def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 word_pmi_pairs.__doc__ = word_pmi_pairs.__doc__.format(vocab=PMI_TOP_VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion of the two lexical rankers (r15)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack, Clarke & Buettcher 2009 — the standard constant
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH bm AS ({_BM25_ORACLE_SQL}),
+    ql AS ({_QL_ORACLE_SQL}),
+    ra AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS bm25_rank
+        FROM bm
+    ),
+    rb AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS ql_rank
+        FROM ql
+    )
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+           ra.bm25_rank,
+           rb.ql_rank,
+           COALESCE(1.0 / ({RRF_K} + ra.bm25_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + rb.ql_rank), 0.0) AS rrf_score
+    FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and query-likelihood rankers
+    for the shared probe query: score(d) = Σ_r 1/(60 + rank_r(d)) over
+    the rankers that retrieved d (Cormack et al. 2009) — the standard
+    way to combine retrieval tiers without score calibration, and the
+    op a hybrid lexical+LM search stack runs on every query.  A doc
+    missing from one ranker's head contributes only the other's term.
+
+    Shape: both input rankers are already TakeOrdered K-row heads, so
+    everything here — the two rank windows, the full-outer join, the
+    final sort — runs on ≤K-row frames (the bounded-output class; at
+    100 TB the cost is the two underlying rankers, shared scan and
+    all).  Parity: ranks are exact BIGINTs from total-ordered
+    (score DESC, doc_id) windows over hash-matched inputs;
+    1/(60+rank) is a single IEEE division of exact integers and the
+    fusion sum has exactly two terms in fixed written order, so the
+    doubles are bit-identical cross-engine and emit UNROUNDED;
+    (rrf_score DESC, doc_id) is a total order.  NULL ranks mark docs
+    one ranker missed — on fixtures the two heads overlap heavily, so
+    the disjoint-doc path is pinned by a planted divergent-ranking
+    corpus (tests/test_new_ops_r15.py)."""
+    from pyspark.sql import Window
+
+    bm = bm25_topk(spark, sf_dir)
+    ql = doc_query_likelihood_topk(spark, sf_dir)
+    # bounded: both inputs are K-row heads, so the global windows sort
+    # K rows, never data
+    wa = Window.orderBy(F.col("score").desc(), "doc_id")
+    ra = bm.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("bm25_rank")
+    )
+    rb = ql.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("ql_rank")
+    )
+    from googlecloudstorage_blueprints_spark.functions.frames import (
+        sort_bounded,
+    )
+
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "ql_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("ql_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    return sort_bounded(fused, F.col("rrf_score").desc(), F.col("doc_id"))

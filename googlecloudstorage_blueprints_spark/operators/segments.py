@@ -2741,3 +2741,83 @@ def nation_segment_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_name",
     )
+
+
+# ---------------------------------------------------------------------------
+# weekend vs weekday order mix per market segment (r15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_weekend_mix",
+    oracle=f"""
+    WITH d AS (
+        SELECT c.c_mktsegment AS mktsegment,
+               ((epoch_us(o.o_orderdate) // {_US_PER_DAY}) % 7)
+                   IN (2, 3) AS is_weekend,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weekend,
+           CAST(SUM(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS weekend_share,
+           CAST(SUM(CASE WHEN is_weekend THEN cents ELSE 0 END)
+                AS BIGINT) AS weekend_cents,
+           CAST(SUM(CASE WHEN is_weekend THEN 0 ELSE cents END)
+                AS BIGINT) AS weekday_cents
+    FROM d
+    GROUP BY mktsegment
+    ORDER BY mktsegment
+    """,
+)
+def segment_weekend_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend vs weekday order volume and value per market segment —
+    does the consumer segment shop on Saturday while the machinery
+    segment books Monday-to-Friday?  The calendar × segment cut that
+    ``orders_weekday_mix`` (day-of-week only) and the segment reports
+    (no calendar axis) each miss.
+
+    Shape: one orders⋈customer equi-join (AQE broadcasts the segment
+    side when small; shuffle join at scale — customer is data-sized)
+    feeding a |segments|-bounded aggregate.  Parity: weekend is PURE
+    integer epoch-day arithmetic — day % 7 ∈ {{2, 3}} = Sat/Sun, day 0
+    = Thursday (the r8 rule; engine dayofweek() conventions differ),
+    money ×100 BIGINT at birth, share an exact-integer ratio
+    (unrounded).  The Sat/Sun mapping is pinned by a planted
+    known-calendar test (tests/test_new_ops_r15.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    is_weekend = F.expr(
+        f"((unix_micros(o_orderdate) div {_US_PER_DAY}) % 7) IN (2, 3)"
+    )
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        is_weekend.alias("is_weekend"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    wk = F.when(F.col("is_weekend"), 1).otherwise(0)
+    return sort_bounded(
+        d.groupBy("mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(wk).cast("long").alias("n_weekend"),
+            (
+                F.sum(wk).cast("double") / F.count(F.lit(1))
+            ).alias("weekend_share"),
+            F.sum(
+                F.when(F.col("is_weekend"), F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("weekend_cents"),
+            F.sum(
+                F.when(F.col("is_weekend"), F.lit(0)).otherwise(
+                    F.col("cents")
+                )
+            )
+            .cast("long")
+            .alias("weekday_cents"),
+        ),
+        "mktsegment",
+    )
