@@ -1001,6 +1001,56 @@ def bench_shapes(
             F.count(F.lit(1)).cast("long").alias("n_pairs")
         )
 
+    def mad_screen():
+        # r15 claim (doc_logprob_mad_outliers): corpus unigram model →
+        # per-doc exact-integer NLL → two |sources|-row percentile
+        # aggregates broadcast back onto the doc frame.  Replication
+        # grows docs and the token⋈freq join; the source space stays
+        # fixed, so the med/mad broadcasts are scale-constant.
+        words = (
+            docs.where(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                "source",
+                F.explode_outer(F.split("text", " ")).alias("w"),
+            )
+            .where(F.col("w") != "")
+        )
+        freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        tot = freq.agg(F.sum("cnt").alias("n"))
+        nll6 = F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("n")) * 1e6, 0
+        ).cast("long")
+        per_doc = (
+            words.join(freq, "w")
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id", "source", nll6.alias("nll6"))
+            .groupBy("source", "doc_id")
+            .agg(
+                F.expr(
+                    "CAST(SUM(nll6) AS BIGINT) * 1000 div COUNT(*)"
+                ).alias("avg9")
+            )
+        )
+        m = per_doc.groupBy("source").agg(
+            F.percentile("avg9", 0.5).alias("med")
+        )
+        dev = per_doc.join(F.broadcast(m), "source").select(
+            "source", F.abs(F.col("avg9") - F.col("med")).alias("dev")
+        )
+        md = dev.groupBy("source").agg(
+            F.percentile("dev", 0.5).alias("mad")
+        )
+        return (
+            dev.join(F.broadcast(md), "source")
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+                ).alias("n_outliers")
+            )
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -1056,6 +1106,7 @@ def bench_shapes(
         "unigram_entropy": unigram_entropy,
         "length_gini": length_gini,
         "containment_hist": containment_hist,
+        "mad_screen": mad_screen,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
