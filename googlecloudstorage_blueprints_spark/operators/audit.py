@@ -949,3 +949,121 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
+
+
+# --------------------------------------------------------------------------
+# event-type × value-magnitude mutual information (r15)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_type_value_mi",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               LEAST({PSI_MAG_BUCKETS},
+                     length(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                 AS VARCHAR))) AS bucket
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_tb
+        FROM e GROUP BY event_type, bucket
+    ),
+    mt AS (SELECT event_type, CAST(SUM(n_tb) AS BIGINT) AS n_t
+           FROM cells GROUP BY event_type),
+    mb AS (SELECT bucket, CAST(SUM(n_tb) AS BIGINT) AS n_b
+           FROM cells GROUP BY bucket),
+    n AS (SELECT CAST(SUM(n_tb) AS BIGINT) AS n_all FROM cells),
+    terms AS (
+        SELECT c.n_tb, n.n_all,
+               c.n_tb * (
+                   CAST(ROUND(LN(CAST(c.n_tb AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT)
+                 + CAST(ROUND(LN(CAST(n.n_all AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT)
+                 - CAST(ROUND(LN(CAST(mt.n_t AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT)
+                 - CAST(ROUND(LN(CAST(mb.n_b AS DOUBLE)) * 1000000, 0)
+                        AS BIGINT)
+               ) AS term
+        FROM cells c
+        JOIN mt ON mt.event_type = c.event_type
+        JOIN mb ON mb.bucket = c.bucket
+        CROSS JOIN n
+    )
+    SELECT CAST(MIN(n_all) AS BIGINT)   AS n_events,
+           CAST(COUNT(*) AS BIGINT)     AS n_cells,
+           CAST(SUM(term) AS BIGINT)    AS mi_num_e6,
+           CAST(SUM(term) AS DOUBLE)
+               / (CAST(MIN(n_all) AS DOUBLE) * 1000000.0) AS mi_nats
+    FROM terms
+    """,
+)
+def events_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value magnitude —
+    the column-dependence audit: MI ≈ 0 says the value distribution is
+    the same for every type (one global model suffices; a type-
+    conditioned feature adds nothing), a high MI says per-type value
+    models differ (and that a type column leaking into a value-based
+    split would leak label information).  The audit-family companion
+    of ``nation_segment_chisq`` (deviation cells) and
+    ``events_value_psi`` (temporal drift) — same contingency
+    machinery, the information-theoretic summary.
+
+    Shape: one scan into a (type × magnitude-bucket) cell aggregate —
+    |types|·10 cells — then marginals derive FROM THE CELLS (no second
+    scan) and broadcast back; 1-row close.  Parity: the bucket key is
+    the PSI digit-count rule (pure string/integer — no transcendental
+    near a bucket edge); each ln fixed-points round(·1e6)→BIGINT
+    separately (the PSI/chisq term template) and combines by integer
+    add/sub, weighted by the exact BIGINT cell count, so the term sum
+    is order-independent; zero cells are simply absent (0·ln 0 = 0);
+    mi_nats is one closing division, unrounded.  Overflow headroom:
+    |term| ≤ n_tb · ~4e7, safe to n_tb ≈ 2e11 rows per cell —
+    pre-aggregate per partition before the cell merge long before
+    that.  Closed forms pinned (tests/test_new_ops_r15b.py): a
+    balanced independent 2×2 reads exactly 0 (the rounded-ln identity
+    cancels); a diagonal 2×2 reads exactly round(ln 2·1e6)-scaled
+    = 0.693147."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(PSI_MAG_BUCKETS),
+        F.length(
+            F.round(F.col("value") * 100, 0).cast("long").cast("string")
+        ),
+    )
+    cells = e.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tb"))
+    mt = cells.groupBy("event_type").agg(
+        F.sum("n_tb").cast("long").alias("n_t")
+    )
+    mb = cells.groupBy("bucket").agg(
+        F.sum("n_tb").cast("long").alias("n_b")
+    )
+    n = cells.agg(F.sum("n_tb").cast("long").alias("n_all"))
+    ln6 = lambda col: F.round(  # noqa: E731
+        F.log(col.cast("double")) * 1_000_000, 0
+    ).cast("long")
+    term = F.col("n_tb") * (
+        ln6(F.col("n_tb"))
+        + ln6(F.col("n_all"))
+        - ln6(F.col("n_t"))
+        - ln6(F.col("n_b"))
+    )
+    return (
+        cells.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(mb), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"), "n_all")
+        .agg(
+            F.min("n_all").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("term").cast("long").alias("mi_num_e6"),
+            (
+                F.sum("term").cast("double")
+                / (F.min("n_all").cast("double") * 1_000_000.0)
+            ).alias("mi_nats"),
+        )
+    )

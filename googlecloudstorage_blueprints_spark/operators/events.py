@@ -1752,3 +1752,98 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(sort_bounded, "epoch_day")
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA daily-volume backtest (r15) — forecast family member #2
+# --------------------------------------------------------------------------
+
+EWMA_LAGS = 6  # binary-decay window: weights 2^(6-k), k = 1..6, denom 63
+
+
+@register(
+    "events_volume_ewma_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi)) AS d FROM bounds
+    ),
+    dense AS (
+        SELECT spine.d, COALESCE(daily.c, 0) AS c
+        FROM spine LEFT JOIN daily ON daily.d = spine.d
+    ),
+    scored AS (
+        SELECT d, c,
+               LAG(c, 1) OVER (ORDER BY d) * 32
+             + LAG(c, 2) OVER (ORDER BY d) * 16
+             + LAG(c, 3) OVER (ORDER BY d) * 8
+             + LAG(c, 4) OVER (ORDER BY d) * 4
+             + LAG(c, 5) OVER (ORDER BY d) * 2
+             + LAG(c, 6) OVER (ORDER BY d) * 1 AS num63
+        FROM dense
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(63 * c - num63)) AS BIGINT) AS total_abs_err_63,
+           CAST(SUM(ABS(63 * c - num63)) AS DOUBLE)
+               / (63.0 * COUNT(*)) AS mae,
+           CAST(SUM(ABS(63 * c - num63)) AS DOUBLE)
+               / (63.0 * NULLIF(SUM(c), 0)) AS wape
+    FROM scored WHERE num63 IS NOT NULL
+    """,
+)
+def events_volume_ewma_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of a binary-decay EWMA forecast (α = 1/2, 6-day
+    window) on the densified day spine: predict day d's volume with
+    Σ c(d−k)·2^(6−k)/63 and score MAE/WAPE over every day with a full
+    lag window — the smoothing baseline next to
+    ``events_volume_seasonal_naive_backtest``'s same-day-last-week
+    rule (EWMA beats it when volume trends, loses when it's weekly-
+    periodic; running both brackets the regime).
+
+    Shape: identical to the seasonal-naive op — one day-keyed count,
+    a calendar-bounded spine, six lag windows over the bounded ledger
+    (one window sort shared), a 1-row close.  Parity: the forecast is
+    kept as an INTEGER numerator over the fixed denominator 63 (binary
+    weights 32..1), so the error |c − num/63| = |63c − num|/63 has an
+    exact BIGINT numerator — no double enters until the closing
+    MAE/WAPE divisions (unrounded exact-integer ratios,
+    NULLIF-guarded).  Closed form: a constant series has
+    num = 63c ⇒ zero error (pinned with a planted step series in
+    tests/test_new_ops_r15b.py)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
+    daily = e.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode_outer(F.sequence("lo", "hi")).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.orderBy("d")  # bounded: |days| ledger
+    num63 = sum(
+        F.lag("c", k).over(w) * F.lit(1 << (EWMA_LAGS - k))
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    scored = dense.select("c", num63.alias("num63")).where(
+        F.col("num63").isNotNull()
+    )
+    err63 = F.sum(F.abs(63 * F.col("c") - F.col("num63"))).cast("long")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        err63.alias("total_abs_err_63"),
+        (err63.cast("double") / (63.0 * F.count(F.lit(1)))).alias("mae"),
+        (
+            err63.cast("double")
+            / (63.0 * F.nullif(F.sum("c").cast("long"), F.lit(0)))
+        ).alias("wape"),
+    )
