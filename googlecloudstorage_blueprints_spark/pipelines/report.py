@@ -37,6 +37,7 @@ REPORT_SOURCES = (
     "doc_repeated_token_runs",      # r11: degenerate-loop pressure
     "source_lang_entropy",          # r11: language-mix concentration
     "doc_sentence_stats",           # r11: segmentation readiness
+    "doc_logprob_mad_outliers",     # r15: robust LM-score outlier rate
 )
 
 
@@ -97,6 +98,11 @@ def corpus_report(
     sentences = qs["doc_sentence_stats"](spark, sf_dir).select(
         "source", "unbroken_share", "chars_per_sentence"
     )
+    lm_outliers = qs["doc_logprob_mad_outliers"](spark, sf_dir).select(
+        "source",
+        F.col("n_outliers").alias("n_lm_outliers"),
+        F.col("outlier_share").alias("lm_outlier_share"),
+    )
 
     report = (
         scorecard.join(F.broadcast(dedup), "source")
@@ -112,6 +118,7 @@ def corpus_report(
         .join(F.broadcast(runs), "source")
         .join(F.broadcast(langmix), "source")
         .join(F.broadcast(sentences), "source")
+        .join(F.broadcast(lm_outliers), "source")
         .orderBy("source")
     )
     if out_path is not None:

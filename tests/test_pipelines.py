@@ -153,6 +153,15 @@ def test_corpus_report_composes_registered_ops(spark, tmp_path):
     }
     assert {s: rows[s]["lang_entropy_e6"] for s in rows} == lang
 
+    lm = {
+        r["source"]: (r["n_outliers"], r["outlier_share"])
+        for r in qs["doc_logprob_mad_outliers"](spark, SF).collect()
+    }
+    assert {
+        s: (rows[s]["n_lm_outliers"], rows[s]["lm_outlier_share"])
+        for s in rows
+    } == lm
+
     written = spark.read.parquet(out)
     assert written.count() == len(sources)
 
