@@ -1633,3 +1633,107 @@ def test_funnel_attribution_constants_match_batch():
     )
 
     assert (_FUNNEL_ATTR_FROM, _FUNNEL_ATTR_TO) == (FUNNEL_FROM, FUNNEL_TO)
+
+
+# --- r15: HyperLogLog daily-uniques registers ---------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    HLL_M,
+    _hll_day_registers,
+    _hll_estimate,
+    _hll_hash64,
+)
+
+
+def _uid_df(uids):
+    return pd.DataFrame({"epoch_day": 100, "user_id": list(uids)})
+
+
+def _run_hll(batches, state=None):
+    state = state or FakeGroupState()
+    emitted = []
+    for batch in batches:
+        for pdf in _hll_day_registers((100,), iter([_uid_df(batch)]), state):
+            emitted.extend(
+                (int(r.est_distinct), int(r.ver))
+                for r in pdf.itertuples(index=False)
+            )
+    return emitted, state
+
+
+@st.composite
+def uid_batches(draw):
+    uids = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=500), min_size=1, max_size=40
+        )
+    )
+    order = draw(st.permutations(uids))
+    n_cuts = draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(order) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(order)]:
+        if order[prev:c]:
+            batches.append(order[prev:c])
+        prev = c
+    return uids, batches
+
+
+@given(uid_batches())
+@settings(max_examples=200, deadline=None)
+def test_hll_registers_are_split_and_replay_invariant(case):
+    """Register max-merge is associative/commutative/idempotent: the
+    final register vector must be BIT-IDENTICAL to the one-shot run
+    under any batch cut or delivery order, estimates must be
+    non-decreasing across emissions, and full redelivery must emit
+    nothing (idempotence — stronger than the partial-sum twins'
+    exactly-once requirement)."""
+    uids, batches = case
+    one_shot, ref_state = _run_hll([uids])
+    emitted, state = _run_hll(batches)
+    assert list(state.get[0]) == list(ref_state.get[0])
+    ests = [e for e, _v in emitted]
+    assert ests == sorted(ests), "estimates must be monotone"
+    assert emitted[-1][0] == one_shot[-1][0]
+    vers = [v for _e, v in emitted]
+    assert vers == list(range(1, len(vers) + 1))
+
+    again, _ = _run_hll(batches, state)
+    assert again == [], "redelivery cannot grow a max-merged register"
+
+
+def test_hll_small_range_accuracy_closed_forms():
+    """Linear counting at small n: one user estimates exactly 1
+    (m·ln(m/(m−1)) rounds to 1); 50 distinct users land within ±3
+    (deterministic given the md5 hash); duplicate-only batches add
+    nothing."""
+    emitted, state = _run_hll([[42]])
+    assert emitted == [(1, 1)]
+    assert _hll_estimate(state.get[0])[0] == 1
+    emitted2, state = _run_hll([[42, 42, 42]], state)
+    assert emitted2 == [], "duplicates of a seen user change nothing"
+
+    uids = list(range(1, 51))
+    emitted, state = _run_hll([uids])
+    est = emitted[-1][0]
+    assert abs(est - 50) <= 3
+    nonzero = sum(1 for r in state.get[0] if r)
+    assert nonzero <= 50
+
+
+def test_hll_hash_is_process_stable():
+    """The item hash must be derived from md5 (builtin hash() is
+    per-process salted and would break checkpoint recovery) — pin two
+    known values so any hash change is loud."""
+    assert _hll_hash64(1) == int.from_bytes(
+        __import__("hashlib").md5(b"1").digest()[:8], "big"
+    )
+    assert _hll_hash64(12345) != _hll_hash64(54321)

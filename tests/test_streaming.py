@@ -2614,3 +2614,135 @@ def test_streaming_funnel_attribution_checkpoint_restart(spark, tmp_path):
         2 * day_us,
         5 * day_us,
     ), "restart must re-attribute through the recovered purchase buffer"
+
+
+def test_streaming_daily_uniques_hll_tracks_batch_dau(spark, tmp_path):
+    """31st twin (second sketch kernel): the newest (max-ver) estimate
+    per day must sit within the HLL accuracy envelope of the exact
+    batch per-day distinct-user count, and full-backlog redelivery
+    must emit NOTHING extra (register max-merge is idempotent — a
+    strictly stronger replay property than the partial-sum twins')."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_daily_uniques_hll,
+    )
+
+    exact = {
+        r["epoch_day"]: r["dau"]
+        for r in load_table(spark, SF, "events")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("epoch_day")
+        )
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_daily_uniques_hll(spark, SF), "hll_single"
+    ).collect()
+    newest = {}
+    for r in single:
+        if (
+            r["epoch_day"] not in newest
+            or r["ver"] > newest[r["epoch_day"]][1]
+        ):
+            newest[r["epoch_day"]] = (r["est_distinct"], r["ver"])
+    assert set(newest) == set(exact)
+    for d, (est, _v) in newest.items():
+        true = exact[d]
+        assert abs(est - true) <= max(2, 0.1 * true), (d, est, true)
+
+    # idempotent redelivery: two copies of the backlog, same emissions
+    (tmp_path / "replay_hll").mkdir()
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay_hll" / "00.parquet"
+    )
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay_hll" / "01.parquet"
+    )
+    redelivered = run_stream_to_memory(
+        streaming_daily_uniques_hll(
+            spark,
+            f"file:{tmp_path}/replay_hll",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "hll_redelivery",
+    ).collect()
+    assert len(redelivered) == len(single)
+
+
+def test_streaming_daily_uniques_hll_checkpoint_restart(spark, tmp_path):
+    """Register state must survive a checkpointed restart: replaying
+    the committed file emits nothing; planting NEW users on an
+    existing day emits a GROWN estimate whose registers include the
+    pre-restart users (est ≈ old + new, not just new)."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_daily_uniques_hll,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    day_us = 86_400_000_000
+
+    def plant(uids, name):
+        df = spark.createDataFrame(
+            [
+                (i, 500 * day_us + i, int(u), "view", 1.0, "{}")
+                for i, u in enumerate(uids)
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_daily_uniques_hll(
+                spark, f"file:{src}", glob="*.parquet"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant(range(1, 31), "00")
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 1
+    est0 = first[0]["est_distinct"]
+    assert abs(est0 - 30) <= 2
+
+    run_once()  # unchanged source: committed file skipped, no emission
+    assert spark.read.parquet(sink).count() == 1
+
+    plant(range(31, 61), "01")  # 30 NEW users, same day
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    best = max(rows, key=lambda r: r["ver"])
+    assert abs(best["est_distinct"] - 60) <= 4, (
+        "restart must merge new users into the RECOVERED registers"
+    )
+    assert best["est_distinct"] > est0
