@@ -1067,3 +1067,152 @@ def events_type_value_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cross-engine table fingerprints (r15) — migration validation
+# --------------------------------------------------------------------------
+
+# canonical column recipe per table: (name, kind) with kind ∈
+# {int, str, ts, money}.  `money` fixed-points ×1e4 (the repo's 4dp
+# decision-boundary-free grid for 2dp-generated money — r9 rule) so the
+# canonical string never stringifies a raw double (engine float
+# formatting differs).  embeddings' vector column is EXCLUDED: a
+# float-origin double's shortest decimal repr can land exactly on a
+# ×1e6 rounding boundary (the r10 ROUND-divergence class), so only its
+# scalar columns are fingerprinted.
+TABLE_DIGEST_SPEC: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "str")],
+    "nation": [
+        ("n_nationkey", "int"), ("n_name", "str"), ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "int"), ("c_name", "str"), ("c_nationkey", "int"),
+        ("c_acctbal", "money"), ("c_mktsegment", "str"),
+    ],
+    "supplier": [
+        ("s_suppkey", "int"), ("s_name", "str"), ("s_nationkey", "int"),
+        ("s_acctbal", "money"),
+    ],
+    "part": [
+        ("p_partkey", "int"), ("p_name", "str"), ("p_brand", "str"),
+        ("p_type", "str"), ("p_size", "int"), ("p_retailprice", "money"),
+    ],
+    "orders": [
+        ("o_orderkey", "int"), ("o_custkey", "int"),
+        ("o_orderstatus", "str"), ("o_totalprice", "money"),
+        ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "money"),
+        ("l_extendedprice", "money"), ("l_discount", "money"),
+        ("l_tax", "money"), ("l_returnflag", "str"),
+        ("l_linestatus", "str"), ("l_shipdate", "ts"),
+    ],
+    "events": [
+        ("event_id", "int"), ("ts", "ts"), ("user_id", "int"),
+        ("event_type", "str"), ("value", "money"), ("props", "str"),
+    ],
+    "documents": [
+        ("doc_id", "int"), ("text", "str"), ("lang", "str"),
+        ("source", "str"), ("n_chars", "int"),
+    ],
+    "embeddings": [("vec_id", "int"), ("label", "int")],
+}
+
+_DIGEST_NULL = "<NULL>"
+
+
+def _digest_oracle() -> str:
+    parts = []
+    for t, cols in TABLE_DIGEST_SPEC.items():
+        exprs = []
+        for c, kind in cols:
+            if kind == "int":
+                e = f"CAST({c} AS VARCHAR)"
+            elif kind == "str":
+                e = c
+            elif kind == "ts":
+                e = f"CAST(epoch_us({c}) AS VARCHAR)"
+            else:  # money
+                e = (f"CAST(CAST(ROUND({c} * 10000, 0) AS BIGINT) "
+                     "AS VARCHAR)")
+            exprs.append(f"COALESCE({e}, '{_DIGEST_NULL}')")
+        s = "concat_ws('|', " + ", ".join(exprs) + ")"
+        h = f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+        parts.append(
+            f"SELECT '{t}' AS table_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COALESCE(bit_xor({h}), 0) AS BIGINT) AS digest"
+            f" FROM {t}"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@register("table_row_digest", oracle=_digest_oracle())
+def table_row_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint of every catalog table:
+    (n_rows, XOR of per-row md5 hashes over a canonical row string) —
+    the migration-validation primitive.  The reference's whole job is
+    MOVING data (download/upload/move, SURVEY §2.A); this op is how a
+    user proves the moved/rewritten copy still holds the same rows
+    without sorting or shuffling either side: run the digest on both,
+    compare 10 rows.  XOR is commutative/associative, so the digest is
+    independent of row order and partitioning; a changed CELL flips it
+    (planted pin).  Caveat (documented): XOR cancels DUPLICATE PAIRS
+    of identical rows — the paired n_rows count catches pure
+    duplication, and the canonical string includes every key column,
+    making an undetected change require two identical full-row
+    insertions; for a stricter digest at 100 TB swap XOR for a
+    per-partition sorted-merge Merkle tree.
+
+    Shape: one scan per table, map-side-combined XOR/count partial
+    aggregates — no shuffle wider than one row per partition, no sort
+    anywhere; the 10-row union is literal-bounded.  Parity: the
+    canonical row string never stringifies a raw double (money
+    fixed-points ×1e4 — the 4dp boundary-free grid; timestamps as
+    integer µs; NULLs as an explicit sentinel because both engines'
+    concat_ws would otherwise SKIP them, aliasing ('a', NULL) with
+    ('a')); md5 hex and the 15-hex-digit→BIGINT parse are
+    engine-identical (Spark conv(·,16,10) ≡ DuckDB '0x'-cast, both
+    ≤2^60 so no sign wrap); bit_xor is exact integer."""
+    frames = []
+    for t, cols in TABLE_DIGEST_SPEC.items():
+        df = load_table(spark, sf_dir, t)
+        exprs = []
+        for c, kind in cols:
+            if kind == "int":
+                e = F.col(c).cast("string")
+            elif kind == "str":
+                e = F.col(c)
+            elif kind == "ts":
+                e = F.unix_micros(F.col(c)).cast("string")
+            else:  # money
+                e = (
+                    F.round(F.col(c) * 10000, 0)
+                    .cast("long")
+                    .cast("string")
+                )
+            exprs.append(F.coalesce(e, F.lit(_DIGEST_NULL)))
+        s = F.concat_ws("|", *exprs)
+        h = F.expr(
+            "CAST(conv(substring(md5(__row_str), 1, 15), 16, 10) AS BIGINT)"
+        )
+        frames.append(
+            df.select(s.alias("__row_str"))
+            .select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
+                .cast("long")
+                .alias("digest"),
+            )
+            .select(
+                F.lit(t).alias("table_name"), "n_rows", "digest"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return sort_bounded(out, "table_name")

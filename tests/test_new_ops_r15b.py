@@ -121,3 +121,63 @@ def test_mi_diagonal_table_reads_ln2(spark, tmp_path):
     assert mi_num == 20 * 693_147
     assert mi_nats == 0.693147
     assert abs(mi_nats - math.log(2)) < 1e-6
+
+
+# --- table_row_digest -------------------------------------------------------------
+
+
+def test_row_digest_flipped_cell_flips_exactly_one_table(spark, tmp_path):
+    """Detection pin: copy the fixture, flip ONE lineitem quantity cell
+    — that table's digest must change while n_rows and every other
+    table's row stay identical.  Both dirs re-run the cross-engine
+    compare."""
+    import pyarrow.parquet as pq
+
+    from tests.test_new_ops_r12c import SF as SF001
+
+    base_dir = _planted_dir(tmp_path, {})
+    got_base, _ = _cross_engine(spark, "table_row_digest", base_dir)
+
+    li = pq.read_table(f"{SF001}/lineitem.parquet")
+    qty = li.column("l_quantity").to_pylist()
+    qty[0] = qty[0] + 1.0
+    flipped = li.set_column(
+        li.schema.get_field_index("l_quantity"),
+        "l_quantity",
+        pa.array(qty, pa.float64()),
+    )
+    (tmp_path / "b").mkdir()
+    flip_dir = _planted_dir(tmp_path / "b", {"lineitem": flipped})
+    got_flip, _ = _cross_engine(spark, "table_row_digest", flip_dir)
+
+    base = {r[0]: (r[1], r[2]) for r in got_base}
+    flip = {r[0]: (r[1], r[2]) for r in got_flip}
+    assert set(base) == set(flip) and len(base) == 10
+    assert base["lineitem"][0] == flip["lineitem"][0]  # n_rows equal
+    assert base["lineitem"][1] != flip["lineitem"][1]  # digest differs
+    for t in base:
+        if t != "lineitem":
+            assert base[t] == flip[t], t
+
+
+def test_row_digest_duplicate_pair_caught_by_n_rows(spark, tmp_path):
+    """The documented XOR caveat: appending a duplicate PAIR of an
+    existing row leaves the XOR unchanged — but n_rows moves, so the
+    (n_rows, digest) PAIR still detects the corruption."""
+    import pyarrow.parquet as pq
+
+    from tests.test_new_ops_r12c import SF as SF001
+
+    base_dir = _planted_dir(tmp_path, {})
+    got_base, _ = _cross_engine(spark, "table_row_digest", base_dir)
+
+    reg = pq.read_table(f"{SF001}/region.parquet")
+    dup_pair = pa.concat_tables([reg, reg.slice(0, 1), reg.slice(0, 1)])
+    (tmp_path / "b").mkdir()
+    dup_dir = _planted_dir(tmp_path / "b", {"region": dup_pair})
+    got_dup, _ = _cross_engine(spark, "table_row_digest", dup_dir)
+
+    base = {r[0]: (r[1], r[2]) for r in got_base}
+    dup = {r[0]: (r[1], r[2]) for r in got_dup}
+    assert dup["region"][1] == base["region"][1], "XOR blind to the pair"
+    assert dup["region"][0] == base["region"][0] + 2, "n_rows catches it"
