@@ -102,6 +102,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write full result as parquet instead of printing")
     q.add_argument("--service-account", dest="service_account", default=None)
 
+    v = sub.add_parser(
+        "validate",
+        help="compare two fixture directories by content fingerprint "
+             "(table_row_digest on both sides): exit 0 when every "
+             "table's (n_rows, digest) matches, exit 205 on any "
+             "mismatch — the post-move integrity check for data the "
+             "download/upload/move verbs shipped",
+    )
+    v.add_argument("--source-dir", dest="source_dir", required=True)
+    v.add_argument("--dest-dir", dest="dest_dir", required=True)
+    v.add_argument(
+        "--tables", dest="tables", default=None,
+        help="comma-separated table subset (default: whole catalog)",
+    )
+    v.add_argument("--service-account", dest="service_account", default=None)
+
     e = sub.add_parser(
         "explain",
         help="print a registered operator's physical plan without "
@@ -391,6 +407,64 @@ def _run_query(args) -> int:
     return 0
 
 
+def _run_validate(args) -> int:
+    """Migration validation: fingerprint both directories with the
+    registered ``table_row_digest`` computation and compare per table.
+    A mismatch exits with the reference's object-not-found code (205 —
+    exit_codes.py:3): the destination does not hold the object content
+    the source promised, the same failure class as a missing blob.
+    Unknown table names exit 2 (usage error, argparse convention)."""
+    from googlecloudstorage_blueprints_spark.errors import (
+        EXIT_CODE_FILE_NOT_FOUND,
+    )
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        TABLE_DIGEST_SPEC,
+        digest_frame,
+    )
+
+    tables = (
+        [t.strip() for t in args.tables.split(",") if t.strip()]
+        if args.tables
+        else None
+    )
+    if tables:
+        unknown = [t for t in tables if t not in TABLE_DIGEST_SPEC]
+        if unknown:
+            print(
+                f"error: unknown table(s) {unknown} "
+                f"(catalog: {sorted(TABLE_DIGEST_SPEC)})",
+                file=sys.stderr,
+            )
+            return 2
+    spark = get_spark(
+        app_name="gcs-blueprints-validate",
+        service_account=args.service_account,
+    )
+    src = {
+        r["table_name"]: (r["n_rows"], r["digest"])
+        for r in digest_frame(spark, args.source_dir, tables).collect()
+    }  # bounded: ≤|catalog| rows per side
+    dst = {
+        r["table_name"]: (r["n_rows"], r["digest"])
+        for r in digest_frame(spark, args.dest_dir, tables).collect()
+    }  # bounded: ≤|catalog| rows per side
+    ok = True
+    for t in sorted(src):
+        match = src[t] == dst.get(t)
+        ok = ok and match
+        sn, sd = src[t]
+        dn, dd = dst.get(t, ("-", "-"))
+        print(
+            f"{'OK  ' if match else 'FAIL'} {t}: "
+            f"src(n={sn}, digest={sd}) dst(n={dn}, digest={dd})"
+        )
+    if not ok:
+        print("validate: content mismatch", file=sys.stderr)
+        return EXIT_CODE_FILE_NOT_FOUND
+    print(f"validate: {len(src)} table(s) match")
+    return 0
+
+
 def _run_explain(args) -> int:
     """Plan audit for a registered operator: builds the DataFrame and
     prints the requested explain mode WITHOUT executing it (eager ops
@@ -486,6 +560,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_query(args)
     if args.verb == "explain":
         return _run_explain(args)
+    if args.verb == "validate":
+        return _run_validate(args)
     if args.verb == "sql":
         return _run_sql(args)
     if args.verb == "report":

@@ -1150,35 +1150,16 @@ def _digest_oracle() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY table_name"
 
 
-@register("table_row_digest", oracle=_digest_oracle())
-def table_row_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive content fingerprint of every catalog table:
-    (n_rows, XOR of per-row md5 hashes over a canonical row string) —
-    the migration-validation primitive.  The reference's whole job is
-    MOVING data (download/upload/move, SURVEY §2.A); this op is how a
-    user proves the moved/rewritten copy still holds the same rows
-    without sorting or shuffling either side: run the digest on both,
-    compare 10 rows.  XOR is commutative/associative, so the digest is
-    independent of row order and partitioning; a changed CELL flips it
-    (planted pin).  Caveat (documented): XOR cancels DUPLICATE PAIRS
-    of identical rows — the paired n_rows count catches pure
-    duplication, and the canonical string includes every key column,
-    making an undetected change require two identical full-row
-    insertions; for a stricter digest at 100 TB swap XOR for a
-    per-partition sorted-merge Merkle tree.
-
-    Shape: one scan per table, map-side-combined XOR/count partial
-    aggregates — no shuffle wider than one row per partition, no sort
-    anywhere; the 10-row union is literal-bounded.  Parity: the
-    canonical row string never stringifies a raw double (money
-    fixed-points ×1e4 — the 4dp boundary-free grid; timestamps as
-    integer µs; NULLs as an explicit sentinel because both engines'
-    concat_ws would otherwise SKIP them, aliasing ('a', NULL) with
-    ('a')); md5 hex and the 15-hex-digit→BIGINT parse are
-    engine-identical (Spark conv(·,16,10) ≡ DuckDB '0x'-cast, both
-    ≤2^60 so no sign wrap); bit_xor is exact integer."""
+def digest_frame(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> DataFrame:
+    """(table_name, n_rows, digest) for the given tables (default: the
+    whole catalog) — the computation behind ``table_row_digest``,
+    exposed so the ``validate`` CLI verb can fingerprint a SUBSET
+    without scanning the rest."""
     frames = []
-    for t, cols in TABLE_DIGEST_SPEC.items():
+    for t in tables if tables is not None else list(TABLE_DIGEST_SPEC):
+        cols = TABLE_DIGEST_SPEC[t]
         df = load_table(spark, sf_dir, t)
         exprs = []
         for c, kind in cols:
@@ -1216,3 +1197,34 @@ def table_row_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return sort_bounded(out, "table_name")
+
+
+@register("table_row_digest", oracle=_digest_oracle())
+def table_row_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint of every catalog table:
+    (n_rows, XOR of per-row md5 hashes over a canonical row string) —
+    the migration-validation primitive.  The reference's whole job is
+    MOVING data (download/upload/move, SURVEY §2.A); this op is how a
+    user proves the moved/rewritten copy still holds the same rows
+    without sorting or shuffling either side: run the digest on both,
+    compare 10 rows.  XOR is commutative/associative, so the digest is
+    independent of row order and partitioning; a changed CELL flips it
+    (planted pin).  Caveat (documented): XOR cancels DUPLICATE PAIRS
+    of identical rows — the paired n_rows count catches pure
+    duplication, and the canonical string includes every key column,
+    making an undetected change require two identical full-row
+    insertions; for a stricter digest at 100 TB swap XOR for a
+    per-partition sorted-merge Merkle tree.
+
+    Shape: one scan per table, map-side-combined XOR/count partial
+    aggregates — no shuffle wider than one row per partition, no sort
+    anywhere; the 10-row union is literal-bounded.  Parity: the
+    canonical row string never stringifies a raw double (money
+    fixed-points ×1e4 — the 4dp boundary-free grid; timestamps as
+    integer µs; NULLs as an explicit sentinel because both engines'
+    concat_ws would otherwise SKIP them, aliasing ('a', NULL) with
+    ('a')); md5 hex and the 15-hex-digit→BIGINT parse are
+    engine-identical (Spark conv(·,16,10) ≡ DuckDB '0x'-cast, both
+    ≤2^60 so no sign wrap); bit_xor is exact integer.  The ``validate``
+    CLI verb runs this on two directories and compares."""
+    return digest_frame(spark, sf_dir)

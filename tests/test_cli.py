@@ -321,3 +321,58 @@ def test_cli_index_append(tmp_path, capsys, spark):
         "--sf-dir", "/root/testdata/sf0.001", "--n-queries", "1",
     ]) == 0
     assert "neighbor_id" in capsys.readouterr().out
+
+
+def test_cli_validate_match_and_mismatch(spark, tmp_path, capsys):
+    """`validate` compares two directories by content fingerprint:
+    identical copies exit 0 with per-table OK lines; a single flipped
+    cell exits with the reference's object-not-found code (205) and
+    names the failing table; an unknown table name is a usage error
+    (2)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    for t in ("region", "nation"):
+        shutil.copy(f"{SF}/{t}.parquet", a / f"{t}.parquet")
+        shutil.copy(f"{SF}/{t}.parquet", b / f"{t}.parquet")
+
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--tables", "region,nation",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "2 table(s) match" in out
+    assert out.count("OK   ") == 2
+
+    reg = pq.read_table(f"{SF}/region.parquet")
+    names = reg.column("r_name").to_pylist()
+    names[0] = names[0] + "-corrupted"
+    pq.write_table(
+        reg.set_column(
+            reg.schema.get_field_index("r_name"),
+            "r_name",
+            pa.array(names, pa.string()),
+        ),
+        b / "region.parquet",
+    )
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--tables", "region,nation",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 205
+    assert "FAIL region:" in captured.out
+    assert "OK   nation:" in captured.out
+
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--tables", "nope",
+    ])
+    assert rc == 2
