@@ -2796,3 +2796,114 @@ def streaming_daily_uniques_hll(
 streaming_daily_uniques_hll.__doc__ = streaming_daily_uniques_hll.__doc__.format(
     p=HLL_P
 )
+
+
+# ---------------------------------------------------------------------------
+# Longest-streak changelog (streak-MERGING reclassifier)
+# ---------------------------------------------------------------------------
+
+_STREAK_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("max_streak", LongType()),
+        StructField("n_weeks", LongType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+_STREAK_STATE_SCHEMA = StructType(
+    [
+        StructField("weeks", ArrayType(LongType())),
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def _longest_week_run(ws: list) -> int:
+    """Longest run of consecutive ints in a SORTED distinct list —
+    the pure form of the batch op's gaps-and-islands MAX(len)."""
+    best = run = 1 if ws else 0
+    for i in range(1, len(ws)):
+        run = run + 1 if ws[i] == ws[i - 1] + 1 else 1
+        if run > best:
+            best = run
+    return best
+
+
+def _streak_diff(key: tuple, pdfs, state: GroupState):
+    """Per-user longest-streak CHANGELOG: state is the sorted distinct
+    active weeks plus a version counter; the emitted ``max_streak``
+    tracks the batch ``user_active_streaks`` value for everything seen
+    so far.  The distinguishing transition is SUPERADDITIVE: a late
+    week that fills a gap MERGES the islands on both sides, so one new
+    week can raise the streak by more than one (weeks {w, w+2} then a
+    late w+1 jump 1 → 3) — a state change no running-min/max or
+    partial-sum twin can express.  Week-set union is idempotent, so
+    redelivery changes nothing and emits nothing; any batch that adds
+    a week emits one row (both published columns — the streak and the
+    distinct-week count — are then always current in the newest
+    emission)."""
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs))
+    batch_weeks = set(
+        (rows["ts"].astype("int64") // 1000 // _US_PER_WEEK).tolist()
+    )
+    old = list(state.get[0]) if state.exists else []
+    ver = int(state.get[1]) if state.exists else 0
+    merged = sorted(set(old) | batch_weeks)
+    if merged == old:
+        return
+    ver += 1
+    state.update((merged, ver))
+    streak = _longest_week_run(merged)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": int(user_id),
+                "max_streak": int(streak),
+                "n_weeks": int(len(merged)),
+                "ver": ver,
+            }
+        ]
+    )
+
+
+def streaming_active_streaks(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming longest-activity-streak feed — the incremental twin of
+    batch ``user_active_streaks`` (operators/behavior.py): each user
+    carries the length of their longest consecutive-week run, and this
+    maintains it as a versioned changelog whose newest (max-ver) row
+    per user always equals the batch value over everything delivered.
+    The batch op's histogram (streak_weeks, n_users, user_share) is a
+    stateless regroup of those newest rows — test-pinned, including
+    under a planted out-of-order delivery that exercises the
+    streak-MERGE path (late gap week joins two islands; the streak
+    jumps superadditively) and full-backlog redelivery (week-set
+    absorption emits nothing).
+
+    Scale: state is one calendar-bounded week array + version per
+    user; one user_id shuffle per micro-batch — same envelope as
+    ``streaming_growth_accounting``, which shares the week-set state
+    but classifies per-week rather than reducing to one scalar."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _streak_diff,
+            _STREAK_OUT_SCHEMA,
+            _STREAK_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

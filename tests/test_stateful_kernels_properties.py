@@ -1737,3 +1737,70 @@ def test_hll_hash_is_process_stable():
         __import__("hashlib").md5(b"1").digest()[:8], "big"
     )
     assert _hll_hash64(12345) != _hll_hash64(54321)
+
+
+# --- r15: streak-merging changelog -------------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _longest_week_run,
+    _streak_diff,
+)
+
+
+@given(week_batches())
+@settings(max_examples=200, deadline=None)
+def test_streak_kernel_newest_matches_batch_under_any_order(case):
+    """The newest emission's (max_streak, n_weeks) must equal the
+    whole-set batch values under ANY delivery order; versions strictly
+    increase; every week-adding batch emits exactly one row; full
+    redelivery emits nothing."""
+    weeks, batches = case
+    state = FakeGroupState()
+    emitted = []  # (streak, n_weeks, ver)
+    for batch in batches:
+        for pdf in _streak_diff(
+            (1,), iter([_weeks_df(list(batch))]), state
+        ):
+            emitted.extend(
+                (int(r.max_streak), int(r.n_weeks), int(r.ver))
+                for r in pdf.itertuples(index=False)
+            )
+    assert emitted, "every case delivers at least one week"
+    streak, n_weeks, _ver = emitted[-1]
+    assert streak == _longest_week_run(weeks)
+    assert n_weeks == len(weeks)
+    vers = [v for _s, _n, v in emitted]
+    assert vers == sorted(set(vers)), "one strictly-increasing row per change"
+    seen = set()
+    expect_rows = 0
+    for batch in batches:
+        if not set(batch) <= seen:
+            expect_rows += 1
+        seen |= set(batch)
+    assert len(emitted) == expect_rows
+
+    again = []
+    for batch in batches:
+        again.extend(
+            _streak_diff((1,), iter([_weeks_df(list(batch))]), state)
+        )
+    assert again == [], "redelivery must be absorbed by the week set"
+
+
+def test_streak_kernel_superadditive_merge_closed_form():
+    """The island-merge pin: {100, 102} reads streak 1; a late 101
+    joins both islands — streak jumps 1 → 3, a +2 move a single
+    extension can never produce.  _longest_week_run closed forms."""
+    assert _longest_week_run([]) == 0
+    assert _longest_week_run([5]) == 1
+    assert _longest_week_run([1, 2, 3, 7, 8]) == 3
+
+    state = FakeGroupState()
+    rows = []
+    for batch in ([100, 102], [101]):
+        for pdf in _streak_diff((1,), iter([_weeks_df(batch)]), state):
+            rows.extend(
+                (int(r.max_streak), int(r.n_weeks))
+                for r in pdf.itertuples(index=False)
+            )
+    assert rows == [(1, 2), (3, 3)]

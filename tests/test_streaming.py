@@ -2746,3 +2746,182 @@ def test_streaming_daily_uniques_hll_checkpoint_restart(spark, tmp_path):
         "restart must merge new users into the RECOVERED registers"
     )
     assert best["est_distinct"] > est0
+
+
+def test_streaming_active_streaks_matches_batch(spark, tmp_path):
+    """The newest (max-ver) emission per user must regroup into the
+    batch ``user_active_streaks`` histogram exactly — in order AND
+    under an out-of-order two-file split (second half first), which
+    must exercise the re-emit path (some user's streak or week count
+    moves when the first half lands).  Redelivering the backlog emits
+    nothing (week-set absorption)."""
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_active_streaks,
+    )
+
+    def newest_per_user(rows):
+        best = {}
+        for r in rows:
+            if (
+                r["user_id"] not in best
+                or r["ver"] > best[r["user_id"]][2]
+            ):
+                best[r["user_id"]] = (
+                    r["max_streak"],
+                    r["n_weeks"],
+                    r["ver"],
+                )
+        return best
+
+    def histogram(newest):
+        total = len(newest)
+        per = {}
+        for _uid, (streak, _nw, _v) in newest.items():
+            per[streak] = per.get(streak, 0) + 1
+        return {s: (n, n / total) for s, n in per.items()}
+
+    batch = {
+        r["streak_weeks"]: (r["n_users"], r["user_share"])
+        for r in all_queries()["user_active_streaks"](spark, SF).collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_active_streaks(spark, SF), "streaks_single"
+    ).collect()
+    newest = newest_per_user(single)
+    assert histogram(newest) == batch
+
+    # the n_weeks column is the per-user distinct-week count exactly
+    week_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(ts) div 604800000000 AS BIGINT)"
+            ).alias("wk"),
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {u: nw for u, (_s, nw, _v) in newest.items()} == week_counts
+
+    # out-of-order split: the LATER half of the stream arrives first
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_ooo_streaks"
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    ooo = run_stream_to_memory(
+        streaming_active_streaks(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "streaks_ooo",
+    ).collect()
+    assert histogram(newest_per_user(ooo)) == batch
+    assert any(r["ver"] > 1 for r in ooo), (
+        "out-of-order split must exercise the re-emit path"
+    )
+
+    # full-backlog redelivery: week sets absorb the replay
+    (tmp_path / "replay_streaks").mkdir()
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay_streaks" / "00.parquet"
+    )
+    shutil.copy(
+        f"{SF}/events.parquet", tmp_path / "replay_streaks" / "01.parquet"
+    )
+    redelivered = run_stream_to_memory(
+        streaming_active_streaks(
+            spark,
+            f"file:{tmp_path}/replay_streaks",
+            glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "streaks_redelivery",
+    ).collect()
+    assert len(redelivered) == len(single)
+
+
+def test_streaming_active_streaks_checkpoint_merge(spark, tmp_path):
+    """The superadditive MERGE transition, across a checkpointed
+    restart: weeks {w, w+2} land first (streak 1), the stream commits
+    and stops; replaying the committed file emits nothing; a late
+    gap-filling w+1 then joins the two islands through the RECOVERED
+    week set — the newest row must read streak 3 (a +2 jump one new
+    week can only produce by merging, never by extending)."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_active_streaks,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    wk_us = 7 * 86_400 * 1_000_000
+
+    def plant(weeks, name):
+        df = spark.createDataFrame(
+            [
+                (i, w * wk_us + 5_000_000, 1, "view", 1.0, "{}")
+                for i, w in enumerate(weeks)
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_active_streaks(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([100, 102], "00")
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 1
+    assert (first[0]["max_streak"], first[0]["n_weeks"]) == (1, 2)
+
+    run_once()  # unchanged source: committed file skipped, no emission
+    assert spark.read.parquet(sink).count() == 1
+
+    plant([101], "01")  # the gap filler
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    best = max(rows, key=lambda r: r["ver"])
+    assert (best["max_streak"], best["n_weeks"]) == (3, 3), (
+        "restart must merge the islands through the recovered week set"
+    )
