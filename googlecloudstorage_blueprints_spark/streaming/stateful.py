@@ -2907,3 +2907,135 @@ def streaming_active_streaks(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact streaming percentiles over a calendar-bounded multiset
+# ---------------------------------------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+
+_HOURLY_PCTL_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_hours", LongType()),
+        StructField("max_load", LongType()),
+        StructField("p50_load", DoubleType()),
+        StructField("p90_load", DoubleType()),
+        StructField("p99_load", DoubleType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+_HOURLY_PCTL_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("ver", LongType()),
+    ]
+)
+
+
+def _interp_percentile(sorted_vals: list, q: float) -> float:
+    """The exact interpolation BOTH engines use (pinned by
+    tests/test_quantile_interp_parity.py): pos = q·(n−1),
+    lo + (hi − lo)·frac — spelled in the same IEEE evaluation order so
+    the emitted doubles are bit-identical to batch ``F.percentile``."""
+    n = len(sorted_vals)
+    pos = q * (n - 1)
+    lo_idx = int(pos)
+    frac = pos - lo_idx
+    lo = float(sorted_vals[lo_idx])
+    if frac == 0.0:
+        return lo
+    hi = float(sorted_vals[lo_idx + 1])
+    return lo + (hi - lo) * frac
+
+
+def _hourly_load_pctl(key: tuple, pdfs, state: GroupState):
+    """Per-type EXACT load-percentile changelog: state is the
+    (hour → count) ledger — the percentile's entire input multiset —
+    which is CALENDAR-bounded (one cell per active hour, regardless of
+    traffic), so the exact percentiles the batch op computes are
+    streamable with fixed-envelope state.  This is the precise
+    criterion behind the pair-latency precedent: percentile columns
+    stay batch-only only when the value multiset grows with the DATA
+    (per-event gaps); when it grows with the CALENDAR (hourly counts),
+    the exact multiset rides along and every emission recomputes the
+    true percentiles.  Counts are deltas (not idempotent), so replay
+    protection is the checkpoint's committed-file skip — the
+    transition-counter precedent, pinned by the restart test."""
+    import pandas as pd
+
+    (event_type,) = key
+    rows = pd.concat(list(pdfs))
+    delta = (
+        (rows["ts"].astype("int64") // 1000 // _US_PER_HOUR)
+        .value_counts()
+        .to_dict()
+    )
+    if state.exists:
+        hours, counts, ver = state.get
+        ledger = dict(zip(list(hours), list(counts)))
+    else:
+        ledger, ver = {}, 0
+    for h, c in delta.items():
+        ledger[int(h)] = ledger.get(int(h), 0) + int(c)
+    ver += 1
+    hs = sorted(ledger)
+    state.update((hs, [ledger[h] for h in hs], ver))
+    ys = sorted(ledger.values())
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": str(event_type),
+                "n_hours": len(ys),
+                "max_load": int(ys[-1]),
+                "p50_load": _interp_percentile(ys, 0.5),
+                "p90_load": _interp_percentile(ys, 0.9),
+                "p99_load": _interp_percentile(ys, 0.99),
+                "ver": ver,
+            }
+        ]
+    )
+
+
+def streaming_hourly_load_percentiles(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming EXACT hourly-load percentiles — the incremental twin
+    of batch ``events_hourly_load_percentiles`` (operators/behavior.py)
+    and the first twin to emit percentile columns: the newest (max-ver)
+    row per event type carries bit-identical n_hours / max_load /
+    p50/p90/p99 to the batch op over everything delivered (the
+    interpolation is the exact formula both engines use, pinned by
+    tests/test_quantile_interp_parity.py).  The pair-latency and
+    intersession twins deliberately left their percentile columns
+    batch-only because their input multisets are DATA-sized (one gap
+    per event); here the multiset is the (hour → count) ledger —
+    CALENDAR-bounded — so the whole thing rides in state and the
+    percentiles stream exactly, no sketch needed (the batch registry's
+    ``events_hourly_load_percentiles_approx`` remains the unbounded-
+    horizon fallback).
+
+    Scale: state is one cell per (type, active hour) — ~9k cells per
+    type-year at any traffic volume; one event_type shuffle per
+    micro-batch."""
+    events = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    return (
+        events.select("event_type", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hourly_load_pctl,
+            _HOURLY_PCTL_OUT_SCHEMA,
+            _HOURLY_PCTL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1804,3 +1804,108 @@ def test_streak_kernel_superadditive_merge_closed_form():
                 for r in pdf.itertuples(index=False)
             )
     assert rows == [(1, 2), (3, 3)]
+
+
+# --- r15: exact-percentile ledger changelog ----------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _US_PER_HOUR,
+    _hourly_load_pctl,
+    _interp_percentile,
+)
+
+
+def _hours_df(hours):
+    """hours: list of epoch-hour ints (duplicates = load) -> kernel
+    input frame."""
+    return pd.DataFrame(
+        {
+            "event_type": "view",
+            "ts": pd.to_datetime(
+                [h * _US_PER_HOUR * 1000 + 7_000 for h in hours]
+            ),
+        }
+    )
+
+
+@st.composite
+def hour_event_batches(draw):
+    """Events over a small hour range (duplicates make per-hour load),
+    dealt into 1-4 batches in ARBITRARY order — count deltas are
+    commutative so any cut/order must converge."""
+    events = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=6), min_size=1, max_size=24
+        )
+    )
+    order = draw(st.permutations(events))
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(order) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(order)]:
+        if order[prev:c]:
+            batches.append(list(order[prev:c]))
+        prev = c
+    return events, batches
+
+
+@given(hour_event_batches())
+@settings(max_examples=200, deadline=None)
+def test_hourly_pctl_kernel_converges_under_any_order(case):
+    """The newest emission must equal the whole-multiset reference
+    (exact counts per hour; lo + (hi−lo)·frac interpolation) under ANY
+    delivery order and batch cut; every batch emits exactly one row;
+    versions strictly increase."""
+    events, batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        for pdf in _hourly_load_pctl(
+            ("view",), iter([_hours_df(batch)]), state
+        ):
+            emitted.extend(
+                (
+                    int(r.n_hours),
+                    int(r.max_load),
+                    float(r.p50_load),
+                    float(r.p90_load),
+                    float(r.p99_load),
+                    int(r.ver),
+                )
+                for r in pdf.itertuples(index=False)
+            )
+    assert len(emitted) == len(batches), "one emission per counting batch"
+    vers = [e[-1] for e in emitted]
+    assert vers == sorted(set(vers))
+
+    ledger = {}
+    for h in events:
+        ledger[h] = ledger.get(h, 0) + 1
+    ys = sorted(ledger.values())
+    assert emitted[-1][:5] == (
+        len(ys),
+        ys[-1],
+        _interp_percentile(ys, 0.5),
+        _interp_percentile(ys, 0.9),
+        _interp_percentile(ys, 0.99),
+    )
+
+
+def test_interp_percentile_closed_forms():
+    """Pin the shared-formula interpolation on closed forms: exact
+    index hits return the value; midpoints interpolate linearly; a
+    single value is every percentile."""
+    assert _interp_percentile([7], 0.5) == 7.0
+    assert _interp_percentile([1, 3], 0.5) == 2.0
+    assert _interp_percentile([1, 2, 3], 0.5) == 2.0
+    assert _interp_percentile([0, 10], 0.9) == 9.0
+    assert _interp_percentile([1, 2, 4], 0.75) == 3.0
+    assert _interp_percentile([5, 5, 5, 5], 0.99) == 5.0

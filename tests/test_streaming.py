@@ -2925,3 +2925,157 @@ def test_streaming_active_streaks_checkpoint_merge(spark, tmp_path):
     assert (best["max_streak"], best["n_weeks"]) == (3, 3), (
         "restart must merge the islands through the recovered week set"
     )
+
+
+def test_streaming_hourly_load_percentiles_matches_batch(spark, tmp_path):
+    """The newest (max-ver) emission per event type must equal the
+    batch ``events_hourly_load_percentiles`` row BIT-IDENTICALLY —
+    including the interpolated p50/p90/p99 doubles (the kernel spells
+    the engines' shared lo + (hi−lo)·frac formula) — in order AND
+    under an out-of-order two-file split (hour-count deltas are
+    commutative)."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_hourly_load_percentiles,
+    )
+
+    def newest_per_type(rows):
+        best = {}
+        for r in rows:
+            if (
+                r["event_type"] not in best
+                or r["ver"] > best[r["event_type"]][-1]
+            ):
+                best[r["event_type"]] = (
+                    r["n_hours"],
+                    r["max_load"],
+                    r["p50_load"],
+                    r["p90_load"],
+                    r["p99_load"],
+                    r["ver"],
+                )
+        return {t: v[:-1] for t, v in best.items()}
+
+    batch = {
+        r["event_type"]: (
+            r["n_hours"],
+            r["max_load"],
+            r["p50_load"],
+            r["p90_load"],
+            r["p99_load"],
+        )
+        for r in all_queries()["events_hourly_load_percentiles"](
+            spark, SF
+        ).collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_hourly_load_percentiles(spark, SF), "hourly_pctl_single"
+    ).collect()
+    assert newest_per_type(single) == batch
+
+    # out-of-order split: the LATER half of the stream arrives first
+    events = load_table(spark, SF, "events")
+    split = events.selectExpr(
+        "timestamp_micros(CAST(percentile_approx(unix_micros(ts), 0.5)"
+        " AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    out = f"file:{tmp_path}/events_ooo_pctl"
+    events.where(F.col("ts") >= F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    events.where(F.col("ts") < F.lit(split)).coalesce(1).write.mode(
+        "append"
+    ).parquet(out)
+    ooo = run_stream_to_memory(
+        streaming_hourly_load_percentiles(
+            spark, out, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "hourly_pctl_ooo",
+    ).collect()
+    assert newest_per_type(ooo) == batch
+    assert any(r["ver"] > 1 for r in ooo)
+
+
+def test_streaming_hourly_load_percentiles_checkpoint_restart(
+    spark, tmp_path
+):
+    """Count-ledger state must survive a checkpointed restart:
+    replaying the committed file emits nothing (committed-file skip,
+    the transition-counter precedent); a post-restart batch that adds
+    a NEW hour and tops up an EXISTING hour must emit percentiles of
+    the MERGED ledger — closed form: hour A gets 3 events, restart,
+    hour B gets 1 and hour A one more ⇒ counts {4, 1}, p50 = 1 +
+    (4−1)·0.5 = 2.5, max 4, n_hours 2."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_hourly_load_percentiles,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    hr_us = 3_600_000_000
+
+    def plant(hours, name):
+        df = spark.createDataFrame(
+            [
+                (i, h * hr_us + 5_000_000, 1, "view", 1.0, "{}")
+                for i, h in enumerate(hours)
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_hourly_load_percentiles(
+                spark, f"file:{src}", glob="*.parquet"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([500, 500, 500], "00")
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 1
+    assert (
+        first[0]["n_hours"],
+        first[0]["max_load"],
+        first[0]["p50_load"],
+    ) == (1, 3, 3.0)
+
+    run_once()  # unchanged source: committed file skipped, no emission
+    assert spark.read.parquet(sink).count() == 1
+
+    plant([501, 500], "01")  # new hour + top-up through recovered state
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    best = max(rows, key=lambda r: r["ver"])
+    assert (
+        best["n_hours"],
+        best["max_load"],
+        best["p50_load"],
+        best["p90_load"],
+    ) == (2, 4, 2.5, 1 + (4 - 1) * 0.9)
