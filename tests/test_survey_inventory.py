@@ -54,3 +54,24 @@ def test_survey_rows_name_no_ghost_keys():
     assert numbers == list(range(1, len(numbers) + 1)), (
         "SURVEY §2.B row numbering has gaps/duplicates"
     )
+
+
+def test_every_streaming_export_has_a_taxonomy_row():
+    """SURVEY §5.6's streaming taxonomy table must carry one row per
+    ``streaming_*`` export (and no ghost rows for exports that no
+    longer exist) — the §2.B alignment discipline applied to the
+    streaming surface."""
+    import re
+
+    import googlecloudstorage_blueprints_spark.streaming as s
+
+    exports = {n for n in s.__all__ if n.startswith("streaming_")}
+    src = open("SURVEY.md").read()
+    sect = src.split("### 5.6 Streaming surface taxonomy")[1].split(
+        "\n---"
+    )[0]
+    rows = set(re.findall(r"^\| `(streaming_[a-z0-9_]+)` \|", sect, re.M))
+    assert rows == exports, (
+        f"missing rows: {sorted(exports - rows)}; "
+        f"ghost rows: {sorted(rows - exports)}"
+    )
