@@ -405,3 +405,90 @@ def read_documents_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Native watermarked stream-stream interval join
+# ---------------------------------------------------------------------------
+
+# State-size knob for the order⋈shipment join: an order's state is
+# retained until the shipments watermark passes o_orderdate + W (and a
+# shipment's until the orders watermark passes l_shipdate + W).  The
+# synthetic fixture draws order/ship dates independently (latency spans
+# ±~2500 days), so the default covers it for batch-equal replay; a
+# production fulfilment feed sets this to the SLA bound (~130 days for
+# TPC-H-spec data), making join state ≈ window × arrival rate — the
+# reason to use a native stream-stream join at 100 TB instead of an
+# unbounded keyed buffer.
+SHIP_JOIN_WINDOW_DAYS = 2500
+
+
+def streaming_ship_latency_join(
+    spark: SparkSession,
+    sf_dir: str,
+    orders_dir: str | None = None,
+    lineitem_dir: str | None = None,
+    orders_glob: str = "orders.parquet",
+    lineitem_glob: str = "lineitem.parquet",
+    window_days: int = SHIP_JOIN_WINDOW_DAYS,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """NATIVE stream-stream interval join — the order-intake feed joined
+    to the shipments feed inside Spark's watermark-bounded join state,
+    the one streaming primitive the keyed-state twins don't exercise
+    (they buffer per key forever; here BOTH sides' buffers are evicted
+    once the opposite watermark passes the interval bound, so state is
+    window × arrival rate at any corpus size).  Emits one row per
+    matched line — (o_orderkey, l_linenumber, quarter, lat_days), the
+    per-line core of batch ``ship_latency_quarterly``
+    (operators/segments.py) — and the batch op's quarterly rollup is a
+    stateless regroup of the feed, test-pinned batch-equal under
+    aligned time-ordered splits.  The flip side of bounded state is the
+    watermark CONTRACT: a match arriving after the opposite watermark
+    passed its interval is DROPPED, not buffered — pinned by a planted
+    late-shipment test (the documented divergence-from-batch that every
+    bounded-state join accepts).
+
+    Latency is integer-µs subtraction floored to whole days and the
+    quarter label is derived POST-join under the UTC-pinned session —
+    the batch op's exact expressions."""
+    o = read_orders_stream(
+        spark,
+        orders_dir or sf_dir,
+        glob=orders_glob,
+        max_files_per_trigger=max_files_per_trigger,
+    ).select("o_orderkey", "o_orderdate")
+    li = read_lineitem_stream(
+        spark,
+        lineitem_dir or sf_dir,
+        glob=lineitem_glob,
+        max_files_per_trigger=max_files_per_trigger,
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+    o = o.withWatermark("o_orderdate", watermark)
+    li = li.withWatermark("l_shipdate", watermark)
+    # the interval bound must sit DIRECTLY on the two event-time
+    # columns — that is the form Spark's stream-stream join recognizes
+    # to derive state watermarks (an opaque unix_micros() rewrite would
+    # join correctly but keep unbounded state)
+    joined = li.join(
+        o,
+        F.expr(
+            f"""
+            l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate - INTERVAL {window_days} DAYS
+            AND l_shipdate <= o_orderdate + INTERVAL {window_days} DAYS
+            """
+        ),
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format(
+            F.date_trunc("quarter", "o_orderdate"), "yyyy-MM"
+        ).alias("quarter"),
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("lat_days"),
+    )

@@ -2937,19 +2937,20 @@ _HOURLY_PCTL_STATE_SCHEMA = StructType(
 
 
 def _interp_percentile(sorted_vals: list, q: float) -> float:
-    """The exact interpolation BOTH engines use (pinned by
-    tests/test_quantile_interp_parity.py): pos = q·(n−1),
-    lo + (hi − lo)·frac — spelled in the same IEEE evaluation order so
-    the emitted doubles are bit-identical to batch ``F.percentile``."""
+    """Spark ``F.percentile``'s exact interpolation, in its exact IEEE
+    evaluation order: pos = q·(n−1), then the TWO-SIDED weighted form
+    v_lo·(hi − pos) + v_hi·(pos − lo) — NOT lo + (hi − lo)·frac, which
+    differs in the last ulp on ~1-in-10 real groups (found by the
+    ship-latency join's bit-identical pin).  Emitted doubles are
+    bit-identical to the batch ops' percentile columns."""
     n = len(sorted_vals)
     pos = q * (n - 1)
     lo_idx = int(pos)
-    frac = pos - lo_idx
     lo = float(sorted_vals[lo_idx])
-    if frac == 0.0:
+    if pos == lo_idx:
         return lo
     hi = float(sorted_vals[lo_idx + 1])
-    return lo + (hi - lo) * frac
+    return lo * (lo_idx + 1 - pos) + hi * (pos - lo_idx)
 
 
 def _hourly_load_pctl(key: tuple, pdfs, state: GroupState):

@@ -2,11 +2,16 @@
 
 Percentile ops rely on Spark ``percentile()`` and DuckDB
 ``quantile_cont()`` producing BIT-IDENTICAL doubles when fed the same
-exact BIGINT inputs.  Both implementations interpolate
-``lo + (hi - lo) * frac`` with ``pos = q * (n - 1)`` — an
+exact BIGINT inputs.  Both interpolate at ``pos = q * (n - 1)`` — an
 implementation detail neither engine documents, so
 ``test_raw_interpolation_is_bit_identical`` pins it on adversarial and
-random inputs.
+random inputs.  r15 refinement: the shared evaluation order is the
+TWO-SIDED weighted form ``v_lo*(hi - pos) + v_hi*(pos - lo)``, NOT
+``lo + (hi - lo) * frac`` — the two differ in the last ulp on ~1-in-10
+real groups (found when the ship-latency join twin's Python regroup
+used the latter and missed batch ``F.percentile`` by 1 ulp on 3 of 27
+quarters; ``_interp_percentile`` in streaming/stateful.py spells the
+correct form and is pinned bit-identical against batch output).
 
 The audit's REAL finding is one step later: ``ROUND(qc / 1e9, 6)`` of
 an interpolated nano-integer DIVERGES cross-engine when the quantile

@@ -3079,3 +3079,197 @@ def test_streaming_hourly_load_percentiles_checkpoint_restart(
         best["p50_load"],
         best["p90_load"],
     ) == (2, 4, 2.5, 1 + (4 - 1) * 0.9)
+
+
+def _quarterly_regroup(rows):
+    """Stateless regroup of the ship-latency join feed into the batch
+    ``ship_latency_quarterly`` columns — exact-integer sums, float
+    division and the engines' shared interpolation formula."""
+    from googlecloudstorage_blueprints_spark.streaming.stateful import (
+        _interp_percentile,
+    )
+
+    per = {}
+    for r in rows:
+        per.setdefault(r["quarter"], []).append(r["lat_days"])
+    return {
+        q: (
+            len(ls),
+            sum(ls),
+            float(sum(ls)) / len(ls),
+            _interp_percentile(sorted(ls), 0.9),
+        )
+        for q, ls in per.items()
+    }
+
+
+def test_streaming_ship_latency_join_matches_batch(spark, tmp_path):
+    """The native stream-stream interval join must emit exactly the
+    batch join's per-line rows: regrouped quarterly they equal
+    ``ship_latency_quarterly`` BIT-IDENTICALLY (counts, integer sums,
+    the float mean and the interpolated p90) — in one-shot replay AND
+    under an ALIGNED time-ordered split (both feeds cut at the same
+    date, the delivery contract a fulfilment pipeline actually has)."""
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_ship_latency_join,
+    )
+
+    batch = {
+        r["quarter"]: (
+            r["n_lines"],
+            r["total_lat_days"],
+            r["avg_lat_days"],
+            r["p90_lat_days"],
+        )
+        for r in all_queries()["ship_latency_quarterly"](
+            spark, SF
+        ).collect()
+    }
+
+    single = run_stream_to_memory(
+        streaming_ship_latency_join(spark, SF), "shipjoin_single"
+    ).collect()
+    assert _quarterly_regroup(single) == batch
+    # inner join emits each match exactly once: row count = batch lines
+    assert len(single) == sum(n for n, *_ in batch.values())
+
+    # aligned time-ordered split: both sides cut at the same date
+    orders = load_table(spark, SF, "orders")
+    lines = load_table(spark, SF, "lineitem")
+    split = orders.selectExpr(
+        "timestamp_micros(CAST(percentile_approx("
+        "unix_micros(o_orderdate), 0.5) AS BIGINT)) AS m"
+    ).collect()[0]["m"]
+    odir = f"file:{tmp_path}/o_split"
+    ldir = f"file:{tmp_path}/l_split"
+    orders.where(F.col("o_orderdate") <= F.lit(split)).coalesce(
+        1
+    ).write.mode("append").parquet(odir)
+    orders.where(F.col("o_orderdate") > F.lit(split)).coalesce(
+        1
+    ).write.mode("append").parquet(odir)
+    lines.where(F.col("l_shipdate") <= F.lit(split)).coalesce(
+        1
+    ).write.mode("append").parquet(ldir)
+    lines.where(F.col("l_shipdate") > F.lit(split)).coalesce(
+        1
+    ).write.mode("append").parquet(ldir)
+    split_rows = run_stream_to_memory(
+        streaming_ship_latency_join(
+            spark,
+            SF,
+            orders_dir=odir,
+            lineitem_dir=ldir,
+            orders_glob="*.parquet",
+            lineitem_glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "shipjoin_split",
+    ).collect()
+    assert _quarterly_regroup(split_rows) == batch
+
+
+def test_streaming_ship_latency_join_drops_late_beyond_watermark(
+    spark, tmp_path
+):
+    """The bounded-state contract: once BOTH feeds' watermarks pass an
+    order's interval bound, its join state is evicted and a
+    later-arriving shipment is DROPPED (emission count stays flat) —
+    the documented divergence from batch that buys window × rate state
+    at any corpus size.  Sequence: order A + its first line match
+    (1 row); far-future sentinels advance both watermarks ~8000 days;
+    A's second line then arrives 7997 days late and must NOT emit."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_ship_latency_join,
+    )
+
+    odir = tmp_path / "o_src"
+    ldir = tmp_path / "l_src"
+    odir.mkdir()
+    ldir.mkdir()
+    day_us = 86_400_000_000
+
+    def plant_orders(rows, name):
+        df = spark.createDataFrame(
+            [(k, d * day_us, "O", 1.0, "p", 0, "c") for k, d in rows],
+            "o_orderkey long, us long, o_orderstatus string, "
+            "o_totalprice double, o_orderpriority string, "
+            "o_shippriority int, o_comment string",
+        ).select(
+            "o_orderkey",
+            F.timestamp_micros(F.col("us")).alias("o_orderdate"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_shippriority",
+            "o_comment",
+        )
+        d = f"{tmp_path}/stage_o_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], odir / f"{name}.parquet"
+        )
+
+    def plant_lines(rows, name):
+        df = spark.createDataFrame(
+            [(k, ln, d * day_us, 1.0, 1.0) for k, ln, d in rows],
+            "l_orderkey long, l_linenumber long, us long, "
+            "l_quantity double, l_extendedprice double",
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.timestamp_micros(F.col("us")).alias("l_shipdate"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        d = f"{tmp_path}/stage_l_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], ldir / f"{name}.parquet"
+        )
+
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+
+    def run_once():
+        q = (
+            streaming_ship_latency_join(
+                spark,
+                str(tmp_path),
+                orders_dir=f"file:{odir}",
+                lineitem_dir=f"file:{ldir}",
+                orders_glob="*.parquet",
+                lineitem_glob="*.parquet",
+                max_files_per_trigger=1,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant_orders([(7, 1000)], "00")
+    plant_lines([(7, 1, 1001)], "00")
+    run_once()
+    assert spark.read.parquet(sink).count() == 1
+
+    # sentinels on BOTH feeds: global watermark jumps past 1000 + 2500
+    plant_orders([(999, 9000)], "01")
+    plant_lines([(998, 1, 9000)], "01")
+    run_once()
+    assert spark.read.parquet(sink).count() == 1  # sentinels don't match
+
+    # A's second line, 7997 days late: state evicted, row dropped
+    plant_orders([(997, 9001)], "02")
+    plant_lines([(7, 2, 1002)], "02")
+    run_once()
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == 1 and got[0]["o_orderkey"] == 7
+    assert got[0]["lat_days"] == 1
