@@ -129,3 +129,37 @@ def test_round_path_diverges_on_exact_midpoint(spark):
     assert s == pytest.approx(1.000003)
     assert d == pytest.approx(1.000002)
     assert s != d
+
+
+def test_shared_form_is_two_sided_weighted(spark):
+    """r15 pin of the REFINED formula claim: on [1, 3] at q=0.9 the
+    two candidate evaluation orders differ in the last ulp —
+    lo + (hi−lo)·frac gives 2.8, the two-sided weighted form
+    v_lo·(hi−pos) + v_hi·(pos−lo) gives 2.8000000000000003 — and BOTH
+    engines (and the streaming kernels' ``_interp_percentile``)
+    produce the weighted value.  Any engine upgrade that flips this
+    fails loudly here before it flips an oracle hash."""
+    from googlecloudstorage_blueprints_spark.streaming.stateful import (
+        _interp_percentile,
+    )
+
+    cases = [([1, 3], 0.9), ([2, 3], 0.9), ([3, 11], 0.9)]
+    for vals, q in cases:
+        pos = q * (len(vals) - 1)
+        lo = int(pos)
+        lerp = float(vals[lo]) + (
+            float(vals[lo + 1]) - float(vals[lo])
+        ) * (pos - lo)
+        weighted = float(vals[lo]) * (lo + 1 - pos) + float(
+            vals[lo + 1]
+        ) * (pos - lo)
+        assert lerp != weighted, "case must discriminate the forms"
+        s = (
+            _spark_df(spark, vals)
+            .agg(F.percentile("v", q).alias("p"))
+            .collect()[0]["p"]
+        )
+        d = _duck(vals, f"quantile_cont(v, {q})")[0]
+        assert s == weighted, (vals, q, s, weighted)
+        assert d == weighted, (vals, q, d, weighted)
+        assert _interp_percentile(vals, q) == weighted
