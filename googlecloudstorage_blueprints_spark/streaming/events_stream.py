@@ -453,6 +453,43 @@ def streaming_ship_latency_join(
     Latency is integer-µs subtraction floored to whole days and the
     quarter label is derived POST-join under the UTC-pinned session —
     the batch op's exact expressions."""
+    joined = _ship_latency_joined(
+        spark,
+        sf_dir,
+        orders_dir,
+        lineitem_dir,
+        orders_glob,
+        lineitem_glob,
+        window_days,
+        watermark,
+        max_files_per_trigger,
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format(
+            F.date_trunc("quarter", "o_orderdate"), "yyyy-MM"
+        ).alias("quarter"),
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("lat_days"),
+    )
+
+
+def _ship_latency_joined(
+    spark: SparkSession,
+    sf_dir: str,
+    orders_dir: str | None,
+    lineitem_dir: str | None,
+    orders_glob: str,
+    lineitem_glob: str,
+    window_days: int,
+    watermark: str,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """The raw watermarked order⋈shipment interval join (event-time
+    columns retained for downstream stateful chaining)."""
     o = read_orders_stream(
         spark,
         orders_dir or sf_dir,
@@ -471,7 +508,7 @@ def streaming_ship_latency_join(
     # columns — that is the form Spark's stream-stream join recognizes
     # to derive state watermarks (an opaque unix_micros() rewrite would
     # join correctly but keep unbounded state)
-    joined = li.join(
+    return li.join(
         o,
         F.expr(
             f"""
@@ -481,14 +518,64 @@ def streaming_ship_latency_join(
             """
         ),
     )
-    return joined.select(
-        "o_orderkey",
-        "l_linenumber",
-        F.date_format(
-            F.date_trunc("quarter", "o_orderdate"), "yyyy-MM"
-        ).alias("quarter"),
-        F.expr(
-            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
-            " div 86400000000"
-        ).alias("lat_days"),
+
+
+def streaming_ship_latency_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    orders_dir: str | None = None,
+    lineitem_dir: str | None = None,
+    orders_glob: str = "orders.parquet",
+    lineitem_glob: str = "lineitem.parquet",
+    window_days: int = SHIP_JOIN_WINDOW_DAYS,
+    agg_window: str = "90 days",
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query — the
+    stream-stream interval join feeding a tumbling event-time window
+    aggregate downstream, the Spark-4 capability none of the other
+    twins exercises (they each run a single stateful stage).  The join
+    keeps ``o_orderdate`` alive so the second stateful operator can
+    window on it; each finalized 90-day window emits
+    (w_start, n_lines, total_lat_days, avg_lat_days) exactly ONCE,
+    when the global watermark passes the window end — so a finite
+    replay needs a far-future sentinel pair on BOTH feeds to flush the
+    tail (the r9 sentinel-drain technique; watermark advance is
+    min-across-sources, a lone-side sentinel stalls it).  Pinned
+    batch-equal against the identical epoch-anchored window expression
+    computed in batch, and emit-once (no window key repeats).
+
+    Scale: join state is window_days × arrival rate (see
+    ``streaming_ship_latency_join``); agg state is one row per open
+    90-day window — both bounded."""
+    joined = _ship_latency_joined(
+        spark,
+        sf_dir,
+        orders_dir,
+        lineitem_dir,
+        orders_glob,
+        lineitem_glob,
+        window_days,
+        watermark,
+        max_files_per_trigger,
+    )
+    lat = F.expr(
+        "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+        " div 86400000000"
+    )
+    return (
+        joined.groupBy(F.window("o_orderdate", agg_window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(lat).cast("long").alias("total_lat_days"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "n_lines",
+            "total_lat_days",
+            (
+                F.col("total_lat_days").cast("double") / F.col("n_lines")
+            ).alias("avg_lat_days"),
+        )
     )

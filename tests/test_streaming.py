@@ -3273,3 +3273,97 @@ def test_streaming_ship_latency_join_drops_late_beyond_watermark(
     got = spark.read.parquet(sink).collect()
     assert len(got) == 1 and got[0]["o_orderkey"] == 7
     assert got[0]["lat_days"] == 1
+
+
+def test_streaming_ship_latency_windows_chained_stateful(spark, tmp_path):
+    """CHAINED stateful operators (stream-stream join → tumbling
+    event-time window agg) in ONE query: after a far-future sentinel
+    pair flushes the tail, the emitted 90-day windows must equal the
+    identical epoch-anchored window expression computed in batch —
+    counts, integer sums and the float mean — and every window must
+    emit exactly once."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_ship_latency_windows,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    lines = load_table(spark, SF, "lineitem")
+    lat = F.expr(
+        "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+        " div 86400000000"
+    )
+    batch = {
+        r["w_start"]: (r["n_lines"], r["total_lat_days"], r["avg_lat_days"])
+        for r in (
+            lines.join(
+                orders, lines.l_orderkey == orders.o_orderkey
+            )
+            .groupBy(F.window("o_orderdate", "90 days").alias("w"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum(lat).cast("long").alias("total_lat_days"),
+            )
+            .select(
+                F.col("w.start").alias("w_start"),
+                "n_lines",
+                "total_lat_days",
+                (
+                    F.col("total_lat_days").cast("double")
+                    / F.col("n_lines")
+                ).alias("avg_lat_days"),
+            )
+            .collect()
+        )
+    }
+
+    odir = tmp_path / "o_src"
+    ldir = tmp_path / "l_src"
+    odir.mkdir()
+    ldir.mkdir()
+    shutil.copy(f"{SF}/orders.parquet", odir / "00.parquet")
+    shutil.copy(f"{SF}/lineitem.parquet", ldir / "00.parquet")
+    day_us = 86_400_000_000
+
+    so = spark.createDataFrame(
+        [(999_999, 20_000 * day_us)], "o_orderkey long, us long"
+    ).select(
+        "o_orderkey", F.timestamp_micros(F.col("us")).alias("o_orderdate")
+    )
+    sl = spark.createDataFrame(
+        [(999_998, 1, 20_000 * day_us)],
+        "l_orderkey long, l_linenumber long, us long",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.timestamp_micros(F.col("us")).alias("l_shipdate"),
+    )
+    for df, dest, name in ((so, odir, "o01"), (sl, ldir, "l01")):
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], dest / f"{name}.parquet"
+        )
+
+    rows = run_stream_to_memory(
+        streaming_ship_latency_windows(
+            spark,
+            SF,
+            orders_dir=f"file:{odir}",
+            lineitem_dir=f"file:{ldir}",
+            orders_glob="*.parquet",
+            lineitem_glob="*.parquet",
+            max_files_per_trigger=1,
+        ),
+        "shipwin_chained",
+    ).collect()
+    starts = [r["w_start"] for r in rows]
+    assert len(starts) == len(set(starts)), "append windows emit once"
+    got = {
+        r["w_start"]: (r["n_lines"], r["total_lat_days"], r["avg_lat_days"])
+        for r in rows
+    }
+    assert got == batch
