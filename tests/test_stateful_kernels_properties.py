@@ -1750,21 +1750,30 @@ from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E4
 @given(week_batches())
 @settings(max_examples=200, deadline=None)
 def test_streak_kernel_newest_matches_batch_under_any_order(case):
-    """The newest emission's (max_streak, n_weeks) must equal the
-    whole-set batch values under ANY delivery order; versions strictly
-    increase; every week-adding batch emits exactly one row; full
-    redelivery emits nothing."""
+    """EVERY emission's (max_streak, n_weeks) must equal the pure
+    reference over the PREFIX delivered so far (the changelog contract:
+    the newest row is always current, not just at the end), under ANY
+    delivery order; versions strictly increase; every week-adding
+    batch emits exactly one row; full redelivery emits nothing."""
     weeks, batches = case
     state = FakeGroupState()
     emitted = []  # (streak, n_weeks, ver)
+    delivered = set()
     for batch in batches:
+        grew = not set(batch) <= delivered
+        delivered |= set(batch)
         for pdf in _streak_diff(
             (1,), iter([_weeks_df(list(batch))]), state
         ):
-            emitted.extend(
-                (int(r.max_streak), int(r.n_weeks), int(r.ver))
-                for r in pdf.itertuples(index=False)
-            )
+            for r in pdf.itertuples(index=False):
+                emitted.append(
+                    (int(r.max_streak), int(r.n_weeks), int(r.ver))
+                )
+                if grew:
+                    assert int(r.max_streak) == _longest_week_run(
+                        sorted(delivered)
+                    )
+                    assert int(r.n_weeks) == len(delivered)
     assert emitted, "every case delivers at least one week"
     streak, n_weeks, _ver = emitted[-1]
     assert streak == _longest_week_run(weeks)
@@ -1860,19 +1869,24 @@ def hour_event_batches(draw):
 @given(hour_event_batches())
 @settings(max_examples=200, deadline=None)
 def test_hourly_pctl_kernel_converges_under_any_order(case):
-    """The newest emission must equal the whole-multiset reference
-    (exact counts per hour; lo + (hi−lo)·frac interpolation) under ANY
-    delivery order and batch cut; every batch emits exactly one row;
-    versions strictly increase."""
+    """EVERY emission must equal the prefix-multiset reference (exact
+    counts per delivered hour; Spark's two-sided weighted
+    interpolation) under ANY delivery order and batch cut — the
+    changelog contract that the newest row is always current; every
+    batch emits exactly one row; versions strictly increase."""
     events, batches = case
     state = FakeGroupState()
     emitted = []
+    ledger = {}
     for batch in batches:
+        for h in batch:
+            ledger[h] = ledger.get(h, 0) + 1
+        ys = sorted(ledger.values())
         for pdf in _hourly_load_pctl(
             ("view",), iter([_hours_df(batch)]), state
         ):
-            emitted.extend(
-                (
+            for r in pdf.itertuples(index=False):
+                row = (
                     int(r.n_hours),
                     int(r.max_load),
                     float(r.p50_load),
@@ -1880,23 +1894,17 @@ def test_hourly_pctl_kernel_converges_under_any_order(case):
                     float(r.p99_load),
                     int(r.ver),
                 )
-                for r in pdf.itertuples(index=False)
-            )
+                emitted.append(row)
+                assert row[:5] == (
+                    len(ys),
+                    ys[-1],
+                    _interp_percentile(ys, 0.5),
+                    _interp_percentile(ys, 0.9),
+                    _interp_percentile(ys, 0.99),
+                )
     assert len(emitted) == len(batches), "one emission per counting batch"
     vers = [e[-1] for e in emitted]
     assert vers == sorted(set(vers))
-
-    ledger = {}
-    for h in events:
-        ledger[h] = ledger.get(h, 0) + 1
-    ys = sorted(ledger.values())
-    assert emitted[-1][:5] == (
-        len(ys),
-        ys[-1],
-        _interp_percentile(ys, 0.5),
-        _interp_percentile(ys, 0.9),
-        _interp_percentile(ys, 0.99),
-    )
 
 
 def test_interp_percentile_closed_forms():
