@@ -1139,7 +1139,9 @@ def test_growth_kernel_newest_class_matches_batch_under_any_order(case):
     weeks, batches = case
     state = FakeGroupState()
     emitted = []  # (week, cls, ver)
+    delivered = set()
     for batch in batches:
+        delivered |= set(batch)
         for pdf in _growth_class_diff(
             (1,), iter([_weeks_df(list(batch))]), state
         ):
@@ -1147,6 +1149,15 @@ def test_growth_kernel_newest_class_matches_batch_under_any_order(case):
                 (int(r.epoch_week), str(r.cls), int(r.ver))
                 for r in pdf.itertuples(index=False)
             )
+        # prefix invariant: newest rows so far == batch class of the
+        # prefix (the changelog is always current, not just at the end)
+        so_far = {}
+        for w, cls, ver in emitted:
+            if w not in so_far or ver > so_far[w][1]:
+                so_far[w] = (cls, ver)
+        assert {
+            w: c for w, (c, _v) in so_far.items()
+        } == _classify_weeks(sorted(delivered))
     newest = {}
     for w, cls, ver in emitted:
         if w not in newest or ver > newest[w][1]:
@@ -1238,7 +1249,9 @@ def test_cohort_kernel_newest_cell_matches_batch_under_any_order(case):
     months, batches = case
     state = FakeGroupState()
     emitted = []  # (month, cohort, offset, ver)
+    delivered = set()
     for batch in batches:
+        delivered |= set(batch)
         for pdf in _cohort_assign_diff(
             (1,), iter([_months_df(list(batch))]), state
         ):
@@ -1251,6 +1264,16 @@ def test_cohort_kernel_newest_cell_matches_batch_under_any_order(case):
                 )
                 for r in pdf.itertuples(index=False)
             )
+        # prefix invariant: newest cells so far == batch assignment of
+        # the delivered prefix (the changelog is always current)
+        so_far = {}
+        for m, c, off, ver in emitted:
+            if m not in so_far or ver > so_far[m][2]:
+                so_far[m] = (c, off, ver)
+        p0 = min(delivered)
+        assert {
+            m: (c, off) for m, (c, off, _v) in so_far.items()
+        } == {m: (p0, m - p0) for m in delivered}
     newest = {}
     for m, c, off, ver in emitted:
         if m not in newest or ver > newest[m][2]:
