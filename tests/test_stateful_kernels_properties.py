@@ -1553,7 +1553,9 @@ def test_funnel_attribution_kernel_matches_batch_under_any_order(case):
     events, batches = case
     state = FakeGroupState()
     emitted = []
+    delivered = []
     for batch in batches:
+        delivered.extend(batch)
         for pdf in _funnel_attribution_diff(
             (1,), iter([_funnel_df(list(batch))]), state
         ):
@@ -1565,6 +1567,16 @@ def test_funnel_attribution_kernel_matches_batch_under_any_order(case):
                 )
                 for r in pdf.itertuples(index=False)
             )
+        # prefix invariant: the newest row so far == the reference of
+        # the delivered prefix (the changelog is always current)
+        pref = _funnel_ref(delivered)
+        if pref is None:
+            assert emitted == []
+        elif emitted:
+            s, a, _v = max(emitted, key=lambda t: t[2])
+            assert (s, a) == pref
+        else:
+            raise AssertionError("signed-up prefix must have emitted")
     ref = _funnel_ref(events)
     if ref is None:
         assert emitted == [], "no-signup user must never emit"
