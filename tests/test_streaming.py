@@ -3367,3 +3367,84 @@ def test_streaming_ship_latency_windows_chained_stateful(spark, tmp_path):
         for r in rows
     }
     assert got == batch
+
+
+def test_streaming_growth_accounting_checkpoint_restart(spark, tmp_path):
+    """Week-set state must survive a checkpointed restart AND keep
+    reclassifying: weeks {100, 102} land first (new + resurrected),
+    the stream commits and stops; replaying the committed file emits
+    nothing; a late gap-filling 101 must then flip 102
+    resurrected → retained THROUGH the recovered set — closed form:
+    newest classes become {100: new, 101: retained, 102: retained}."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_growth_accounting,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    wk_us = 7 * 86_400 * 1_000_000
+
+    def plant(weeks, name):
+        df = spark.createDataFrame(
+            [
+                (i, w * wk_us + 5_000_000, 1, "view", 1.0, "{}")
+                for i, w in enumerate(weeks)
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_growth_accounting(
+                spark, f"file:{src}", glob="*.parquet"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([100, 102], "00")
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert {
+        (r["epoch_week"], r["cls"]) for r in first
+    } == {(100, "new"), (102, "resurrected")}
+
+    run_once()  # unchanged source: committed file skipped, no emission
+    assert spark.read.parquet(sink).count() == 2
+
+    plant([101], "01")  # the gap filler
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    newest = {}
+    for r in rows:
+        k = r["epoch_week"]
+        if k not in newest or r["ver"] > newest[k][1]:
+            newest[k] = (r["cls"], r["ver"])
+    assert {k: c for k, (c, _v) in newest.items()} == {
+        100: "new",
+        101: "retained",
+        102: "retained",
+    }, "restart must reclassify 102 through the recovered week set"
