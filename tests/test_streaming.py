@@ -3448,3 +3448,202 @@ def test_streaming_growth_accounting_checkpoint_restart(spark, tmp_path):
         101: "retained",
         102: "retained",
     }, "restart must reclassify 102 through the recovered week set"
+
+
+def test_streaming_lsh_candidates_checkpoint_restart(spark, tmp_path):
+    """The inverted-index state must survive a checkpointed restart:
+    doc 1 lands, the stream commits and stops (no pairs — empty
+    buckets); replaying the committed file emits nothing; doc 2 with
+    IDENTICAL text then arrives in a NEW file and must pair with the
+    PRE-restart resident through every recovered band bucket —
+    candidate (1, 2) emitted, once per band, zero pairs lost at the
+    restart boundary."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_lsh_candidates,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    text = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "does it again for good measure with plenty of shingles "
+        "to fill every band of the minhash signature completely"
+    )
+
+    def plant(doc_id, name):
+        df = spark.createDataFrame(
+            [(doc_id, text, "en", "web", len(text))],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_lsh_candidates(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant(1, "00")
+    run_once()
+    assert spark.read.parquet(sink).count() == 0  # lone resident, no pair
+
+    run_once()  # unchanged source: committed file skipped, no emission
+    assert spark.read.parquet(sink).count() == 0
+
+    plant(2, "01")  # identical text: collides in EVERY band
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert rows, "restart lost the pre-restart bucket residents"
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    bands = [r["band_id"] for r in rows]
+    assert len(bands) == len(set(bands)), "once per band, no duplicates"
+
+
+def test_streaming_latest_snapshot_checkpoint_restart(spark, tmp_path):
+    """Newest-wins CDC state must survive a checkpointed restart in
+    BOTH directions: a post-restart OLDER record must lose the
+    (ts_us, event_id) race against the recovered snapshot (no emission
+    — the regression a naive restart would allow), and a post-restart
+    NEWER record must advance it (one emission)."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_latest_snapshot,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    day_us = 86_400_000_000
+
+    def plant(rows, name):
+        df = spark.createDataFrame(
+            [
+                (eid, d * day_us, 1, et, val, "{}")
+                for eid, d, et, val in rows
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_latest_snapshot(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([(10, 1000, "purchase", 5.0)], "00")
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 1 and first[0]["event_id"] == 10
+
+    plant([(9, 999, "view", 1.0)], "01")  # OLDER: must lose the race
+    run_once()
+    assert spark.read.parquet(sink).count() == 1, (
+        "restart regressed the snapshot to an older record"
+    )
+
+    plant([(11, 1001, "view", 2.0)], "02")  # NEWER: must advance
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 2
+    best = max(rows, key=lambda r: (r["ts_us"], r["event_id"]))
+    assert best["event_id"] == 11
+
+
+def test_streaming_sequence_pack_checkpoint_restart(spark, tmp_path):
+    """The running token offset must survive a checkpointed restart:
+    2500 tokens land pre-restart (docs at bins 0 and 0 — the second
+    doc STARTS at 1500 < 2048), the stream commits and stops;
+    replaying the committed file emits nothing; a post-restart doc
+    must start at the RECOVERED offset 2500 ⇒ bin 1 — a lost offset
+    would restart it at bin 0."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_sequence_pack,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+
+    def plant(rows, name):
+        df = spark.createDataFrame(
+            [
+                (doc_id, " ".join(["w"] * n), "en", "web", 2 * n - 1)
+                for doc_id, n in rows
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_sequence_pack(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([(1, 1500), (2, 1000)], "00")
+    run_once()
+    first = {r["doc_id"]: r["bin_id"] for r in spark.read.parquet(sink).collect()}
+    assert first == {1: 0, 2: 0}  # doc 2 STARTS at 1500, inside bin 0
+
+    run_once()  # unchanged source: committed file skipped, no emission
+    assert spark.read.parquet(sink).count() == 2
+
+    plant([(3, 100)], "01")  # starts at recovered offset 2500 ⇒ bin 1
+    run_once()
+    rows = {r["doc_id"]: r["bin_id"] for r in spark.read.parquet(sink).collect()}
+    assert rows[3] == 1, (
+        "restart lost the running token offset (doc restarted at bin 0)"
+    )
