@@ -3647,3 +3647,78 @@ def test_streaming_sequence_pack_checkpoint_restart(spark, tmp_path):
     assert rows[3] == 1, (
         "restart lost the running token offset (doc restarted at bin 0)"
     )
+
+
+def test_streaming_session_starts_checkpoint_restart(spark, tmp_path):
+    """Open-session continuation across a checkpointed restart: the
+    (ts_us, event_id) bridge must recover so a post-restart event
+    WITHIN the 30-min gap does NOT open a session (a lost bridge would
+    mark it first-ever), and a post-restart event BEYOND the gap
+    does — exactly one new mark each way."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_session_starts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+    base_us = 1_000_000_000_000_000
+    minute_us = 60_000_000
+
+    def plant(minutes, name):
+        df = spark.createDataFrame(
+            [
+                (i + hash(name) % 1000, base_us + m * minute_us, 1,
+                 "view", 1.0, "{}")
+                for i, m in enumerate(minutes)
+            ],
+            "event_id long, us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0], src / f"{name}.parquet"
+        )
+
+    def run_once():
+        q = (
+            streaming_session_starts(spark, f"file:{src}", glob="*.parquet")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant([0], "00")  # first-ever event: one mark at t=0
+    run_once()
+    assert spark.read.parquet(sink).count() == 1
+
+    plant([10], "01")  # 10 min later, inside the 30-min gap
+    run_once()
+    assert spark.read.parquet(sink).count() == 1, (
+        "restart lost the bridge: an in-session event opened a session"
+    )
+
+    plant([50], "02")  # 40 min after the last event: beyond the gap
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 2
+    assert {r["start_ts_us"] for r in rows} == {
+        base_us,
+        base_us + 50 * minute_us,
+    }
