@@ -908,6 +908,14 @@ _ACTIVITY_STATE_SCHEMA = StructType(
     [StructField("seen_days", ArrayType(LongType()))]
 )
 
+# Epoch-bucket keys (day/week/hour) in the kernels use Python floor
+# division (//), while the batch ops use Spark `div` (truncates toward
+# zero).  The two agree for ALL non-negative epoch-µs values and diverge
+# only pre-1970 (negative µs): // floors down, div truncates up.  Every
+# fixture and the documented data contract are post-epoch timestamps, so
+# the kernels assume ts_us >= 0; if pre-1970 data ever becomes possible,
+# switch the kernels to int(ts_us / period) (truncation, matching div)
+# or normalize both surfaces to floored keys.  (r15 advice item.)
 _US_PER_DAY = 86_400 * 1_000_000
 
 

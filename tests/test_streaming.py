@@ -2931,7 +2931,8 @@ def test_streaming_hourly_load_percentiles_matches_batch(spark, tmp_path):
     """The newest (max-ver) emission per event type must equal the
     batch ``events_hourly_load_percentiles`` row BIT-IDENTICALLY —
     including the interpolated p50/p90/p99 doubles (the kernel spells
-    the engines' shared lo + (hi−lo)·frac formula) — in order AND
+    the engines' shared two-sided weighted form
+    v_lo·(hi−pos)+v_hi·(pos−lo), _interp_percentile) — in order AND
     under an out-of-order two-file split (hour-count deltas are
     commutative)."""
     from googlecloudstorage_blueprints_spark.sources.catalog import load_table
@@ -3113,6 +3114,31 @@ def test_streaming_ship_latency_join_matches_batch(spark, tmp_path):
     from googlecloudstorage_blueprints_spark.sources.catalog import load_table
     from googlecloudstorage_blueprints_spark.streaming import (
         streaming_ship_latency_join,
+    )
+
+    # Fixture-regen guard (r15 advice): the interval bound must cover
+    # the fixture's full latency span, or pairs beyond it are silently
+    # dropped by the join and the batch-equal assert below fails with
+    # no obvious cause.  Diagnose the regen directly here first.
+    from googlecloudstorage_blueprints_spark.streaming.events_stream import (
+        SHIP_JOIN_WINDOW_DAYS,
+    )
+
+    span = (
+        load_table(spark, SF, "orders")
+        .join(load_table(spark, SF, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.max(
+                F.abs(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert span <= SHIP_JOIN_WINDOW_DAYS, (
+        f"fixture regen widened the order→ship latency span to {span} "
+        f"days, beyond SHIP_JOIN_WINDOW_DAYS={SHIP_JOIN_WINDOW_DAYS}; "
+        "raise the bound or the interval join silently drops pairs"
     )
 
     batch = {
