@@ -441,22 +441,23 @@ def _run_validate(args) -> int:
         service_account=args.service_account,
     )
     src = {
-        r["table_name"]: (r["n_rows"], r["digest"])
+        r["table_name"]: (r["n_rows"], r["digest"], r["digest_sum"])
         for r in digest_frame(spark, args.source_dir, tables).collect()
     }  # bounded: ≤|catalog| rows per side
     dst = {
-        r["table_name"]: (r["n_rows"], r["digest"])
+        r["table_name"]: (r["n_rows"], r["digest"], r["digest_sum"])
         for r in digest_frame(spark, args.dest_dir, tables).collect()
     }  # bounded: ≤|catalog| rows per side
     ok = True
     for t in sorted(src):
         match = src[t] == dst.get(t)
         ok = ok and match
-        sn, sd = src[t]
-        dn, dd = dst.get(t, ("-", "-"))
+        sn, sd, ss = src[t]
+        dn, dd, ds = dst.get(t, ("-", "-", "-"))
         print(
             f"{'OK  ' if match else 'FAIL'} {t}: "
-            f"src(n={sn}, digest={sd}) dst(n={dn}, digest={dd})"
+            f"src(n={sn}, digest={sd}, sum={ss}) "
+            f"dst(n={dn}, digest={dd}, sum={ds})"
         )
     if not ok:
         print("validate: content mismatch", file=sys.stderr)

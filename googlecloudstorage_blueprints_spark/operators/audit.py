@@ -1123,6 +1123,17 @@ TABLE_DIGEST_SPEC: dict[str, list[tuple[str, str]]] = {
 
 _DIGEST_NULL = "<NULL>"
 
+# Modulus for the non-cancelling companion digest (r15 verdict item 4):
+# the Mersenne prime 2^61 - 1.  The per-row hashes are 60-bit
+# non-negative integers, so Σh is exact in Spark DECIMAL(38,0) (38
+# digits hold ~1e18 rows × 2^60) and in DuckDB's HUGEINT sum; one final
+# mod by the same positive constant is then engine-identical (both
+# values non-negative, so % ≡ pmod).  Unlike the XOR, a duplicated row
+# PAIR moves the sum by 2h ≢ 0 (mod an odd prime) unless h = 0 — the
+# documented XOR pair-cancellation is closed without a sort or a wider
+# shuffle.
+DIGEST_SUM_MOD = 2_305_843_009_213_693_951  # 2^61 - 1
+
 
 def _digest_oracle() -> str:
     parts = []
@@ -1141,10 +1152,14 @@ def _digest_oracle() -> str:
             exprs.append(f"COALESCE({e}, '{_DIGEST_NULL}')")
         s = "concat_ws('|', " + ", ".join(exprs) + ")"
         h = f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+        # DuckDB SUM(BIGINT) accumulates in HUGEINT (128-bit, exact to
+        # ~1.7e38 — room for ~1e18 rows of 2^60 hashes), then one mod.
         parts.append(
             f"SELECT '{t}' AS table_name,"
             f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
-            f" CAST(COALESCE(bit_xor({h}), 0) AS BIGINT) AS digest"
+            f" CAST(COALESCE(bit_xor({h}), 0) AS BIGINT) AS digest,"
+            f" CAST(COALESCE(CAST(SUM({h}) % {DIGEST_SUM_MOD} AS BIGINT),"
+            f" 0) AS BIGINT) AS digest_sum"
             f" FROM {t}"
         )
     return " UNION ALL ".join(parts) + " ORDER BY table_name"
@@ -1188,9 +1203,19 @@ def digest_frame(
                 F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
                 .cast("long")
                 .alias("digest"),
+                F.coalesce(
+                    F.expr(
+                        "CAST(pmod(SUM(CAST(h AS DECIMAL(38,0))), "
+                        f"{DIGEST_SUM_MOD}) AS BIGINT)"
+                    ),
+                    F.lit(0),
+                ).alias("digest_sum"),
             )
             .select(
-                F.lit(t).alias("table_name"), "n_rows", "digest"
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                "digest",
+                "digest_sum",
             )
         )
     out = frames[0]
@@ -1202,23 +1227,29 @@ def digest_frame(
 @register("table_row_digest", oracle=_digest_oracle())
 def table_row_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint of every catalog table:
-    (n_rows, XOR of per-row md5 hashes over a canonical row string) —
-    the migration-validation primitive.  The reference's whole job is
-    MOVING data (download/upload/move, SURVEY §2.A); this op is how a
-    user proves the moved/rewritten copy still holds the same rows
-    without sorting or shuffling either side: run the digest on both,
-    compare 10 rows.  XOR is commutative/associative, so the digest is
-    independent of row order and partitioning; a changed CELL flips it
-    (planted pin).  Caveat (documented): XOR cancels DUPLICATE PAIRS
-    of identical rows — the paired n_rows count catches pure
-    duplication, and the canonical string includes every key column,
-    making an undetected change require two identical full-row
-    insertions; for a stricter digest at 100 TB swap XOR for a
-    per-partition sorted-merge Merkle tree.
+    (n_rows, XOR of per-row md5 hashes over a canonical row string,
+    and the same hashes' sum mod 2^61-1) — the migration-validation
+    primitive.  The reference's whole job is MOVING data
+    (download/upload/move, SURVEY §2.A); this op is how a user proves
+    the moved/rewritten copy still holds the same rows without sorting
+    or shuffling either side: run the digest on both, compare 10 rows.
+    XOR and modular sum are commutative/associative, so the digest is
+    independent of row order and partitioning; a changed CELL flips
+    both (planted pin).  The XOR alone cancels DUPLICATE PAIRS of
+    identical rows; the companion ``digest_sum`` closes that class —
+    a duplicated pair moves the sum by 2h ≢ 0 mod the odd prime
+    (planted pin flips digest_sum while the XOR stays blind), and
+    n_rows independently catches pure duplication.  An undetected
+    change now requires a hash-sum collision ON TOP of an XOR
+    collision at equal row count; the still-stricter option at 100 TB
+    is a per-partition sorted-merge Merkle tree (documented upgrade
+    path, same scan shape).
 
-    Shape: one scan per table, map-side-combined XOR/count partial
+    Shape: one scan per table, map-side-combined XOR/SUM/count partial
     aggregates — no shuffle wider than one row per partition, no sort
-    anywhere; the 10-row union is literal-bounded.  Parity: the
+    anywhere; the 10-row union is literal-bounded.  The modular sum
+    accumulates exactly (Spark DECIMAL(38,0), DuckDB HUGEINT — see
+    DIGEST_SUM_MOD) and reduces once at the end.  Parity: the
     canonical row string never stringifies a raw double (money
     fixed-points ×1e4 — the 4dp boundary-free grid; timestamps as
     integer µs; NULLs as an explicit sentinel because both engines'

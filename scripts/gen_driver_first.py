@@ -44,9 +44,10 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r15: (none yet) — the r14 copurchase replans adjudicated green in
-    # CORRECTNESS_r14 so their entries are cleared; add r15 plan/semantic
-    # changes here as they land.
+    # r16: table_row_digest grew the non-cancelling digest_sum column
+    # (r15 verdict item 4) — schema + oracle changed, force
+    # re-adjudication.
+    "table_row_digest",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

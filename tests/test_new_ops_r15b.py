@@ -150,20 +150,25 @@ def test_row_digest_flipped_cell_flips_exactly_one_table(spark, tmp_path):
     flip_dir = _planted_dir(tmp_path / "b", {"lineitem": flipped})
     got_flip, _ = _cross_engine(spark, "table_row_digest", flip_dir)
 
-    base = {r[0]: (r[1], r[2]) for r in got_base}
-    flip = {r[0]: (r[1], r[2]) for r in got_flip}
+    base = {r[0]: (r[1], r[2], r[3]) for r in got_base}
+    flip = {r[0]: (r[1], r[2], r[3]) for r in got_flip}
     assert set(base) == set(flip) and len(base) == 10
     assert base["lineitem"][0] == flip["lineitem"][0]  # n_rows equal
     assert base["lineitem"][1] != flip["lineitem"][1]  # digest differs
+    assert base["lineitem"][2] != flip["lineitem"][2]  # sum differs too
     for t in base:
         if t != "lineitem":
             assert base[t] == flip[t], t
 
 
-def test_row_digest_duplicate_pair_caught_by_n_rows(spark, tmp_path):
-    """The documented XOR caveat: appending a duplicate PAIR of an
-    existing row leaves the XOR unchanged — but n_rows moves, so the
-    (n_rows, digest) PAIR still detects the corruption."""
+def test_row_digest_duplicate_pair_caught_by_sum_and_n_rows(
+    spark, tmp_path
+):
+    """The documented XOR caveat, now CLOSED (r15 verdict item 4):
+    appending a duplicate PAIR of an existing row leaves the XOR
+    unchanged — but the modular hash sum moves by 2h ≢ 0 (mod the odd
+    prime DIGEST_SUM_MOD), and n_rows moves too, so the triple detects
+    the corruption through two independent channels."""
     import pyarrow.parquet as pq
 
     from tests.test_new_ops_r12c import SF as SF001
@@ -177,7 +182,38 @@ def test_row_digest_duplicate_pair_caught_by_n_rows(spark, tmp_path):
     dup_dir = _planted_dir(tmp_path / "b", {"region": dup_pair})
     got_dup, _ = _cross_engine(spark, "table_row_digest", dup_dir)
 
-    base = {r[0]: (r[1], r[2]) for r in got_base}
-    dup = {r[0]: (r[1], r[2]) for r in got_dup}
+    base = {r[0]: (r[1], r[2], r[3]) for r in got_base}
+    dup = {r[0]: (r[1], r[2], r[3]) for r in got_dup}
     assert dup["region"][1] == base["region"][1], "XOR blind to the pair"
+    assert dup["region"][2] != base["region"][2], "sum catches the pair"
     assert dup["region"][0] == base["region"][0] + 2, "n_rows catches it"
+
+
+def test_row_digest_sum_matches_python_reference(spark, tmp_path):
+    """Closed-form pin for the modular-sum spelling: recompute region's
+    digest_sum in pure Python (md5 of the canonical row string, first
+    15 hex digits, Σ mod 2^61-1) and require an exact match — pins the
+    canonical string format AND the modulus against drift in either
+    engine expression."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        DIGEST_SUM_MOD,
+    )
+    from tests.test_new_ops_r12c import SF as SF001
+
+    base_dir = _planted_dir(tmp_path, {})
+    got, _ = _cross_engine(spark, "table_row_digest", base_dir)
+    by_table = {r[0]: (r[1], r[2], r[3]) for r in got}
+
+    reg = pq.read_table(f"{SF001}/region.parquet").to_pylist()
+    total = 0
+    xor = 0
+    for row in reg:
+        s = f"{row['r_regionkey']}|{row['r_name']}"
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        total = (total + h) % DIGEST_SUM_MOD
+        xor ^= h
+    assert by_table["region"] == (len(reg), xor, total)
