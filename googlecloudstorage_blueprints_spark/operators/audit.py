@@ -1165,36 +1165,46 @@ def _digest_oracle() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY table_name"
 
 
+def row_hash_expr(table: str):
+    """The canonical per-row BIGINT hash for ``table`` as a pair of
+    Columns ``(row_str, h_of_row_str)`` — h is the first 15 hex digits
+    of md5(canonical string) parsed base-16 (≤2^60, sign-safe).  Shared
+    by ``digest_frame`` and the streaming digest twin so the two
+    surfaces can never drift in canonical-string spelling."""
+    cols = TABLE_DIGEST_SPEC[table]
+    exprs = []
+    for c, kind in cols:
+        if kind == "int":
+            e = F.col(c).cast("string")
+        elif kind == "str":
+            e = F.col(c)
+        elif kind == "ts":
+            e = F.unix_micros(F.col(c)).cast("string")
+        else:  # money
+            e = (
+                F.round(F.col(c) * 10000, 0)
+                .cast("long")
+                .cast("string")
+            )
+        exprs.append(F.coalesce(e, F.lit(_DIGEST_NULL)))
+    s = F.concat_ws("|", *exprs)
+    h = F.expr(
+        "CAST(conv(substring(md5(__row_str), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return s, h
+
+
 def digest_frame(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> DataFrame:
-    """(table_name, n_rows, digest) for the given tables (default: the
-    whole catalog) — the computation behind ``table_row_digest``,
-    exposed so the ``validate`` CLI verb can fingerprint a SUBSET
-    without scanning the rest."""
+    """(table_name, n_rows, digest, digest_sum) for the given tables
+    (default: the whole catalog) — the computation behind
+    ``table_row_digest``, exposed so the ``validate`` CLI verb can
+    fingerprint a SUBSET without scanning the rest."""
     frames = []
     for t in tables if tables is not None else list(TABLE_DIGEST_SPEC):
-        cols = TABLE_DIGEST_SPEC[t]
         df = load_table(spark, sf_dir, t)
-        exprs = []
-        for c, kind in cols:
-            if kind == "int":
-                e = F.col(c).cast("string")
-            elif kind == "str":
-                e = F.col(c)
-            elif kind == "ts":
-                e = F.unix_micros(F.col(c)).cast("string")
-            else:  # money
-                e = (
-                    F.round(F.col(c) * 10000, 0)
-                    .cast("long")
-                    .cast("string")
-                )
-            exprs.append(F.coalesce(e, F.lit(_DIGEST_NULL)))
-        s = F.concat_ws("|", *exprs)
-        h = F.expr(
-            "CAST(conv(substring(md5(__row_str), 1, 15), 16, 10) AS BIGINT)"
-        )
+        s, h = row_hash_expr(t)
         frames.append(
             df.select(s.alias("__row_str"))
             .select(h.alias("h"))

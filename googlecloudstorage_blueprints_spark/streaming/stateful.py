@@ -3048,3 +3048,174 @@ def streaming_hourly_load_percentiles(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming table digest: incremental migration validation (r16 — 36th twin)
+# ---------------------------------------------------------------------------
+
+# Shard fan-out for the digest partials.  XOR and the mod-p sum are
+# commutative/associative, so per-shard partials merge exactly (xor of
+# xors, sum of sums mod p, Σn) — the newest row per shard regroups into
+# the batch ``table_row_digest`` row.  Sharding keeps the per-batch
+# shuffle parallel instead of funneling every row's hash through one
+# task.
+TABLE_DIGEST_SHARDS = 32
+
+_TABLE_DIGEST_OUT_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType()),
+        StructField("shard", IntegerType()),
+        StructField("n_rows", LongType()),
+        StructField("digest", LongType()),
+        StructField("digest_sum", LongType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+_TABLE_DIGEST_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("x", LongType()),
+        StructField("s", LongType()),
+        StructField("ver", LongType()),
+    ]
+)
+
+# Mirror of operators.audit.DIGEST_SUM_MOD — duplicated as a literal so
+# the Arrow worker never imports the operator registry; pinned equal by
+# the twin test.
+_DIGEST_SUM_MOD = 2_305_843_009_213_693_951  # 2^61 - 1
+
+
+def _table_digest_partials(key: tuple, pdfs, state: GroupState):
+    """Per-(table, shard) digest partial: state is the running
+    (row count, XOR of row hashes, Σ row hashes mod 2^61-1, version) —
+    O(1) per shard regardless of row volume, the smallest state of any
+    twin.  Each micro-batch folds its rows in and emits the updated
+    partial.  The merge is commutative/associative but NOT idempotent
+    (unlike the HLL registers or week-set unions, a replayed row
+    double-counts all three fields) — replay protection is exactly the
+    checkpointed file source's committed-file skip, the same contract
+    as the partial-sum twins; pinned by the restart test."""
+    import pandas as pd
+
+    table, shard = key
+    rows = pd.concat(list(pdfs))
+    hs = rows["h"].astype("int64")
+    n_new = int(len(hs))
+    if n_new == 0:
+        return
+    x_new = 0
+    s_new = 0
+    for v in hs.tolist():  # h < 2^60: Python ints, no overflow anywhere
+        x_new ^= v
+        s_new += v
+    if state.exists:
+        n, x, s, ver = (int(v) for v in state.get)
+    else:
+        n = x = s = ver = 0
+    n += n_new
+    x ^= x_new
+    s = (s + s_new) % _DIGEST_SUM_MOD
+    ver += 1
+    state.update((n, x, s, ver))
+    yield pd.DataFrame(
+        [
+            {
+                "table_name": str(table),
+                "shard": int(shard),
+                "n_rows": n,
+                "digest": x,
+                "digest_sum": s,
+                "ver": ver,
+            }
+        ]
+    )
+
+
+def streaming_table_digest(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``table_row_digest`` — CONTINUOUS migration
+    validation: as files of a table land (the reference's whole job is
+    moving them), the running (n_rows, digest, digest_sum) fingerprint
+    stays current, so a destination can be validated against the source
+    at any point without rescanning history — the ``validate`` CLI
+    verb's check, made incremental.
+
+    The per-row hash is the operators' own ``row_hash_expr`` (imported,
+    not duplicated — the canonical-string spelling CANNOT drift between
+    the surfaces), computed stateless on the stream; rows then shard by
+    pmod(h, {TABLE_DIGEST_SHARDS}) and each shard folds its partial
+    (count, XOR, Σ mod 2^61-1) in O(1) state.  Newest (max-ver) rows
+    per shard merge into the batch digest row exactly: Σn, XOR of
+    digests, sum of digest_sums mod p (commutative + associative at
+    every level).  NOT redelivery-idempotent by construction — a
+    replayed file double-counts — so exactly-once rides the
+    checkpointed file source's committed-file skip (restart pin).
+
+    Timestamp_ntz columns are normalized to TIMESTAMP before hashing
+    (the catalog shim, value-exact under the UTC session tz), so any
+    catalog table streams; the default feed is documents (the
+    corpus-ingest surface).
+
+    Scale: stateless hash + one {TABLE_DIGEST_SHARDS}-key shuffle per
+    micro-batch carrying only (shard, h) — 12 bytes/row; state is 4
+    BIGINTs per shard."""
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        TABLE_DIGEST_SPEC,
+    )
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        row_hash_expr,
+    )
+    from googlecloudstorage_blueprints_spark.session import (
+        apply_runtime_conf,
+    )
+
+    if table not in TABLE_DIGEST_SPEC:
+        raise ValueError(
+            f"unknown table {table!r} (catalog: {sorted(TABLE_DIGEST_SPEC)})"
+        )
+    apply_runtime_conf(spark)
+    glob = glob if glob is not None else f"{table}.parquet"
+    static = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+    reader = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    for f_name, f_type in stream.dtypes:
+        if f_type == "timestamp_ntz":
+            stream = stream.withColumn(
+                f_name, F.col(f_name).cast("timestamp")
+            )
+    s, h = row_hash_expr(table)
+    hashed = (
+        stream.select(s.alias("__row_str"))
+        .select(h.alias("h"))
+        .select(
+            F.lit(table).alias("table_name"),
+            F.pmod(F.col("h"), F.lit(TABLE_DIGEST_SHARDS))
+            .cast("int")
+            .alias("shard"),
+            "h",
+        )
+    )
+    return hashed.groupBy("table_name", "shard").applyInPandasWithState(
+        _table_digest_partials,
+        _TABLE_DIGEST_OUT_SCHEMA,
+        _TABLE_DIGEST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+streaming_table_digest.__doc__ = streaming_table_digest.__doc__.format(
+    TABLE_DIGEST_SHARDS=TABLE_DIGEST_SHARDS
+)

@@ -1952,3 +1952,89 @@ def test_interp_percentile_closed_forms():
     assert _interp_percentile([0, 10], 0.9) == 9.0
     assert _interp_percentile([1, 2, 4], 0.75) == 3.0
     assert _interp_percentile([5, 5, 5, 5], 0.99) == 5.0
+
+
+# --- r16: table-digest partials ----------------------------------------------
+
+from googlecloudstorage_blueprints_spark.streaming.stateful import (  # noqa: E402
+    _DIGEST_SUM_MOD,
+    _table_digest_partials,
+)
+
+
+def test_digest_kernel_modulus_matches_batch_constant():
+    """Constants-drift pin: the kernel's literal modulus equals the
+    batch operator's DIGEST_SUM_MOD (duplicated so the Arrow worker
+    never imports the registry)."""
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        DIGEST_SUM_MOD,
+    )
+
+    assert _DIGEST_SUM_MOD == DIGEST_SUM_MOD
+
+
+@st.composite
+def hash_batches(draw):
+    """A multiset of 60-bit row hashes cut into arbitrary batches
+    (including empty ones — a micro-batch can deliver no rows for a
+    shard)."""
+    hs = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=2**60 - 1),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    n_cuts = draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(hs)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(hs)]:
+        batches.append(hs[prev:c])  # empty slices stay — they must no-op
+        prev = c
+    return hs, batches
+
+
+@given(hash_batches())
+@settings(max_examples=200, deadline=None)
+def test_digest_kernel_partials_merge_exactly_under_any_cut(case):
+    """Under ANY batch cut (order preserved; the fields are commutative
+    so order cannot matter either) the final state equals the pure
+    reference (count, XOR, Σ mod p) of the whole multiset; ver
+    increments exactly once per non-empty batch and empty batches emit
+    nothing."""
+    hs, batches = case
+    state = FakeGroupState()
+    emitted = []
+    for batch in batches:
+        pdf = pd.DataFrame({"h": pd.Series(batch, dtype="int64")})
+        for out in _table_digest_partials(
+            ("documents", 3), iter([pdf]), state
+        ):
+            emitted.append(out.iloc[0])
+
+    ref_x = 0
+    ref_s = 0
+    for v in hs:
+        ref_x ^= v
+        ref_s = (ref_s + v) % _DIGEST_SUM_MOD
+
+    n_nonempty = sum(1 for b in batches if b)
+    assert len(emitted) == n_nonempty
+    assert [int(e["ver"]) for e in emitted] == list(
+        range(1, n_nonempty + 1)
+    )
+    final = emitted[-1]
+    assert (
+        int(final["n_rows"]),
+        int(final["digest"]),
+        int(final["digest_sum"]),
+    ) == (len(hs), ref_x, ref_s)
+    assert state.get == (len(hs), ref_x, ref_s, n_nonempty)

@@ -3748,3 +3748,138 @@ def test_streaming_session_starts_checkpoint_restart(spark, tmp_path):
         base_us,
         base_us + 50 * minute_us,
     }
+
+
+# --- r16: streaming table digest (36th twin) ---------------------------------
+
+
+def _merge_digest_rows(rows):
+    """Newest (max-ver) partial per shard, merged the documented way:
+    Σn, XOR of digests, sum of digest_sums mod p."""
+    from googlecloudstorage_blueprints_spark.streaming.stateful import (
+        _DIGEST_SUM_MOD,
+    )
+
+    newest = {}
+    for r in rows:
+        k = r["shard"]
+        if k not in newest or r["ver"] > newest[k]["ver"]:
+            newest[k] = r
+    n = x = s = 0
+    for r in newest.values():
+        n += r["n_rows"]
+        x ^= r["digest"]
+        s = (s + r["digest_sum"]) % _DIGEST_SUM_MOD
+    return n, x, s
+
+
+def test_streaming_table_digest_matches_batch(spark):
+    """Single availableNow replay: the merged newest per-shard partials
+    equal the batch ``table_row_digest`` row exactly — for documents
+    (int/str canonical kinds) AND orders (the ts + money kinds, so the
+    shared ``row_hash_expr`` canonical string is exercised end-to-end
+    on the stream)."""
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        digest_frame,
+    )
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_table_digest,
+    )
+
+    for table in ("documents", "orders"):
+        rows = run_stream_to_memory(
+            streaming_table_digest(spark, SF, table=table),
+            f"tdigest_{table}",
+        ).collect()
+        assert rows, table
+        batch = digest_frame(spark, SF, [table]).collect()[0]
+        assert _merge_digest_rows(rows) == (
+            batch["n_rows"],
+            batch["digest"],
+            batch["digest_sum"],
+        ), table
+
+
+def test_streaming_table_digest_rejects_unknown_table(spark):
+    import pytest
+
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_table_digest,
+    )
+
+    with pytest.raises(ValueError, match="unknown table"):
+        streaming_table_digest(spark, SF, table="nope")
+
+
+def test_streaming_table_digest_checkpoint_restart_exactly_once(
+    spark, tmp_path
+):
+    """The twin's replay contract, pinned the committed-file-skip way
+    (the partials are mergeable but NOT idempotent — a replayed file
+    would double-count all three fields): drain half the corpus with a
+    checkpoint, restart on the unchanged source (must emit NOTHING —
+    the committed file is skipped, not re-merged), add the second half
+    and restart — the recovered per-shard state must continue exactly,
+    merging to the batch digest of the FULL corpus."""
+    import glob as globmod
+    import shutil
+
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        digest_frame,
+    )
+    from googlecloudstorage_blueprints_spark.sources.catalog import load_table
+    from googlecloudstorage_blueprints_spark.streaming import (
+        streaming_table_digest,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    mid = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.5)").cast("long").alias("m")
+    ).collect()[0]["m"]
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = f"file:{tmp_path}/sink"
+    ckpt = f"file:{tmp_path}/ckpt"
+
+    def plant(df, name):
+        d = f"{tmp_path}/stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0],
+            src / f"{name}.parquet",
+        )
+
+    def run_once():
+        q = (
+            streaming_table_digest(
+                spark, f"file:{src}", table="documents", glob="*.parquet",
+                max_files_per_trigger=1,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    plant(docs.where(F.col("doc_id") <= F.lit(mid)), "00")
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first > 0
+    run_once()  # unchanged source: committed file must be skipped
+    assert spark.read.parquet(sink).count() == first, (
+        "restart on an unchanged source must emit nothing — the digest "
+        "partials are not idempotent, so a re-merge would corrupt them"
+    )
+    plant(docs.where(F.col("doc_id") > F.lit(mid)), "01")
+    run_once()
+
+    rows = spark.read.parquet(sink).collect()
+    batch = digest_frame(spark, SF, ["documents"]).collect()[0]
+    assert _merge_digest_rows(rows) == (
+        batch["n_rows"],
+        batch["digest"],
+        batch["digest_sum"],
+    ), "checkpoint-recovered digest state must continue exactly"
