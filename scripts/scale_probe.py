@@ -1051,6 +1051,96 @@ def bench_shapes(
             )
         )
 
+    def ewma_backtest():
+        # r16 claim (events_volume_ewma_backtest): daily-volume keyed
+        # agg (map side grows N×, |days| groups stay calendar-fixed) →
+        # six lag windows over the |days| day spine (bounded frame) →
+        # 1-row MAE/WAPE close.  Expected floor-bound (≤0).
+        from pyspark.sql.window import Window
+
+        daily = ev.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy("day")
+        lags = [F.lag("c", i).over(w) for i in range(1, 7)]
+        num = (
+            F.lit(32) * lags[0] + F.lit(16) * lags[1] + F.lit(8) * lags[2]
+            + F.lit(4) * lags[3] + F.lit(2) * lags[4] + F.lit(1) * lags[5]
+        )
+        scored = daily.select(
+            "c", num.alias("num63")
+        ).where(F.col("num63").isNotNull())
+        return scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.abs(63 * F.col("c") - F.col("num63")))
+            .cast("long")
+            .alias("err63"),
+        )
+
+    def type_value_mi():
+        # r16 claim (events_type_value_mi): one keyed agg to the
+        # |types|×|buckets| cell frame (fixed group count — only the
+        # map side grows), marginals derived FROM the cells, 1-row
+        # close.  Expected floor-bound (≤0).
+        from pyspark.sql.window import Window
+
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        bucket = F.length(cents.cast("string"))
+        cells = ev.where(F.col("value").isNotNull()).groupBy(
+            "event_type", bucket.alias("b")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_tb"))
+        ln6 = lambda c: F.round(F.log(c) * 1e6, 0).cast("long")  # noqa: E731
+        wt = Window.partitionBy("event_type")
+        wb = Window.partitionBy("b")
+        wall = Window.partitionBy()
+        term = F.col("n_tb") * (
+            ln6(F.col("n_tb"))
+            + ln6(F.sum("n_tb").over(wall))
+            - ln6(F.sum("n_tb").over(wt))
+            - ln6(F.sum("n_tb").over(wb))
+        )
+        return cells.select(term.alias("t")).agg(
+            F.sum("t").cast("long").alias("mi_num")
+        )
+
+    def row_digest():
+        # r16 claim (table_row_digest / streaming twin): stateless
+        # per-row md5 → map-side-combined XOR/SUM/count partials, no
+        # shuffle wider than 1 row/partition.  Expected ≈ the pure-agg
+        # floor (the `agg` baseline) — scan-bound, embarrassingly
+        # parallel.
+        s = F.concat_ws(
+            "|",
+            F.coalesce(F.col("l_orderkey").cast("string"), F.lit("<NULL>")),
+            F.coalesce(
+                F.round(F.col("l_extendedprice") * 10000, 0)
+                .cast("long")
+                .cast("string"),
+                F.lit("<NULL>"),
+            ),
+            F.coalesce(F.col("l_returnflag"), F.lit("<NULL>")),
+            F.coalesce(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                .cast("string"),
+                F.lit("<NULL>"),
+            ),
+        )
+        h = F.expr(
+            "CAST(conv(substring(md5(__row_str), 1, 15), 16, 10) AS BIGINT)"
+        )
+        return (
+            li.select(s.alias("__row_str"))
+            .select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").alias("digest"),
+                F.expr(
+                    "CAST(pmod(SUM(CAST(h AS DECIMAL(38,0))), "
+                    "2305843009213693951) AS BIGINT)"
+                ).alias("digest_sum"),
+            )
+        )
+
     shapes = {
         # round-2 text-pipeline shape: explode + window + partial-agg topk.
         # Distinct-bigram count stays fixed under replication, so the count
@@ -1107,6 +1197,11 @@ def bench_shapes(
         "length_gini": length_gini,
         "containment_hist": containment_hist,
         "mad_screen": mad_screen,
+        # round-16 additions: day-spine EWMA ledger, |types|×|buckets|
+        # MI cells, shuffle-free digest partials (r15 VERDICT item 6)
+        "ewma_backtest": ewma_backtest,
+        "type_value_mi": type_value_mi,
+        "row_digest": row_digest,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
