@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--tables", dest="tables", default=None,
         help="comma-separated table subset (default: whole catalog)",
     )
+    v.add_argument(
+        "--by-column", dest="by_column", action="store_true",
+        help="compare per-COLUMN fingerprints (table_column_digest) "
+             "instead of per-table rows — localizes WHICH column a "
+             "flagged table diverged in",
+    )
     v.add_argument("--service-account", dest="service_account", default=None)
 
     e = sub.add_parser(
@@ -440,6 +446,43 @@ def _run_validate(args) -> int:
         app_name="gcs-blueprints-validate",
         service_account=args.service_account,
     )
+    if getattr(args, "by_column", False):
+        from googlecloudstorage_blueprints_spark.operators.audit import (
+            column_digest_frame,
+        )
+
+        src = {
+            (r["table_name"], r["column_name"]): (
+                r["n_nulls"], r["digest"], r["digest_sum"],
+            )
+            for r in column_digest_frame(
+                spark, args.source_dir, tables
+            ).collect()
+        }  # bounded: ≤|catalog columns| rows per side
+        dst = {
+            (r["table_name"], r["column_name"]): (
+                r["n_nulls"], r["digest"], r["digest_sum"],
+            )
+            for r in column_digest_frame(
+                spark, args.dest_dir, tables
+            ).collect()
+        }  # bounded: ≤|catalog columns| rows per side
+        ok = True
+        for t, c in sorted(src):
+            match = src[(t, c)] == dst.get((t, c))
+            ok = ok and match
+            sn, sd, ss = src[(t, c)]
+            dn, dd, ds = dst.get((t, c), ("-", "-", "-"))
+            print(
+                f"{'OK  ' if match else 'FAIL'} {t}.{c}: "
+                f"src(nulls={sn}, digest={sd}, sum={ss}) "
+                f"dst(nulls={dn}, digest={dd}, sum={ds})"
+            )
+        if not ok:
+            print("validate: content mismatch", file=sys.stderr)
+            return EXIT_CODE_FILE_NOT_FOUND
+        print(f"validate: {len(src)} column(s) match")
+        return 0
     src = {
         r["table_name"]: (r["n_rows"], r["digest"], r["digest_sum"])
         for r in digest_frame(spark, args.source_dir, tables).collect()

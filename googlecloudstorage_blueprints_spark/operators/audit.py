@@ -1269,3 +1269,153 @@ def table_row_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤2^60 so no sign wrap); bit_xor is exact integer.  The ``validate``
     CLI verb runs this on two directories and compares."""
     return digest_frame(spark, sf_dir)
+
+
+def _cell_expr_sql(c: str, kind: str) -> str:
+    """DuckDB canonical CELL string for a column (no NULL sentinel —
+    NULL cells are counted separately and skipped by both engines'
+    NULL-ignoring aggregates)."""
+    if kind == "int":
+        return f"CAST({c} AS VARCHAR)"
+    if kind == "str":
+        return c
+    if kind == "ts":
+        return f"CAST(epoch_us({c}) AS VARCHAR)"
+    return f"CAST(CAST(ROUND({c} * 10000, 0) AS BIGINT) AS VARCHAR)"
+
+
+def _column_digest_oracle() -> str:
+    parts = []
+    for t, cols in TABLE_DIGEST_SPEC.items():
+        for c, kind in cols:
+            h = (
+                "CAST('0x' || substr(md5("
+                + _cell_expr_sql(c, kind)
+                + "), 1, 15) AS BIGINT)"
+            )
+            parts.append(
+                f"SELECT '{t}' AS table_name,"
+                f" '{c}' AS column_name,"
+                f" CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT)"
+                f" AS n_nulls,"
+                f" CAST(COALESCE(bit_xor({h}), 0) AS BIGINT) AS digest,"
+                f" CAST(COALESCE(CAST(SUM({h}) % {DIGEST_SUM_MOD}"
+                f" AS BIGINT), 0) AS BIGINT) AS digest_sum"
+                f" FROM {t}"
+            )
+    return (
+        " UNION ALL ".join(parts) + " ORDER BY table_name, column_name"
+    )
+
+
+def _cell_expr_col(c: str, kind: str):
+    """Spark twin of :func:`_cell_expr_sql`."""
+    if kind == "int":
+        return F.col(c).cast("string")
+    if kind == "str":
+        return F.col(c)
+    if kind == "ts":
+        return F.unix_micros(F.col(c)).cast("string")
+    return F.round(F.col(c) * 10000, 0).cast("long").cast("string")
+
+
+def column_digest_frame(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> DataFrame:
+    """(table_name, column_name, n_nulls, digest, digest_sum) — the
+    per-COLUMN fingerprint behind ``table_column_digest``, exposed for
+    the ``validate --by-column`` CLI path."""
+    frames = []
+    for t in tables if tables is not None else list(TABLE_DIGEST_SPEC):
+        cols = TABLE_DIGEST_SPEC[t]
+        # |columns| md5s per row is hash-compute-heavy, and fixture
+        # parquet is one unsplittable row group — repartition so the
+        # hash work spreads across cores (the documented trap; measured
+        # 8.2 s -> parallel at sf0.1, and a no-op cost on a real
+        # multi-file cluster input).  table_row_digest (1 hash/row)
+        # deliberately does NOT pay this shuffle.
+        df = load_table(spark, sf_dir, t).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        # originals (for the NULL counts) + one hash column per column
+        proj = [F.col(c) for c, _ in cols]
+        for c, kind in cols:
+            cell = _cell_expr_col(c, kind)
+            proj.append(
+                F.conv(F.substring(F.md5(cell), 1, 15), 16, 10)
+                .cast("long")
+                .alias(f"__h_{c}")
+            )
+        hashed = df.select(*proj)
+        aggs = []
+        for c, _kind in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__nn_{c}")
+            )
+            aggs.append(
+                F.coalesce(F.expr(f"bit_xor(__h_{c})"), F.lit(0))
+                .cast("long")
+                .alias(f"__dx_{c}")
+            )
+            aggs.append(
+                F.coalesce(
+                    F.expr(
+                        f"CAST(pmod(SUM(CAST(__h_{c} AS DECIMAL(38,0))),"
+                        f" {DIGEST_SUM_MOD}) AS BIGINT)"
+                    ),
+                    F.lit(0),
+                ).alias(f"__ds_{c}")
+            )
+        one = hashed.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', __nn_{c}, __dx_{c}, __ds_{c}" for c, _ in cols
+        )
+        frames.append(
+            one.selectExpr(
+                f"stack({len(cols)}, {stack_args})"
+                " AS (column_name, n_nulls, digest, digest_sum)"
+            ).select(
+                F.lit(t).alias("table_name"),
+                "column_name",
+                "n_nulls",
+                "digest",
+                "digest_sum",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return sort_bounded(out, "table_name", "column_name")
+
+
+@register("table_column_digest", oracle=_column_digest_oracle())
+def table_column_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN content fingerprint of every catalog table —
+    (n_nulls, XOR of per-cell hashes, Σ cell hashes mod 2^61-1): the
+    drill-down that LOCALIZES a migration mismatch after
+    ``table_row_digest`` flags a table (one rewrite bug typically
+    mangles one column — rounding a money column, shifting a timestamp
+    zone, truncating a string — and the row digest alone can't say
+    which).  The ``validate --by-column`` CLI path compares these
+    frames across two directories.
+
+    Semantics: NULL cells are SKIPPED by both digests (both engines'
+    aggregates ignore NULL — md5(NULL) is NULL) and counted separately
+    in ``n_nulls``, so a NULL→value flip moves (n_nulls, digest,
+    digest_sum) together and a value→value flip moves the two digests
+    only.  Column-level digests are order-insensitive like the row
+    digest, and the modular sum closes the XOR duplicate-pair blindness
+    the same way.
+
+    Shape: ONE scan per table — every column's three aggregates ride a
+    single map-side-combined 1-row aggregate (no shuffle wider than one
+    row per partition), then a literal-bounded ``stack`` unpivots the
+    row to |columns| rows; the ≤57-row union sorts via sort_bounded.
+    Parity: canonical cell strings reuse the row digest's kind rules
+    (money ×1e4 fixed-point, timestamps integer µs, ints/strings
+    verbatim — never a raw double); the 15-hex md5 prefix → BIGINT and
+    the DECIMAL(38,0)/HUGEINT exact sums are the pinned r15/r16
+    primitives."""
+    return column_digest_frame(spark, sf_dir)

@@ -1280,3 +1280,150 @@ def embedding_exact_dup_stats(
         ),
         "cluster_size",
     )
+
+
+# --------------------------------------------------------------------------
+# did the embedding distribution move between ingest epochs? (r16)
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_epoch_drift",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, label, vec_id % 2 AS epoch,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE)                 AS val
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+        FROM vals GROUP BY vec_id
+    ),
+    qv AS (
+        SELECT v.vec_id, v.label, v.epoch, v.dim,
+               CAST(ROUND(v.val / n.nrm * {SEP_SCALE}, 0) AS BIGINT) AS q
+        FROM vals v JOIN norms n USING (vec_id)
+    ),
+    sld AS (
+        SELECT label, dim,
+               CAST(SUM(CASE WHEN epoch = 0 THEN q ELSE 0 END)
+                    AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN epoch = 1 THEN q ELSE 0 END)
+                    AS BIGINT) AS s1
+        FROM qv GROUP BY label, dim
+    ),
+    lab AS (
+        SELECT label,
+               CAST(COUNT(DISTINCT CASE WHEN epoch = 0 THEN vec_id END)
+                    AS BIGINT) AS n_epoch0,
+               CAST(COUNT(DISTINCT CASE WHEN epoch = 1 THEN vec_id END)
+                    AS BIGINT) AS n_epoch1
+        FROM qv GROUP BY label
+    ),
+    dots AS (
+        SELECT label,
+               CAST(SUM(s0 * s1) AS BIGINT) AS dot,
+               CAST(SUM(s0 * s0) AS BIGINT) AS a,
+               CAST(SUM(s1 * s1) AS BIGINT) AS b
+        FROM sld GROUP BY label
+    )
+    SELECT CAST(l.label AS BIGINT) AS label,
+           l.n_epoch0, l.n_epoch1,
+           CAST(d.dot AS DOUBLE)
+               / NULLIF(sqrt(CAST(d.a AS DOUBLE))
+                        * sqrt(CAST(d.b AS DOUBLE)), 0) AS drift_cos
+    FROM lab l JOIN dots d USING (label)
+    ORDER BY label
+    """,
+)
+def embedding_epoch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two interleaved ingest epochs
+    (``vec_id % 2`` — the deterministic even/odd split a re-embedding
+    or encoder-upgrade A/B actually produces): cosine between the
+    epoch-0 and epoch-1 label centroids.  A label whose drift_cos sags
+    below ~1 has moved in embedding space between ingests — the drift
+    monitor you run BEFORE trusting any cross-epoch similarity join or
+    ANN index built on mixed batches (an index cell boundary trained on
+    epoch 0 misroutes epoch-1 queries exactly where this sags).
+
+    Centroid algebra, no pair space: cos(Σ₀v, Σ₁v) needs only the
+    per-(label, dim) epoch sums — one conditional aggregate over the
+    exploded coordinates (the only data-sized pass, map-side combined),
+    then everything is |labels|×|dims| bounded.  Parity: normalized
+    coordinates fixed-pointed ×{SEP_SCALE} to BIGINT at birth (the r7
+    rule, shared with embedding_label_separation), so the dot and the
+    two squared norms are EXACT integers at any summation order;
+    drift_cos divides once in a FIXED two-term written order
+    (dot / (sqrt(a)·sqrt(b)), each factor cast to DOUBLE separately —
+    the r8 overflow rule — and sqrt of an exact-integer double is
+    IEEE-correctly-rounded, so the expression is bit-identical
+    cross-engine: the r15 ≤2-term fixed-order safe-double class),
+    emitted UNROUNDED.  A label with no vectors in one epoch has a
+    zero centroid there → NULLIF → NULL drift on both engines (planted
+    pin).  Headroom: Σ_dim (n·1e4)² stays in BIGINT while n ≤ ~75k
+    vectors per (label, epoch) at 16 dims; beyond that pre-divide the
+    epoch sums by n (true centroids) before the dot."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).cast("long").alias("epoch"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        "epoch",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "val",
+    )
+    norms = vals.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    qv = vals.join(norms, "vec_id").select(
+        "vec_id",
+        "label",
+        "epoch",
+        "dim",
+        F.round(F.col("val") / F.col("nrm") * SEP_SCALE, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    sld = qv.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("epoch") == 0, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("epoch") == 1, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    lab = qv.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("epoch") == 0, F.col("vec_id"))
+        ).cast("long").alias("n_epoch0"),
+        F.countDistinct(
+            F.when(F.col("epoch") == 1, F.col("vec_id"))
+        ).cast("long").alias("n_epoch1"),
+    )
+    dots = sld.groupBy("label").agg(
+        F.sum(F.col("s0") * F.col("s1")).cast("long").alias("dot"),
+        F.sum(F.col("s0") * F.col("s0")).cast("long").alias("a"),
+        F.sum(F.col("s1") * F.col("s1")).cast("long").alias("b"),
+    )
+    return sort_bounded(
+        lab.join(dots, "label").select(
+            F.col("label").cast("long").alias("label"),
+            "n_epoch0",
+            "n_epoch1",
+            (
+                F.col("dot").cast("double")
+                / F.nullif(
+                    F.sqrt(F.col("a").cast("double"))
+                    * F.sqrt(F.col("b").cast("double")),
+                    F.lit(0.0),
+                )
+            ).alias("drift_cos"),
+        ),
+        "label",
+    )

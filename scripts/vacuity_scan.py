@@ -77,6 +77,8 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("json_extract", "min_k"): "k spans [0,99] and every type hits 0; planted min=5 type (test_planted_vacuity_r14.py)",
     ("part_revenue_concentration", "*"): "share threshold passes no part at sf0.01; cross-engine pin at sf0.001 (test_planted_vacuity_r14.py)",
     ("embedding_norm_label_anova", "norm_anova_r2"): "fixture embeddings unit-norm -> quantized SS_total 0 -> guarded NULL; planted split-scales pin (test_new_ops_r10c.py)",
+    # r16 scan finding, planted at landing
+    ("table_column_digest", "n_nulls"): "fixture tables carry no NULL cells; planted 2-NULL lang pin (test_new_ops_r16.py)",
 }
 
 

@@ -376,3 +376,23 @@ def test_cli_validate_match_and_mismatch(spark, tmp_path, capsys):
         "--tables", "nope",
     ])
     assert rc == 2
+
+    # --by-column LOCALIZES the corruption: exactly region.r_name fails,
+    # every other column line (incl. region.r_regionkey) reads OK
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--tables", "region,nation", "--by-column",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 205
+    assert "FAIL region.r_name:" in captured.out
+    assert "OK   region.r_regionkey:" in captured.out
+    assert "OK   nation.n_name:" in captured.out
+
+    # and matches exit 0 with per-column OK lines
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(a),
+        "--tables", "region", "--by-column",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "2 column(s) match" in out
