@@ -2002,14 +2002,25 @@ def hash_batches(draw):
     return hs, batches
 
 
+def _digest_ref(hs):
+    """Pure whole-multiset reference: (count, XOR, Σ mod p)."""
+    x = 0
+    s = 0
+    for v in hs:
+        x ^= v
+        s = (s + v) % _DIGEST_SUM_MOD
+    return len(hs), x, s
+
+
 @given(hash_batches())
 @settings(max_examples=200, deadline=None)
 def test_digest_kernel_partials_merge_exactly_under_any_cut(case):
-    """Under ANY batch cut (order preserved; the fields are commutative
-    so order cannot matter either) the final state equals the pure
-    reference (count, XOR, Σ mod p) of the whole multiset; ver
-    increments exactly once per non-empty batch and empty batches emit
-    nothing."""
+    """PREFIX-EQUALITY (the r15 harness standard): EVERY emission — not
+    just the final one — equals the pure reference (count, XOR, Σ mod
+    p) of exactly the prefix delivered so far, so a mid-stream
+    ``validate`` read is always a correct digest of the data that has
+    landed.  ver increments exactly once per non-empty batch and empty
+    batches emit nothing."""
     hs, batches = case
     state = FakeGroupState()
     emitted = []
@@ -2018,23 +2029,23 @@ def test_digest_kernel_partials_merge_exactly_under_any_cut(case):
         for out in _table_digest_partials(
             ("documents", 3), iter([pdf]), state
         ):
-            emitted.append(out.iloc[0])
-
-    ref_x = 0
-    ref_s = 0
-    for v in hs:
-        ref_x ^= v
-        ref_s = (ref_s + v) % _DIGEST_SUM_MOD
+            emitted.append((out.iloc[0], len(batch)))
 
     n_nonempty = sum(1 for b in batches if b)
     assert len(emitted) == n_nonempty
-    assert [int(e["ver"]) for e in emitted] == list(
+    assert [int(e["ver"]) for e, _ in emitted] == list(
         range(1, n_nonempty + 1)
     )
-    final = emitted[-1]
-    assert (
-        int(final["n_rows"]),
-        int(final["digest"]),
-        int(final["digest_sum"]),
-    ) == (len(hs), ref_x, ref_s)
-    assert state.get == (len(hs), ref_x, ref_s, n_nonempty)
+    prefix = []
+    it = iter(emitted)
+    for batch in batches:
+        prefix.extend(batch)
+        if not batch:
+            continue
+        e, _ = next(it)
+        assert (
+            int(e["n_rows"]),
+            int(e["digest"]),
+            int(e["digest_sum"]),
+        ) == _digest_ref(prefix)
+    assert state.get == _digest_ref(hs) + (n_nonempty,)
