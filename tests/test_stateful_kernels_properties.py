@@ -198,12 +198,20 @@ def _ref_transitions(events):
 @given(sequences_with_splits())
 @settings(max_examples=200, deadline=None)
 def test_transition_kernel_bridges_any_split(case):
+    """PREFIX-EQUALITY (r16 upgrade): after EVERY batch the accumulated
+    transition deltas equal the pure reference of the prefix delivered
+    so far — the one-tuple bridge keeps the changelog current at each
+    cut, not just at the end."""
     events, batches = case
     state = FakeGroupState()
     got: collections.Counter = collections.Counter()
-    for pdf in _run_kernel(_transition_counts, batches, state):
-        for r in pdf.itertuples(index=False):
-            got[(r.src, r.dst)] += int(r.n)
+    prefix: list = []
+    for batch in batches:
+        for pdf in _run_kernel(_transition_counts, [batch], state):
+            for r in pdf.itertuples(index=False):
+                got[(r.src, r.dst)] += int(r.n)
+        prefix.extend(batch)
+        assert dict(got) == _ref_transitions(prefix)
     assert dict(got) == _ref_transitions(events)
 
 
@@ -444,6 +452,7 @@ def test_latest_snapshot_kernel_converges_under_any_delivery_order(case):
     events, batches = case
     state = FakeGroupState()
     emitted = []
+    prefix = []
     for batch in batches:
         for pdf in _latest_per_key(
             (1,), iter([_rows_df_valued(batch)]), state
@@ -451,6 +460,10 @@ def test_latest_snapshot_kernel_converges_under_any_delivery_order(case):
             emitted.append(
                 (int(pdf["ts_us"].iloc[0]), int(pdf["event_id"].iloc[0]))
             )
+        prefix.extend(batch)
+        # prefix invariant (r16 upgrade): the newest emission so far IS
+        # the snapshot of the delivered prefix under ANY delivery order
+        assert emitted[-1] == max((e[0], e[1]) for e in prefix)
     # every emission strictly advances the (ts, event_id) race ...
     assert emitted == sorted(set(emitted))
     # ... and the newest emission IS the global snapshot
@@ -564,6 +577,7 @@ def test_first_ship_kernel_min_race_under_any_delivery_order(case):
     rows, batches = case
     state = FakeGroupState()
     emitted = []
+    prefix = []
     for batch in batches:
         for pdf in _first_ship_per_order(
             (1,), iter([_ship_rows_df(batch)]), state
@@ -574,6 +588,10 @@ def test_first_ship_kernel_min_race_under_any_delivery_order(case):
                     int(pdf["ship_line"].iloc[0]),
                 )
             )
+        prefix.extend(batch)
+        # prefix invariant (r16 upgrade): newest emission == the prefix
+        # minimum under ANY delivery order
+        assert emitted[-1] == min(prefix)
     # emissions strictly improve the minimum; the last one IS the min
     assert emitted == sorted(set(emitted), reverse=True)
     assert emitted[-1] == min(rows)
@@ -910,7 +928,9 @@ def test_first_touch_kernel_min_race_under_any_delivery_order(case):
     rows, batches = case
     state = FakeGroupState()
     emitted = []
+    prefix = []
     for batch in batches:
+        before = len(emitted)
         for pdf in _first_touch_per_user(
             (1,), iter([_touch_rows_df(batch)]), state
         ):
@@ -921,6 +941,18 @@ def test_first_touch_kernel_min_race_under_any_delivery_order(case):
                     str(pdf["first_type"].iloc[0]),
                 )
             )
+        prefix.extend(batch)
+        # prefix invariant (r16 upgrade): the newest emission so far is
+        # exactly the reference first-touch of the delivered prefix —
+        # the changelog is always current, not just at the end
+        if prefix:
+            assert emitted, "first delivered batch must emit"
+            assert emitted[-1] == min(prefix, key=lambda r: (r[0], r[1]))
+            # and a batch emits iff it improved the minimum
+            improved = emitted[-1] in [
+                (r[0], r[1], r[2]) for r in batch
+            ]
+            assert (len(emitted) > before) == improved
     true_first = min(rows, key=lambda r: (r[0], r[1]))
     keys = [(e[0], e[1]) for e in emitted]
     assert keys == sorted(set(keys), reverse=True)
@@ -962,14 +994,22 @@ def _ref_pair_latency(events):
 @given(sequences_with_splits())
 @settings(max_examples=200, deadline=None)
 def test_pair_latency_kernel_bridges_any_split(case):
+    """PREFIX-EQUALITY (r16 upgrade): after EVERY batch the accumulated
+    partial sums equal the pure reference of exactly the prefix
+    delivered so far (in-order splits — the one-tuple bridge carries
+    the boundary pair), not just at the end."""
     events, batches = case
     state = FakeGroupState()
     got: dict = {}
-    for pdf in _run_kernel(_pair_latency_sums, batches, state):
-        for r in pdf.itertuples(index=False):
-            k = (r.prev_type, r.next_type)
-            n, g = got.get(k, (0, 0))
-            got[k] = (n + int(r.n_pairs), g + int(r.total_gap_us))
+    prefix: list = []
+    for batch in batches:
+        for pdf in _run_kernel(_pair_latency_sums, [batch], state):
+            for r in pdf.itertuples(index=False):
+                k = (r.prev_type, r.next_type)
+                n, g = got.get(k, (0, 0))
+                got[k] = (n + int(r.n_pairs), g + int(r.total_gap_us))
+        prefix.extend(batch)
+        assert got == _ref_pair_latency(prefix)
     assert got == _ref_pair_latency(events)
 
 
@@ -1051,6 +1091,7 @@ def test_order_close_kernel_max_race_under_any_delivery_order(case):
     ]
     state = FakeGroupState()
     emitted = []
+    prefix = []
     for batch in day_batches:
         for pdf in _order_close_per_order(
             (1,), iter([_close_rows_df(batch)]), state
@@ -1061,6 +1102,10 @@ def test_order_close_kernel_max_race_under_any_delivery_order(case):
                     int(pdf["close_line"].iloc[0]),
                 )
             )
+        prefix.extend(batch)
+        # prefix invariant (r16 upgrade): newest emission == the prefix
+        # maximum under ANY delivery order
+        assert emitted[-1] == max(prefix)
     assert emitted == sorted(set(emitted))
     assert emitted[-1] == max(days)
     assert (int(state.get[0]), int(state.get[1])) == max(days)
@@ -1430,10 +1475,16 @@ def test_intersession_kernel_bridges_any_split(case):
     events, batches = case
     state = FakeGroupState()
     n, total = 0, 0
-    for pdf in _run_kernel(_intersession_gap_sums, batches, state):
-        assert (pdf["n_gaps"] > 0).all()  # no vacuous zero-partials
-        n += int(pdf["n_gaps"].sum())
-        total += int(pdf["total_gap_us"].sum())
+    prefix: list = []
+    for batch in batches:
+        for pdf in _run_kernel(_intersession_gap_sums, [batch], state):
+            assert (pdf["n_gaps"] > 0).all()  # no vacuous zero-partials
+            n += int(pdf["n_gaps"].sum())
+            total += int(pdf["total_gap_us"].sum())
+        prefix.extend(batch)
+        # prefix invariant (r16 upgrade): accumulated partials equal
+        # the reference of the prefix delivered so far at EVERY cut
+        assert (n, total) == _ref_intersession(prefix)
     assert (n, total) == _ref_intersession(events)
     last = max(events)
     assert (int(state.get[0]), int(state.get[1])) == (last[0], last[1])
