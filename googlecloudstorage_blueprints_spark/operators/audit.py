@@ -1419,3 +1419,87 @@ def table_column_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DECIMAL(38,0)/HUGEINT exact sums are the pinned r15/r16
     primitives."""
     return column_digest_frame(spark, sf_dir)
+
+
+def _events_row_hash_sql() -> str:
+    """DuckDB per-row hash of the events canonical row string (the
+    same kind rules as :func:`_digest_oracle`)."""
+    exprs = []
+    for c, kind in TABLE_DIGEST_SPEC["events"]:
+        if kind == "int":
+            e = f"CAST({c} AS VARCHAR)"
+        elif kind == "str":
+            e = c
+        elif kind == "ts":
+            e = f"CAST(epoch_us({c}) AS VARCHAR)"
+        else:  # money
+            e = (f"CAST(CAST(ROUND({c} * 10000, 0) AS BIGINT) "
+                 "AS VARCHAR)")
+        exprs.append(f"COALESCE({e}, '{_DIGEST_NULL}')")
+    s = "concat_ws('|', " + ", ".join(exprs) + ")"
+    return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "table_partition_digest",
+    oracle=f"""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(bit_xor({_events_row_hash_sql()}), 0)
+                AS BIGINT) AS digest,
+           CAST(COALESCE(CAST(SUM({_events_row_hash_sql()})
+                              % {DIGEST_SUM_MOD} AS BIGINT), 0)
+                AS BIGINT) AS digest_sum
+    FROM events
+    GROUP BY epoch_day
+    ORDER BY epoch_day
+    """,
+)
+def table_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY-partition content fingerprint of the events feed —
+    (n_rows, XOR, Σ mod 2^61-1 of the SAME canonical row hashes as
+    ``table_row_digest``): the incremental-backfill validator.  A
+    day-partitioned fact table re-verifies only the partitions a
+    backfill touched (compare the affected epoch_day rows, not the
+    whole table), and a table-level mismatch localizes to the exact
+    day before anyone reads a diff.  Because partitions are a disjoint
+    union of the table's rows and both digests are
+    commutative/associative, XOR of the partition digests (and mod-p
+    sum of the partition sums) EQUALS the table-level digest — the
+    cross-op consistency pin, and the reason a validator can roll
+    partition results up instead of rescanning.
+
+    Shape: one scan, one epoch_day-keyed map-side-combined aggregate —
+    group count is CALENDAR-bounded (one row per active day at any
+    traffic volume), so the close sorts via sort_bounded like every
+    day-ledger op.  Parity: the per-row hash IMPORTS ``row_hash_expr``
+    (the canonical string cannot drift from the table digest); day key
+    is the established integer-µs div (Spark ``div`` ≡ DuckDB ``//``
+    on the post-epoch domain); exact DECIMAL(38,0)/HUGEINT modular
+    sums as in the parent ops."""
+    ev = load_table(spark, sf_dir, "events")
+    s, h = row_hash_expr("events")
+    return sort_bounded(
+        ev.select(
+            F.expr(
+                "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+            ).alias("epoch_day"),
+            s.alias("__row_str"),
+        )
+        .select("epoch_day", h.alias("h"))
+        .groupBy("epoch_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
+            .cast("long")
+            .alias("digest"),
+            F.coalesce(
+                F.expr(
+                    "CAST(pmod(SUM(CAST(h AS DECIMAL(38,0))), "
+                    f"{DIGEST_SUM_MOD}) AS BIGINT)"
+                ),
+                F.lit(0),
+            ).alias("digest_sum"),
+        ),
+        "epoch_day",
+    )

@@ -204,3 +204,90 @@ def test_epoch_drift_closed_forms(spark, tmp_path):
     assert by_label[1] == (2, 2, 0.0)
     assert by_label[2] == (1, 1, -1.0)
     assert by_label[3] == (2, 0, None)
+
+
+# --- table_partition_digest ---------------------------------------------------
+
+
+def test_partition_digest_rolls_up_to_table_digest(spark, tmp_path):
+    """CONSISTENCY pin (the reason a validator can roll partitions up):
+    partitions are a disjoint union of the table's rows, so XOR of the
+    per-day digests == the events row in ``table_row_digest``, the
+    mod-p sum of the per-day sums == its digest_sum, and Σ n_rows ==
+    its n_rows."""
+    from googlecloudstorage_blueprints_spark.operators.audit import (
+        DIGEST_SUM_MOD,
+    )
+
+    sf_dir = _planted_dir(tmp_path, {})
+    parts, pcols = _cross_engine(spark, "table_partition_digest", sf_dir)
+    table, tcols = _cross_engine(spark, "table_row_digest", sf_dir)
+
+    pidx = {c: i for i, c in enumerate(pcols)}
+    tidx = {c: i for i, c in enumerate(tcols)}
+    n = x = s = 0
+    for r in parts:
+        n += r[pidx["n_rows"]]
+        x ^= r[pidx["digest"]]
+        s = (s + r[pidx["digest_sum"]]) % DIGEST_SUM_MOD
+    events_row = next(
+        r for r in table if r[tidx["table_name"]] == "events"
+    )
+    assert (n, x, s) == (
+        events_row[tidx["n_rows"]],
+        events_row[tidx["digest"]],
+        events_row[tidx["digest_sum"]],
+    )
+
+
+def test_partition_digest_flipped_cell_localizes_the_day(spark, tmp_path):
+    """Detection pin: flip ONE event's value — exactly that event's
+    epoch_day row changes (both digests, same n_rows); every other
+    day's row stays identical."""
+    import pyarrow.parquet as pq
+
+    from tests.test_new_ops_r12c import SF as SF001
+
+    base_dir = _planted_dir(tmp_path, {})
+    got_base, cols = _cross_engine(
+        spark, "table_partition_digest", base_dir
+    )
+
+    ev = pq.read_table(f"{SF001}/events.parquet")
+    vals = ev.column("value").to_pylist()
+    vals[0] = (vals[0] or 0.0) + 1.0
+    ts0 = ev.column("ts").to_pylist()[0]
+    import datetime as dt
+
+    flipped_day = int(
+        (ts0 - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    ) // 86_400_000_000
+    flipped = ev.set_column(
+        ev.schema.get_field_index("value"),
+        "value",
+        pa.array(vals, pa.float64()),
+    )
+    (tmp_path / "b").mkdir()
+    flip_dir = _planted_dir(tmp_path / "b", {"events": flipped})
+    got_flip, _ = _cross_engine(spark, "table_partition_digest", flip_dir)
+
+    idx = {c: i for i, c in enumerate(cols)}
+    base = {
+        r[idx["epoch_day"]]: (
+            r[idx["n_rows"]], r[idx["digest"]], r[idx["digest_sum"]],
+        )
+        for r in got_base
+    }
+    flip = {
+        r[idx["epoch_day"]]: (
+            r[idx["n_rows"]], r[idx["digest"]], r[idx["digest_sum"]],
+        )
+        for r in got_flip
+    }
+    assert set(base) == set(flip)
+    assert base[flipped_day][0] == flip[flipped_day][0]  # n_rows equal
+    assert base[flipped_day][1] != flip[flipped_day][1]
+    assert base[flipped_day][2] != flip[flipped_day][2]
+    for d in base:
+        if d != flipped_day:
+            assert base[d] == flip[d], d
