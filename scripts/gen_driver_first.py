@@ -44,10 +44,9 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r16: table_row_digest grew the non-cancelling digest_sum column
-    # (r15 verdict item 4) — schema + oracle changed, force
-    # re-adjudication.
-    "table_row_digest",
+    # r17: none yet.  table_row_digest's digest_sum adjudicated green in
+    # r16 (cleared per the r16 verdict item 1); add any r17 plan/semantic
+    # changes here as they land.
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
