@@ -122,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
              "instead of per-table rows — localizes WHICH column a "
              "flagged table diverged in",
     )
+    v.add_argument(
+        "--by-day", dest="by_day", action="store_true",
+        help="compare per-DAY fingerprints of the events feed "
+             "(table_partition_digest) — localizes WHICH day a "
+             "backfill mangled after the table digest flags it",
+    )
     v.add_argument("--service-account", dest="service_account", default=None)
 
     e = sub.add_parser(
@@ -442,10 +448,61 @@ def _run_validate(args) -> int:
                 file=sys.stderr,
             )
             return 2
+    if getattr(args, "by_day", False) and getattr(args, "by_column", False):
+        print(
+            "error: --by-day and --by-column are mutually exclusive",
+            file=sys.stderr,
+        )
+        return 2
+    if getattr(args, "by_day", False) and tables not in (None, ["events"]):
+        print(
+            "error: --by-day applies to the day-partitioned events feed "
+            "only (drop --tables or pass --tables events)",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark(
         app_name="gcs-blueprints-validate",
         service_account=args.service_account,
     )
+    if getattr(args, "by_day", False):
+        from googlecloudstorage_blueprints_spark.operators.audit import (
+            partition_digest_frame,
+        )
+
+        src = {
+            r["epoch_day"]: (r["n_rows"], r["digest"], r["digest_sum"])
+            for r in partition_digest_frame(
+                spark, args.source_dir
+            ).collect()
+        }  # bounded: calendar-bounded day ledger per side
+        dst = {
+            r["epoch_day"]: (r["n_rows"], r["digest"], r["digest_sum"])
+            for r in partition_digest_frame(
+                spark, args.dest_dir
+            ).collect()
+        }  # bounded: calendar-bounded day ledger per side
+        bad_days = []
+        for d in sorted(set(src) | set(dst)):
+            match = src.get(d) == dst.get(d)
+            if not match:
+                bad_days.append(d)
+            sn, sd, ss = src.get(d, ("-", "-", "-"))
+            dn, dd, ds = dst.get(d, ("-", "-", "-"))
+            print(
+                f"{'OK  ' if match else 'FAIL'} events day {d}: "
+                f"src(n={sn}, digest={sd}, sum={ss}) "
+                f"dst(n={dn}, digest={dd}, sum={ds})"
+            )
+        if bad_days:
+            print(
+                "validate: content mismatch on day(s) "
+                + ", ".join(str(d) for d in bad_days),
+                file=sys.stderr,
+            )
+            return EXIT_CODE_FILE_NOT_FOUND
+        print(f"validate: {len(src)} day(s) match")
+        return 0
     if getattr(args, "by_column", False):
         from googlecloudstorage_blueprints_spark.operators.audit import (
             column_digest_frame,
@@ -513,7 +570,7 @@ def _run_explain(args) -> int:
     """Plan audit for a registered operator: builds the DataFrame and
     prints the requested explain mode WITHOUT executing it (eager ops
     that materialize internally still run their build).  This is the
-    CLI form of the workflow CLAUDE.md mandates after every operator —
+    CLI form of the workflow the repo build docs mandate after every operator —
     check pushdown/pruning/exchanges before trusting a timing."""
     from googlecloudstorage_blueprints_spark.operators import all_queries
 

@@ -9,7 +9,7 @@ The reference has no audit surface (SURVEY §2.A.4); these extend §2.B's
 warehouse family (operators/warehouse.py holds the maintenance ops, this
 module the verification ops).
 
-Parity conventions (operators/relational.py + CLAUDE.md): BIGINT-cast
+Parity conventions (operators/relational.py + the repo build docs): BIGINT-cast
 integer outputs and CAST oracle integer SUMs, exact-integer ratios stay
 unrounded, double aggregates round before output AND before any ORDER
 BY/filter they feed, total-order every top-k with a unique tiebreaker,
@@ -1170,7 +1170,9 @@ def row_hash_expr(table: str):
     Columns ``(row_str, h_of_row_str)`` — h is the first 15 hex digits
     of md5(canonical string) parsed base-16 (≤2^60, sign-safe).  Shared
     by ``digest_frame`` and the streaming digest twin so the two
-    surfaces can never drift in canonical-string spelling."""
+    surfaces can never drift in canonical-string spelling.  ``h`` is
+    built directly from the row-string Column, so callers select it
+    without any intermediate alias."""
     cols = TABLE_DIGEST_SPEC[table]
     exprs = []
     for c, kind in cols:
@@ -1188,9 +1190,7 @@ def row_hash_expr(table: str):
             )
         exprs.append(F.coalesce(e, F.lit(_DIGEST_NULL)))
     s = F.concat_ws("|", *exprs)
-    h = F.expr(
-        "CAST(conv(substring(md5(__row_str), 1, 15), 16, 10) AS BIGINT)"
-    )
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     return s, h
 
 
@@ -1204,10 +1204,9 @@ def digest_frame(
     frames = []
     for t in tables if tables is not None else list(TABLE_DIGEST_SPEC):
         df = load_table(spark, sf_dir, t)
-        s, h = row_hash_expr(t)
+        _s, h = row_hash_expr(t)
         frames.append(
-            df.select(s.alias("__row_str"))
-            .select(h.alias("h"))
+            df.select(h.alias("h"))
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
@@ -1329,14 +1328,18 @@ def column_digest_frame(
     for t in tables if tables is not None else list(TABLE_DIGEST_SPEC):
         cols = TABLE_DIGEST_SPEC[t]
         # |columns| md5s per row is hash-compute-heavy, and fixture
-        # parquet is one unsplittable row group — repartition so the
-        # hash work spreads across cores (the documented trap; measured
-        # 8.2 s -> parallel at sf0.1, and a no-op cost on a real
-        # multi-file cluster input).  table_row_digest (1 hash/row)
-        # deliberately does NOT pay this shuffle.
-        df = load_table(spark, sf_dir, t).repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        # parquet is one unsplittable row group, so the whole hash
+        # projection would serialize on one core (the documented trap;
+        # measured 8.2 s -> 3.5 s parallel at sf0.1).  The repartition
+        # is NOT free on real input — .repartition(n) always inserts a
+        # round-robin exchange, and a multi-file 100 TB table already
+        # arrives spread across splits — so pay it ONLY when the scan
+        # yields fewer partitions than cores.  table_row_digest
+        # (1 hash/row) deliberately never pays this shuffle.
+        df = load_table(spark, sf_dir, t)
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         # originals (for the NULL counts) + one hash column per column
         proj = [F.col(c) for c, _ in cols]
         for c, kind in cols:
@@ -1349,10 +1352,15 @@ def column_digest_frame(
         hashed = df.select(*proj)
         aggs = []
         for c, _kind in cols:
+            # coalesce: SUM over a zero-row table is NULL in Spark but
+            # the oracle's COUNT(*) FILTER is 0 — align on 0.
             aggs.append(
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias(f"__nn_{c}")
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(c).isNull(), 1).otherwise(0)
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias(f"__nn_{c}")
             )
             aggs.append(
                 F.coalesce(F.expr(f"bit_xor(__h_{c})"), F.lit(0))
@@ -1440,6 +1448,38 @@ def _events_row_hash_sql() -> str:
     return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 
+def partition_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch_day, n_rows, digest, digest_sum) for the day-partitioned
+    events feed — the computation behind ``table_partition_digest``,
+    exposed so the ``validate --by-day`` CLI path can localize WHICH
+    day a backfill mangled after the table digest flags the feed."""
+    ev = load_table(spark, sf_dir, "events")
+    _s, h = row_hash_expr("events")
+    return sort_bounded(
+        ev.select(
+            F.expr(
+                "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+            ).alias("epoch_day"),
+            h.alias("h"),
+        )
+        .groupBy("epoch_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
+            .cast("long")
+            .alias("digest"),
+            F.coalesce(
+                F.expr(
+                    "CAST(pmod(SUM(CAST(h AS DECIMAL(38,0))), "
+                    f"{DIGEST_SUM_MOD}) AS BIGINT)"
+                ),
+                F.lit(0),
+            ).alias("digest_sum"),
+        ),
+        "epoch_day",
+    )
+
+
 @register(
     "table_partition_digest",
     oracle=f"""
@@ -1476,30 +1516,7 @@ def table_partition_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the canonical string cannot drift from the table digest); day key
     is the established integer-µs div (Spark ``div`` ≡ DuckDB ``//``
     on the post-epoch domain); exact DECIMAL(38,0)/HUGEINT modular
-    sums as in the parent ops."""
-    ev = load_table(spark, sf_dir, "events")
-    s, h = row_hash_expr("events")
-    return sort_bounded(
-        ev.select(
-            F.expr(
-                "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
-            ).alias("epoch_day"),
-            s.alias("__row_str"),
-        )
-        .select("epoch_day", h.alias("h"))
-        .groupBy("epoch_day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
-            .cast("long")
-            .alias("digest"),
-            F.coalesce(
-                F.expr(
-                    "CAST(pmod(SUM(CAST(h AS DECIMAL(38,0))), "
-                    f"{DIGEST_SUM_MOD}) AS BIGINT)"
-                ),
-                F.lit(0),
-            ).alias("digest_sum"),
-        ),
-        "epoch_day",
-    )
+    sums as in the parent ops.  The ``validate --by-day`` CLI path
+    compares these frames across two directories and names the
+    diverging days."""
+    return partition_digest_frame(spark, sf_dir)

@@ -7,7 +7,7 @@ core sessionize/window/anomaly ops; this module the user-behavior
 diagnostics a product-analytics team layers on top).  The reference has
 no query surface at all (SURVEY §2.A.4); these extend §2.B.
 
-Parity conventions (operators/relational.py + CLAUDE.md): integer-µs
+Parity conventions (operators/relational.py + the repo build docs): integer-µs
 timestamp math; any statistic feeding a filter/sort is derived from
 exact BIGINT sums (fixed-point r7 rule) and rounded 6dp identically on
 both engines; every window/top-k carries a unique tiebreaker; possibly

@@ -9,7 +9,7 @@ expressions — split/explode/regexp/agg — over one or two shuffles keyed
 on (source) or (source, word); no Python in any hot path.  The reference
 has no text surface (SURVEY §2.A.4); these extend §2.B's text family.
 
-Parity notes (conventions from operators/relational.py + CLAUDE.md):
+Parity notes (conventions from operators/relational.py + the repo build docs):
 ln()/sqrt() doubles round 6dp before output; means/variances use the
 SAME explicit sum formula on both engines instead of each engine's
 streaming aggregate; exact-integer ratios stay unrounded; regex patterns

@@ -9,7 +9,7 @@ value-bucket ledger decomposition (the global_row_number technique,
 scale_patterns.py), and the ABC cumsum runs over the SUPPLIER dimension
 only (bounded).  The reference has no query surface (SURVEY §2.A.4).
 
-Parity conventions (operators/relational.py + CLAUDE.md): 2dp money ×100
+Parity conventions (operators/relational.py + the repo build docs): 2dp money ×100
 / 4dp products ×1e4 into BIGINT at birth (r7 fixed-point rule), integer
 sums divided once at the end; class/decile boundaries compared in exact
 integer space so no row can sit on a double boundary; NULLIF guards

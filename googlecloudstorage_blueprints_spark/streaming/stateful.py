@@ -3195,10 +3195,9 @@ def streaming_table_digest(
             stream = stream.withColumn(
                 f_name, F.col(f_name).cast("timestamp")
             )
-    s, h = row_hash_expr(table)
+    _s, h = row_hash_expr(table)
     hashed = (
-        stream.select(s.alias("__row_str"))
-        .select(h.alias("h"))
+        stream.select(h.alias("h"))
         .select(
             F.lit(table).alias("table_name"),
             F.pmod(F.col("h"), F.lit(TABLE_DIGEST_SHARDS))

@@ -44,9 +44,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r17: none yet.  table_row_digest's digest_sum adjudicated green in
-    # r16 (cleared per the r16 verdict item 1); add any r17 plan/semantic
-    # changes here as they land.
+    # r17: table_column_digest's fixture-trap repartition became
+    # conditional on scan parallelism (r16 verdict item 2) — plan
+    # changed, force re-adjudication.  (table_row_digest cleared per the
+    # r16 verdict: digest_sum adjudicated green; its row_hash_expr
+    # alias cleanup is expression-identical, parity re-verified.)
+    "table_column_digest",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

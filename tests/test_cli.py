@@ -396,3 +396,81 @@ def test_cli_validate_match_and_mismatch(spark, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "2 column(s) match" in out
+
+
+def test_cli_validate_by_day_localizes_backfill_damage(
+    spark, tmp_path, capsys
+):
+    """`validate --by-day` compares per-day fingerprints of the events
+    feed: identical copies exit 0; a single flipped cell exits 205 and
+    names EXACTLY the damaged epoch_day (every other day reads OK) —
+    the backfill-localization path a migration user reaches right
+    after the table digest flags the feed.  Flag combinations that
+    cannot mean anything (--by-day with --by-column, or with a
+    non-events table subset) are usage errors (2)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    shutil.copy(f"{SF}/events.parquet", a / "events.parquet")
+    shutil.copy(f"{SF}/events.parquet", b / "events.parquet")
+
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--by-day",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "day(s) match" in out
+    assert "FAIL" not in out
+
+    # flip one cell and record the damaged row's epoch_day
+    ev = pq.read_table(f"{SF}/events.parquet")
+    types = ev.column("event_type").to_pylist()
+    types[0] = types[0] + "-corrupted"
+    ts0_us = ev.column("ts").cast(pa.timestamp("us")).to_pylist()[0]
+    import datetime as _dt
+
+    bad_day = int(
+        ts0_us.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+    ) // 86_400_000_000
+    pq.write_table(
+        ev.set_column(
+            ev.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(types, pa.string()),
+        ),
+        b / "events.parquet",
+    )
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--by-day",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 205
+    assert f"FAIL events day {bad_day}:" in captured.out
+    # exactly ONE day diverges; the mismatch line names it
+    assert captured.out.count("FAIL") == 1
+    assert f"mismatch on day(s) {bad_day}" in captured.err
+
+    # flag misuse is a usage error before any Spark work
+    assert main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--by-day", "--by-column",
+    ]) == 2
+    assert main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(b),
+        "--by-day", "--tables", "region",
+    ]) == 2
+    capsys.readouterr()
+    # --tables events is the one permitted subset spelling
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(a),
+        "--by-day", "--tables", "events",
+    ])
+    assert rc == 0
