@@ -3218,3 +3218,30 @@ def streaming_table_digest(
 streaming_table_digest.__doc__ = streaming_table_digest.__doc__.format(
     TABLE_DIGEST_SHARDS=TABLE_DIGEST_SHARDS
 )
+
+
+def merge_digest_rows(rows) -> tuple[int, int, int]:
+    """Merge a drained ``streaming_table_digest`` changelog into the
+    batch digest triple (n_rows, digest, digest_sum): newest (max-ver)
+    partial per shard, then Σn / XOR of digests / sum of digest_sums
+    mod p — commutative and associative at every level, so the result
+    equals ``digest_frame``'s row over the same delivered rows (the
+    pinned batch-merge equality).  Rows are dict-like with shard /
+    ver / n_rows / digest / digest_sum fields; the input is
+    shard-bounded (≤{TABLE_DIGEST_SHARDS} newest rows matter)."""
+    newest: dict = {}
+    for r in rows:
+        k = r["shard"]
+        if k not in newest or r["ver"] > newest[k]["ver"]:
+            newest[k] = r
+    n = x = s = 0
+    for r in newest.values():
+        n += int(r["n_rows"])
+        x ^= int(r["digest"])
+        s = (s + int(r["digest_sum"])) % _DIGEST_SUM_MOD
+    return n, x, s
+
+
+merge_digest_rows.__doc__ = merge_digest_rows.__doc__.format(
+    TABLE_DIGEST_SHARDS=TABLE_DIGEST_SHARDS
+)

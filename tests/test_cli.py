@@ -474,3 +474,75 @@ def test_cli_validate_by_day_localizes_backfill_damage(
         "--by-day", "--tables", "events",
     ])
     assert rc == 0
+
+
+def test_cli_validate_continuous_incremental(spark, tmp_path, capsys):
+    """`validate --continuous` validates two LIVE feeds incrementally:
+    identical backlogs match (exit 0); a file that lands on the source
+    only flips the NEXT invocation to 205 (the dest is behind/diverged)
+    — processed through the SAME state dir, so only the new file is
+    read (committed-file skip); once the dest catches up the following
+    invocation matches again through the recovered checkpoints.
+    Missing --state-dir is a usage error (2)."""
+    import glob as globmod
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import (
+        load_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+    mid = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.5)").cast("long").alias("m")
+    ).collect()[0]["m"]
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    state = tmp_path / "state"
+    src.mkdir()
+    dst.mkdir()
+
+    def plant(df, feed, name):
+        d = f"{tmp_path}/stage_{feed.name}_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(f"file:{d}")
+        shutil.move(
+            globmod.glob(f"{d}/part-*.parquet")[0],
+            feed / f"{name}.parquet",
+        )
+
+    half0 = docs.where(F.col("doc_id") <= F.lit(mid))
+    half1 = docs.where(F.col("doc_id") > F.lit(mid))
+    plant(half0, src, "00")
+    plant(half0, dst, "00")
+
+    base = [
+        "validate", "--source-dir", str(src), "--dest-dir", str(dst),
+        "--continuous", "--state-dir", str(state),
+    ]
+    assert main(base) == 0
+    out = capsys.readouterr().out
+    assert "feeds match" in out and "OK   documents:" in out
+
+    # a batch lands on the source the destination never received
+    plant(half1, src, "01")
+    rc = main(base)
+    captured = capsys.readouterr()
+    assert rc == 205
+    assert "FAIL documents:" in captured.out
+    assert "content mismatch" in captured.err
+
+    # the move completes: same content reaches the dest; the recovered
+    # checkpoints reconcile without rescanning the backlog
+    shutil.copy(src / "01.parquet", dst / "01.parquet")
+    assert main(base) == 0
+    assert "feeds match" in capsys.readouterr().out
+
+    # usage errors: no state dir / unknown table / mode combinations
+    assert main([
+        "validate", "--source-dir", str(src), "--dest-dir", str(dst),
+        "--continuous",
+    ]) == 2
+    assert main(base + ["--table", "nope"]) == 2
+    assert main(base + ["--by-column"]) == 2
