@@ -458,6 +458,29 @@ def test_cli_validate_by_day_localizes_backfill_damage(
     assert captured.out.count("FAIL") == 1
     assert f"mismatch on day(s) {bad_day}" in captured.err
 
+    # a backfill that DROPPED a whole day: the day exists on the source
+    # side only and the mismatch line still names it
+    import pyarrow.compute as pc
+
+    c = tmp_path / "c"
+    c.mkdir()
+    day_us = pc.divide(
+        ev.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+        86_400_000_000,
+    )
+    pq.write_table(
+        ev.filter(pc.not_equal(day_us, bad_day)), c / "events.parquet"
+    )
+    rc = main([
+        "validate", "--source-dir", str(a), "--dest-dir", str(c),
+        "--by-day",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 205
+    assert f"FAIL events day {bad_day}:" in captured.out
+    assert "dst(n=-, digest=-, sum=-)" in captured.out
+    assert captured.out.count("FAIL") == 1
+
     # flag misuse is a usage error before any Spark work
     assert main([
         "validate", "--source-dir", str(a), "--dest-dir", str(b),
