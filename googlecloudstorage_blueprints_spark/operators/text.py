@@ -717,13 +717,17 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-robin repartition, NOT by "source": keying here would cap
     # the zlib kernel's parallelism at |distinct sources| (a handful),
     # and the downstream groupBy("source") reshuffles anyway (r10
-    # ADVICE).  The kernel is per-row, so any partitioning is correct.
-    scored = (
-        d.select("source", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(
-            kernel, schema="source string, n_bytes long, n_compressed long"
-        )
+    # ADVICE).  The kernel is per-row, so any partitioning is correct —
+    # and a multi-split cluster input already arrives parallel, so the
+    # shuffle is paid only when the scan undershoots the core count
+    # (the one-row-group fixture trap; same conditional as
+    # table_column_digest, r17).
+    src = d.select("source", "text")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    scored = src.mapInPandas(
+        kernel, schema="source string, n_bytes long, n_compressed long"
     )
     # ratio6 per doc as an exact ×1e6 integer (order-independent sums)
     ratio6 = F.expr("(n_compressed * 1000000) div n_bytes")

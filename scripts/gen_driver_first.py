@@ -50,6 +50,10 @@ CHANGED_THIS_ROUND: list[str] = [
     # r16 verdict: digest_sum adjudicated green; its row_hash_expr
     # alias cleanup is expression-identical, parity re-verified.)
     "table_column_digest",
+    # r17: doc_compression_ratio's fixture-trap round-robin became
+    # conditional on scan parallelism (same class) — plan changed,
+    # rows-only key, force re-adjudication.
+    "doc_compression_ratio",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
