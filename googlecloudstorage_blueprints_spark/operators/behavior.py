@@ -1850,6 +1850,14 @@ def events_attribution_markov(
         .collect()  # bounded: ≤ (|event types| + 2)² rows
     )
 
+    if not counts:
+        # zero-row input (empty-catalog audit, r17): no journeys, no
+        # chain — an empty typed frame, not a KeyError on START
+        return spark.createDataFrame(
+            [],
+            schema="state string, removal_effect double, "
+            "attribution_share double, base_conversion double",
+        )
     states = sorted(
         {r["src"] for r in counts} | {r["dst"] for r in counts}
     )

@@ -1107,8 +1107,8 @@ def _capped_pair_frame(spark: SparkSession, sf_dir: str):
     SELECT CAST(t.threshold_pct AS BIGINT) AS threshold_pct,
            COALESCE(h.n_pairs, 0)          AS n_pairs,
            COALESCE(h.n_docs_flagged, 0)   AS n_docs_flagged,
-           CAST(COALESCE(h.n_docs_flagged, 0) AS DOUBLE) / nd.n_docs
-               AS flagged_share
+           CAST(COALESCE(h.n_docs_flagged, 0) AS DOUBLE)
+               / NULLIF(nd.n_docs, 0) AS flagged_share
     FROM t
     LEFT JOIN hits h ON h.threshold_pct = t.threshold_pct
     CROSS JOIN nd
@@ -1168,7 +1168,7 @@ def dedup_threshold_sensitivity(
             .alias("n_docs_flagged"),
             (
                 F.coalesce(F.col("n_docs_flagged"), F.lit(0)).cast("double")
-                / F.col("n_docs")
+                / F.nullif(F.col("n_docs"), F.lit(0))
             ).alias("flagged_share"),
         ),
         "threshold_pct",

@@ -1040,15 +1040,26 @@ def embedding_pc1_spectrum(
             }
         )
 
+    src = emb.select("vec_id", "embedding")
+    if src.rdd.getNumPartitions() < n_parts:
+        src = src.repartition(n_parts)  # one-row-group fixture trap
+        # (conditional: a multi-split input is already parallel, r17)
     partials = (
-        emb.select("vec_id", "embedding")
-        .repartition(n_parts)  # one-row-group fixture trap
-        .mapInPandas(
+        src.mapInPandas(
             kernel,
             schema="n long, s array<double>, xtx array<double>",
         )
         .collect()  # bounded: <= defaultParallelism rows of d^2 doubles
     )
+    if not partials:
+        # zero-row input (empty-catalog audit, r17): no spectrum
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "n_vectors long, dim long, total_variance double, "
+                "pc1_share double, top5_share double"
+            ),
+        )
     n = sum(r["n"] for r in partials)
     d = len(partials[0]["s"])
     s = np.zeros(d)
@@ -1133,6 +1144,15 @@ def embedding_kmeans_inertia(
         .limit(KMEANS_K)
         .collect()
     )
+    if not seeds:
+        # zero-row input (empty-catalog audit, r17): no corpus, no loop
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "iteration long, inertia double, max_shift double, "
+                "n_empty_clusters long"
+            ),
+        )
     cents = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
     )

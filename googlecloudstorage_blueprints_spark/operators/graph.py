@@ -326,6 +326,12 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = deg.localCheckpoint(eager=True)
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # zero-row input (empty-catalog audit, r17): no co-purchase
+        # graph — an empty typed frame, not a ZeroDivisionError
+        return spark.createDataFrame(
+            [], "p_partkey long, rank_e12 long, out_degree long"
+        )
     init = _PR_SCALE // n_nodes
     base = (_PR_SCALE * 15) // 100 // n_nodes  # (1-d)/N, fixed-point
     broadcast_nodes = n_nodes <= PAGERANK_BROADCAST_MAX_NODES

@@ -336,11 +336,17 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2)    AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP: (status, priority) → (status) → () subtotal levels in one
-    pass; Spark's Expand operator materializes the grouping sets map-side."""
+    pass; Spark's Expand operator materializes the grouping sets map-side.
+    Oracle carries HAVING COUNT(*) > 0: on a ZERO-ROW input Spark's
+    rollup emits no rows while DuckDB (SQL-standard) emits the ()
+    grand-total row — identity on any non-empty input, where every
+    grouping-set row aggregates ≥1 source row (empty-catalog audit,
+    r17; same note on cube/grouping_sets)."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -356,10 +362,13 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)        AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over the 2×2 flag/status space (exact integer sums)."""
+    """CUBE over the 2×2 flag/status space (exact integer sums).
+    Oracle HAVING COUNT(*) > 0 — the zero-row grouping-set alignment
+    (see grouping_rollup)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),

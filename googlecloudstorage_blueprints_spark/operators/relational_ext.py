@@ -40,13 +40,16 @@ from googlecloudstorage_blueprints_spark.sources.catalog import (
            ROUND(SUM(o_totalprice), 2) AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — three independent aggregations in one pass
     (one shuffle; the expand operator replicates rows per set map-side,
     partial aggregation keeps the shuffle at |groups| rows).  GROUPING()
-    markers disambiguate the NULLs produced by set padding."""
+    markers disambiguate the NULLs produced by set padding.  Oracle
+    HAVING COUNT(*) > 0 — the zero-row grouping-set alignment (see
+    grouping_rollup)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupingSets(
         [["o_orderstatus"], ["o_orderpriority"], []],

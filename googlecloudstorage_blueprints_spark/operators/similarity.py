@@ -181,6 +181,12 @@ def similarity_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _guard_exact_tier(queries, "similarity_knn_pandas", "query set")
     query_rows = [r.asDict() for r in queries.collect()]
+    if not query_rows:
+        # zero-row input (empty-catalog audit, r17): no queries means no
+        # neighbors — an empty typed frame, not a numpy AxisError
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk long"
+        )
     kernel = _knn_pandas_batches(query_rows)
     # fewer, bigger Arrow batches: the kernel is one BLAS GEMM per batch,
     # so per-partition Python-worker spin-up dominates if partitions are
@@ -416,6 +422,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id"), "dedup_embedding_cosine", "embedding corpus"
     )
     rows = emb.select("vec_id", "embedding").collect()
+    if not rows:
+        # zero-row input (empty-catalog audit, r17): no corpus, no pairs
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)
     corpus = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)

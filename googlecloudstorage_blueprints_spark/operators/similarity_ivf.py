@@ -123,6 +123,12 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             fraction=fraction, seed=42
         ).limit(TRAIN_SAMPLE)
     train_rows = sample_src.orderBy("vec_id").collect()
+    if not train_rows:
+        # zero-row input (empty-catalog audit, r17): nothing to train on,
+        # nothing to search — an empty typed frame, not a numpy error
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk long"
+        )
     centroids = _train_centroids([r["embedding"] for r in train_rows])
 
     # -- assign every corpus vector to its cell (Arrow-batched GEMM)

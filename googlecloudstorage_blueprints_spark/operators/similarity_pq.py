@@ -175,6 +175,12 @@ def similarity_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             TRAIN_SAMPLE
         )
     train_rows = sample_src.orderBy("vec_id").collect()
+    if not train_rows:
+        # zero-row input (empty-catalog audit, r17): nothing to train on,
+        # nothing to search — an empty typed frame, not a numpy error
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk long"
+        )
     books = _train_codebooks([r["embedding"] for r in train_rows])
 
     n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
@@ -290,6 +296,12 @@ def ivfpq_topk(
             TRAIN_SAMPLE
         )
     train_rows = sample_src.orderBy("vec_id").collect()
+    if not train_rows:
+        # zero-row input (empty-catalog audit, r17): nothing to train on,
+        # nothing to search — an empty typed frame, not a numpy error
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk long"
+        )
     train = [r["embedding"] for r in train_rows]
     centroids = _train_centroids(train)
     books = _train_codebooks(train)

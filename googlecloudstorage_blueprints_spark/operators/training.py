@@ -1061,8 +1061,8 @@ def _contam_sweep_oracle() -> str:
            COALESCE(h.n_flagged_docs, 0)  AS n_flagged_docs,
            COALESCE(h.n_eval_docs_hit, 0) AS n_eval_docs_hit,
            COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
-           CAST(COALESCE(h.n_flagged_docs, 0) AS DOUBLE) / nd.n_corpus_docs
-               AS flagged_share
+           CAST(COALESCE(h.n_flagged_docs, 0) AS DOUBLE)
+               / NULLIF(nd.n_corpus_docs, 0) AS flagged_share
     FROM t
     LEFT JOIN hits h ON h.ngram_len = t.ngram_len
     CROSS JOIN nd
@@ -1168,7 +1168,7 @@ def contamination_ngram_sensitivity(
                 F.coalesce(F.col("n_flagged_docs"), F.lit(0)).cast(
                     "double"
                 )
-                / F.col("n_corpus_docs")
+                / F.nullif(F.col("n_corpus_docs"), F.lit(0))
             ).alias("flagged_share"),
         ),
         "ngram_len",

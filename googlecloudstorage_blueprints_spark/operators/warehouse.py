@@ -177,7 +177,9 @@ def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
         ).alias("m")
-    )
+    ).where(F.col("m").isNotNull())  # zero-row input: NULL bounds make
+    # explode_outer emit one NULL row where DuckDB's unnest emits none
+    # (empty-catalog audit, r17) — identity on any non-empty input
     actual = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(
@@ -251,7 +253,9 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
         ).alias("m")
-    )
+    ).where(F.col("m").isNotNull())  # zero-row input: NULL bounds make
+    # explode_outer emit one NULL row where DuckDB's unnest emits none
+    # (empty-catalog audit, r17) — identity on any non-empty input
     actual = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))

@@ -54,6 +54,19 @@ CHANGED_THIS_ROUND: list[str] = [
     # conditional on scan parallelism (same class) — plan changed,
     # rows-only key, force re-adjudication.
     "doc_compression_ratio",
+    # r17 empty-catalog audit fixes (zero-row robustness — all identity
+    # on non-empty input, re-verified at sf0.001/sf0.01): oracle text
+    # gained HAVING COUNT(*)>0 (grouping trio) or NULLIF denominators
+    # (two sweeps); the two spine ops filter the NULL explode_outer row;
+    # pc1's fixture repartition became conditional.
+    "grouping_rollup",
+    "grouping_cube",
+    "grouping_sets",
+    "date_spine_monthly",
+    "revenue_mom_growth",
+    "contamination_ngram_sensitivity",
+    "dedup_threshold_sensitivity",
+    "embedding_pc1_spectrum",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
