@@ -302,11 +302,13 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.source, d.n_chars,
            ROUND((CAST(d.n_chars AS DOUBLE) - st.s / st.n)
-                 / SQRT((st.q - st.s * st.s / st.n) / (st.n - 1)), 6)
+                 / SQRT((st.q - st.s * st.s / st.n)
+                        / NULLIF(st.n - 1, 0)), 6)
                AS z
     FROM documents d JOIN stats st ON st.source = d.source
     WHERE ABS(ROUND((CAST(d.n_chars AS DOUBLE) - st.s / st.n)
-                    / SQRT((st.q - st.s * st.s / st.n) / (st.n - 1)), 6))
+                    / SQRT((st.q - st.s * st.s / st.n)
+                           / NULLIF(st.n - 1, 0)), 6))
           > {OUTLIER_Z}
     """,
 )
@@ -332,8 +334,8 @@ def length_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     mean = F.col("s") / F.col("n")
-    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (
-        F.col("n") - F.lit(1.0)
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.nullif(
+        F.col("n") - F.lit(1.0), F.lit(0.0)
     )
     z = F.round(
         (F.col("n_chars").cast("double") - mean) / F.sqrt(var), 6

@@ -37,7 +37,7 @@ from googlecloudstorage_blueprints_spark.sources.catalog import load_table
            ROUND(MIN(val), 6)                 AS min_val,
            ROUND(MAX(val), 6)                 AS max_val,
            ROUND((SUM(val * val) - SUM(val) * SUM(val) / COUNT(*))
-                 / (COUNT(*) - 1), 6)         AS var
+                 / NULLIF(COUNT(*) - 1, 0), 6) AS var
     FROM vals
     GROUP BY dim
     ORDER BY dim
@@ -72,7 +72,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(s / n, 6).alias("mean"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
-            F.round((q - s * s / n) / (n - F.lit(1)), 6).alias("var"),
+            F.round(
+                (q - s * s / n) / F.nullif(n - F.lit(1), F.lit(0)), 6
+            ).alias("var"),
         )
         .orderBy("dim")
     )
@@ -170,7 +172,7 @@ MAHALANOBIS_TOP_K = 20
            CAST(v.label AS BIGINT) AS label,
            ROUND(SUM(
                (v.val - st.s / st.n) * (v.val - st.s / st.n)
-               / ((st.q - st.s * st.s / st.n) / (st.n - 1))
+               / ((st.q - st.s * st.s / st.n) / NULLIF(st.n - 1, 0))
            ), 6) AS m2
     FROM vals v
     JOIN stats st ON st.label = v.label AND st.dim = v.dim
@@ -209,8 +211,8 @@ def embedding_outlier_mahalanobis(
         F.sum(F.col("val") * F.col("val")).alias("q"),
     )
     mu = F.col("s") / F.col("n")
-    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (
-        F.col("n") - F.lit(1.0)
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.nullif(
+        F.col("n") - F.lit(1.0), F.lit(0.0)
     )
     term = (F.col("val") - mu) * (F.col("val") - mu) / var
     return (
@@ -776,9 +778,11 @@ SEP_SCALE = 10_000  # ×1e4 fixed point for normalized coordinates
     SELECT CAST(l.label AS BIGINT) AS label,
            l.n                     AS n_vectors,
            CAST(d.ss - l.qq AS DOUBLE)
-               / (l.n * (l.n - 1)) / {SEP_SCALE * SEP_SCALE} AS intra_cos,
+               / NULLIF(l.n * (l.n - 1), 0)
+               / {SEP_SCALE * SEP_SCALE} AS intra_cos,
            CAST(d.sg - d.ss AS DOUBLE)
-               / (l.n * (t.big_n - l.n)) / {SEP_SCALE * SEP_SCALE}
+               / NULLIF(l.n * (t.big_n - l.n), 0)
+               / {SEP_SCALE * SEP_SCALE}
                AS inter_cos
     FROM lab l JOIN dots d USING (label) CROSS JOIN tot t
     ORDER BY label
@@ -858,12 +862,16 @@ def embedding_label_separation(
             F.col("n").alias("n_vectors"),
             (
                 (F.col("ss") - F.col("qq")).cast("double")
-                / (F.col("n") * (F.col("n") - 1))
+                / F.nullif(
+                    F.col("n") * (F.col("n") - 1), F.lit(0)
+                )
                 / F.lit(scale2)
             ).alias("intra_cos"),
             (
                 (F.col("sg") - F.col("ss")).cast("double")
-                / (F.col("n") * (F.col("big_n") - F.col("n")))
+                / F.nullif(
+                    F.col("n") * (F.col("big_n") - F.col("n")), F.lit(0)
+                )
                 / F.lit(scale2)
             ).alias("inter_cos"),
         ),

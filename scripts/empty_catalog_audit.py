@@ -12,7 +12,9 @@ oracle's COUNT(*) FILTER is 0) that fixtures can never exercise — this
 script sweeps the whole surface for the rest of the class.
 
 Usage:
-    python scripts/empty_catalog_audit.py [key ...]   # default: all
+    python scripts/empty_catalog_audit.py [--mode empty|single] [key ...]
+    # default: --mode empty, all keys.  --mode single audits the
+    # one-row-per-table degenerate-statistics catalog instead.
 
 Output: one line per key — MATCH / MISMATCH / SPARK_ERROR /
 DUCK_ERROR / ROWS_ONLY_{OK,ERROR} — and a nonzero exit if any
@@ -52,6 +54,21 @@ def build_empty_dir() -> str:
     return out
 
 
+def build_single_row_dir() -> str:
+    """One row per table (the head row of the sf0.001 fixture) — the
+    degenerate-statistics input: var_samp's n-1 = 0, percentile of a
+    single value, every lag/lead NULL, one group everywhere.  FK
+    integrity across tables is NOT preserved (a head orders row need
+    not reference the head customer) — ops must tolerate that too."""
+    out = tempfile.mkdtemp(prefix="single_row_catalog_")
+    from googlecloudstorage_blueprints_spark.sources.catalog import TABLES
+
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC_SF}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), f"{out}/{t}.parquet")
+    return out
+
+
 def canon_value(v) -> str:
     if v is None:
         return "NULL"
@@ -82,9 +99,14 @@ def main() -> int:
     spark = get_spark(app_name="empty-catalog-audit")
     queries = all_queries()
     oracles = all_oracles()
-    keys = sys.argv[1:] or sorted(queries)
+    argv = sys.argv[1:]
+    mode = "empty"
+    if argv[:1] == ["--mode"]:
+        mode = argv[1]
+        argv = argv[2:]
+    keys = argv or sorted(queries)
 
-    sf_dir = build_empty_dir()
+    sf_dir = build_empty_dir() if mode == "empty" else build_single_row_dir()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -67,6 +67,12 @@ CHANGED_THIS_ROUND: list[str] = [
     "contamination_ngram_sensitivity",
     "dedup_threshold_sensitivity",
     "embedding_pc1_spectrum",
+    # r17 single-row-catalog audit fixes (degenerate statistics — n-1=0
+    # NULLIF-guarded on both engines, identity on n>=2 groups):
+    "embedding_dim_stats",
+    "embedding_label_separation",
+    "embedding_outlier_mahalanobis",
+    "length_outlier_zscore",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

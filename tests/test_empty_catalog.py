@@ -18,6 +18,13 @@ broken, each fixed one of three ways:
   guarded both engines; numpy/driver-solve ops (knn pandas/ivf/pq,
   embedding cosine, kmeans, pc1, pagerank, markov) early-return empty
   typed frames instead of AxisError/ZeroDivision/KeyError.
+
+The companion SINGLE-ROW sweep (``--mode single``: one row per table,
+FK integrity deliberately broken) found four more — every explicit
+sample-variance spelling divides by n-1, which a one-member group makes
+0 (Spark ANSI throws; the fixture never has one-member label/source
+groups).  All four now NULLIF-guard the n-1 factor on both engines —
+identity wherever groups have >=2 members.
 """
 
 from __future__ import annotations
@@ -56,12 +63,31 @@ FIXED_KEYS = [
 ]
 
 
+# Degenerate-statistics class (single-row catalog): n-1 = 0 in every
+# explicit sample-variance formula — NULLIF-guarded on both engines.
+SINGLE_ROW_KEYS = [
+    "embedding_dim_stats",
+    "embedding_label_separation",
+    "embedding_outlier_mahalanobis",
+    "length_outlier_zscore",
+]
+
+
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("empty_catalog")
     for t in TABLES:
         schema = pq.read_schema(f"{SRC_SF}/{t}.parquet")
         pq.write_table(schema.empty_table(), out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def single_row_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("single_row_catalog")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC_SF}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), out / f"{t}.parquet")
     return str(out)
 
 
@@ -75,10 +101,9 @@ def _canon(v):
     return str(v)
 
 
-@pytest.mark.parametrize("name", FIXED_KEYS)
-def test_empty_catalog_runs_and_matches_oracle(spark, empty_dir, name):
+def _run_and_compare(spark, sf_dir, name):
     queries, oracles = all_queries(), all_oracles()
-    sdf = queries[name](spark, empty_dir)
+    sdf = queries[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     if name not in oracles:
         # rows-only keys: the pin is "runs, typed schema, no crash"
@@ -88,7 +113,7 @@ def test_empty_catalog_runs_and_matches_oracle(spark, empty_dir, name):
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{empty_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     res = con.execute(oracles[name])
     dcols = [d[0] for d in res.description]
@@ -100,3 +125,15 @@ def test_empty_catalog_runs_and_matches_oracle(spark, empty_dir, name):
     s = sorted(tuple(_canon(r[i]) for i in sorder) for r in srows)
     d = sorted(tuple(_canon(r[i]) for i in dorder) for r in drows)
     assert s == d, f"{name}: spark={s[:3]} duck={d[:3]}"
+
+
+@pytest.mark.parametrize("name", FIXED_KEYS)
+def test_empty_catalog_runs_and_matches_oracle(spark, empty_dir, name):
+    _run_and_compare(spark, empty_dir, name)
+
+
+@pytest.mark.parametrize("name", SINGLE_ROW_KEYS)
+def test_single_row_catalog_runs_and_matches_oracle(
+    spark, single_row_dir, name
+):
+    _run_and_compare(spark, single_row_dir, name)
