@@ -21,10 +21,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import re
 import sys
+
+from pyspark.errors import AnalysisException
 
 from googlecloudstorage_blueprints_spark.errors import BlueprintError
 from googlecloudstorage_blueprints_spark.fileops.core import (
@@ -440,6 +441,25 @@ def _run_query(args) -> int:
     return 0
 
 
+def _hadoop_count_files(spark, feed_dir: str, pattern: str) -> int | None:
+    """Count files matching ``pattern`` directly under ``feed_dir``
+    through the Hadoop FileSystem API — scheme-aware (file:, hdfs://,
+    gs://, s3a://), unlike a local ``glob.glob`` which silently sees
+    nothing for remote URIs.  Returns None when the directory itself
+    does not exist (caller distinguishes 'missing' from 'empty');
+    raises for unreachable schemes (no connector / bad credentials)."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(feed_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return None
+    matched = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(root, pattern)
+    )
+    return 0 if matched is None else len(matched)
+
+
 def _run_validate_continuous(args) -> int:
     """Continuous migration validation (``validate --continuous``):
     treat --source-dir and --dest-dir as LIVE feed directories of flat
@@ -483,6 +503,26 @@ def _run_validate_continuous(args) -> int:
         app_name="gcs-blueprints-validate-continuous",
         service_account=args.service_account,
     )
+    # --state-dir is explicitly reusable across invocations, so bind it
+    # to ONE table: a changelog/checkpoint built for documents merged
+    # into an orders digest would be a garbage comparison with no
+    # diagnostic (r17 advice).  Record the table on first use, fail
+    # fast on mismatch ever after.
+    marker = os.path.join(args.state_dir, "table")
+    if os.path.exists(marker):
+        bound = open(marker).read().strip()
+        if bound != args.table:
+            print(
+                f"error: state dir {args.state_dir!r} is bound to table "
+                f"{bound!r} (first use); re-validating {args.table!r} "
+                "needs a fresh --state-dir",
+                file=sys.stderr,
+            )
+            return 2
+    else:
+        os.makedirs(args.state_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(args.table)
     merged = {}
     for side, feed_dir in (
         ("source", args.source_dir),
@@ -490,10 +530,28 @@ def _run_validate_continuous(args) -> int:
     ):
         sink = f"{args.state_dir}/{side}/changelog"
         ckpt = f"{args.state_dir}/{side}/checkpoint"
-        # an empty feed can't infer a stream schema — skip the drain
-        # and fall through to whatever changelog earlier runs left
-        local_dir = feed_dir.removeprefix("file:")
-        if glob.glob(os.path.join(local_dir, "*.parquet")):
+        # Probe the feed through Hadoop FS, not a local glob: a local
+        # glob sees nothing for gs://, hdfs://, s3a://, or a mistyped
+        # path, and 'nothing' used to silently skip the drain — two
+        # such sides then compared equal on zero digests, a false pass
+        # for a migration validator (r17 advice).  Nonexistent feed
+        # dir = usage error; only a CONFIRMED-existing, confirmed-empty
+        # directory legitimately digests to zeros.
+        try:
+            n_files = _hadoop_count_files(spark, feed_dir, "*.parquet")
+        except Exception as exc:  # unreachable scheme / no connector
+            print(
+                f"error: cannot probe feed dir {feed_dir!r}: {exc}",
+                file=sys.stderr,
+            )
+            return 2
+        if n_files is None:
+            print(
+                f"error: feed dir does not exist: {feed_dir!r}",
+                file=sys.stderr,
+            )
+            return 2
+        if n_files:
             q = (
                 streaming_table_digest(
                     spark, feed_dir, table=args.table, glob="*.parquet"
@@ -510,9 +568,24 @@ def _run_validate_continuous(args) -> int:
             rows = (
                 spark.read.parquet(sink).collect()
             )  # bounded: ≤shards×triggers changelog rows, ver-compacted
-        except Exception:
+        except AnalysisException as exc:
+            # only 'no changelog yet' (first run over an empty feed) is
+            # a legitimate zero-digest; corrupt files / permissions /
+            # bad state dirs must FAIL, not read as 'feeds match'
+            # (r17 advice)
+            klass = ""
+            try:
+                klass = exc.getErrorClass() or ""
+            except Exception:
+                pass
+            if "PATH_NOT_FOUND" not in klass and (
+                "PATH_NOT_FOUND" not in str(exc)
+            ):
+                raise
             rows = []  # no emission yet: an empty feed digests to zeros
-        merged[side] = merge_digest_rows(rows)
+        merged[side] = merge_digest_rows(
+            [r for r in rows if r["table_name"] == args.table]
+        )
     sn, sd, ss = merged["source"]
     dn, dd, ds = merged["dest"]
     match = merged["source"] == merged["dest"]
@@ -522,7 +595,36 @@ def _run_validate_continuous(args) -> int:
         f"dst(n={dn}, digest={dd}, sum={ds})"
     )
     if not match:
-        print("validate: content mismatch", file=sys.stderr)
+        detail = ""
+        if args.table == "events":
+            # localize WHICH days diverge (the --by-day comparison,
+            # composed onto the continuous path): rescan both feeds'
+            # full backlog for per-day digests — a divergence is the
+            # rare path, so the rescan only prices the failure case
+            from googlecloudstorage_blueprints_spark.operators.audit import (  # noqa: E501
+                partition_digest_frame,
+            )
+
+            per_day = {}
+            for side, feed_dir in (
+                ("source", args.source_dir),
+                ("dest", args.dest_dir),
+            ):
+                per_day[side] = {
+                    r["epoch_day"]: (
+                        r["n_rows"], r["digest"], r["digest_sum"],
+                    )
+                    for r in partition_digest_frame(
+                        spark, feed_dir, glob="*.parquet"
+                    ).collect()
+                }  # bounded: calendar-bounded day ledger per side
+            bad_days = [
+                d
+                for d in sorted(set(per_day["source"]) | set(per_day["dest"]))
+                if per_day["source"].get(d) != per_day["dest"].get(d)
+            ]
+            detail = " on day(s) " + ", ".join(str(d) for d in bad_days)
+        print(f"validate: content mismatch{detail}", file=sys.stderr)
         return EXIT_CODE_FILE_NOT_FOUND
     print("validate: feeds match")
     return 0

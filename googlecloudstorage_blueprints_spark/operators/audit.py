@@ -1448,12 +1448,28 @@ def _events_row_hash_sql() -> str:
     return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 
-def partition_digest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partition_digest_frame(
+    spark: SparkSession, sf_dir: str, glob: str | None = None
+) -> DataFrame:
     """(epoch_day, n_rows, digest, digest_sum) for the day-partitioned
     events feed — the computation behind ``table_partition_digest``,
     exposed so the ``validate --by-day`` CLI path can localize WHICH
-    day a backfill mangled after the table digest flags the feed."""
-    ev = load_table(spark, sf_dir, "events")
+    day a backfill mangled after the table digest flags the feed.
+
+    With ``glob`` set, reads a LIVE feed directory of flat parquet
+    files (the ``validate --continuous`` layout) instead of the
+    catalog's ``events.parquet`` — used to name the diverging days in
+    the continuous path's 205 message.  The default path is unchanged
+    (``table_partition_digest``'s registered plan)."""
+    if glob is not None:
+        ev = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        for f_name, f_type in ev.dtypes:
+            if f_type == "timestamp_ntz":
+                # the catalog ntz shim, value-exact under the UTC
+                # session tz (round-5 rule)
+                ev = ev.withColumn(f_name, F.col(f_name).cast("timestamp"))
+    else:
+        ev = load_table(spark, sf_dir, "events")
     _s, h = row_hash_expr("events")
     return sort_bounded(
         ev.select(

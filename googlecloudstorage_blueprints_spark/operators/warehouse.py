@@ -165,29 +165,35 @@ def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spine is sequence() over the corpus [min, max] month bounds —
     computed as a 1-row aggregate, exploded to |months| rows, always
-    broadcastable; the fact side is one grouped shuffle.  explode_outer
-    per the computed-array rule; month emitted as a formatted string so
-    both engines hash identical values."""
+    broadcastable; the fact side is one grouped shuffle.  Plain explode
+    (codegen Generate) per the computed-array rule; month emitted as a
+    formatted string so both engines hash identical values."""
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
         F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
     )
     spine = bounds.select(
-        F.explode_outer(
+        F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
         ).alias("m")
-    ).where(F.col("m").isNotNull())  # zero-row input: NULL bounds make
-    # explode_outer emit one NULL row where DuckDB's unnest emits none
-    # (empty-catalog audit, r17) — identity on any non-empty input
+    )  # plain explode, NOT explode_outer: zero-row input makes the
+    # bounds NULL and explode_outer would emit one NULL row where
+    # DuckDB's unnest emits none (empty-catalog audit, r17); explode
+    # drops the NULL array outright — the outer+isNotNull-filter form
+    # was exactly equivalent and must not reappear (r17 advice)
     actual = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+    # no broadcast hint: Spark cannot build the PRESERVED side of a
+    # left-outer BHJ (the r12 lesson — a hint there is silently
+    # ignored); the months-bounded aggregate's own estimate already
+    # yields BHJ BuildRight, plan-checked r18
     return (
-        F.broadcast(spine)
+        spine
         .join(actual, "m", "left")
         .select(
             F.date_format("m", "yyyy-MM").alias("month"),
@@ -250,17 +256,22 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
     )
     spine = bounds.select(
-        F.explode_outer(
+        F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
         ).alias("m")
-    ).where(F.col("m").isNotNull())  # zero-row input: NULL bounds make
-    # explode_outer emit one NULL row where DuckDB's unnest emits none
-    # (empty-catalog audit, r17) — identity on any non-empty input
+    )  # plain explode, NOT explode_outer: zero-row input makes the
+    # bounds NULL and explode_outer would emit one NULL row where
+    # DuckDB's unnest emits none (empty-catalog audit, r17); explode
+    # drops the NULL array outright — the outer+isNotNull-filter form
+    # was exactly equivalent and must not reappear (r17 advice)
     actual = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
     ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    # no broadcast hint on the preserved side (r12 lesson, see
+    # date_spine_monthly) — the months-bounded aggregate gets BHJ
+    # BuildRight from its own estimate
     dense = (
-        F.broadcast(spine)
+        spine
         .join(actual, "m", "left")
         .select("m", F.coalesce("revenue", F.lit(0.0)).alias("revenue"))
     )

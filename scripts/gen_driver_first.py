@@ -44,35 +44,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r17: table_column_digest's fixture-trap repartition became
-    # conditional on scan parallelism (r16 verdict item 2) — plan
-    # changed, force re-adjudication.  (table_row_digest cleared per the
-    # r16 verdict: digest_sum adjudicated green; its row_hash_expr
-    # alias cleanup is expression-identical, parity re-verified.)
-    "table_column_digest",
-    # r17: doc_compression_ratio's fixture-trap round-robin became
-    # conditional on scan parallelism (same class) — plan changed,
-    # rows-only key, force re-adjudication.
-    "doc_compression_ratio",
-    # r17 empty-catalog audit fixes (zero-row robustness — all identity
-    # on non-empty input, re-verified at sf0.001/sf0.01): oracle text
-    # gained HAVING COUNT(*)>0 (grouping trio) or NULLIF denominators
-    # (two sweeps); the two spine ops filter the NULL explode_outer row;
-    # pc1's fixture repartition became conditional.
-    "grouping_rollup",
-    "grouping_cube",
-    "grouping_sets",
+    # r18: spine Generate replan (r17-advice) — explode_outer+isNotNull
+    # became plain explode (exactly equivalent; sequence elements are
+    # never NULL) and the silently-ignored preserved-side broadcast
+    # hint was dropped (plan stays BHJ BuildRight, plan-checked).
     "date_spine_monthly",
     "revenue_mom_growth",
-    "contamination_ngram_sensitivity",
-    "dedup_threshold_sensitivity",
-    "embedding_pc1_spectrum",
-    # r17 single-row-catalog audit fixes (degenerate statistics — n-1=0
-    # NULLIF-guarded on both engines, identity on n>=2 groups):
-    "embedding_dim_stats",
-    "embedding_label_separation",
-    "embedding_outlier_mahalanobis",
-    "length_outlier_zscore",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

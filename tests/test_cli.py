@@ -569,3 +569,72 @@ def test_cli_validate_continuous_incremental(spark, tmp_path, capsys):
     ]) == 2
     assert main(base + ["--table", "nope"]) == 2
     assert main(base + ["--by-column"]) == 2
+
+    capsys.readouterr()
+    # r18 guardrails: the state dir is BOUND to its first table —
+    # re-invoking against the same state with another table must fail
+    # fast (2) instead of merging the old table's leftover changelog
+    # into the new table's digest (r17 advice)
+    rc = main(base + ["--table", "events"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "bound to table 'documents'" in captured.err
+
+    # a nonexistent feed dir is a usage error, never a silent
+    # zero-digest 'feeds match' (the r17-advice false-pass trap)
+    rc = main([
+        "validate", "--source-dir", str(tmp_path / "no_such_feed"),
+        "--dest-dir", str(dst),
+        "--continuous", "--state-dir", str(tmp_path / "state2"),
+    ])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "does not exist" in captured.err
+
+
+def test_cli_validate_continuous_names_diverging_day(
+    spark, tmp_path, capsys
+):
+    """An events-feed divergence under ``validate --continuous`` must
+    LOCALIZE the damage: the 205 message names the diverging
+    epoch_day(s) (the --by-day comparison composed onto the continuous
+    path), not just the table/shard triple — r17 verdict item 8."""
+    import datetime as _dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    dst.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "00.parquet")
+
+    # dest received the same day's rows with ONE cell flipped
+    ev = pq.read_table(f"{SF}/events.parquet")
+    types = ev.column("event_type").to_pylist()
+    types[0] = types[0] + "-corrupted"
+    ts0_us = ev.column("ts").cast(pa.timestamp("us")).to_pylist()[0]
+    bad_day = int(
+        ts0_us.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+    ) // 86_400_000_000
+    pq.write_table(
+        ev.set_column(
+            ev.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(types, pa.string()),
+        ),
+        dst / "00.parquet",
+    )
+
+    rc = main([
+        "validate", "--source-dir", str(src), "--dest-dir", str(dst),
+        "--continuous", "--state-dir", str(tmp_path / "state"),
+        "--table", "events",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 205
+    assert "FAIL events:" in captured.out
+    assert f"content mismatch on day(s) {bad_day}" in captured.err

@@ -12,8 +12,10 @@ broken, each fixed one of three ways:
   grand-total row over zero rows, Spark emits nothing — oracles carry
   HAVING COUNT(*) > 0 (identity on non-empty input).
 - date_spine_monthly / revenue_mom_growth: explode_outer over NULL
-  month bounds emitted one NULL spine row — filtered (identity on
-  non-empty input, where bounds are never NULL).
+  month bounds emitted one NULL spine row — since r18 these use plain
+  explode, which drops the NULL array outright (identity on non-empty
+  input, where bounds are never NULL; the r17 outer+filter form was
+  exactly equivalent).
 - contamination/dedup sweeps: literal-denominator divisions NULLIF-
   guarded both engines; numpy/driver-solve ops (knn pandas/ivf/pq,
   embedding cosine, kmeans, pc1, pagerank, markov) early-return empty
