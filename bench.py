@@ -424,6 +424,62 @@ def main() -> None:
         gate_median = scale_slope_high
         gate_spread = None
 
+    # gate self-attribution (r17 verdict item 2): publish the paired
+    # totals BEHIND each sweep's gate estimate in the summary line, so
+    # a round-over-round gate swing is readable as numerator-vs-
+    # denominator from the committed BENCH_r{N}.json alone (r16→r17
+    # read 0.83→2.74 on identical plans and faster Spark walls — the
+    # swing was provably the DuckDB denominator, but proving it needed
+    # builder-host access).  The Spark numerator is best-of-warm and
+    # therefore constant across sweeps; only the DuckDB delta varies.
+    gate_decomposition = None
+    if mid_duck_runs is not None and mid_spark is not None:
+        names = [n for n in duck if n in mid_spark and n in mid_duck]
+        dspark_total = round(
+            sum(max(timings[n] - mid_spark[n], 0.0) for n in names), 3
+        )
+        sweeps = []
+        for hi_d, mid_d in zip(duck_runs, mid_duck_runs):
+            nm = [n for n in names if n in hi_d and n in mid_d]
+            dd = round(
+                sum(max(hi_d[n] - mid_d[n], 0.0) for n in nm), 3
+            )
+            sweeps.append(
+                {
+                    "dduck_total": dd,
+                    "duck_total_target": round(
+                        sum(hi_d[n] for n in nm), 3
+                    ),
+                    "duck_total_sf01": round(
+                        sum(mid_d[n] for n in nm), 3
+                    ),
+                    "ratio": (
+                        round(dspark_total / dd, 2) if dd > 0 else None
+                    ),
+                }
+            )
+        gate_decomposition = {
+            "dspark_total": dspark_total,
+            "sweeps": sweeps,
+        }
+
+    # compact per-query attribution for the summary line: [Δspark,
+    # Δduck] over the high span, ordered by Δspark descending — which
+    # query carries the gate numerator is a lookup, not a decomposition
+    # run (the richer map stays in BENCH_DETAIL.json)
+    slope_detail_compact = None
+    if mid_spark is not None and mid_duck is not None:
+        slope_detail_compact = {
+            n: [
+                round(max(timings[n] - mid_spark[n], 0.0), 3),
+                round(max(duck[n] - mid_duck[n], 0.0), 3),
+            ]
+            for n in sorted(
+                (n for n in duck if n in mid_spark and n in mid_duck),
+                key=lambda n: mid_spark[n] - timings[n],
+            )
+        }
+
     detail = {
         "sf": sf,
         "spark_floor_seconds": floor,
@@ -447,6 +503,7 @@ def main() -> None:
         "scale_slope_ratio_high_runs": gate_runs,
         "scale_slope_ratio_high_median": gate_median,
         "scale_slope_ratio_high_spread": gate_spread,
+        "gate_decomposition": gate_decomposition,
         # per-query gate attribution (r14): the high-span Δspark/Δduck
         # each query contributes, sorted by Δspark — makes "which query
         # carries the gate" a lookup instead of a decomposition run
@@ -499,6 +556,11 @@ def main() -> None:
                 # noise moved the gate 27% between r6 and r7).
                 "gate_metric": "scale_slope_ratio_high",
                 "gate_value": gate_median,
+                # self-attribution (r18): the paired totals behind each
+                # sweep's gate estimate + per-query [Δspark, Δduck] —
+                # a gate swing decomposes from this artifact alone
+                "gate_decomposition": gate_decomposition,
+                "slope_detail_high": slope_detail_compact,
                 # spark-only lane for rows-only heavies (no DuckDB twin;
                 # judge round-over-round by warm + slope_seconds)
                 "rows_only_lane": rows_only_lane,

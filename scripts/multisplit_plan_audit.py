@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Standing fixture-trap audit: plans must not be shaped by the
+one-row-group fixture layout (r17 verdict item 5, made mechanical).
+
+The fixture parquet files are ONE row group each, so every scan is a
+single task and compute kernels legitimately branch on scan
+parallelism (the r17 conditional pre-kernel repartitions).  The TRAP
+this audit hunts is the inverse: a plan tuned to the fixture that a
+real multi-split input — the only shape a 1000-executor cluster ever
+sees — would pay for, e.g. a keyless RoundRobinPartitioning that
+round-robins the full table even when the scan is already parallel.
+
+Method: materialize a MULTI-FILE copy of every fixture table
+(4 × defaultParallelism flat files each — the recipe the r17 plan pins
+use, enough that Spark's bin-packing yields ≥ defaultParallelism scan
+partitions), build every registered op against BOTH layouts, and flag:
+
+1. ``roundrobin_on_multisplit`` — any RoundRobinPartitioning exchange
+   in the MULTI-SPLIT plan: a keyless full-table shuffle at cluster
+   scale (keyed pre-kernel repartitions are hashpartitioning and are
+   deliberately unconditional — the kernel needs the distribution).
+2. ``layout_divergence`` — an op whose exchange signature (the sorted
+   multiset of shuffle-exchange partitioning kinds) DIFFERS between
+   layouts outside ``DIVERGENCE_ALLOWLIST``: its plan is shaped by the
+   input layout rather than the data semantics.  The allowlisted ops
+   are the deliberate conditional-repartition class (round-robin on
+   the fixture, none on multi-split — plan-pinned both ways in
+   tests/test_new_ops_r17.py).
+
+Run from the repo root (exit 1 on any non-allowlisted finding):
+
+    python scripts/multisplit_plan_audit.py            # all ops
+    python scripts/multisplit_plan_audit.py name1 ...  # subset
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# Ops whose exchange signature is EXPECTED to differ between layouts:
+# the conditional pre-kernel repartition fires only when the scan has
+# fewer partitions than defaultParallelism (fixture: 1).
+DIVERGENCE_ALLOWLIST = {
+    "table_column_digest",
+    "doc_compression_ratio",
+    "embedding_pc1_spectrum",
+}
+
+
+def _materialize_multisplit(dest: str, n_files: int) -> None:
+    """Write each fixture table as ``n_files`` flat row-slices with the
+    SAME physical schema (pyarrow round-trip — no Spark rewrite, so
+    timestamp physical types survive and the catalog's ntz shim takes
+    the identical code path on both layouts)."""
+    import pyarrow.parquet as pq
+
+    from googlecloudstorage_blueprints_spark.sources.catalog import TABLES
+
+    for t in TABLES:
+        tbl = pq.read_table(f"{SF}/{t}.parquet")
+        out = os.path.join(dest, f"{t}.parquet")
+        os.makedirs(out, exist_ok=True)
+        n = tbl.num_rows
+        step = max(1, (n + n_files - 1) // n_files)
+        idx = 0
+        for off in range(0, max(n, 1), step):
+            pq.write_table(tbl.slice(off, step), f"{out}/part-{idx:05d}.parquet")
+            idx += 1
+        while idx < n_files:  # pad with empty slices to force file count
+            pq.write_table(tbl.slice(0, 0), f"{out}/part-{idx:05d}.parquet")
+            idx += 1
+
+
+def _exchange_signature(text: str) -> tuple[tuple[str, int], ...]:
+    """Sorted multiset of shuffle-exchange partitioning kinds in a
+    simple-mode plan (BroadcastExchange excluded — broadcasts are the
+    point; AQE is not finalized pre-execution so this is the static
+    plan both layouts produce deterministically)."""
+    kinds: dict[str, int] = {}
+    for line in text.splitlines():
+        ls = line.strip().lstrip("+-: *()0123456789").strip()
+        if ls.startswith("Exchange"):
+            m = re.match(r"Exchange (\w+)", ls)
+            k = m.group(1) if m else "?"
+            kinds[k] = kinds.get(k, 0) + 1
+    return tuple(sorted(kinds.items()))
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    from googlecloudstorage_blueprints_spark.operators import all_queries
+    from googlecloudstorage_blueprints_spark.plans.inspect import explain_str
+    from googlecloudstorage_blueprints_spark.session import get_spark
+
+    spark = get_spark(app_name="multisplit-plan-audit")
+    par = spark.sparkContext.defaultParallelism
+    qs = all_queries()
+    names = sorted(n for n in qs if not only or n in only)
+
+    tmp = tempfile.mkdtemp(prefix="multisplit_audit_")
+    findings: list[str] = []
+    skipped: list[str] = []
+    try:
+        _materialize_multisplit(tmp, 4 * par)
+        for name in names:
+            try:
+                fixture_plan = explain_str(qs[name](spark, SF), "simple")
+                multi_plan = explain_str(qs[name](spark, tmp), "simple")
+            except Exception as ex:
+                skipped.append(f"{name}: {str(ex)[:80]}")
+                continue
+            sig_f = _exchange_signature(fixture_plan)
+            sig_m = _exchange_signature(multi_plan)
+            rr_multi = sum(
+                c for k, c in sig_m if k == "RoundRobinPartitioning"
+            )
+            if rr_multi:
+                findings.append(
+                    f"roundrobin_on_multisplit {name}: {rr_multi} keyless "
+                    f"round-robin exchange(s) survive on multi-split input"
+                )
+            if sig_f != sig_m and name not in DIVERGENCE_ALLOWLIST:
+                findings.append(
+                    f"layout_divergence {name}: fixture={sig_f} "
+                    f"multisplit={sig_m}"
+                )
+            ok = "DIVERGES-ALLOWED" if (
+                sig_f != sig_m and name in DIVERGENCE_ALLOWLIST
+            ) else "ok"
+            print(f"  {ok:16s} {name}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    for s in skipped:
+        print(f"  skip {s}")
+    print()
+    for f in findings:
+        print(f"FINDING: {f}")
+    print(f"{len(findings)} non-allowlisted finding(s)")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

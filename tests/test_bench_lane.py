@@ -62,3 +62,24 @@ def test_lane_is_wired_into_summary_and_detail():
     for field in ("warm", "warm_sf01", "warm_sf001",
                   "slope_seconds_high", "slope_seconds_full"):
         assert f'"{field}"' in src, field
+
+
+def test_gate_decomposition_is_wired_into_summary():
+    """r18 (r17 verdict item 2): the summary line must carry the gate's
+    paired totals (``gate_decomposition``: Δspark_total + per-sweep
+    Δduck totals) and the compact per-query ``slope_detail_high`` so a
+    round-over-round gate swing is attributable from BENCH_r{N}.json
+    alone — without builder-host access.  Structural pin, same style
+    as the lane wiring test."""
+    src = open(BENCH_PATH).read()
+    tree = ast.parse(src)
+    keys = [
+        node.value
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Constant)
+        and node.value in ("gate_decomposition", "slope_detail_high")
+    ]
+    # gate_decomposition: detail dict + summary dict (>=2);
+    # slope_detail_high: detail dict + summary dict (>=2)
+    assert keys.count("gate_decomposition") >= 2
+    assert keys.count("slope_detail_high") >= 2
