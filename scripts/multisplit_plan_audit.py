@@ -19,13 +19,21 @@ partitions), build every registered op against BOTH layouts, and flag:
    in the MULTI-SPLIT plan: a keyless full-table shuffle at cluster
    scale (keyed pre-kernel repartitions are hashpartitioning and are
    deliberately unconditional — the kernel needs the distribution).
-2. ``layout_divergence`` — an op whose exchange signature (the sorted
-   multiset of shuffle-exchange partitioning kinds) DIFFERS between
-   layouts outside ``DIVERGENCE_ALLOWLIST``: its plan is shaped by the
-   input layout rather than the data semantics.  The allowlisted ops
-   are the deliberate conditional-repartition class (round-robin on
-   the fixture, none on multi-split — plan-pinned both ways in
+2. ``fixture_extra_exchanges`` — a partitioning kind the FIXTURE plan
+   carries MORE of than the multi-split plan, outside
+   ``DIVERGENCE_ALLOWLIST``: work shaped by the one-row-group layout
+   that real input would not plan.  The allowlisted ops are the
+   deliberate conditional-repartition class (round-robin on the
+   fixture, none on multi-split — plan-pinned both ways in
    tests/test_new_ops_r17.py).
+
+The OPPOSITE direction — the multi-split plan gaining keyed exchanges
+the fixture elided — is EnsureRequirements working as designed (a
+1-partition child trivially satisfies any clustered distribution, so
+single-file scans skip shuffles that real input correctly pays; the
+first r18 sweep measured 4 such ops: chunk_dedup,
+dedup_threshold_sensitivity, lsh_band_sensitivity, sql_tpch_q2) and is
+reported informationally without failing.
 
 Run from the repo root (exit 1 on any non-allowlisted finding):
 
@@ -101,6 +109,18 @@ def main() -> int:
     from googlecloudstorage_blueprints_spark.session import get_spark
 
     spark = get_spark(app_name="multisplit-plan-audit")
+    # Neutralize SIZE-driven join-strategy flips: the 4×par-file copy
+    # carries ~20× the per-file parquet overhead at sf0.001, which
+    # pushes small computed build sides over the broadcast threshold
+    # (BHJ→SMJ = +2 hash exchanges) — Catalyst responding to size
+    # estimates as designed, NOT a fixture-shaped plan.  With the
+    # threshold pinned high on BOTH layouts, any remaining divergence
+    # is layout-driven (partition-count branches, round-robins) — the
+    # class this audit exists to catch.  (First r18 sweep without this
+    # pin: 3 such BHJ↔SMJ artifacts — chunk_dedup,
+    # dedup_threshold_sensitivity, events_value_psi — all verified
+    # size-driven, zero round-robin findings.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 30))
     par = spark.sparkContext.defaultParallelism
     qs = all_queries()
     names = sorted(n for n in qs if not only or n in only)
@@ -117,25 +137,33 @@ def main() -> int:
             except Exception as ex:
                 skipped.append(f"{name}: {str(ex)[:80]}")
                 continue
-            sig_f = _exchange_signature(fixture_plan)
-            sig_m = _exchange_signature(multi_plan)
-            rr_multi = sum(
-                c for k, c in sig_m if k == "RoundRobinPartitioning"
-            )
+            sig_f = dict(_exchange_signature(fixture_plan))
+            sig_m = dict(_exchange_signature(multi_plan))
+            rr_multi = sig_m.get("RoundRobinPartitioning", 0)
             if rr_multi:
                 findings.append(
                     f"roundrobin_on_multisplit {name}: {rr_multi} keyless "
                     f"round-robin exchange(s) survive on multi-split input"
                 )
-            if sig_f != sig_m and name not in DIVERGENCE_ALLOWLIST:
+            fixture_extra = {
+                k: sig_f[k] - sig_m.get(k, 0)
+                for k in sig_f
+                if sig_f[k] > sig_m.get(k, 0)
+            }
+            if fixture_extra and name not in DIVERGENCE_ALLOWLIST:
                 findings.append(
-                    f"layout_divergence {name}: fixture={sig_f} "
-                    f"multisplit={sig_m}"
+                    f"fixture_extra_exchanges {name}: fixture carries "
+                    f"{fixture_extra} beyond the multi-split plan "
+                    f"(fixture={sorted(sig_f.items())} "
+                    f"multisplit={sorted(sig_m.items())})"
                 )
-            ok = "DIVERGES-ALLOWED" if (
-                sig_f != sig_m and name in DIVERGENCE_ALLOWLIST
-            ) else "ok"
-            print(f"  {ok:16s} {name}")
+            if fixture_extra and name in DIVERGENCE_ALLOWLIST:
+                tag = "DIVERGES-ALLOWED"
+            elif sig_f != sig_m:
+                tag = "multisplit-gains"  # EnsureRequirements, benign
+            else:
+                tag = "ok"
+            print(f"  {tag:16s} {name}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
