@@ -35,6 +35,14 @@ first r18 sweep measured 4 such ops: chunk_dedup,
 dedup_threshold_sensitivity, lsh_band_sensitivity, sql_tpch_q2) and is
 reported informationally without failing.
 
+Blind spot (documented): EAGER driver-solve ops (pc1, kmeans, the ANN
+index tiers) run their heavy plan INTERNALLY during construction and
+return a LocalTableScan/createDataFrame result — this audit sees only
+the trivial output plan, so their internal conditional repartitions
+are covered by their dedicated plan pins (tests/test_new_ops_r17.py
+et al.), not by this sweep.  embedding_pc1_spectrum therefore reads
+"ok" here even though it belongs to the conditional class.
+
 Run from the repo root (exit 1 on any non-allowlisted finding):
 
     python scripts/multisplit_plan_audit.py            # all ops
