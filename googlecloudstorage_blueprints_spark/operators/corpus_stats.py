@@ -357,10 +357,14 @@ length_outlier_zscore.__doc__ = length_outlier_zscore.__doc__.format(
     oracle="""
     SELECT doc_id,
            CAST(LENGTH(TRIM(regexp_replace(regexp_replace(
-               lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')))
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+               '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')))
                AS BIGINT) AS n_norm_chars,
            md5(TRIM(regexp_replace(regexp_replace(
-               lower(text), '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')))
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+               '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')))
                AS fp
     FROM documents
     WHERE text IS NOT NULL
@@ -376,13 +380,30 @@ def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     One codegen scan, no shuffle: regexp_replace chains and md5 are all
     JVM builtins.  The patterns are the Java/RE2-shared subset ('  +'
     rather than a lookaround; 'g' flag on the DuckDB side); md5 hex is
-    lowercase on both engines."""
+    lowercase on both engines.
+
+    Case folding is ASCII translate(), NOT lower() (unicode audit,
+    r18): engine lower() semantics diverge on special-casing letters —
+    JVM lower('İ') is 'i'+U+0307 (full mapping, two code points) while
+    DuckDB's is plain 'i' (simple folding) — which flipped this op's
+    fingerprint and token count on a planted Turkish doc.  Since the
+    fingerprint alphabet is [a-z0-9 ] anyway, non-ASCII letters
+    normalize to space regardless of case, so ASCII-only folding is
+    both cross-engine-exact and semantics-identical on ASCII input.
+    NEW-OP RULE: lower()/upper() whose OUTPUT feeds a hash, join key,
+    or emitted column must be spelled as ASCII translate() on both
+    engines (or the op must planted-pin the İ/ß divergence away)."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
+    folded = F.translate(
+        "text",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            F.regexp_replace(folded, "[^a-z0-9 ]", " "),
             "  +",
             " ",
         )

@@ -350,8 +350,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*)                              AS n_assets,
-           CAST(SUM(length(text)) AS BIGINT)     AS total_payload_bytes,
-           CAST(MAX(length(text)) AS BIGINT)     AS max_payload_bytes
+           CAST(SUM(strlen(text)) AS BIGINT)     AS total_payload_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT)     AS max_payload_bytes
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -360,7 +360,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata aggregation over the asset table — the control-plane
     query pattern for media datasets (payload sizes per source shard);
-    payload bytes themselves are never shuffled."""
+    payload bytes themselves are never shuffled.
+
+    Parity (unicode audit, r18): the columns are BYTES — the Spark side
+    measures the UTF-8 encoding, so the oracle must be DuckDB strlen()
+    (octet count), NOT length() (code points).  Identical on ASCII,
+    divergent on any multi-byte text — exactly the silent class the
+    hostile-unicode catalog sweep exists to catch."""
     d = load_table(spark, sf_dir, "documents")
     size = F.length(F.encode("text", "utf-8")).cast("long")
     return (

@@ -329,7 +329,7 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.doc_id,
            t.n AS n_chars_counted,
            CAST(COUNT(*) AS BIGINT) AS alphabet_size,
-           ROUND(-SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6)
+           ROUND(-SUM((cnt * 1.0 / n) * log2(cnt * 1.0 / n)) + 0.0, 6)
                AS char_entropy
     FROM freq f JOIN tot t ON f.doc_id = t.doc_id
     GROUP BY f.doc_id, t.n
@@ -374,7 +374,15 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n")
         .agg(
             F.count(F.lit(1)).cast("long").alias("alphabet_size"),
-            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"),
+            # + 0.0 is the NEGATIVE-ZERO guard (unicode audit, r18): a
+            # single-char alphabet makes SUM(p·log2 p) exactly +0.0 and
+            # its negation -0.0, which DuckDB's ROUND preserves while
+            # Spark normalizes — the canonicalizer's repr() sees
+            # '-0.0' != '0.0'.  IEEE: -0.0 + 0.0 = +0.0; identity for
+            # every nonzero entropy.  Spelled on BOTH engines.
+            F.round(-F.sum(p * F.log2(p)) + F.lit(0.0), 6).alias(
+                "char_entropy"
+            ),
         )
         .select(
             "doc_id",

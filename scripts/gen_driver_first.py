@@ -50,6 +50,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # hint was dropped (plan stays BHJ BuildRight, plan-checked).
     "date_spine_monthly",
     "revenue_mom_growth",
+    # r18: hostile-unicode audit fixes (scripts/unicode_catalog_audit.py
+    # — all identity on the ASCII fixture, parity re-verified):
+    # negative-zero guard, bytes-vs-codepoints oracle, ASCII-translate
+    # case folding.
+    "doc_char_entropy",
+    "multimodal_metadata_agg",
+    "text_normalize_fingerprint",
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.
