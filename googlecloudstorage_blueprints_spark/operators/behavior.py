@@ -1079,13 +1079,14 @@ def events_weekday_hour_heatmap(
     WITH first_day AS (
         SELECT user_id,
                MIN(epoch_us(ts)) // {_US_PER_DAY} AS d0
-        FROM events GROUP BY user_id
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     daily AS (
         SELECT e.user_id,
                epoch_us(e.ts) // {_US_PER_DAY} AS d,
                f.d0
         FROM events e JOIN first_day f ON f.user_id = e.user_id
+        WHERE e.ts IS NOT NULL
         GROUP BY 1, 2, 3
     )
     SELECT CAST(d AS BIGINT) AS epoch_day,
@@ -1110,8 +1111,11 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on user_id, the (user, day) distinct frame, then a
     |days|-bounded rollup.  Parity: pure integer epoch-day math; the
     new/returning test compares exact BIGINTs; returning_share is an
-    exact integer ratio."""
-    e = load_table(spark, sf_dir, "events")
+    exact integer ratio.  NULL-ts events have no day and are dropped on
+    BOTH engines (null-catalog audit, r18: a NULL-day group zeroed the
+    Spark denominator — ANSI DIVIDE_BY_ZERO — while the oracle's
+    COUNT(*) denominator stayed positive)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     day = F.expr(f"unix_micros(ts) div {_US_PER_DAY}")
     first_day = e.groupBy("user_id").agg(
         F.min(day).cast("long").alias("d0")

@@ -78,10 +78,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture parquet is one unsplittable row group — spread the Python
     # kernel across workers instead of one serial task
     n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
-    payloads = d.select(
+    # NULL doc_id rows are unkeyable assets (dropped — null-catalog
+    # audit, r18); NULL text gets the same single-space stand-in as
+    # _ppm_payloads so the kernel never sees a None payload
+    src = F.coalesce(F.col("text"), F.lit(" "))
+    payloads = d.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.length(F.encode("text", "utf-8")).cast("long").alias("payload_bytes"),
+        F.encode(src, "utf-8").alias("payload"),
+        F.length(F.encode(src, "utf-8")).cast("long").alias("payload_bytes"),
     ).repartition(n_parts, "doc_id")
 
     def kernel(batches: Iterator) -> Iterator:
@@ -123,8 +127,13 @@ def _ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NULL or empty text falls back to a single-space pixel source so every
     document still yields a full w*h*3 buffer (round-3 verdict: an empty
-    buffer reached ``reshape(h, w, 3)`` and crashed all three kernels)."""
-    d = load_table(spark, sf_dir, "documents")
+    buffer reached ``reshape(h, w, 3)`` and crashed all three kernels).
+    NULL doc_id rows are dropped — the dims derive from doc_id, so a
+    NULL id nulls the whole payload and crashes every downstream kernel
+    (null-catalog audit, r18); an unkeyable asset has no pipeline row."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     w = (8 + F.col("doc_id") % 24).cast("int")
     h = (8 + (F.col("doc_id") * 7) % 24).cast("int")
     n_bytes = (w * h * 3).cast("int")

@@ -75,7 +75,8 @@ def _guard_exact_tier(df: DataFrame, op_name: str, what: str) -> int:
 
 _KNN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
+               FROM embeddings
+               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
@@ -86,10 +87,22 @@ _KNN_ORACLE = f"""
                             e.vec_id) AS rk
         FROM q, embeddings e
         WHERE e.vec_id != q.query_id
+          AND e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
     )
     SELECT query_id, neighbor_id, cosine, rk
     FROM scored WHERE rk <= {TOP_K}
     """
+
+
+def _valid_vectors(emb: DataFrame) -> DataFrame:
+    """Rows with a NULL vec_id or NULL embedding are not vectors — a
+    NULL-riddled copy (the r18 null-catalog audit's input) must not
+    crash the numpy kernels (``np.vstack``/``int64`` casts die on None)
+    nor rank NULL cosines.  Identity on the all-non-NULL fixtures; the
+    oracle carries the matching ``IS NOT NULL`` predicates."""
+    return emb.where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
 
 
 @register("similarity_knn_bruteforce", oracle=_KNN_ORACLE)
@@ -100,7 +113,7 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both engines compute in float64, so ranking ties are bit-identical;
     cosine is rounded to 6dp only for the hash comparison."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -175,7 +188,7 @@ def similarity_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query block — the building block of block-matrix brute force,
     which at 100 TB beats per-pair expression evaluation by orders of
     magnitude.  Partial top-k per partition keeps the shuffle tiny."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -303,7 +316,7 @@ def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
     n_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     sketched = (
         emb.select("vec_id", "embedding")
@@ -417,7 +430,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure (which would re-pickle it into every task)."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
     _guard_exact_tier(
         emb.select("vec_id"), "dedup_embedding_cosine", "embedding corpus"
     )

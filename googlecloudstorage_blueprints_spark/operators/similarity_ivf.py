@@ -37,6 +37,9 @@ from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity as _cosine,  # single shared definition — parity-critical
 )
 from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.operators.similarity import (
+    _valid_vectors,
+)
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
 N_QUERIES = 5
@@ -107,7 +110,7 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned corpus is persisted bucketed by cell."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
 
     # -- train on a BOUNDED sample: the driver materializes at most
     #    TRAIN_SAMPLE rows.  Under the cap the sample IS the corpus

@@ -44,6 +44,9 @@ from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity as _cosine,  # single shared definition — parity-critical
 )
 from googlecloudstorage_blueprints_spark.operators import register
+from googlecloudstorage_blueprints_spark.operators.similarity import (
+    _valid_vectors,
+)
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 from googlecloudstorage_blueprints_spark.operators.similarity_ivf import (
     TRAIN_SAMPLE,
@@ -165,7 +168,7 @@ def similarity_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is pinned independently."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
 
     n_corpus = emb.count()
     sample_src = emb.select("vec_id", "embedding")
@@ -286,7 +289,7 @@ def ivfpq_topk(
     )
 
     nprobe = NPROBE if nprobe is None else nprobe
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"))
 
     n_corpus = emb.count()
     sample_src = emb.select("vec_id", "embedding")
