@@ -725,7 +725,7 @@ _US_PER_DAY = 86_400_000_000
         SELECT epoch_us(ts) AS ts_us,
                LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY event_id) AS prev_ts_us
-        FROM events
+        FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
     )
     SELECT CAST(ts_us // {_US_PER_DAY} AS BIGINT) AS epoch_day,
            CAST(COUNT(prev_ts_us) AS BIGINT)      AS n_pairs,
@@ -755,8 +755,14 @@ def events_id_ts_inversions(
     Parity: integer-µs comparisons only; the share an exact-integer
     ratio NULLIF-guarded for days whose every event is a user's first
     (count of non-NULL prev pairs is the denominator on both
-    engines)."""
-    e = load_table(spark, sf_dir, "events")
+    engines).  A row with NULL event_id has no position in assignment
+    order and a NULL ts can't be compared — both dropped on BOTH
+    engines (null-catalog audit, r18: NULL *ordering* defaults differ
+    cross-engine, so a NULL-id row re-pairs its neighbours on one
+    engine only)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy("event_id")
     seq = e.select(

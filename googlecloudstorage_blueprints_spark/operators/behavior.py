@@ -247,7 +247,13 @@ def _sessionized(e: DataFrame) -> DataFrame:
     """(user_id, session_id, ts_us, event_id, event_type) with the same
     30-min-gap cumulative-sum sessionization and (ts_us, event_id)
     total order as events_sessionize / session_duration_histogram —
-    both downstream windows reuse ONE (user_id)-keyed exchange."""
+    both downstream windows reuse ONE (user_id)-keyed exchange.
+
+    NULL-ts events cannot be sequenced — dropped on BOTH engines
+    (null-catalog audit, r18: engine default NULL *ordering* differs,
+    Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    silently renumbers every later session on one engine only)."""
+    e = e.where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     seq = e.select(
@@ -284,7 +290,7 @@ _SESS_CTE = f"""
                          > {SESSION_GAP_S} * 1000000
                          OR LAG(epoch_us(ts)) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_start
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     sess AS (
@@ -910,7 +916,7 @@ def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                          > {SESSION_GAP_S} * 1000000
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     sess AS (
@@ -949,8 +955,9 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, session) partitioning, then a |types|-row rollup.  Parity:
     the entry pick and the bounce test are integer window results over
     the (ts_us, event_id) total order; bounce_rate is an exact integer
-    ratio."""
-    e = load_table(spark, sf_dir, "events")
+    ratio.  NULL-ts events cannot be sequenced — dropped on BOTH
+    engines (null-catalog audit, r18)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     gap = ts_us - F.lag(ts_us).over(w)
@@ -1265,7 +1272,7 @@ def session_depth_conversion(
         SELECT user_id, event_type,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY epoch_us(ts), event_id) AS rk
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     ft AS (SELECT user_id, event_type AS first_type
            FROM firsts WHERE rk = 1)
@@ -1295,12 +1302,16 @@ def user_first_touch_attribution(
     key, and the rollup is |types|-bounded.  Parity: the first pick is
     total-ordered by (ts_us, event_id); counts are exact; the value sum
     is a SINGLE-level ROUND(SUM(raw value), 4) — the events.value
-    convention (never a sum of pre-rounded sums, the r7 trap)."""
+    convention (never a sum of pre-rounded sums, the r7 trap).
+    NULL-ts events have no position in the first-touch order — dropped
+    from the RANK input on BOTH engines (null-catalog audit, r18); the
+    purchase join side keeps them (no ordering involved)."""
     e = load_table(spark, sf_dir, "events")
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     ft = (
-        e.select(
+        e.where(F.col("ts").isNotNull())
+        .select(
             "user_id",
             "event_type",
             F.row_number().over(w).alias("rk"),
@@ -2486,7 +2497,7 @@ def weekly_conversion_trend(
         SELECT event_type AS next_type,
                LAG(event_type) OVER w AS prev_type,
                epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     )
     SELECT prev_type, next_type,
@@ -2514,8 +2525,10 @@ def event_pair_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile pass (swap approx_percentile at 100 TB).  Parity: the
     window total-orders on (ts_us, event_id) — unique tiebreak; gaps
     are exact BIGINT µs so the interpolated quantiles are bit-identical
-    (r10 probe) and mean is an unrounded exact-integer ratio."""
-    e = load_table(spark, sf_dir, "events")
+    (r10 probe) and mean is an unrounded exact-integer ratio.
+    NULL-ts events cannot be sequenced — dropped on BOTH engines
+    (null-catalog audit, r18)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     seq = e.select(
@@ -2973,7 +2986,7 @@ def user_intersession_gap_stats(
     WITH uw AS (
         SELECT DISTINCT user_id,
                epoch_us(ts) // {_US_PER_DAY * 7} AS wk
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     mx AS (
         SELECT MAX(epoch_us(ts) // {_US_PER_DAY * 7}) AS max_wk FROM events
@@ -3032,8 +3045,10 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     still emits.  Parity: integer epoch-weeks (Thursday-anchored
     ``div``, no TZ), exact counts coalesced to 0 identically, the
     quick ratio an unrounded exact-integer division NULLIF-guarded on
-    both engines."""
-    e = load_table(spark, sf_dir, "events")
+    both engines.  NULL-ts events belong to no week — dropped on BOTH
+    engines (null-catalog audit, r18: Spark collect_set silently drops
+    the NULL wk while the oracle's DISTINCT keeps it)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     wk = F.expr(f"unix_micros(ts) div {_US_PER_DAY * 7}")
     per_user = (
         e.select("user_id", wk.alias("wk"))

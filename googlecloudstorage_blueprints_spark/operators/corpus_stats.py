@@ -645,7 +645,9 @@ length_outlier_mad.__doc__ = length_outlier_mad.__doc__.format(
     oracle="""
     WITH cells AS (
         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-        FROM documents GROUP BY lang, source
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
     ),
     rl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rn FROM cells
            GROUP BY lang),
@@ -687,8 +689,14 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (identical both engines); each cell's (o−e)²/e term is
     scaled 1e6 and rounded to BIGINT before summation (the fixed-point
     rule: integer sums are order-independent where double sums flake in
-    the last ulp), and the statistic divides identical integers."""
-    d = load_table(spark, sf_dir, "documents")
+    the last ulp), and the statistic divides identical integers.
+    NULL lang/source rows are un-categorizable — dropped from the
+    contingency table on BOTH engines (null-catalog audit, r18:
+    Spark's countDistinct ignores the NULL category the oracle's
+    group-count rows kept)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     cells = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("o")
     )
@@ -1558,6 +1566,7 @@ doc_repeated_token_runs.__doc__ = doc_repeated_token_runs.__doc__.format(
                CAST(COUNT(*) AS BIGINT)     AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS chars
         FROM documents WHERE text IS NOT NULL
+              AND lang IS NOT NULL AND source IS NOT NULL
         GROUP BY lang, source
     ),
     m AS (
@@ -1596,9 +1605,14 @@ def length_lang_source_interaction(
     and no SinglePartition window).  Parity: every mean is an unrounded
     exact-integer ratio computed from the SAME BIGINT cell sums on both
     engines, and the interaction is one subtraction chain of those
-    bit-identical doubles."""
+    bit-identical doubles.  NULL lang/source rows are un-categorizable
+    — dropped from the two-way table on BOTH engines (null-catalog
+    audit, r18: Spark's margin joins drop NULL-category cells the
+    oracle's windows kept)."""
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
     )
     cells = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2335,6 +2349,7 @@ def doc_unigram_entropy_topk(
                    ORDER BY n_chars, doc_id) AS BIGINT) AS r,
                CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
         FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT)     AS n_docs,
@@ -2363,8 +2378,13 @@ def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     already BIGINT, ranks total-ordered by (n_chars, doc_id), the
     weighted sum is exact integer arithmetic, the closing division
     casts its factors separately (r8 overflow rule), NULLIF guards an
-    all-empty source, gini emitted UNROUNDED (exact-integer ratio)."""
-    d = load_table(spark, sf_dir, "documents")
+    all-empty source, gini emitted UNROUNDED (exact-integer ratio).
+    NULL n_chars / NULL doc_id rows have no rank — dropped on BOTH
+    engines (null-catalog audit, r18: engine NULL-ordering defaults
+    shift every other rank)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    )
     wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     wn = Window.partitionBy("source")
     ranked = d.select(

@@ -142,7 +142,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
                          i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
                      ))) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ),
     kept AS (SELECT s FROM sh_all GROUP BY s
              HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
@@ -181,7 +181,13 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs preferentially on LSH candidate pairs (see minhash_lsh_dedup);
     standalone it is the ground-truth oracle the LSH recall is judged
     against, now safe to run as registered."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL text must not shingle: word_shingles(NULL) yields [""] on
+    # Spark (concat_ws over a NULL slice) while DuckDB's list pipeline
+    # propagates NULL to zero rows — a phantom ""-shingle clique
+    # (null-catalog audit, r18); filter BOTH engines
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     # repartition before the interpreted shingle-string lambda: the fixture
     # is one unsplittable row group (see hashed_shingle_docs)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -1017,7 +1023,13 @@ def _capped_pair_frame(spark: SparkSession, sf_dir: str):
     materialize through and then unpersist the returned shingle
     frame."""
     d = load_table(spark, sf_dir, "documents")
-    dr = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # shingle input drops NULL text on BOTH engines (the ""-shingle
+    # clique, null-catalog audit r18 — see ngram_jaccard_dedup); the
+    # returned d stays UNFILTERED (consumers' n_docs denominators
+    # count the whole table, matching their oracles' bare COUNT(*))
+    dr = d.where(F.col("text").isNotNull()).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     sh_all = dr.select("doc_id", F.explode_outer(_shingles()).alias("s"))
     sh_all = sh_all.persist()
     hot = (
@@ -1072,7 +1084,7 @@ def _capped_pair_frame(spark: SparkSession, sf_dir: str):
                          range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
                          i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
                      ))) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ),
     kept AS (SELECT s FROM sh_all GROUP BY s
              HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
@@ -1415,7 +1427,7 @@ SIM_HIST_BUCKETS = 10
                          range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
                          i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
                      ))) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ),
     kept AS (SELECT s FROM sh_all GROUP BY s
              HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
@@ -1521,7 +1533,7 @@ def pair_similarity_histogram(
                          range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
                          i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
                      ))) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ),
     kept AS (SELECT s FROM sh_all GROUP BY s
              HAVING COUNT(*) <= {SHINGLE_DF_CAP}),

@@ -370,6 +370,7 @@ embedding_centroid_margin.__doc__ = embedding_centroid_margin.__doc__.format(
                    CAST(embedding AS DOUBLE[]), x -> x * x))) * 10000, 0)
                    AS BIGINT) AS norm4
         FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     )
     SELECT CAST(label AS BIGINT) AS label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -393,8 +394,12 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention embedding_norms established, made integer so the
     percentile interpolates EXACT integers — interpolating 4dp doubles
     lands midpoints on 5th-decimal rounding boundaries); the single
-    /1e4 division and 6dp round close it out identically."""
-    e = load_table(spark, sf_dir, "embeddings")
+    /1e4 division and 6dp round close it out identically.  NULL vec_id
+    / NULL embedding rows dropped on BOTH engines (null-catalog audit,
+    r18 — see embedding_norms)."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
     ex = e.select(
         "label",
         "vec_id",
@@ -889,6 +894,7 @@ def embedding_label_separation(
     WITH vals AS (
         SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val
         FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     ),
     norms AS (
         SELECT vec_id, CAST(ANY_VALUE(label) AS BIGINT) AS label,
@@ -941,8 +947,11 @@ def embedding_norm_label_anova(
     now ``s*s`` (s = Σnorm4 ≈ n·1e4 for unit vectors), exact in
     BIGINT while s < 3.03e9, i.e. ~300k unit-norm vectors globally;
     beyond that pre-divide per label first (q = Σnorm4² alone holds
-    to ~9e10 vectors)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    to ~9e10 vectors).  NULL vec_id / NULL embedding rows dropped on
+    BOTH engines (null-catalog audit, r18 — see embedding_norms)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
     ex = emb.select(
         "vec_id",
         F.col("label").cast("long").alias("label"),

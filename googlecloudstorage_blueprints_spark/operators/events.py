@@ -27,7 +27,7 @@ SESSION_GAP_SECONDS = 1800  # 30 min inactivity closes a session
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                          > {SESSION_GAP_SECONDS} * 1000000
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     )
     SELECT user_id, event_id, ts_us,
@@ -47,7 +47,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE shuffle on user_id serves both window passes (same
     partitioning); integer-µs math keeps it exact.  The streaming twin uses
     session_window() with a watermark (streaming/sessions.py)."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     gap = ts_us - F.lag(ts_us).over(w)
@@ -79,7 +83,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                          > {SESSION_GAP_SECONDS} * 1000000
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     sessions AS (
@@ -103,7 +107,11 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session rollup on top of sessionization: event count, duration,
     value total.  Reuses the user_id partitioning — Catalyst plans the
     window and the aggregate over one exchange."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     gap = ts_us - F.lag(ts_us).over(w)
@@ -433,7 +441,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * 1800000000)
                ]) AS win_start,
                value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -447,8 +455,12 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in exactly two windows.  Spark's ``window(ts, len, slide)``
     expands rows map-side (like the oracle's explicit two-bucket unnest)
     then hash-aggregates: one shuffle of |windows| pre-aggregated rows.
-    The streaming twin is the same expression under a watermark."""
-    e = load_table(spark, sf_dir, "events")
+    The streaming twin is the same expression under a watermark.
+
+    NULL-ts events land in no window — dropped explicitly on BOTH
+    engines (null-catalog audit, r18: the oracle's two-bucket unnest
+    emitted a NULL win_start group Spark's window() never forms)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
         .agg(
@@ -634,7 +646,7 @@ CHANGE_THRESHOLD = 50.0
                ROUND(value - LAG(value) OVER (
                    PARTITION BY user_id
                    ORDER BY epoch_us(ts), event_id), 6) AS delta
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id, value, delta
     FROM seq
@@ -649,7 +661,11 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     double feeding a filter is rounded identically on both engines —
     the subtraction itself is deterministic, the rounding removes the
     question)."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     delta = F.round(F.col("value") - F.lag("value").over(w), 6)
@@ -667,7 +683,7 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id
                    ORDER BY epoch_us(ts), event_id) AS gap_us
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type,
            CAST(COUNT(gap_us) AS BIGINT)              AS n_gaps,
@@ -695,7 +711,11 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_type| aggregate; sort_bounded would fit but the output is
     5 rows and already grouped — a plain orderBy on the enum key keeps
     the oracle string shared."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     gaps = e.select(
@@ -725,7 +745,7 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEAD(event_type) OVER (
                    PARTITION BY user_id
                    ORDER BY epoch_us(ts), event_id) AS dst
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     counts AS (
         SELECT src, dst, COUNT(*) AS n
@@ -748,7 +768,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame.  Parity: n and SUM(n) are exact bigints, so n/Σn is the
     exact-integer-ratio case — a single IEEE division, identical on both
     engines — rounded 6dp only for display symmetry."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     seq = e.select(
@@ -858,7 +882,7 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                          > {SESSION_GAP_SECONDS} * 1000000
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     sessions AS (
@@ -914,7 +938,11 @@ def events_sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     one.  The sessionized frame feeds three consumers — persisted,
     materialized, unpersisted.  Integer-µs step comparisons, exact on
     both engines."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     gap = ts_us - F.lag(ts_us).over(w)
@@ -1388,7 +1416,7 @@ SESSION_HIST_BIN_SECONDS = 300
                          > {1800} * 1000000
                          OR LAG(epoch_us(ts)) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_start
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     sess AS (
@@ -1428,7 +1456,11 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a ≤|bins|-row histogram aggregate.  Parity: durations and bin
     keys are exact integer-µs/``div`` math end-to-end — no doubles
     anywhere."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events cannot be sequenced — dropped on BOTH engines
+    # (null-catalog audit, r18: engine default NULL *ordering* differs,
+    # Spark ASC=NULLS FIRST vs DuckDB=NULLS LAST, so a NULL-ts row
+    # silently renumbers every later session on one engine only)
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     ts_us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     seq = e.select(

@@ -131,7 +131,7 @@ _PAIR_SQL = f"""
                          range(1, greatest(len(string_split(text,' ')) - {SHINGLE_K - 1}, 1) + 1),
                          i -> array_to_string(string_split(text,' ')[i:i+{SHINGLE_K - 1}], ' ')
                      ))) AS s
-              FROM documents)
+              FROM documents WHERE text IS NOT NULL)
     ),
     kept AS (SELECT s FROM sh_all GROUP BY s
              HAVING COUNT(*) <= {SHINGLE_DF_CAP}),

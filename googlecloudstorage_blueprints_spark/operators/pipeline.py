@@ -101,6 +101,7 @@ TOPK_NGRAMS = 20
                unnest(string_split(text, ' '))                 AS w,
                generate_subscripts(string_split(text, ' '), 1) AS pos
         FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     bigrams AS (
         SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
@@ -126,8 +127,14 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every token on doc_id just to run ``lead()``; zipping adjacent
     elements in-row removes that shuffle and the window sort entirely
     (40% faster at sf0.1, bit-identical counts).  At 100 TB the only
-    shuffle carries one row per DISTINCT bigram after map-side combine."""
-    d = load_table(spark, sf_dir, "documents")
+    shuffle carries one row per DISTINCT bigram after map-side combine.
+    NULL doc_id/text rows are dropped on BOTH engines (null-catalog
+    audit, r18: the oracle's doc_id-partitioned lead() would BRIDGE
+    bigrams across distinct NULL-id docs — one window partition — while
+    the in-row zip never crosses a document)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     a = F.split("text", " ")
     pairs = F.arrays_zip(
         F.slice(a, 1, F.size(a) - 1), F.slice(a, 2, F.size(a) - 1)
@@ -202,7 +209,7 @@ _MAX_TOP_SHARE = 0.15
     oracle=f"""
     WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     per AS (
         SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w
@@ -250,8 +257,12 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-text documents are excluded on BOTH engines before tokenizing
     (same cross-engine explode/unnest divergence as ``repetition_score``;
     the ``documents_text_not_null`` check in ``table_checks`` is where
-    NULL text is surfaced)."""
-    d = load_table(spark, sf_dir, "documents")
+    NULL text is surfaced).  NULL doc_ids too (null-catalog audit, r18:
+    Spark's inline groupBy collapsed distinct NULL-id docs into one
+    metrics row the oracle's doc join dropped)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     words = d.where(F.col("text").isNotNull()).select(
         "doc_id", "n_chars", F.explode_outer(F.split("text", " ")).alias("w")
     )
@@ -290,6 +301,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt(list_sum(list_transform(
                CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
     FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     """,
 )
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,8 +312,13 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side explodes the stored array and sums codegen'd ``v*v``
     columns (interpreted ``aggregate()`` lambdas are the slow path —
     verify-skill trap); the norm is rounded to 4dp because float summation
-    order differs between engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    order differs between engines.  Rows with a NULL vec_id (un-keyable
+    — Spark's groupBy would collapse them into one group the oracle's
+    per-row scan keeps apart) or a NULL embedding are dropped on BOTH
+    engines (null-catalog audit, r18)."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
     ex = e.select(
         "vec_id",
         F.explode_outer(F.col("embedding").cast("array<double>")).alias("v"),
@@ -918,7 +935,7 @@ WEIGHTED_SAMPLE_K = 20
                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                      AS BIGINT) + 1) / 4294967296.0 AS u
         FROM documents
-        WHERE n_chars > 0
+        WHERE n_chars > 0 AND doc_id IS NOT NULL
     ),
     scored AS (
         SELECT doc_id, source, w,
@@ -949,8 +966,13 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE division of that exact integer by the exact weight — a
     deterministic double both engines order identically, doc_id
     tiebreak.  Shape: map-side key computation + a global top-k
-    (TakeOrderedAndProject — no full sort)."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    (TakeOrderedAndProject — no full sort).  NULL doc_ids can't be
+    hashed to a u — dropped on BOTH engines (null-catalog audit, r18:
+    their NULL sort key would fill the top-k under Spark's ASC NULLS
+    FIRST and vanish under DuckDB's NULLS LAST)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("n_chars") > 0) & F.col("doc_id").isNotNull()
+    )
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                16, 10).cast("long")

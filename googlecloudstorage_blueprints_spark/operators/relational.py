@@ -424,11 +424,13 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WINDOW
       w AS (PARTITION BY l_orderkey
-            ORDER BY l_linenumber, l_quantity, l_extendedprice,
-                     l_partkey, l_suppkey),
+            ORDER BY l_linenumber NULLS FIRST, l_quantity NULLS FIRST,
+                     l_extendedprice NULLS FIRST, l_partkey NULLS FIRST,
+                     l_suppkey NULLS FIRST),
       w_run AS (PARTITION BY l_orderkey
-                ORDER BY l_linenumber, l_quantity, l_extendedprice,
-                         l_partkey, l_suppkey
+                ORDER BY l_linenumber NULLS FIRST, l_quantity NULLS FIRST,
+                         l_extendedprice NULLS FIRST, l_partkey NULLS FIRST,
+                         l_suppkey NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -438,7 +440,11 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey, l_linenumber) is NOT unique in the fixture, so the window
     ordering adds value tiebreakers down to full-row uniqueness — without a
     total order, lag/lead are engine-dependent.  l_quantity is
-    integer-valued, so running sums are exact doubles on both engines."""
+    integer-valued, so running sums are exact doubles on both engines.
+    The oracle spells NULLS FIRST explicitly (null-catalog audit, r18:
+    Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST — on a
+    NULL-riddled copy the engines otherwise disagree on the total
+    order; identical on non-NULL keys)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey",

@@ -237,6 +237,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY o_totalprice ASC, o_orderkey ASC)
                    AS rk_min
         FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     )
     SELECT o_orderpriority,
            MAX(CASE WHEN rk_max = 1 THEN o_orderkey END)   AS priciest_order,
@@ -252,8 +253,13 @@ def arg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey so the answer is total-ordered (plain ``max_by(key, price)``
     is nondeterministic under ties — the oracle's window formulation makes
     the same tiebreak explicit).  Hash aggregate, one shuffle, no window on
-    the Spark side."""
-    o = load_table(spark, sf_dir, "orders")
+    the Spark side.  A row with a NULL price or NULL key can't compete
+    for (or be reported as) the extreme — dropped on BOTH engines
+    (null-catalog audit, r18: engine NULL-ordering defaults and max_by
+    NULL-struct semantics otherwise diverge)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
     up = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", up).alias("priciest_order"),
@@ -272,11 +278,17 @@ def arg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o1 AS (
         SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
-        FROM orders GROUP BY o_custkey, o_orderdate
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+              AND o_orderkey IS NOT NULL
+        GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id,
-           o1.o_orderkey AS asof_orderkey,
-           strftime(o1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+           CASE WHEN e.ts IS NOT NULL
+                THEN o1.o_orderkey END AS asof_orderkey,
+           CASE WHEN e.ts IS NOT NULL
+                THEN strftime(o1.o_orderdate, '%Y-%m-%d %H:%M:%S')
+           END AS asof_orderdate
     FROM events e
     ASOF LEFT JOIN o1
       ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
@@ -294,10 +306,26 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last seen order with ``last(..., ignorenulls)`` — ONE shuffle on
     user_id, state O(1) per row, identical to how a stream-stream as-of
     would run.  Right side is pre-deduped to one row per (user, time) with
-    MAX(o_orderkey) so ties are total-ordered (mirrors the oracle CTE)."""
+    MAX(o_orderkey) so ties are total-ordered (mirrors the oracle CTE).
+
+    NULL hygiene (null-catalog audit, r18): an order with a NULL
+    customer, date or key can never be an as-of match — filtered on
+    BOTH engines (Spark's NULL uid window partition would otherwise
+    pair NULL-key events with NULL-key orders the SQL join drops, and
+    a NULL date sorts NULLS FIRST into every partition's history).
+    NULL-ts / NULL-uid EVENTS keep LEFT semantics on both sides: they
+    sort before any order row (ASC NULLS FIRST) so last(...,
+    ignorenulls) sees nothing; the oracle CASE-guards its outputs on
+    e.ts because DuckDB's ASOF matches a NULL-ts probe positionally
+    (NULLS LAST ⇒ it would claim the user's NEWEST order)."""
     ev = load_table(spark, sf_dir, "events")
     o = (
         load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+            & F.col("o_orderkey").isNotNull()
+        )
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
@@ -603,12 +631,12 @@ def sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(o_orderkey) OVER w         AS cheapest_in_priority,
            LAST_VALUE(o_orderkey) OVER
                (PARTITION BY o_orderpriority
-                ORDER BY o_totalprice, o_orderkey
+                ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                                                   AS priciest_in_priority
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +645,10 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so only a total order makes it deterministic (percent_rank and
     cume_dist inherit determinism the same way).  last_value needs the
     explicit unbounded-following frame — the default frame stops at
-    CURRENT ROW and silently returns the current row's value."""
+    CURRENT ROW and silently returns the current row's value.  The
+    oracle spells NULLS FIRST (null-catalog audit, r18: Spark ASC
+    default; DuckDB defaults NULLS LAST — identical on non-NULL
+    keys)."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"

@@ -315,7 +315,8 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_agg_groups",
     oracle="""
     SELECT o_orderpriority,
-           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           COALESCE(string_agg(DISTINCT o_orderstatus, ','
+                               ORDER BY o_orderstatus), '')
                AS statuses,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
@@ -327,7 +328,11 @@ def string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect the distinct set, sort it, join to ONE scalar string — the
     repo rule for any collected set crossing the driver boundary (the
     canonicalizer cannot hash array cells).  At scale, cap the set with
-    slice() before concat so a hot group cannot blow a task."""
+    slice() before concat so a hot group cannot blow a task.
+    The oracle COALESCEs to '' — over an all-NULL group Spark's
+    concat_ws(empty collect_set) is '' while DuckDB's string_agg is
+    NULL (null-catalog audit, r18); identical whenever any status is
+    non-NULL."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.concat_ws(

@@ -155,7 +155,7 @@ ROWNUM_BUCKET = 4096  # ids per range bucket for the two-level numbering
     oracle="""
     SELECT doc_id,
            CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_num
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
     """,
 )
 def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,8 +174,15 @@ def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (100 TB of docs ≈ 10¹² ids → ~60k ledger rows).  The final
     offset join keys on bucket, reusing the window's hash partitioning.
     Row numbers equal the oracle's global ROW_NUMBER because doc_id is
-    unique and buckets are id-ordered."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    unique and buckets are id-ordered.  A NULL doc_id has no position
+    in the id order — dropped on BOTH engines (null-catalog audit,
+    r18: the NULL bucket silently fell out of Spark's offset join
+    while DuckDB numbered NULL ids NULLS LAST)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+    )
     d = d.withColumn("bucket", F.expr(f"doc_id div {ROWNUM_BUCKET}"))
     d = d.withColumn("sup", F.expr(f"bucket div {ROWNUM_BUCKET}"))
 

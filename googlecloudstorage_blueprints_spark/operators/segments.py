@@ -41,6 +41,7 @@ ABC_B_PCT = 80         # … and class B
                    AS rn,
                COUNT(*) OVER () AS n_total
         FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     )
     SELECT CAST((rn - 1) * {N_DECILES} // n_total + 1 AS BIGINT)
                AS decile,
@@ -69,8 +70,13 @@ def orders_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((rn−1)·10) div N + 1 in exact integer math on both engines (never
     NTILE, whose uneven-bucket convention would have to be re-derived).
     Parity: 2dp prices ×100 into BIGINT before the SUM (r7 fixed-point
-    rule), divided once by 100.0 — exact at any summation order."""
-    o = load_table(spark, sf_dir, "orders").select(
+    rule), divided once by 100.0 — exact at any summation order.
+    NULL-price / NULL-key orders have no rank — dropped on BOTH
+    engines (null-catalog audit, r18: the NULL price bucket silently
+    fell out of Spark's offset join while DuckDB ranked NULLs last)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
         "o_totalprice",
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0)
@@ -524,6 +530,7 @@ COPURCHASE_TOP_K = 20
 _COPURCHASE_CTES = """
     WITH op AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
     n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
           FROM op),
@@ -597,7 +604,13 @@ def _copurchase_frames(spark: SparkSession, sf_dir: str):
     CPU-floor-bound, not byte-bound; the win is the ~33% shuffle
     payload cut (24→16 B/row) + single-column hash on the
     billions-of-pairs exchange at cluster scale."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL-key lines can't join a basket: a NULL l_orderkey would form
+    # one mega-basket under groupBy that the oracle's self-join drops,
+    # and collect_set silently drops NULL partkeys the oracle's
+    # DISTINCT keeps (null-catalog audit, r18) — filter BOTH engines
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
     # collect_set order is nondeterministic and nothing downstream is
     # position-dependent (the a<b filter and every count are
     # value-based), so the basket array is deliberately UNSORTED — the
@@ -662,6 +675,7 @@ def _copurchase_frames(spark: SparkSession, sf_dir: str):
     oracle=f"""
     WITH op AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
     n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
           FROM op),
@@ -2244,6 +2258,7 @@ N_BALANCE_QUARTILES = 4
         SELECT s_suppkey,
                CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS cents
         FROM supplier
+        WHERE s_acctbal IS NOT NULL AND s_suppkey IS NOT NULL
     ),
     ranked AS (
         SELECT s_suppkey, cents,
@@ -2300,8 +2315,13 @@ def supplier_balance_quartiles(
     order; revenue is the ×1e4 fixed-point BIGINT sum (the 4-decimal
     products are exact integers — a ROUND(SUM(raw),4) total flipped in
     the last ulp at sf0.001 from summation order), so both revenue and
-    its share are single divisions of exact integers, NULLIF-guarded."""
-    s = load_table(spark, sf_dir, "supplier").select(
+    its share are single divisions of exact integers, NULLIF-guarded.
+    NULL-balance / NULL-key suppliers have no quartile — dropped on
+    BOTH engines (null-catalog audit, r18: engine NULL-ordering
+    defaults put them in opposite quartiles)."""
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal").isNotNull() & F.col("s_suppkey").isNotNull()
+    ).select(
         "s_suppkey",
         F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("cents"),
     )
@@ -2524,6 +2544,7 @@ def order_value_percentiles_approx(
     oracle="""
     WITH op AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
     pairs AS (
         SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
@@ -2568,7 +2589,11 @@ def copurchase_degree_histogram(
     ``_copurchase_frames`` (unpacked fallback above 2^31), halving the
     distinct exchange's key bytes.  Parity: all counts exact BIGINT;
     no doubles anywhere."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL-key lines filtered on BOTH engines (null-catalog audit, r18
+    # — see _copurchase_frames)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
     # unsorted basket: nothing downstream is position-dependent (the
     # _copurchase_frames r14 rationale)
     baskets = li.groupBy("l_orderkey").agg(
@@ -2627,6 +2652,7 @@ def copurchase_degree_histogram(
         SELECT n.n_name, c.c_mktsegment AS seg,
                CAST(COUNT(*) AS BIGINT) AS o
         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_mktsegment IS NOT NULL
         GROUP BY n.n_name, c.c_mktsegment
     ),
     rn AS (SELECT n_name, CAST(SUM(o) AS BIGINT) AS r FROM cells
@@ -2682,8 +2708,13 @@ def nation_segment_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×1e6 to BIGINT before the per-nation integer sum, the statistic
     divided once and rounded 6dp; modal segment total-ordered by
     (count DESC, segment); top share an unrounded exact-integer
-    ratio."""
-    c = load_table(spark, sf_dir, "customer")
+    ratio.  NULL-segment customers are un-categorizable — dropped from
+    the contingency on BOTH engines (null-catalog audit, r18: a NULL
+    seg wins the modal tiebreak under Spark's ASC NULLS FIRST and
+    loses under DuckDB's NULLS LAST)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isNotNull()
+    )
     n = load_table(spark, sf_dir, "nation")
     cells = (
         c.join(

@@ -132,7 +132,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            md5(text)                                   AS content_md5,
            substr(md5(text), 1, 8)                     AS fp_prefix,
-           md5(concat(CAST(doc_id AS VARCHAR), ':', substr(text, 1, 64)))
+           md5(CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 64))
                                                        AS head_fp
     FROM documents
     """,
@@ -140,7 +140,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: full md5, an 8-hex shard prefix (for routing
     fingerprints to reducers without hotspots), and a head fingerprint over
-    the first 64 chars (cheap candidate key for prefix-duplicate hunting)."""
+    the first 64 chars (cheap candidate key for prefix-duplicate hunting).
+
+    The oracle spells the head concat with ``||`` (NULL-propagating on
+    DuckDB, like Spark's concat) — DuckDB's concat() SKIPS NULLs, so a
+    NULL text would fingerprint as md5('id:') on one engine only
+    (null-catalog audit, r18); a NULL doc_id or text yields head_fp
+    NULL on both."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -243,11 +249,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, source, n_chars,
                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
                    AS rk
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     cap AS (
         SELECT MIN(cnt) AS per_class
-        FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+        FROM (SELECT COUNT(*) AS cnt FROM documents
+              WHERE doc_id IS NOT NULL GROUP BY lang)
     )
     SELECT s.doc_id, s.lang, s.source, s.n_chars,
            CAST(s.rk AS BIGINT) AS rk
@@ -265,8 +272,12 @@ def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, rank over xxhash64(doc_id) instead of doc_id — same plan,
     pseudo-random order, still seedless-deterministic; kept key-ordered
     here so the DuckDB oracle (whose hash differs) can verify the
-    machinery exactly."""
-    d = load_table(spark, sf_dir, "documents")
+    machinery exactly.  NULL doc_ids are dropped on BOTH engines
+    (null-catalog audit, r18: they have no deterministic rank — NULLs
+    tie in the order — and engine NULL-ordering defaults differ)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     w = Window.partitionBy("lang").orderBy("doc_id")
     sized = d.select(
         "doc_id", "lang", "source", "n_chars",

@@ -91,6 +91,7 @@ def _packed_bins(toks: DataFrame, shard_docs: int = PACK_SHARD_DOCS) -> DataFram
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents
         WHERE text IS NOT NULL
+              AND source IS NOT NULL AND doc_id IS NOT NULL
     ),
     packed AS (
         SELECT source, doc_id, n_tokens,
@@ -124,8 +125,16 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose size scales with corpus size: a terabyte-hot source packs in
     parallel across its shards.  fill_ratio is an exact integer ratio
     (identical bigints ÷ constant) — bit-identical across engines
-    unrounded."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    unrounded.  NULL source/doc_id rows have no pack position —
+    dropped on BOTH engines (null-catalog audit, r18: the NULL-source
+    partition survives the oracle window but falls out of the shard
+    decomposition's offset join; NULL doc_ids order differently per
+    engine)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("doc_id").isNotNull()
+    )
     # the token frame feeds BOTH branches of the decomposition (doc-level
     # window + per-shard offsets) and is one 3-column row per doc — far
     # smaller than the input — so persist it rather than scanning the

@@ -64,7 +64,7 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
                LAG(event_type) OVER w AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     changes AS (
@@ -90,8 +90,10 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exchange; the second window runs on the change rows only.
     Integer-µs bounds; (ts, event_id) total order on both passes.
     The reconstruction itself is :func:`scd2_from_changelog`, shared
-    with the ``apply_scd2_batch`` sink (sinks/writers.py)."""
-    e = load_table(spark, sf_dir, "events")
+    with the ``apply_scd2_batch`` sink (sinks/writers.py).
+    NULL-ts changelog rows cannot be sequenced — dropped on BOTH
+    engines (null-catalog audit, r18)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     changelog = e.select(
         "user_id",
         "event_type",
@@ -366,6 +368,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(o.o_orderdate) // 86400000000 AS s,
                MAX(epoch_us(l.l_shipdate) // 86400000000) AS e
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
         GROUP BY o.o_orderkey, o.o_orderdate
     ),
     deltas AS (
@@ -457,12 +460,19 @@ def orders_inflight_monthly(
     with no lineitem rows never open an interval (span needs a ship
     date; documented, matched by the oracle's inner join).  Parity:
     pure integer epoch-day math; counts exact BIGINT; month keys from
-    integer days via the same date arithmetic both engines."""
-    o = load_table(spark, sf_dir, "orders").select(
+    integer days via the same date arithmetic both engines.  An order
+    needs BOTH a start and an end day — NULL order/ship dates dropped
+    on BOTH engines (null-catalog audit, r18: an unbalanced +1 with no
+    matching −1 drifts the carry-in for every later month)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         "o_orderkey",
         F.expr("unix_micros(o_orderdate) div 86400000000").alias("s"),
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    ).select(
         "l_orderkey",
         F.expr("unix_micros(l_shipdate) div 86400000000").alias("d"),
     )
