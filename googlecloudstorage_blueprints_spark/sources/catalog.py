@@ -3,15 +3,20 @@
 Tables (one parquet each, ``TESTDATA.md``): ``region nation customer
 supplier part orders lineitem events documents embeddings``.
 
-The only type quirk is ``events.ts``: the fixture stores parquet
-``TIMESTAMP(NANOS)``, which Spark's parquet reader rejects outright
-(``PARQUET_TYPE_ILLEGAL``).  We set ``spark.sql.legacy.parquet.nanosAsLong``
-(runtime-settable) so the column arrives as int64 nanoseconds, then convert
-with **integer division** ``ts div 1000`` → ``timestamp_micros``.  Integer
-division truncates exactly the way DuckDB's reader truncates ns → µs, so the
-DuckDB oracle and Spark see bit-identical microsecond timestamps.  (Floating
-division would round — 1.7e18 exceeds a double's 53-bit integer range — and
-drift from the oracle by ±1 µs.)
+The only type quirk is the timestamp columns (``events.ts``,
+``orders.o_orderdate``, ``lineitem.l_shipdate``): some fixture vintages
+store parquet ``TIMESTAMP(NANOS)``, which Spark's parquet reader rejects
+outright (``PARQUET_TYPE_ILLEGAL``).  We set
+``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) so such a
+column arrives as int64 nanoseconds, then convert with **integer
+division** ``ts div 1000`` → ``timestamp_micros``.  Integer division
+truncates exactly the way DuckDB's reader truncates ns → µs, so the
+DuckDB oracle and Spark see bit-identical microsecond timestamps.
+(Floating division would round — 1.7e18 exceeds a double's 53-bit
+integer range — and drift from the oracle by ±1 µs.)  Which columns are
+logically timestamps is declared in ``_TIMESTAMP_COLS`` — the detection
+is by ARRIVED dtype, so the current µs-ntz vintage takes the plain read
+path untouched.
 
 Scale note: the conversion is a per-row projection fused into the scan by
 whole-stage codegen; predicate pushdown on the remaining columns is
@@ -49,6 +54,19 @@ TABLES = (
     "embeddings",
 )
 
+# The catalog's LOGICAL timestamp columns, per table.  A fixture regen
+# can flip their physical flavor between vintages (µs-ntz today, the r5
+# original was TIMESTAMP(NANOS), tz-adjusted µs is the third plausible
+# form); when one arrives as int64 (the nanosAsLong read of a NANOS
+# column — the only int64-epoch vintage ever generated) it is converted
+# to µs below.  The r18 typedrift audit proved the old events-only
+# branch left orders/lineitem consumers crashing on a NANOS regen.
+_TIMESTAMP_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (plan cached per session)."""
@@ -60,17 +78,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for stale in [k for k in _PLAN_CACHE if k[0] != app]:
         del _PLAN_CACHE[stale]
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    ts_cols = _TIMESTAMP_COLS.get(name, ())
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in ts_cols:
+        if dtypes.get(c) == "bigint":
             # int64 nanos → µs timestamp, truncating like DuckDB's reader
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                c, F.timestamp_micros(F.expr(f"{c} div 1000"))
             )
-    else:
-        df = spark.read.parquet(path)
     # Fixture vintages differ: timestamps arrive as TIMESTAMP(MICROS, ntz)
     # in newer testdata (timestamp_ntz in Spark) vs UTC-adjusted micros (or
     # int64 nanos for events.ts) in older ones.  Normalize every ntz column
