@@ -2,9 +2,44 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 
-__all__ = ["sort_bounded"]
+__all__ = ["sort_bounded", "local_rows_frame"]
+
+
+def local_rows_frame(
+    spark: SparkSession, rows: list, schema: str
+) -> DataFrame:
+    """Small driver-side literal/result frame as a JVM LocalRelation.
+
+    ``spark.createDataFrame(python_list)`` parallelizes the rows into a
+    PYTHON RDD spread over ``defaultParallelism`` partitions (plan:
+    ``Scan ExistingRDD``): every materialization of the frame pays one
+    Python-worker handshake per partition (~150 ms each at local[32]),
+    and under ``coalesce(1)`` (``sort_bounded``) those handshakes
+    serialize into ONE task — measured ~5 s per run for a 4-row cuts
+    frame (r18, user_event_pareto).  Converting through pandas + Arrow
+    instead lands the rows in a LocalRelation (plan:
+    ``LocalTableScan`` — zero tasks and zero Python at evaluation,
+    ~0.1 s), and the conversion happens ONCE at construction.
+
+    Values are identical either way: int64/float64/strings/lists pass
+    through Arrow bit-exact, ``None`` stays NULL.  Only for small
+    driver-resident row sets (parameter cuts, probe batches, solver
+    outputs) — data-sized frames must never route through the driver.
+    Falls back to the classic path on any conversion failure (same
+    values, just slower)."""
+    try:
+        import pandas as pd
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = [f.name for f in _parse_datatype_string(schema).fields]
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=names, dtype=object
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema=schema)
 
 
 def sort_bounded(df: DataFrame, *cols: str | Column) -> DataFrame:

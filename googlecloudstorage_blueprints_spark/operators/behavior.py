@@ -20,7 +20,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+    sort_bounded,
+)
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -785,8 +788,11 @@ def user_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_events"),
     )
-    cuts = spark.createDataFrame(
-        [(p,) for p in PARETO_PCTS], "pct long"
+    # LocalRelation, not a Python RDD: the classic createDataFrame cuts
+    # frame cost ~5 s/run under the closing coalesce(1) (32 serialized
+    # Python-worker handshakes for 4 rows — r18 find)
+    cuts = local_rows_frame(
+        spark, [(p,) for p in PARETO_PCTS], "pct long"
     )
     m = F.expr("(n_users * pct + 99) div 100")
     joined = (
@@ -1924,9 +1930,13 @@ def events_attribution_markov(
         )
         for s, eff in rows
     ]
-    return spark.createDataFrame(
+    # LocalRelation, not a Python RDD: the solved rows are driver-side
+    # already — route through Arrow so materialization costs zero
+    # Python-worker handshakes (r18 local_rows_frame rationale)
+    return local_rows_frame(
+        spark,
         sorted(out),
-        schema="state string, removal_effect double, "
+        "state string, removal_effect double, "
         "attribution_share double, base_conversion double",
     )
 

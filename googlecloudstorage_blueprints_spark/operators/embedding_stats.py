@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity,
 )
-from googlecloudstorage_blueprints_spark.functions.frames import sort_bounded
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+    sort_bounded,
+)
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -1092,7 +1095,9 @@ def embedding_pc1_spectrum(
     topk = (
         float(eig[:PCA_TOP_SHARES].sum()) / total if total > 0 else 0.0
     )
-    return spark.createDataFrame(
+    # LocalRelation (r18): the 1-row solve result needs no Python RDD
+    return local_rows_frame(
+        spark,
         [
             (
                 int(n),
@@ -1102,10 +1107,8 @@ def embedding_pc1_spectrum(
                 round(topk, 6),
             )
         ],
-        schema=(
-            "n_vectors long, dim long, total_variance double, "
-            "pc1_share double, top5_share double"
-        ),
+        "n_vectors long, dim long, total_variance double, "
+        "pc1_share double, top5_share double",
     )
 
 
@@ -1247,12 +1250,12 @@ def embedding_kmeans_inertia(
             )
         )
         cents = new_cents
-    return spark.createDataFrame(
+    # LocalRelation (r18): the Lloyd trace is driver-resident already
+    return local_rows_frame(
+        spark,
         out_rows,
-        schema=(
-            "iteration long, inertia double, max_shift double, "
-            "n_empty_clusters long"
-        ),
+        "iteration long, inertia double, max_shift double, "
+        "n_empty_clusters long",
     )
 
 

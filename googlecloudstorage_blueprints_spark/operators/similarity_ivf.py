@@ -33,6 +33,9 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+)
 from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity as _cosine,  # single shared definition — parity-critical
 )
@@ -157,13 +160,16 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat = np.asarray([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :NPROBE]
-    probes = spark.createDataFrame(
+    # LocalRelation (r18): the query×probe fan-out is N_QUERIES·NPROBE
+    # rows of driver data — no Python RDD at materialization
+    probes = local_rows_frame(
+        spark,
         [
             (int(r["vec_id"]), r["embedding"], int(cell))
             for r, cells in zip(q_rows, probe_rank)
             for cell in cells
         ],
-        schema="query_id long, qv array<float>, cell int",
+        "query_id long, qv array<float>, cell int",
     )
 
     # -- search only the probed cells: broadcast the probe pairs, exact

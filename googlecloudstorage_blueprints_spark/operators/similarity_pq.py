@@ -40,6 +40,9 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+)
 from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity as _cosine,  # single shared definition — parity-critical
 )
@@ -234,9 +237,12 @@ def similarity_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact tail: join the shortlist back to raw embeddings, true cosine
-    probes = spark.createDataFrame(
+    # LocalRelation (r18): N_QUERIES rows of driver data — no Python
+    # RDD at materialization
+    probes = local_rows_frame(
+        spark,
         [(int(r["vec_id"]), r["embedding"]) for r in q_rows],
-        schema="query_id long, qv array<float>",
+        "query_id long, qv array<float>",
     )
     scored = (
         shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
@@ -364,9 +370,12 @@ def ivfpq_topk(
         .where(F.col("adc_rk") <= RERANK)
         .select("query_id", "vec_id")
     )
-    probes = spark.createDataFrame(
+    # LocalRelation (r18): N_QUERIES rows of driver data — no Python
+    # RDD at materialization
+    probes = local_rows_frame(
+        spark,
         [(int(r["vec_id"]), r["embedding"]) for r in q_rows],
-        schema="query_id long, qv array<float>",
+        "query_id long, qv array<float>",
     )
     scored = (
         shortlist.join(emb.select("vec_id", "embedding"), "vec_id")

@@ -57,6 +57,25 @@ CHANGED_THIS_ROUND: list[str] = [
     "doc_char_entropy",
     "multimodal_metadata_agg",
     "text_normalize_fingerprint",
+    # r18 session 2 (optimization): user_event_pareto's literal cuts
+    # frame moved from a Python-RDD createDataFrame to a LocalRelation
+    # (local_rows_frame — plan Scan ExistingRDD → LocalTableScan,
+    # values bit-identical, parity re-verified at all three SFs; warm
+    # 6.66 → 0.94 s at sf0.1), and copurchase_pagerank's per-round
+    # body dropped the row-identity nodes LEFT-join re-attach (outputs
+    # asserted bit-identical at all three SFs).  Plan replans of
+    # adjudicated keys front per the r17 precedent.
+    "user_event_pareto",
+    "copurchase_pagerank",
+    # r18 session 2: five more rows-only ops moved their driver-side
+    # literal/result frames to local_rows_frame (Scan ExistingRDD →
+    # LocalTableScan; values identical, recall/closed-form pins green;
+    # measured −41%/−42% warm on pc1/ivf).
+    "events_attribution_markov",
+    "embedding_pc1_spectrum",
+    "embedding_kmeans_inertia",
+    "similarity_knn_ivf",
+    "similarity_knn_pq",
     # r18: the NULL-cell and type-drift audit fixes (61 keys) are NOT
     # fronted, per the r15 identity precedent: every change is
     # IS-NOT-NULL filters / NULLS FIRST orderings / NULL-propagation

@@ -54,21 +54,22 @@ def _round_frames(spark):
 
 
 def test_large_branch_round_plans_no_broadcast(spark):
-    nodes, edges_deg, ranks = _round_frames(spark)
+    _nodes, edges_deg, ranks = _round_frames(spark)
     out = graph._pagerank_round(
-        nodes, edges_deg, ranks, base=1, broadcast_nodes=False
+        edges_deg, ranks, base=1, broadcast_nodes=False
     )
     assert not has_broadcast_join(out)
-    # both joins present, as shuffle joins
+    # the single contribution join plans as a shuffle join (the r18
+    # round drops the historical row-identity nodes re-attach join)
     plan = explain_str(out, "simple")
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_small_branch_round_plans_broadcast(spark):
-    nodes, edges_deg, ranks = _round_frames(spark)
+    _nodes, edges_deg, ranks = _round_frames(spark)
     out = graph._pagerank_round(
-        nodes, edges_deg, ranks, base=1, broadcast_nodes=True
+        edges_deg, ranks, base=1, broadcast_nodes=True
     )
     assert has_broadcast_join(out)
 
