@@ -82,6 +82,17 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             )
         )
         .toDF("src", "dst")
+        # hash-partition the cached edge set on the JOIN key once: the
+        # per-round labels join needs dst-clustering, and a cached
+        # InMemoryTableScan preserves outputPartitioning, so every round
+        # reuses this layout instead of re-shuffling the edge frame
+        # against the stats-less checkpointed labels (the pagerank
+        # large-branch trick, r18; local A/B a slight win at fixture
+        # scale — 2 rounds, 256 edges — and one fewer edge-sized
+        # exchange per round at scale)
+        .repartition(
+            nodes.sparkSession.sparkContext.defaultParallelism, "dst"
+        )
         .cache()
     )
     labels = nodes.select(

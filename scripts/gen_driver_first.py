@@ -76,6 +76,13 @@ CHANGED_THIS_ROUND: list[str] = [
     "embedding_kmeans_inertia",
     "similarity_knn_ivf",
     "similarity_knn_pq",
+    # r18 session 3: min_label_components hash-partitions its cached
+    # symmetrized edge set on the join key before the propagation loop
+    # (one fewer edge-sized exchange per round; values identical —
+    # parity re-verified at sf0.001/0.01, planted fixpoint pin).  The
+    # only declared consumer is dedup_clusters; fronted as a replan of
+    # an adjudicated key per the r17 precedent.
+    "dedup_clusters",
     # r18: the NULL-cell and type-drift audit fixes (61 keys) are NOT
     # fronted, per the r15 identity precedent: every change is
     # IS-NOT-NULL filters / NULLS FIRST orderings / NULL-propagation
