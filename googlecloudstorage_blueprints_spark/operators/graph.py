@@ -41,6 +41,27 @@ from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 MAX_ROUNDS = 20
 
 
+def _persisted_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD currently persisted in the context — INCLUDING
+    localCheckpoint storage, which ``DataFrame.unpersist`` cannot see
+    (the persist-hygiene primitive shared by the iterative ops)."""
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    it = jmap.keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _release_rdds(sc, rdd_ids) -> None:
+    """Blocking-unpersist the given RDD ids (checkpoint hygiene)."""
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    for rid in sorted(rdd_ids):
+        rdd = jmap.get(rid)
+        if rdd.isDefined():
+            rdd.get().unpersist(True)
+
+
 def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """Min-label propagation to a fixpoint: ``(node, label)`` where label
     is the smallest node id reachable in the undirected graph ``pairs``
@@ -63,15 +84,6 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     ``DataFrame.unpersist`` and otherwise accumulates across a long
     driver session — persist-hygiene test pins this).  Callers free the
     result with ``labels.unpersist()``."""
-
-    def _persisted_rdd_ids(sc) -> set[int]:
-        jmap = sc._jsc.sc().getPersistentRDDs()
-        it = jmap.keysIterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next())
-        return ids
-
     sc = nodes.sparkSession.sparkContext
     ids_before = _persisted_rdd_ids(sc)
     sym = (
@@ -127,11 +139,7 @@ def min_label_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     # trade localCheckpoint itself makes vs reliable checkpointing; for
     # a long-lived production job, point spark.checkpoint.dir at durable
     # storage and swap localCheckpoint → checkpoint in the loop
-    jmap = sc._jsc.sc().getPersistentRDDs()
-    for rid in sorted(checkpoint_ids):
-        rdd = jmap.get(rid)
-        if rdd.isDefined():
-            rdd.get().unpersist(True)
+    _release_rdds(sc, checkpoint_ids)
     return result
 
 _PAIR_SQL = f"""
@@ -325,6 +333,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions are ``rank div deg``, damping is ``(85·s) div 100``
     — runs are bit-deterministic (no float accumulation order), and
     ANSI mode fails loudly if the scale ever overflows."""
+    sc = spark.sparkContext
+    ids_before = _persisted_rdd_ids(sc)
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
@@ -338,7 +348,13 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the basket→pair→distinct pipeline ONCE: without
+    # this checkpoint the pipeline recomputed THREE times before the
+    # loop (once for deg/nodes, twice more inside edges⋈deg — both
+    # join children re-derived it).  r18 interleaved A/B at sf0.1:
+    # med 18.0 → 15.2 s (−16%), outputs bit-identical; at scale the
+    # saving is two full pair-distinct passes over data-sized input.
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -353,7 +369,14 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = _PR_SCALE // n_nodes
     base = (_PR_SCALE * 15) // 100 // n_nodes  # (1-d)/N, fixed-point
     broadcast_nodes = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
-    edges_deg = edges.join(deg, "src")
+    # join the ALREADY-MATERIALIZED deg (nodes) back onto the edges,
+    # explicitly broadcasting the node-bounded side under the gate:
+    # an un-hinted join here may pick the CHECKPOINTED EDGE side as
+    # broadcast build (checkpoint-preserved stats can read small) and
+    # OOM the driver — measured, r18.  Above the gate neither side
+    # broadcasts and the src repartition keeps round co-partitioning.
+    hint = F.broadcast if broadcast_nodes else (lambda df: df)
+    edges_deg = edges.join(hint(nodes), "src")
     if not broadcast_nodes:
         edges_deg = edges_deg.repartition("src")
     edges_deg = edges_deg.localCheckpoint(eager=True)
@@ -365,7 +388,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = _pagerank_round(
             edges_deg, ranks, base, broadcast_nodes
         ).localCheckpoint(eager=True)  # constant-size plan per round
-    return (
+    # CHECKPOINT HYGIENE (r18): the loop leaves ~8 localCheckpoint RDDs
+    # (edges + edges_deg are EDGE-sized) that DataFrame.unpersist can
+    # never free — without the release below they accumulate across a
+    # long driver session (measured: repeated invocations in one local
+    # session OOM'd the JVM heap).  Same pattern as
+    # min_label_components: copy the K-row answer into a plain cache,
+    # then release every checkpoint this op created; callers free the
+    # result with df.unpersist().
+    checkpoint_ids = _persisted_rdd_ids(sc) - ids_before
+    result = (
         ranks.join(nodes, ranks.node == nodes.src)
         .select(
             F.col("node").alias("p_partkey"),
@@ -374,7 +406,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_e12").desc(), "p_partkey")
         .limit(PAGERANK_TOP_K)
+        .persist()
     )
+    result.count()  # materialize the plain cache off the checkpoints
+    _release_rdds(sc, checkpoint_ids)
+    return result
 
 
 copurchase_pagerank.__doc__ = copurchase_pagerank.__doc__.format(

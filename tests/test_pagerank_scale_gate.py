@@ -97,3 +97,24 @@ def test_gate_branches_produce_identical_ranks(spark, tmp_path, monkeypatch):
     a = [tuple(r) for r in q(spark, SF).collect()]
     b = [tuple(r) for r in q(spark, SF).collect()]
     assert a == b and len(a) == graph.PAGERANK_TOP_K
+
+
+def test_edges_deg_build_broadcasts_nodes_not_edges(spark):
+    """r18 builder pin: the edges_deg join explicitly broadcasts the
+    NODE-bounded side.  An un-hinted join here can pick the
+    CHECKPOINTED EDGE side as broadcast build (checkpoint-preserved
+    stats can read small) and OOM the driver on a data-sized edge set
+    — the hint must keep the build side node-bounded regardless of
+    what the stats say."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    nodes = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, deg long"
+    ).localCheckpoint(eager=True)
+    out = edges.join(F.broadcast(nodes), "src")
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    # the broadcast exchange must sit on the (src, deg) nodes side —
+    # BuildRight with nodes as the right child
+    assert "BuildRight" in plan

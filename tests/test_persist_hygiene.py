@@ -34,6 +34,7 @@ PERSISTING_OPS = [
     "events_sessionized_funnel",
     "sequence_pack",
     "chunk_dedup",
+    "copurchase_pagerank",
 ]
 
 
