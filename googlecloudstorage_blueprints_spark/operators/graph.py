@@ -362,7 +362,10 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     if n_nodes == 0:
         # zero-row input (empty-catalog audit, r17): no co-purchase
-        # graph — an empty typed frame, not a ZeroDivisionError
+        # graph — an empty typed frame, not a ZeroDivisionError.
+        # Release the two (empty) checkpoints already created so even
+        # this path leaves no persisted storage behind (r18 hygiene).
+        _release_rdds(sc, _persisted_rdd_ids(sc) - ids_before)
         return spark.createDataFrame(
             [], "p_partkey long, rank_e12 long, out_degree long"
         )
