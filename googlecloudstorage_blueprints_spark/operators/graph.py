@@ -250,8 +250,9 @@ _PR_SCALE = 10**12  # ranks are int64 fixed-point (×1e12)
 # tens of millions of rows and a forced broadcast OOMs the driver (r12
 # VERDICT item 1).  2M (node,long) rows ≈ 32 MB raw — comfortably inside
 # a driver/executor heap while far above any local fixture.  Above the
-# gate the edge frame is hash-partitioned on ``src`` ONCE before its
-# checkpoint, so every round's contribution join reuses that
+# gate the edge frame is hash-partitioned on ``src`` ONCE and CACHED
+# (an InMemoryTableScan preserves outputPartitioning; a checkpoint
+# does not), so every round's contribution join reuses that
 # co-partitioning and only the node-sized rank frame shuffles.
 PAGERANK_BROADCAST_MAX_NODES = 2_000_000
 
@@ -277,8 +278,13 @@ def _pagerank_round(
     ``broadcast_nodes`` gates the explicit broadcast of the
     node-bounded rank frame (a checkpointed frame loses Catalyst size
     stats, so below the gate the hint prevents an edge-sized SMJ per
-    round; above it the caller's src-partitioned edge checkpoint makes
-    the shuffle join reuse co-partitioning instead)."""
+    round; above it the caller's src-partitioned edge CACHE makes the
+    shuffle join reuse co-partitioning instead).  Below the gate the
+    caller partitions the cached edge frame on ``dst`` — the aggregate
+    key — so the dst-keyed sum runs exchange-free (r18: an
+    InMemoryTableScan preserves outputPartitioning and the projection
+    is alias-aware; a localCheckpoint reads UnknownPartitioning under
+    AQE and re-shuffles every round)."""
     hint = F.broadcast if broadcast_nodes else (lambda df: df)
     contrib = edges_deg.join(
         hint(ranks), edges_deg.src == ranks.node
@@ -325,9 +331,16 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint prevents an edge-sized SMJ per round — measured 2× per round
     at sf0.1) — but ONLY while ``n_nodes`` is under
     :data:`PAGERANK_BROADCAST_MAX_NODES`; above the gate the edge
-    frame is hash-partitioned on ``src`` once before its checkpoint and
-    the per-round join runs as a shuffle join that reuses that
-    co-partitioning (only the node-sized rank frame moves per round).
+    frame is hash-partitioned on ``src`` once and the per-round join
+    runs as a shuffle join that reuses that co-partitioning (only the
+    node-sized rank frame moves per round).  The partitioned edge
+    frame is CACHED, not checkpointed (r18 session 4): an
+    InMemoryTableScan preserves ``outputPartitioning`` while a
+    localCheckpoint reads UnknownPartitioning under AQE, so only the
+    cache lets the layout pay — below the gate it is keyed on ``dst``
+    (the aggregate key, since the join side is broadcast) and every
+    round's contribution sum runs EXCHANGE-FREE (med warm 8.17 →
+    4.26 s at sf0.1, outputs bit-identical at all three SFs).
     Isolated parts (never co-purchased) have no edges and are excluded
     by construction.  Ranks are int64 fixed-point (×1e12) end to end:
     contributions are ``rank div deg``, damping is ``(85·s) div 100``
@@ -376,13 +389,29 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicitly broadcasting the node-bounded side under the gate:
     # an un-hinted join here may pick the CHECKPOINTED EDGE side as
     # broadcast build (checkpoint-preserved stats can read small) and
-    # OOM the driver — measured, r18.  Above the gate neither side
-    # broadcasts and the src repartition keeps round co-partitioning.
+    # OOM the driver — measured, r18.
     hint = F.broadcast if broadcast_nodes else (lambda df: df)
     edges_deg = edges.join(hint(nodes), "src")
-    if not broadcast_nodes:
-        edges_deg = edges_deg.repartition("src")
-    edges_deg = edges_deg.localCheckpoint(eager=True)
+    # LAYOUT SERVES THE LOOP (r18 session 4): below the gate the round
+    # join BROADCASTS the rank side, so the edge layout is free to
+    # serve the dst-keyed contribution AGGREGATE instead — hash(dst)
+    # lets every round's groupBy("node") elide its exchange entirely
+    # (single-stage rounds).  Above the gate the per-round shuffle
+    # join on src is the dominant cost, so the layout serves the JOIN
+    # key and only the node-sized rank frame moves per round.  Either
+    # way the frame must be CACHED, not localCheckpointed: an
+    # InMemoryTableScan preserves outputPartitioning while a
+    # LogicalRDD reads UnknownPartitioning under AQE, so a
+    # checkpointed layout re-shuffles every round no matter how it
+    # was partitioned (measured A/B at sf0.1, outputs bit-identical
+    # at all three SFs: shipped-checkpoint med 8.17 s → dst-cache med
+    # 4.26 s; scripts/pagerank_dst_ab.py).  The cache is released in
+    # the hygiene close below.
+    loop_key = "dst" if broadcast_nodes else "src"
+    edges_deg = edges_deg.repartition(
+        sc.defaultParallelism, loop_key
+    ).cache()
+    edges_deg.count()  # materialize once, off the edges checkpoint
     ranks = nodes.select(
         F.col("src").alias("node"),
         F.lit(init).cast("long").alias("rank_e12"),
@@ -391,11 +420,15 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = _pagerank_round(
             edges_deg, ranks, base, broadcast_nodes
         ).localCheckpoint(eager=True)  # constant-size plan per round
-    # CHECKPOINT HYGIENE (r18): the loop leaves ~8 localCheckpoint RDDs
-    # (edges + edges_deg are EDGE-sized) that DataFrame.unpersist can
-    # never free — without the release below they accumulate across a
-    # long driver session (measured: repeated invocations in one local
-    # session OOM'd the JVM heap).  Same pattern as
+    # the final ranks checkpoint is materialized — the edge cache is
+    # no longer needed (released here so the snapshot below contains
+    # only checkpoint ids)
+    edges_deg.unpersist(blocking=True)
+    # CHECKPOINT HYGIENE (r18): the loop leaves ~7 localCheckpoint RDDs
+    # (edges is EDGE-sized) that DataFrame.unpersist can never free —
+    # without the release below they accumulate across a long driver
+    # session (measured: repeated invocations in one local session
+    # OOM'd the JVM heap).  Same pattern as
     # min_label_components: copy the K-row answer into a plain cache,
     # then release every checkpoint this op created; callers free the
     # result with df.unpersist().

@@ -99,6 +99,111 @@ def test_gate_branches_produce_identical_ranks(spark, tmp_path, monkeypatch):
     assert a == b and len(a) == graph.PAGERANK_TOP_K
 
 
+def _cached_edges_deg(spark, key):
+    """edges_deg shaped exactly like the production loop input: a keyed
+    repartition CACHED (InMemoryTableScan preserves outputPartitioning;
+    a localCheckpoint reads UnknownPartitioning under AQE — the r18
+    session-4 finding this file pins)."""
+    edges_deg = (
+        spark.createDataFrame(
+            [(1, 2, 1), (2, 1, 1), (1, 3, 1), (3, 1, 1)],
+            "src long, dst long, deg long",
+        )
+        .localCheckpoint(eager=True)
+        .repartition(spark.sparkContext.defaultParallelism, key)
+        .cache()
+    )
+    edges_deg.count()  # materialize so the plan reads InMemoryTableScan
+    return edges_deg
+
+
+def _ranks(spark):
+    return (
+        spark.createDataFrame(
+            [(1, 300_000_000_000), (2, 300_000_000_000),
+             (3, 400_000_000_000)],
+            "node long, rank_e12 long",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _ensure_exchanges(df) -> int:
+    """Per-round ENSURE_REQUIREMENTS exchanges (the cache's one-time
+    REPARTITION_BY_NUM build exchange prints inside the InMemoryRelation
+    subtree and must not count)."""
+    return explain_str(df, "simple").count("ENSURE_REQUIREMENTS")
+
+
+def test_small_branch_round_is_exchange_free_on_dst_cache(spark):
+    """r18 session 4: below the gate the round join broadcasts the rank
+    side, so a dst-keyed cached edge layout serves the contribution
+    AGGREGATE — the whole round plans ZERO shuffle exchanges
+    (single-stage rounds; measured med warm 8.17 → 4.26 s at sf0.1)."""
+    edges_deg = _cached_edges_deg(spark, "dst")
+    try:
+        out = graph._pagerank_round(
+            edges_deg, _ranks(spark), base=1, broadcast_nodes=True
+        )
+        assert has_broadcast_join(out)
+        assert _ensure_exchanges(out) == 0
+    finally:
+        edges_deg.unpersist(blocking=True)
+
+
+def test_small_branch_round_on_checkpoint_pays_agg_exchange(spark):
+    """Counterfactual: the pre-r18-session-4 localCheckpoint shape
+    re-shuffles the dst-keyed aggregate every round regardless of how
+    the checkpointed frame was partitioned (LogicalRDD reads
+    UnknownPartitioning under AQE)."""
+    edges_deg = (
+        spark.createDataFrame(
+            [(1, 2, 1), (2, 1, 1)], "src long, dst long, deg long"
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "dst")
+        .localCheckpoint(eager=True)
+    )
+    out = graph._pagerank_round(
+        edges_deg, _ranks(spark), base=1, broadcast_nodes=True
+    )
+    assert _ensure_exchanges(out) >= 1
+
+
+def test_large_branch_round_reuses_src_cache_partitioning(spark):
+    """Above the gate the per-round shuffle join reuses the src-keyed
+    cached layout: only the node-sized rank frame and the aggregate
+    exchange — one fewer EDGE-sized exchange per round than the
+    unpartitioned counterfactual."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cached = _cached_edges_deg(spark, "src")
+        out = graph._pagerank_round(
+            cached, _ranks(spark), base=1, broadcast_nodes=False
+        )
+        n_cached = _ensure_exchanges(out)
+        cached.unpersist(blocking=True)
+
+        unpart = (
+            spark.createDataFrame(
+                [(1, 2, 1), (2, 1, 1), (1, 3, 1), (3, 1, 1)],
+                "src long, dst long, deg long",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_unpart = _ensure_exchanges(
+            graph._pagerank_round(
+                unpart, _ranks(spark), base=1, broadcast_nodes=False
+            )
+        )
+        # ranks-side + aggregate for the cached layout; the
+        # counterfactual also re-shuffles the edge side
+        assert n_cached == 2
+        assert n_unpart == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_edges_deg_build_broadcasts_nodes_not_edges(spark):
     """r18 builder pin: the edges_deg join explicitly broadcasts the
     NODE-bounded side.  An un-hinted join here can pick the
