@@ -1874,7 +1874,8 @@ def events_attribution_markov(
     if not counts:
         # zero-row input (empty-catalog audit, r17): no journeys, no
         # chain — an empty typed frame, not a KeyError on START
-        return spark.createDataFrame(
+        return local_rows_frame(
+            spark,
             [],
             schema="state string, removal_effect double, "
             "attribution_share double, base_conversion double",

@@ -1073,7 +1073,8 @@ def embedding_pc1_spectrum(
     )
     if not partials:
         # zero-row input (empty-catalog audit, r17): no spectrum
-        return spark.createDataFrame(
+        return local_rows_frame(
+            spark,
             [],
             schema=(
                 "n_vectors long, dim long, total_variance double, "
@@ -1166,7 +1167,8 @@ def embedding_kmeans_inertia(
     )
     if not seeds:
         # zero-row input (empty-catalog audit, r17): no corpus, no loop
-        return spark.createDataFrame(
+        return local_rows_frame(
+            spark,
             [],
             schema=(
                 "iteration long, inertia double, max_shift double, "

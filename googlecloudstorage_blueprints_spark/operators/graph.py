@@ -29,6 +29,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+)
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.operators.dedup import (
     JACCARD_THRESHOLD,
@@ -379,8 +382,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Release the two (empty) checkpoints already created so even
         # this path leaves no persisted storage behind (r18 hygiene).
         _release_rdds(sc, _persisted_rdd_ids(sc) - ids_before)
-        return spark.createDataFrame(
-            [], "p_partkey long, rank_e12 long, out_degree long"
+        return local_rows_frame(
+            spark, [], "p_partkey long, rank_e12 long, out_degree long"
         )
     init = _PR_SCALE // n_nodes
     base = (_PR_SCALE * 15) // 100 // n_nodes  # (1-d)/N, fixed-point
@@ -408,9 +411,26 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4.26 s; scripts/pagerank_dst_ab.py).  The cache is released in
     # the hygiene close below.
     loop_key = "dst" if broadcast_nodes else "src"
-    edges_deg = edges_deg.repartition(
-        sc.defaultParallelism, loop_key
-    ).cache()
+    # Partition-count sizing (r18 advice): bare defaultParallelism is
+    # right locally (defeats AQE's coalesce-to-1 on one-row-group
+    # fixtures) but under dynamic allocation it reflects only the
+    # executors registered AT CALL TIME and can be tiny — a data-sized
+    # edge frame would land in a few oversized cached partitions.  The
+    # above-gate branch therefore takes max(defaultParallelism,
+    # spark.sql.shuffle.partitions): shuffle.partitions is the
+    # cluster-sized knob the old repartition("src") used (AQE cannot
+    # coalesce a cached layout after the fact).  Below the gate the
+    # frame is fixture/broadcast-scale and defaultParallelism stands.
+    n_loop_parts = sc.defaultParallelism
+    if not broadcast_nodes:
+        try:
+            n_loop_parts = max(
+                n_loop_parts,
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+            )
+        except (TypeError, ValueError):  # e.g. "auto" on some builds
+            pass
+    edges_deg = edges_deg.repartition(n_loop_parts, loop_key).cache()
     edges_deg.count()  # materialize once, off the edges checkpoint
     ranks = nodes.select(
         F.col("src").alias("node"),

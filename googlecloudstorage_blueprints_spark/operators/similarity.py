@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity as _cosine,  # single shared definition — parity-critical
 )
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+)
 from googlecloudstorage_blueprints_spark.operators import register
 from googlecloudstorage_blueprints_spark.sources.catalog import load_table
 
@@ -197,8 +200,10 @@ def similarity_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not query_rows:
         # zero-row input (empty-catalog audit, r17): no queries means no
         # neighbors — an empty typed frame, not a numpy AxisError
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rk long"
+        return local_rows_frame(
+            spark,
+            [],
+            "query_id long, neighbor_id long, cosine double, rk long",
         )
     kernel = _knn_pandas_batches(query_rows)
     # fewer, bigger Arrow batches: the kernel is one BLAS GEMM per batch,
@@ -437,8 +442,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = emb.select("vec_id", "embedding").collect()
     if not rows:
         # zero-row input (empty-catalog audit, r17): no corpus, no pairs
-        return spark.createDataFrame(
-            [], "vec_a long, vec_b long, cosine double"
+        return local_rows_frame(
+            spark, [], "vec_a long, vec_b long, cosine double"
         )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     corpus = np.array([r["embedding"] for r in rows], dtype=np.float64)

@@ -132,8 +132,10 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not train_rows:
         # zero-row input (empty-catalog audit, r17): nothing to train on,
         # nothing to search — an empty typed frame, not a numpy error
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rk long"
+        return local_rows_frame(
+            spark,
+            [],
+            "query_id long, neighbor_id long, cosine double, rk long",
         )
     centroids = _train_centroids([r["embedding"] for r in train_rows])
 

@@ -184,8 +184,10 @@ def similarity_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not train_rows:
         # zero-row input (empty-catalog audit, r17): nothing to train on,
         # nothing to search — an empty typed frame, not a numpy error
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rk long"
+        return local_rows_frame(
+            spark,
+            [],
+            "query_id long, neighbor_id long, cosine double, rk long",
         )
     books = _train_codebooks([r["embedding"] for r in train_rows])
 
@@ -308,8 +310,10 @@ def ivfpq_topk(
     if not train_rows:
         # zero-row input (empty-catalog audit, r17): nothing to train on,
         # nothing to search — an empty typed frame, not a numpy error
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rk long"
+        return local_rows_frame(
+            spark,
+            [],
+            "query_id long, neighbor_id long, cosine double, rk long",
         )
     train = [r["embedding"] for r in train_rows]
     centroids = _train_centroids(train)

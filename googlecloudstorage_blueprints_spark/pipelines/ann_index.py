@@ -40,6 +40,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from googlecloudstorage_blueprints_spark.functions.columns import (
     cosine_similarity as _cosine,
 )
+from googlecloudstorage_blueprints_spark.functions.frames import (
+    local_rows_frame,
+)
 from googlecloudstorage_blueprints_spark.operators.similarity_ivf import (
     N_CELLS,
     NPROBE,
@@ -139,8 +142,8 @@ def build_ivf_index(
     cent_rows = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
     ]
-    spark.createDataFrame(
-        cent_rows, schema="cell int, centroid array<double>"
+    local_rows_frame(
+        spark, cent_rows, schema="cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{index_path}/centroids"
     )
@@ -221,7 +224,8 @@ def search_ivf_index(
     )
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     probe_rank = (q_mat @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]
-    probes = spark.createDataFrame(
+    probes = local_rows_frame(
+        spark,
         [
             (int(r["query_id"]), r["qv"], int(cell))
             for r, cells in zip(q_rows, probe_rank)
@@ -330,7 +334,8 @@ def build_ivfpq_index(
     encoded.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/corpus"
     )
-    spark.createDataFrame(
+    local_rows_frame(
+        spark,
         [
             (int(i), [float(x) for x in c])
             for i, c in enumerate(centroids)
@@ -340,7 +345,8 @@ def build_ivfpq_index(
         f"{index_path}/centroids"
     )
     m_dim, k_dim, dsub = books.shape
-    spark.createDataFrame(
+    local_rows_frame(
+        spark,
         [
             (int(m), int(k), [float(x) for x in books[m, k]])
             for m in range(m_dim)
@@ -464,7 +470,8 @@ def search_ivfpq_index(
         .where(F.col("adc_rk") <= RERANK)
         .select("query_id", "vec_id")
     )
-    probes = spark.createDataFrame(
+    probes = local_rows_frame(
+        spark,
         [(int(r["query_id"]), r["qv"]) for r in q_rows],
         schema="query_id long, qv array<float>",
     )

@@ -44,56 +44,11 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Keys whose semantics/plan changed this round: force re-adjudication even
 # though an older CORRECTNESS entry exists.  Rotate this list each round.
 CHANGED_THIS_ROUND: list[str] = [
-    # r18: spine Generate replan (r17-advice) — explode_outer+isNotNull
-    # became plain explode (exactly equivalent; sequence elements are
-    # never NULL) and the silently-ignored preserved-side broadcast
-    # hint was dropped (plan stays BHJ BuildRight, plan-checked).
-    "date_spine_monthly",
-    "revenue_mom_growth",
-    # r18: hostile-unicode audit fixes (scripts/unicode_catalog_audit.py
-    # — all identity on the ASCII fixture, parity re-verified):
-    # negative-zero guard, bytes-vs-codepoints oracle, ASCII-translate
-    # case folding.
-    "doc_char_entropy",
-    "multimodal_metadata_agg",
-    "text_normalize_fingerprint",
-    # r18 session 2 (optimization): user_event_pareto's literal cuts
-    # frame moved from a Python-RDD createDataFrame to a LocalRelation
-    # (local_rows_frame — plan Scan ExistingRDD → LocalTableScan,
-    # values bit-identical, parity re-verified at all three SFs; warm
-    # 6.66 → 0.94 s at sf0.1), and copurchase_pagerank's per-round
-    # body dropped the row-identity nodes LEFT-join re-attach (outputs
-    # asserted bit-identical at all three SFs).  Plan replans of
-    # adjudicated keys front per the r17 precedent.
-    "user_event_pareto",
-    "copurchase_pagerank",
-    # r18 session 2: five more rows-only ops moved their driver-side
-    # literal/result frames to local_rows_frame (Scan ExistingRDD →
-    # LocalTableScan; values identical, recall/closed-form pins green;
-    # measured −41%/−42% warm on pc1/ivf).
-    "events_attribution_markov",
-    "embedding_pc1_spectrum",
-    "embedding_kmeans_inertia",
-    "similarity_knn_ivf",
-    "similarity_knn_pq",
-    # r18 session 3: min_label_components hash-partitions its cached
-    # symmetrized edge set on the join key before the propagation loop
-    # (one fewer edge-sized exchange per round; values identical —
-    # parity re-verified at sf0.001/0.01, planted fixpoint pin).  The
-    # only declared consumer is dedup_clusters; fronted as a replan of
-    # an adjudicated key per the r17 precedent.
-    "dedup_clusters",
-    # r18: the NULL-cell and type-drift audit fixes (61 keys) are NOT
-    # fronted, per the r15 identity precedent: every change is
-    # IS-NOT-NULL filters / NULLS FIRST orderings / NULL-propagation
-    # alignments that are provably no-ops on the 100%-non-NULL driver
-    # fixtures.  The identity is verified EMPIRICALLY, not just argued:
-    # old-vs-new ORACLE texts produce byte-identical canonical rows on
-    # the clean sf0.001 AND sf0.01 fixtures (DuckDB side-by-side), and
-    # Spark-new ≡ oracle-new full-surface at sf0.01 AND sf0.1 — so
-    # Spark-new ≡ oracle-old ≡ every prior driver adjudication.
-    # Fronting all 61 would burn the whole head-50 and the r17-verdict
-    # item-4 frontier (33 r11-stale keys) would never retire.
+    # r19: the thirteen r18 entries (spine replans, unicode fixes,
+    # local_rows_frame replans, pagerank/dedup_clusters loop replans)
+    # all re-adjudicated green in CORRECTNESS_r18 (39/39 oracle pass,
+    # rows-only keys rows/schema-checked) — cleared per the standing
+    # rotation rule.  Add r19-changed keys here as plans change.
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

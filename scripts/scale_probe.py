@@ -1103,6 +1103,74 @@ def bench_shapes(
             F.sum("t").cast("long").alias("mi_num")
         )
 
+    def pagerank_round():
+        # r19 (r18 verdict item 6): the ABOVE-GATE pagerank loop unit on
+        # the §2.13 layout — src-keyed repartition + CACHE (the layout
+        # only became real in r18; localCheckpoint never preserved it).
+        # The copurchase graph's node space must GROW with the data or
+        # the probe collapses (the r9 fixed-vocab caveat): partkeys are
+        # salted with the replica id recovered from the strided
+        # orderkey, so each replica is a disjoint component — nodes and
+        # edges both scale N×.  Self-timed: the edge build + cache
+        # materialization is the ONE-TIME cost; the returned number is
+        # the median wall of 3 shuffle-join ROUNDS (the repeated unit
+        # whose exponent predicts the 100 TB loop).
+        rep = F.expr(f"l_orderkey div {KEY_STRIDE}")
+        li2 = li.select(
+            "l_orderkey",
+            (F.col("l_partkey") + rep * F.lit(KEY_STRIDE)).alias(
+                "l_partkey"
+            ),
+        )
+        baskets = li2.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("parts")
+        )
+        half = (
+            baskets.select("parts", F.explode_outer("parts").alias("src"))
+            .select("src", F.explode_outer("parts").alias("dst"))
+            .where(F.col("src") < F.col("dst"))
+            .distinct()
+        )
+        edges = half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        edges_deg = (
+            edges.join(deg, "src")
+            .repartition(spark.sparkContext.defaultParallelism, "src")
+            .cache()
+        )
+        edges_deg.count()  # one-time layout build, untimed
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(10**12).alias("rank_e12")
+        ).localCheckpoint(eager=True)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            nxt = (
+                edges_deg.join(
+                    ranks.withColumnRenamed("node", "src"), "src"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_e12 div deg").alias("contrib"),
+                )
+                .groupBy("node")
+                .agg(
+                    (
+                        F.lit(15 * 10**10)
+                        # div-first keeps the damped sum overflow-free
+                        # even on a pathological hub (probe times the
+                        # shape; ANSI overflow would kill the run)
+                        + F.expr("sum(contrib) div 100 * 85")
+                    ).alias("rank_e12")
+                )
+            )
+            ranks = nxt.localCheckpoint(eager=True)
+            walls.append(time.perf_counter() - t0)
+        edges_deg.unpersist(blocking=True)
+        return round(sorted(walls)[1], 2)
+
     def row_digest():
         # r16 claim (table_row_digest / streaming twin): stateless
         # per-row md5 → map-side-combined XOR/SUM/count partials, no
@@ -1202,6 +1270,9 @@ def bench_shapes(
         "ewma_backtest": ewma_backtest,
         "type_value_mi": type_value_mi,
         "row_digest": row_digest,
+        # round-19 addition: the above-gate pagerank loop unit on the
+        # r18 §2.13 keyed-cache layout (self-timed per-round median)
+        "pagerank_round": pagerank_round,
         "agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
             F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
         ),
@@ -1224,7 +1295,11 @@ def bench_shapes(
         if only and name not in only:
             continue
         t0 = time.perf_counter()
-        build().write.format("noop").mode("overwrite").save()
+        built = build()
+        if isinstance(built, float):  # self-timed shape (pagerank_round)
+            out[name] = built
+            continue
+        built.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
     return out
 
