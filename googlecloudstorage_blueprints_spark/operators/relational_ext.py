@@ -927,8 +927,20 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal stack.  At 100 TB swap exact distincts for
     approx_count_distinct — same shape, sketch state.  Min/max stringified
     to keep one output schema across column types (doubles rounded 2dp to
-    avoid repr drift)."""
+    avoid repr drift).
+
+    r19 perf: the 5-way COUNT DISTINCT rewrites to an Expand that
+    multiplies the scan ×6 before the partial aggregate, and fixture
+    parquet is one unsplittable row group — so the whole Expand+partial
+    ran on ONE core.  The r17 conditional fixture-gate repartition
+    (fires only when the scan yields fewer partitions than cores;
+    multi-split real input never pays the shuffle) parallelizes it:
+    measured med 2.14 → 1.64 s warm at sf0.1, values identical
+    (scripts/digest_ab.py)."""
     o = load_table(spark, sf_dir, "orders")
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par)
     aggs = []
     for c in _PROFILE_COLS:
         mn, mx = F.min(c), F.max(c)

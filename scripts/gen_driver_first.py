@@ -48,7 +48,23 @@ CHANGED_THIS_ROUND: list[str] = [
     # local_rows_frame replans, pagerank/dedup_clusters loop replans)
     # all re-adjudicated green in CORRECTNESS_r18 (39/39 oracle pass,
     # rows-only keys rows/schema-checked) — cleared per the standing
-    # rotation rule.  Add r19-changed keys here as plans change.
+    # rotation rule.
+    #
+    # r19: table_profile gained the r17 conditional fixture-gate
+    # repartition before its 5-way COUNT DISTINCT Expand (plan change
+    # on one-row-group input only; values identical — parity
+    # re-verified at sf0.01 AND sf0.1, multi-split plan pin in
+    # tests/test_new_ops_r19.py; measured med 2.14 -> 1.64 s warm).
+    "table_profile",
+    #
+    # NOT fronted: the zero-row early-return local_rows_frame
+    # conversions (nine ops) — the early-return path cannot fire on
+    # the non-empty driver fixtures, so the registered plans are
+    # byte-identical (verified via plans/r19 dumps for the digest
+    # family and the empty-catalog audit for the values); pagerank's
+    # above-gate partition sizing only touches the forced-large test
+    # branch (fixture graph sits below the gate; registered plan
+    # unchanged).
 ]
 
 GENERATED_HEADER = '''"""Driver adjudication order — GENERATED, do not edit.

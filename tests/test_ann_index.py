@@ -3,6 +3,12 @@ the in-session IVF operator (whose recall is already pinned)."""
 
 from __future__ import annotations
 
+import pytest
+
+# r19: excluded from the default driver-verify lane (pytest.ini) — this
+# module is builder-close-out gated via `-m ""`; see pytest.ini.
+pytestmark = pytest.mark.slow
+
 import glob
 
 import pyspark.sql.functions as F

@@ -16,6 +16,12 @@ at arbitrary in-order points, against pure-Python references:
 
 from __future__ import annotations
 
+import pytest
+
+# r19: excluded from the default driver-verify lane (pytest.ini) — this
+# module is builder-close-out gated via `-m ""`; see pytest.ini.
+pytestmark = pytest.mark.slow
+
 import collections
 
 import pandas as pd

@@ -3,6 +3,12 @@ check they agree with their canonical batch forms where semantics allow."""
 
 from __future__ import annotations
 
+import pytest
+
+# r19: excluded from the default driver-verify lane (pytest.ini) — this
+# module is builder-close-out gated via `-m ""`; see pytest.ini.
+pytestmark = pytest.mark.slow
+
 import pyspark.sql.functions as F
 
 from googlecloudstorage_blueprints_spark.operators import all_queries
